@@ -1,0 +1,86 @@
+"""Loaders / writers for the driver's parquet corpus (TESTDATA.md).
+
+The reference's Stash is a single HDF5 file; our stash is a Parquet dataset
+directory — columnar, splittable, predicate-pushdown-able, the only sane
+layout at 100 TB.  Lazy field reads map to Parquet column pruning, which
+Catalyst applies automatically when queries project a column subset.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biggie_spark.session import apply_runtime_confs
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one corpus table.
+
+    ``events.ts`` is physically ``timestamp[ns]`` which Spark 4 rejects
+    unless ``spark.sql.legacy.parquet.nanosAsLong=true`` is set, in which
+    case it surfaces as a LongType of epoch-nanoseconds.  We repair it to a
+    proper TimestampType via integer division (``div`` keeps the math in
+    64-bit integers — double division would lose precision above 2^53 ns).
+    """
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> None:
+    """Register corpus tables as temp views (for ``spark.sql`` entry points).
+
+    Mirrors the driver's DuckDB-side registration so SQL-string queries are
+    oracle-symmetric by construction (SURVEY.md §3.3).
+    """
+    for n, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(n)
+
+
+def save_parquet(
+    df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
+) -> None:
+    """Stash persist.  ``partition_by`` columns become directory partitions —
+    the 100 TB analog of the reference's hex-fanout key sharding (partition
+    pruning replaces the keymap lookup)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def export(df: DataFrame, path: str, fmt: str = "csv", mode: str = "overwrite") -> None:
+    """Export a stash/result to csv or json."""
+    w = df.write.mode(mode)
+    if fmt == "csv":
+        w.option("header", "true").csv(path)
+    elif fmt == "json":
+        w.json(path)
+    else:
+        raise ValueError(f"unsupported export format: {fmt}")

@@ -1,0 +1,8 @@
+"""Operator modules — importing this package registers every operator
+(SURVEY.md §2 inventory) into biggie_spark.registry."""
+
+from biggie_spark.ops import sources  # noqa: F401
+from biggie_spark.ops import kv  # noqa: F401
+from biggie_spark.ops import filters  # noqa: F401
+from biggie_spark.ops import joins  # noqa: F401
+from biggie_spark.ops import aggs  # noqa: F401

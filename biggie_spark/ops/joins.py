@@ -1,0 +1,284 @@
+"""§2.D — joins.
+
+All equi/outer/semi/anti/cross joins are native Catalyst (AQE picks
+broadcast vs sort-merge at runtime; `join_broadcast` pins the hint for the
+small-dim star case).  The one genuinely custom operator is `join_asof` —
+Spark has no native as-of join, so it is rewritten as a union-tag + window
+`last(ignorenulls)` scan: O(n log n) with a single shuffle on the partition
+key, no range explosion, which is the formulation that survives 100 TB
+(the naive approach — inequality join + row_number — explodes quadratically
+per key).  The DuckDB oracle uses an independent formulation (left join +
+row_number) so the two implementations cross-check each other.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from biggie_spark.io import load_table
+from biggie_spark.registry import register
+from biggie_spark.util import r4
+
+
+@register(
+    "join_inner_eq",
+    oracle="""
+    SELECT o_orderkey, c_custkey, c_mktsegment, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderstatus = 'P'
+    """,
+)
+def join_inner_eq(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_custkey", "c_mktsegment", "o_totalprice"
+    )
+
+
+@register(
+    "join_left_right_full",
+    oracle="""
+    WITH big AS (SELECT * FROM orders WHERE o_totalprice > 450000),
+         few AS (SELECT * FROM customer WHERE c_custkey % 10 = 0)
+    SELECT 'L' AS jt, c_custkey, o_orderkey
+      FROM customer LEFT JOIN big ON c_custkey = o_custkey
+    UNION ALL
+    SELECT 'R' AS jt, c_custkey, o_orderkey
+      FROM few RIGHT JOIN orders ON c_custkey = o_custkey
+    UNION ALL
+    SELECT 'F' AS jt, c_custkey, o_orderkey
+      FROM few FULL JOIN big ON c_custkey = o_custkey
+    """,
+)
+def join_left_right_full(spark, sf_dir):
+    """left / right / full outer joins in one tagged output (each branch has
+    guaranteed unmatched rows on the relevant side)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 450000)
+    few = c.filter(F.col("c_custkey") % 10 == 0)
+    cols = [F.col("c_custkey"), F.col("o_orderkey")]
+    left = c.join(big, c.c_custkey == big.o_custkey, "left").select(
+        F.lit("L").alias("jt"), *cols
+    )
+    right = few.join(o, few.c_custkey == o.o_custkey, "right").select(
+        F.lit("R").alias("jt"), *cols
+    )
+    full = few.join(big, few.c_custkey == big.o_custkey, "full").select(
+        F.lit("F").alias("jt"), *cols
+    )
+    return left.unionByName(right).unionByName(full)
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+)
+def join_semi(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def join_anti(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+    SELECT r_name, count(*) AS n_cust, round(sum(c_acctbal), 4) AS sum_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def join_broadcast(spark, sf_dir):
+    """Small-dim broadcast: region/nation are tiny at any scale factor — the
+    broadcast hint eliminates both shuffles of the fact side (plan-invisible
+    to the oracle, identical results)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_cust"), r4(F.sum("c_acctbal")).alias("sum_bal"))
+    )
+
+
+@register(
+    "join_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def join_cross(spark, sf_dir):
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    n = load_table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+    SELECT o1.o_custkey AS o_custkey, count(*) AS n_pairs
+    FROM orders o1 JOIN orders o2
+      ON o1.o_custkey = o2.o_custkey
+     AND o1.o_orderkey < o2.o_orderkey
+     AND o2.o_orderdate >= o1.o_orderdate
+     AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 30 DAY
+    GROUP BY o1.o_custkey
+    """,
+)
+def join_theta_range(spark, sf_dir):
+    """Non-equi range join: order pairs of the same customer within 30 days.
+    The equi component (custkey) keeps it a shuffled hash/SMJ join with a
+    residual range predicate — no nested-loop explosion at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    o1 = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderkey").alias("k1"),
+        F.col("o_orderdate").alias("d1"),
+    )
+    o2 = o.select(
+        F.col("o_custkey").alias("ck2"),
+        F.col("o_orderkey").alias("k2"),
+        F.col("o_orderdate").alias("d2"),
+    )
+    pairs = o1.join(
+        o2,
+        (F.col("ck") == F.col("ck2"))
+        & (F.col("k1") < F.col("k2"))
+        & (F.col("d2") >= F.col("d1"))
+        & (F.col("d2") <= F.col("d1") + F.expr("INTERVAL 30 DAY")),
+    )
+    return pairs.groupBy(F.col("ck").alias("o_custkey")).agg(
+        F.count("*").alias("n_pairs")
+    )
+
+
+@register(
+    "join_multiway_star",
+    oracle="""
+    SELECT r_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           count(*) AS n
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey   = c_custkey
+    JOIN lineitem ON l_orderkey  = o_orderkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_multiway_star(spark, sf_dir):
+    """5-table star join + aggregate (the flagship / bench `q_join_agg`).
+    Dims are broadcast; the fact-side join chain shuffles once on each fact
+    key; AQE handles skew/coalescing."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT e.event_id AS event_id, p.ts AS pts, p.event_id AS peid,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY p.ts DESC NULLS LAST, p.event_id DESC NULLS LAST
+             ) AS rn
+      FROM events e LEFT JOIN p
+        ON e.user_id = p.user_id
+       AND (p.ts < e.ts OR (p.ts = e.ts AND p.event_id < e.event_id))
+    )
+    SELECT event_id,
+           CAST(floor(epoch(pts)) AS BIGINT) AS prev_purchase_epoch,
+           peid AS prev_purchase_eid
+    FROM j WHERE rn = 1
+    """,
+)
+def join_asof(spark, sf_dir):
+    """As-of join: for every event, the latest 'purchase' event of the same
+    user strictly before it (tie rule: (ts, event_id) lexicographic —
+    SURVEY.md §7.3.4).
+
+    Spark rewrite: union-tag + running `last(ignorenulls)` window — one
+    shuffle on user_id, linear state, no quadratic pair blow-up.  Probe rows
+    sort before purchase-copies at identical (ts, event_id) so the frame
+    (unbounded, -1) enforces strict precedence.  The DuckDB oracle is an
+    independent inequality-join + row_number formulation.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    probes = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+        F.lit(None).cast("long").alias("p_eid"),
+    )
+    purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.lit(1).alias("tag"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_eid"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id", "tag")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = probes.unionByName(purchases)
+    return (
+        tagged.withColumn("prev_ts", F.last("p_ts", ignorenulls=True).over(w))
+        .withColumn("prev_eid", F.last("p_eid", ignorenulls=True).over(w))
+        .filter(F.col("tag") == 0)
+        .select(
+            "event_id",
+            F.unix_timestamp("prev_ts").alias("prev_purchase_epoch"),
+            F.col("prev_eid").alias("prev_purchase_eid"),
+        )
+    )

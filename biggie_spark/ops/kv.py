@@ -1,0 +1,118 @@
+"""§2.B — the reference's own key-value operator set, DataFrame-rewritten.
+
+Stash = the ``documents`` table keyed by ``doc_id``.  Each op here is the
+declarative rewrite of the upstream kv surface (Stash.get/add/remove/keys/
+len/contains — reconstructed, SURVEY.md §0/§2.B):
+
+* point reads compile to parquet predicate pushdown (row-group skipping at
+  100 TB, the analog of the reference's keymap lookup);
+* lazy field access compiles to column pruning;
+* upsert/delete are anti-join ∪ new — shuffle-free when the key-diff side is
+  broadcastable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from biggie_spark.io import load_table
+from biggie_spark.registry import register
+from biggie_spark.stash import Stash
+
+
+def _stash(spark, sf_dir) -> Stash:
+    return Stash(spark, load_table(spark, sf_dir, "documents"), key="doc_id")
+
+
+@register("kv_get", oracle="SELECT * FROM documents WHERE doc_id = 42")
+def kv_get(spark, sf_dir):
+    """Exact-key point read; ``doc_id = 42`` reaches parquet PushedFilters."""
+    return _stash(spark, sf_dir).get(42)
+
+
+@register("kv_mget", oracle="SELECT * FROM documents WHERE doc_id IN (3, 7, 11, 19, 42)")
+def kv_mget(spark, sf_dir):
+    return _stash(spark, sf_dir).mget([3, 7, 11, 19, 42])
+
+
+@register("kv_keys", oracle="SELECT DISTINCT doc_id AS key FROM documents")
+def kv_keys(spark, sf_dir):
+    return _stash(spark, sf_dir).keys().select(F.col("doc_id").alias("key"))
+
+
+@register("kv_len", oracle="SELECT count(*) AS n FROM documents")
+def kv_len(spark, sf_dir):
+    return _stash(spark, sf_dir).df.agg(F.count("*").alias("n"))
+
+
+@register(
+    "kv_exists",
+    oracle="SELECT (count(*) > 0) AS present FROM documents WHERE doc_id = 42",
+)
+def kv_exists(spark, sf_dir):
+    s = _stash(spark, sf_dir)
+    return s.get(42).agg((F.count("*") > 0).alias("present"))
+
+
+@register(
+    "kv_put",
+    oracle="""
+    WITH merged AS (
+      SELECT doc_id, text FROM documents WHERE doc_id NOT IN (1, 100000)
+      UNION ALL SELECT * FROM (VALUES (1, '__UPDATED__'), (100000, '__NEW__')) v(doc_id, text)
+    )
+    SELECT count(*) AS n, sum(doc_id) AS sum_key,
+           sum(CASE WHEN text = '__UPDATED__' THEN 1 ELSE 0 END) AS n_updated
+    FROM merged
+    """,
+)
+def kv_put(spark, sf_dir):
+    """Upsert two entities (one replacing doc_id=1, one brand-new) via the
+    anti-join ∪ new rewrite, then aggregate the post-state — a full value
+    oracle on upsert semantics."""
+    s = Stash(spark, load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
+    incoming = spark.createDataFrame(
+        [Row(doc_id=1, text="__UPDATED__"), Row(doc_id=100000, text="__NEW__")]
+    )
+    merged = s.add(incoming).df
+    return merged.agg(
+        F.count("*").alias("n"),
+        F.sum("doc_id").alias("sum_key"),
+        F.sum(F.when(F.col("text") == "__UPDATED__", 1).otherwise(0)).alias("n_updated"),
+    )
+
+
+@register(
+    "kv_delete",
+    oracle="""
+    SELECT count(*) AS n, sum(doc_id) AS sum_key
+    FROM documents WHERE doc_id NOT IN (2, 4, 6)
+    """,
+)
+def kv_delete(spark, sf_dir):
+    survived = _stash(spark, sf_dir).remove([2, 4, 6]).df
+    return survived.agg(F.count("*").alias("n"), F.sum("doc_id").alias("sum_key"))
+
+
+@register(
+    "kv_scan_prefix",
+    oracle="SELECT doc_id FROM documents WHERE CAST(doc_id AS VARCHAR) LIKE '1%'",
+)
+def kv_scan_prefix(spark, sf_dir):
+    """Prefix scan over the key space (reference keys() extension)."""
+    return _stash(spark, sf_dir).scan_prefix("1").select("doc_id")
+
+
+@register(
+    "kv_field_project",
+    oracle="SELECT doc_id, n_chars, md5(text) AS text_md5 FROM documents WHERE doc_id = 7",
+)
+def kv_field_project(spark, sf_dir):
+    """Lazy field materialization: only the touched fields are scanned —
+    Catalyst column pruning is the Spark analog of the reference's lazy
+    Entity fields."""
+    s = _stash(spark, sf_dir)
+    return s.get_fields(7, ["n_chars", "text"]).select(
+        "doc_id", "n_chars", F.md5("text").alias("text_md5")
+    )
