@@ -6,3 +6,7 @@ from biggie_spark.ops import kv  # noqa: F401
 from biggie_spark.ops import filters  # noqa: F401
 from biggie_spark.ops import joins  # noqa: F401
 from biggie_spark.ops import aggs  # noqa: F401
+from biggie_spark.ops import windows  # noqa: F401
+from biggie_spark.ops import setops  # noqa: F401
+from biggie_spark.ops import streaming  # noqa: F401
+from biggie_spark.ops import scalars  # noqa: F401

@@ -1,0 +1,211 @@
+"""§2.H — streaming semantics over the events table.
+
+The scored surface is the **batch-equivalent semantics** of each streaming
+op (deterministic, oracle-checkable); each uses exactly the construct the
+Structured Streaming twin would (`F.window`, `F.session_window`, static-dim
+join), so the same plan incrementalizes under `readStream` unchanged.  The
+live micro-batch demos live in biggie_spark/streaming_demo.py (not scored:
+streaming output is a function of arrival time, not of the input files).
+
+Watermark note (SURVEY.md §2.H): the reference is a kv-store with no
+streaming surface, so late-data semantics follow the Structured Streaming
+model wholesale — event-time windows, watermark = max(event time) - delay,
+state eviction past the watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from biggie_spark.io import load_table
+from biggie_spark.registry import register
+from biggie_spark.util import r4
+
+
+@register(
+    "stream_tumbling",
+    oracle="""
+    SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+           event_type, count(*) AS n, round(sum(value), 4) AS sum_val
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark, sf_dir):
+    """1-hour tumbling windows (bench `q_events_hourly`).  `F.window` is the
+    exact construct the streaming twin uses; batch-mode it compiles to a
+    plain hash aggregate on the truncated timestamp."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), r4(F.sum("value")).alias("sum_val"))
+        .select(
+            F.unix_timestamp("w.start").alias("hour_epoch"),
+            "event_type",
+            "n",
+            "sum_val",
+        )
+    )
+
+
+@register(
+    "stream_sliding",
+    oracle="""
+    SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900 - k * 900 AS win_epoch,
+           count(*) AS n, round(sum(value), 4) AS sum_val
+    FROM events, range(4) t(k)
+    GROUP BY 1
+    """,
+)
+def stream_sliding(spark, sf_dir):
+    """1-hour windows sliding every 15 min — each event lands in exactly 4
+    windows.  Oracle reproduces Spark's window assignment arithmetically
+    (floor-to-slide minus k slides, k in 0..3)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), r4(F.sum("value")).alias("sum_val"))
+        .select(F.unix_timestamp("w.start").alias("win_epoch"), "n", "sum_val")
+    )
+
+
+@register(
+    "stream_session",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+           CAST(floor(epoch(max(ts))) AS BIGINT) + 1800 AS session_end,
+           count(*) AS n, round(sum(value), 4) AS sum_val
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_session(spark, sf_dir):
+    """Session windows, 30-minute gap, via native `F.session_window` (the
+    streaming-capable construct).  Spark merges sessions while the next
+    event starts strictly before prev_ts + gap, so the SQL twin opens a new
+    session when the gap is >= 30 min; session end = last ts + gap
+    (SURVEY.md §7.3.3 — the classic lag-gap + cumulative-sum rewrite)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"), r4(F.sum("value")).alias("sum_val"))
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").alias("session_start"),
+            F.unix_timestamp("w.end").alias("session_end"),
+            "n",
+            "sum_val",
+        )
+    )
+
+
+@register(
+    "stream_watermark_late",
+    oracle="""
+    WITH m AS (SELECT max(ts) AS mx FROM events)
+    SELECT user_id, count(*) AS n_on_time
+    FROM events, m
+    WHERE ts >= mx - INTERVAL 7 DAY
+    GROUP BY user_id
+    """,
+)
+def stream_watermark_late(spark, sf_dir):
+    """Batch twin of watermark-based late-event dropping: watermark =
+    max(event time) - 7 days; events older than that are 'late' and
+    dropped.  (True watermark progress is per-micro-batch engine state —
+    demo in streaming_demo.py; this is the deterministic semantics.)"""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("mx"))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .filter(F.col("ts") >= F.col("mx") - F.expr("INTERVAL 7 DAY"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_on_time"))
+    )
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT user_id, event_type, event_id AS first_event_id FROM (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_dedup_watermark(spark, sf_dir):
+    """Batch twin of dropDuplicatesWithinWatermark: keep the first event per
+    (user, type) in event-time order — deterministic windowed dedup, same
+    state-keying the streaming dedup operator uses."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", F.col("event_id").alias("first_event_id"))
+    )
+
+
+@register(
+    "stream_stream_static_join",
+    oracle="""
+    SELECT c_mktsegment, event_type, count(*) AS n, round(sum(value), 4) AS sum_val
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment, event_type
+    """,
+)
+def stream_stream_static_join(spark, sf_dir):
+    """Stream-static enrichment: the event stream joins a broadcast static
+    dimension (customer) — the exact plan a readStream side would produce."""
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(c), ev.user_id == c.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n"), r4(F.sum("value")).alias("sum_val"))
+    )
+
+
+@register(
+    "stream_stateful_running",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 4) AS running_val,
+           count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS n_so_far
+    FROM events
+    """,
+)
+def stream_stateful_running(spark, sf_dir):
+    """Batch twin of a stateful running aggregate (update-mode streaming
+    agg / applyInPandasWithState): per-user cumulative value in event-time
+    order."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        r4(F.sum("value").over(w)).alias("running_val"),
+        F.count("*").over(w).alias("n_so_far"),
+    )

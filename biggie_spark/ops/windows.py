@@ -1,0 +1,185 @@
+"""§2.F — window functions.
+
+Native Catalyst `Window` execution: one shuffle on the partition key, then a
+sorted in-partition scan.  Every ORDER BY carries a unique tie-break key
+(o_orderkey) so ranks are total orders — the determinism convention that
+makes window outputs oracle-hashable (SURVEY.md §2 conventions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from biggie_spark.io import load_table
+from biggie_spark.registry import register
+from biggie_spark.util import r4
+
+
+@register(
+    "win_ranking",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           row_number() OVER w AS rn,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4)     OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def win_ranking(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(lag(o_totalprice)  OVER w, 4) AS prev_price,
+           round(lead(o_totalprice) OVER w, 4) AS next_price,
+           round(o_totalprice - coalesce(lag(o_totalprice) OVER w, 0.0), 4) AS delta
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def win_lag_lead(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        r4(F.lag("o_totalprice").over(w)).alias("prev_price"),
+        r4(F.lead("o_totalprice").over(w)).alias("next_price"),
+        r4(
+            F.col("o_totalprice") - F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0))
+        ).alias("delta"),
+    )
+
+
+@register(
+    "win_frame_rows",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(sum(l_quantity) OVER (
+             PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_quantity, l_partkey, l_suppkey, l_extendedprice
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_qty,
+           round(avg(l_quantity) OVER (
+             PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_quantity, l_partkey, l_suppkey, l_extendedprice
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg
+    FROM lineitem
+    """,
+)
+def win_frame_rows(spark, sf_dir):
+    """NOTE: (l_orderkey, l_linenumber) is NOT unique in the corpus — the
+    ROWS frame needs a composite total order over every column that feeds
+    the aggregates, or prefix sums are nondeterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_quantity", "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        r4(F.sum("l_quantity").over(w.rowsBetween(Window.unboundedPreceding, 0))).alias(
+            "running_qty"
+        ),
+        r4(F.avg("l_quantity").over(w.rowsBetween(-2, 0))).alias("moving_avg"),
+    )
+
+
+@register(
+    "win_frame_range",
+    oracle="""
+    SELECT o_orderkey,
+           count(*) OVER (
+             PARTITION BY o_custkey ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+             RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW) AS n_90d,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+             RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW), 4) AS sum_90d
+    FROM orders
+    """,
+)
+def win_frame_range(spark, sf_dir):
+    """Value-based (RANGE) frame: trailing 90 days of orders per customer.
+    RANGE frames include order-key peers, so ties on the order column are
+    deterministic without a tie-break key."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-7776000, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        F.count("*").over(w).alias("n_90d"),
+        r4(F.sum("o_totalprice").over(w)).alias("sum_90d"),
+    )
+
+
+@register(
+    "win_topk_per_group",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT c_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY c_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM customer JOIN orders ON o_custkey = c_custkey
+    ) WHERE rn <= 3
+    """,
+)
+def win_topk_per_group(spark, sf_dir):
+    """Top-3 orders per customer (bench `q_window`)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "win_first_last",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(first_value(o_totalprice) OVER w, 4) AS first_price,
+           round(last_value(o_totalprice)  OVER w, 4) AS last_price,
+           round(nth_value(o_totalprice, 2) OVER w, 4) AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        r4(F.first("o_totalprice").over(w)).alias("first_price"),
+        r4(F.last("o_totalprice").over(w)).alias("last_price"),
+        r4(F.nth_value("o_totalprice", 2).over(w)).alias("second_price"),
+    )
