@@ -1,0 +1,73 @@
+"""Benchmark harness — runs the 9 headline queries from BASELINE.md against
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+
+    {"metric": "...", "value": <total warm sec>, "unit": "sec",
+     "queries": {...}, "sf": ...}
+
+Timing protocol matches BASELINE.md: per query, run twice, report the second
+(warm) wall-clock of the action; the one-time SparkSession startup is hoisted
+out of per-query timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from biggie_spark.registry import QUERIES, load_all_ops
+from biggie_spark.session import get_spark
+
+# bench name (BASELINE.md row) -> registry operator
+HEADLINE = {
+    "q_pricing_summary": "agg_groupby",
+    "q_join_agg": "join_multiway_star",
+    "q_topk": "join_topk_revenue",
+    "q_window": "win_topk_per_group",
+    "q_events_hourly": "stream_tumbling",
+    "q_text_tokens": "llm_text_stats",
+    "q_knn_self": "llm_knn_cosine",
+    "q_json_extract": "fn_json",
+    "q_dedup_minhash_proxy": "llm_dedup_exact",
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_all_ops()
+    spark = get_spark(app_name="biggie-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for bench_name, op in HEADLINE.items():
+        fn = QUERIES[op]
+        warm = None
+        for _ in range(2):  # cold then warm; report warm (BASELINE.md protocol)
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            warm = time.perf_counter() - t0
+        timings[bench_name] = round(warm, 3)
+
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_9q_total_warm",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

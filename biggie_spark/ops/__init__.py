@@ -10,3 +10,6 @@ from biggie_spark.ops import windows  # noqa: F401
 from biggie_spark.ops import setops  # noqa: F401
 from biggie_spark.ops import streaming  # noqa: F401
 from biggie_spark.ops import scalars  # noqa: F401
+from biggie_spark.ops import llm  # noqa: F401
+from biggie_spark.ops import udfs  # noqa: F401
+from biggie_spark.ops import multimodal_ops  # noqa: F401

@@ -213,6 +213,36 @@ def join_multiway_star(spark, sf_dir):
 
 
 @register(
+    "join_topk_revenue",
+    oracle="""
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM customer
+    JOIN orders   ON o_custkey  = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey LIMIT 10
+    """,
+)
+def join_topk_revenue(spark, sf_dir):
+    """TPC-H Q10-style: join + groupBy + global top-10 (bench `q_topk`).
+    Ties broken by custkey; the ORDER BY key is the *rounded* revenue so
+    both engines rank identical doubles."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(10)
+    )
+
+
+@register(
     "join_asof",
     oracle="""
     WITH p AS (

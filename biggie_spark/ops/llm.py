@@ -1,0 +1,516 @@
+"""§2.J — LLM-data-pipeline operators (the north-star extension):
+text statistics, tokenization, tf-idf, exact + MinHash/LSH + SimHash +
+embedding-cosine deduplication, similarity search, centroids, quality
+filtering, language ID, multimodal struct columns.
+
+Scale design (each op, at 100 TB):
+* tokenization/stats/fingerprints — embarrassingly parallel projections,
+  no shuffle beyond the final aggregate.
+* MinHash -> LSH banding turns O(n^2) near-dup search into
+  O(n * bands) + a self-join only within band buckets; the md5 hash family
+  is used (NOT xxhash64/MinHashLSH) because it is byte-identical in DuckDB,
+  which makes the whole pipeline oracle-checkable (SURVEY.md §2.J, §7.4.8).
+* brute-force cosine top-k is the correctness baseline; the banded/bucketed
+  variants (`llm_neardup_cosine` via SimHash prefilter at scale) are the
+  approximate scale path.
+* determinism: integer arithmetic for ratios (`x * 10000 div y`) — float
+  division at decimal-exact boundaries rounds differently across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from biggie_spark.io import load_table
+from biggie_spark.registry import register
+from biggie_spark.util import cosine, l2_norm_sq, r4, tokens
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@register(
+    "llm_text_stats",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+           sum(len(string_split(text, ' '))) AS total_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def llm_text_stats(spark, sf_dir):
+    """Per-language document/token statistics (bench `q_text_tokens`)."""
+    d = _docs(spark, sf_dir)
+    ntok = F.size(F.split("text", " "))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        r4(F.avg("n_chars")).alias("avg_chars"),
+        r4(F.avg(ntok)).alias("avg_tokens"),
+        F.sum(ntok).alias("total_tokens"),
+    )
+
+
+@register(
+    "llm_tokenize_ngrams",
+    oracle="""
+    WITH toks AS (SELECT string_split(lower(text), ' ') AS tk FROM documents),
+    bi AS (SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bigram
+           FROM toks)
+    SELECT bigram, count(*) AS n FROM bi
+    GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+    """,
+)
+def llm_tokenize_ngrams(spark, sf_dir):
+    """Tokenize -> bigrams -> global top-20 (tie-broken by term)."""
+    d = _docs(spark, sf_dir)
+    tk = tokens("text")
+    bigrams = F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda i: F.concat(
+                F.element_at(tk, i), F.lit(" "), F.element_at(tk, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )
+
+
+@register(
+    "llm_tf_idf",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+                  FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    nn AS (SELECT count(*) AS n FROM documents),
+    s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                 round(tf.tf * ln((nn.n + 1.0) / (df.df + 1.0)), 4) AS score,
+                 row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * ln((nn.n + 1.0) / (df.df + 1.0)) DESC, tf.term
+                 ) AS rn
+          FROM tf JOIN df USING (term), nn)
+    SELECT doc_id, term, tf, df, score, rn FROM s WHERE rn <= 3 AND doc_id < 50
+    """,
+)
+def llm_tf_idf(spark, sf_dir):
+    """tf-idf per (doc, term); top-3 terms per document.  Document frequency
+    is computed over the FULL corpus; the probe set is filtered after.
+    Pure DataFrame: explode -> two hash aggregates -> broadcast N -> window."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    nn = d.agg(F.count("*").alias("n"))
+    score = F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0))
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), "term")
+    return (
+        tf.filter(F.col("doc_id") < 50)
+        .join(df, "term")
+        .crossJoin(F.broadcast(nn))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", r4(score).alias("score"), "rn")
+    )
+
+
+@register(
+    "llm_dedup_exact",
+    oracle="""
+    SELECT source, count(*) AS n,
+           count(DISTINCT md5(lower(trim(text)))) AS n_distinct
+    FROM documents GROUP BY source
+    """,
+)
+def llm_dedup_exact(spark, sf_dir):
+    """Exact dedup on normalized text via md5 fingerprint (bench
+    `q_dedup_minhash_proxy`) — the O(n) hash-aggregate dedup path."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.countDistinct(F.md5(F.lower(F.trim(F.col("text"))))).alias("n_distinct"),
+    )
+
+
+def _minhash_sig(text_col):
+    """k=16 MinHash signature: sig[i] = min over tokens of md5(token ':' i).
+    md5-based so DuckDB reproduces it byte-for-byte (SURVEY.md §7.4.8);
+    Spark's xxhash64/MinHashLSH are deliberately avoided (not portable)."""
+    tk = tokens(text_col)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda i: F.array_min(
+            F.transform(tk, lambda t: F.md5(F.concat(t, F.lit(":"), i.cast("string"))))
+        ),
+    )
+
+
+_DUCK_SIG = """
+    toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents{flt}),
+    exp AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+    h AS (SELECT doc_id, i, min(md5(tok || ':' || CAST(i AS VARCHAR))) AS mh
+          FROM exp, range(16) t(i) GROUP BY doc_id, i),
+    sig AS (SELECT doc_id, list(mh ORDER BY i) AS sg FROM h GROUP BY doc_id)
+"""
+
+
+@register(
+    "llm_minhash_sig",
+    oracle="WITH "
+    + _DUCK_SIG.format(flt=" WHERE doc_id < 100")
+    + " SELECT doc_id, sg AS sig FROM sig",
+)
+def llm_minhash_sig(spark, sf_dir):
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    return d.select("doc_id", _minhash_sig("text").alias("sig"))
+
+
+@register(
+    "llm_neardup_pairs",
+    oracle="WITH "
+    + _DUCK_SIG.format(flt="")
+    + """,
+    bands AS (SELECT doc_id, b, md5(sg[4*b+1] || sg[4*b+2] || sg[4*b+3] || sg[4*b+4]) AS bkey
+              FROM sig, range(4) t(b)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey
+                                      AND a.doc_id < b.doc_id),
+    tset AS (SELECT doc_id, list_distinct(tk) AS ts, len(list_distinct(tk)) AS n FROM toks),
+    ver AS (SELECT c.doc_a, c.doc_b,
+                   len(list_intersect(ta.ts, tb.ts)) AS i, ta.n AS na, tb.n AS nb
+            FROM cand c
+            JOIN tset ta ON ta.doc_id = c.doc_a
+            JOIN tset tb ON tb.doc_id = c.doc_b)
+    SELECT doc_a, doc_b, round(i * 1.0 / (na + nb - i), 4) AS jaccard
+    FROM ver WHERE i * 1.0 / (na + nb - i) >= 0.95
+    """,
+)
+def llm_neardup_pairs(spark, sf_dir):
+    """Near-duplicate pairs: MinHash -> LSH banding (4 bands x 4 rows) for
+    candidate generation, then exact Jaccard >= 0.95 verification.  The
+    banding self-join touches only same-bucket pairs — the O(n^2) -> O(n)
+    trick that makes near-dup feasible at corpus scale; band hashes become
+    the shuffle key so each bucket is verified locally."""
+    d = _docs(spark, sf_dir).select("doc_id", _minhash_sig("text").alias("sig"),
+                                    F.array_distinct(tokens("text")).alias("ts"))
+    bands = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda b: F.struct(
+                    b.alias("b"),
+                    F.md5(F.concat_ws("", F.slice("sig", b * 4 + 1, 4))).alias("bkey"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.b", "bk.bkey")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ta = d.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
+    tb = d.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
+    jac = F.size(F.array_intersect("ts_a", "ts_b")) / F.size(
+        F.array_union("ts_a", "ts_b")
+    )
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.95)
+        .select("doc_a", "doc_b", r4(F.col("jaccard")).alias("jaccard"))
+    )
+
+
+@register(
+    "llm_simhash",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                  FROM documents),
+    bits AS (SELECT doc_id, b,
+                    sum(CASE WHEN substr(md5(tok), b + 1, 1) >= '8' THEN 1 ELSE -1 END) AS s
+             FROM toks, range(16) t(b) GROUP BY doc_id, b)
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN (1::BIGINT) << b ELSE 0 END) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def llm_simhash(spark, sf_dir):
+    """16-bit SimHash document fingerprint: per bit, +/-1 votes from each
+    token's md5 nibble; the sign of the vote sum sets the bit.  Token
+    multiplicity is intentionally counted (frequency-weighted SimHash)."""
+    d = _docs(spark, sf_dir)
+    t = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    tb = t.select("doc_id", "tok", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"))
+    votes = tb.withColumn(
+        "v",
+        F.when(F.expr("substring(md5(tok), b + 1, 1)") >= "8", 1).otherwise(-1),
+    )
+    bits = votes.groupBy("doc_id", "b").agg(F.sum("v").alias("s"))
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, b)")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+@register(
+    "llm_knn_cosine",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+             list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS s
+      FROM embeddings a JOIN embeddings b
+        ON a.vec_id < 10 AND b.vec_id != a.vec_id
+    )
+    SELECT probe_id, neighbor_id, round(CAST(s AS DOUBLE), 4) AS sim FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY probe_id ORDER BY s DESC, neighbor_id) AS rn
+      FROM pairs
+    ) WHERE rn <= 5
+    """,
+)
+def llm_knn_cosine(spark, sf_dir):
+    """Brute-force cosine top-5 (bench `q_knn_self`): the exact baseline for
+    similarity search.  Probes broadcast against the full vector table, so
+    the scan is one pass with no shuffle of the big side; ranking is a
+    per-probe window.  Cross-engine float convention per SURVEY.md §7.4.7
+    (double fold vs DuckDB list_cosine_similarity with DOUBLE casts)."""
+    e = _emb(spark, sf_dir)
+    probes = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pa")
+    )
+    cands = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("na"))
+    pairs = (
+        cands.crossJoin(F.broadcast(probes))
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .withColumn("s", cosine(F.col("pa"), F.col("na")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("s").desc(), "neighbor_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("probe_id", "neighbor_id", r4(F.col("s")).alias("sim"))
+    )
+
+
+@register(
+    "llm_neardup_cosine",
+    oracle="""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(CAST(list_cosine_similarity(a.embedding::DOUBLE[],
+                                             b.embedding::DOUBLE[]) AS DOUBLE), 4) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+    """,
+)
+def llm_neardup_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (threshold 0.45).  Exact
+    all-pairs here (correctness baseline); at scale the same predicate runs
+    behind the SimHash/LSH bucket prefilter so only same-bucket pairs are
+    scored."""
+    e = _emb(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
+    sim = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("s", sim)
+        .filter(F.col("s") >= 0.45)
+        .select("a_id", "b_id", r4(F.col("s")).alias("sim"))
+    )
+
+
+@register(
+    "llm_embed_norm",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings WHERE vec_id < 10)
+    SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+           round(CAST(list_distance(x.a, y.a) AS DOUBLE), 4) AS dist_l2,
+           round(sqrt(CAST(list_aggregate(list_transform(x.a, v -> v * v), 'sum')
+                           AS DOUBLE)), 4) AS norm_a
+    FROM e x JOIN e y ON x.vec_id < y.vec_id
+    """,
+)
+def llm_embed_norm(spark, sf_dir):
+    """L2 norms + pairwise L2 distances (the normalize/score primitives
+    under embedding dedup and ANN)."""
+    e = _emb(spark, sf_dir).filter(F.col("vec_id") < 10)
+    x = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
+    y = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("ea"),
+                F.col("eb"),
+                lambda p, q: (p.cast("double") - q.cast("double"))
+                * (p.cast("double") - q.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        x.crossJoin(y)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            r4(dist).alias("dist_l2"),
+            r4(F.sqrt(l2_norm_sq(F.col("ea")))).alias("norm_a"),
+        )
+    )
+
+
+@register(
+    "llm_centroid",
+    oracle="""
+    SELECT label, i AS pos,
+           round(avg(CAST(embedding[i + 1] AS DOUBLE)), 4) AS centroid,
+           count(*) AS n
+    FROM embeddings, range(64) t(i)
+    GROUP BY label, i
+    """,
+)
+def llm_centroid(spark, sf_dir):
+    """Per-label centroid, long format (label, pos, value): posexplode ->
+    one hash aggregate on (label, pos) — fully partial-aggregated, so the
+    shuffle carries labels x 64 rows regardless of corpus size."""
+    e = _emb(spark, sf_dir)
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(r4(F.avg(F.col("v").cast("double"))).alias("centroid"), F.count("*").alias("n"))
+    )
+
+
+@register(
+    "llm_quality_filter",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           len(string_split(text, ' ')) AS n_tokens,
+           (len(string_split(text, ' ')) * 10000) // length(text) AS tok_density_bp
+    FROM documents
+    WHERE n_chars BETWEEN 120 AND 400
+      AND lang IN ('en', 'de', 'fr')
+      AND (len(string_split(text, ' ')) * 10000) // length(text) BETWEEN 1000 AND 3500
+    """,
+)
+def llm_quality_filter(spark, sf_dir):
+    """Composite quality filter: length bounds, language allowlist, token
+    density (basis points, INTEGER arithmetic — float ratios at decimal
+    boundaries round differently across engines)."""
+    d = _docs(spark, sf_dir)
+    ntok = F.size(F.split("text", " "))
+    density = F.expr("(size(split(text, ' ')) * 10000) div length(text)")
+    return (
+        d.filter(
+            F.col("n_chars").between(120, 400)
+            & F.col("lang").isin("en", "de", "fr")
+            & density.between(1000, 3500)
+        )
+        .select("doc_id", "lang", "n_chars", ntok.alias("n_tokens"),
+                density.alias("tok_density_bp"))
+    )
+
+
+@register(
+    "llm_lang_id",
+    oracle="""
+    WITH scored AS (
+      SELECT lang,
+             CASE WHEN (len(list_filter(string_split(lower(text), ' '),
+                                        t -> t IN ('the', 'a'))) * 10000)
+                       // len(string_split(lower(text), ' ')) >= 400
+                  THEN 'en_like' ELSE 'other' END AS predicted
+      FROM documents)
+    SELECT lang, predicted, count(*) AS n FROM scored GROUP BY lang, predicted
+    """,
+)
+def llm_lang_id(spark, sf_dir):
+    """Language-ID heuristic: English stopword density in basis points
+    (n-gram/stopword heuristics are the standard cheap lang-ID signal;
+    integer arithmetic for cross-engine determinism)."""
+    d = _docs(spark, sf_dir)
+    tk = tokens("text")
+    stop_bp = (
+        F.size(F.filter(tk, lambda t: t.isin("the", "a"))) * 10000
+    ) / F.size(tk)
+    predicted = F.when(
+        F.floor(stop_bp) >= 400, "en_like"
+    ).otherwise("other")
+    # integer division via floor is safe: stop*10000 and size are exact ints
+    d = d.select(
+        "lang",
+        F.expr(
+            "CASE WHEN (size(filter(split(lower(text), ' '), t -> t IN ('the', 'a'))) * 10000) "
+            "div size(split(lower(text), ' ')) >= 400 THEN 'en_like' ELSE 'other' END"
+        ).alias("predicted"),
+    )
+    return d.groupBy("lang", "predicted").agg(F.count("*").alias("n"))
+
+
+@register(
+    "llm_multimodal_struct",
+    oracle="""
+    SELECT d.doc_id AS doc_id, d.n_chars AS n_chars, md5(d.text) AS text_md5,
+           round(sqrt(CAST(list_aggregate(list_transform(e.embedding::DOUBLE[],
+                                                         v -> v * v), 'sum')
+                           AS DOUBLE)), 4) AS emb_norm
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    WHERE d.n_chars > 200
+      AND CAST(list_aggregate(e.embedding::DOUBLE[], 'sum') AS DOUBLE) > 0
+    """,
+)
+def llm_multimodal_struct(spark, sf_dir):
+    """Multimodal column: text + embedding fused into one struct column,
+    filtered on BOTH modalities through nested-field access (the pattern for
+    image/audio payload structs — see biggie_spark/multimodal.py)."""
+    d = _docs(spark, sf_dir)
+    e = _emb(spark, sf_dir)
+    fused = (
+        d.join(e, d.doc_id == e.vec_id)
+        .select(
+            "doc_id",
+            F.struct(
+                F.col("text").alias("text"),
+                F.col("n_chars").alias("n_chars"),
+                F.col("embedding").alias("embedding"),
+            ).alias("mm"),
+        )
+    )
+    emb = F.col("mm.embedding")
+    esum = F.aggregate(emb, F.lit(0.0), lambda acc, v: acc + v.cast("double"))
+    return (
+        fused.filter((F.col("mm.n_chars") > 200) & (esum > 0))
+        .select(
+            "doc_id",
+            F.col("mm.n_chars").alias("n_chars"),
+            F.md5(F.col("mm.text")).alias("text_md5"),
+            r4(F.sqrt(l2_norm_sq(emb))).alias("emb_norm"),
+        )
+    )

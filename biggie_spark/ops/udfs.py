@@ -1,0 +1,152 @@
+"""§2.K — the UDF / UDAF / UDTF extension surface.
+
+Rule (SURVEY.md §2.K): every UDF in a scored query has a pure-SQL oracle
+twin — UDFs prove the extension surface, they don't smuggle in unverifiable
+logic.  Cost ladder, hot-path guidance:
+
+* row-at-a-time Python UDF — slowest (per-row Python<->JVM serialization);
+  exists for parity, never in a hot path.
+* pandas_udf — Arrow batch transfer, ~10-100x faster; the acceptable Python
+  escape hatch at scale.
+* applyInPandas — grouped custom aggregation (here: a rank-trimmed mean;
+  rank-based, not percentile-based, because percentile interpolation is
+  engine-specific).
+* Python UDTF (Spark 4) — table functions via LATERAL.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from biggie_spark.io import load_table
+from biggie_spark.registry import register
+from biggie_spark.util import r4
+
+VOWELS = set("aeiou")
+
+
+@register(
+    "udf_python_scalar",
+    oracle="""
+    SELECT p_partkey,
+           round((length(p_name) - length(regexp_replace(p_name, '[aeiou]', '', 'g')))
+                 * 1.0 / length(p_name), 4) AS vowel_ratio
+    FROM part
+    """,
+)
+def udf_python_scalar(spark, sf_dir):
+    """Row-at-a-time Python UDF (vowel-ratio scorer).  p_name lengths are
+    small and never powers of 2 times 5^k, so ratio rounding is boundary-safe."""
+
+    @F.udf("double")
+    def vowel_ratio(s: str) -> float:
+        if not s:
+            return 0.0
+        return sum(1 for ch in s if ch in VOWELS) / len(s)
+
+    p = load_table(spark, sf_dir, "part")
+    return p.select("p_partkey", r4(vowel_ratio("p_name")).alias("vowel_ratio"))
+
+
+@register(
+    "udf_pandas_vectorized",
+    oracle="""
+    SELECT doc_id,
+           (length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')))
+             * 10000 // length(text) AS vowel_bp
+    FROM documents
+    """,
+)
+def udf_pandas_vectorized(spark, sf_dir):
+    """Arrow-vectorized pandas UDF — same scorer, batch path.  Output in
+    integer basis points: doc lengths like 320/400 hit exact .xxxx5 decimal
+    boundaries where cross-engine float rounding diverges, so the contract
+    is integer arithmetic end-to-end."""
+
+    @F.pandas_udf("long")
+    def vowel_bp(s: pd.Series) -> pd.Series:
+        n_vowels = s.str.count("[aeiou]")
+        return (n_vowels * 10000) // s.str.len()
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", vowel_bp("text").alias("vowel_bp"))
+
+
+@register(
+    "udaf_pandas_group",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS ra,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rd,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders)
+    SELECT o_orderpriority, count(*) AS n_used,
+           round(avg(o_totalprice), 4) AS trimmed_mean
+    FROM ranked WHERE ra > n // 10 AND rd > n // 10
+    GROUP BY o_orderpriority
+    """,
+)
+def udaf_pandas_group(spark, sf_dir):
+    """Grouped custom aggregate via applyInPandas: 10% rank-trimmed mean of
+    order value per priority.  Trim is by rank with a unique tie-break
+    (value, orderkey) — NOT by percentile value, whose interpolation rules
+    differ across engines."""
+
+    def trimmed(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf.sort_values(["o_totalprice", "o_orderkey"])["o_totalprice"]
+        k = len(s) // 10
+        kept = s.iloc[k : len(s) - k] if k else s
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [pdf["o_orderpriority"].iloc[0]],
+                "n_used": [len(kept)],
+                "trimmed_mean": [round(kept.mean(), 4)],
+            }
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderpriority", "o_totalprice", "o_orderkey")
+        .groupBy("o_orderpriority")
+        .applyInPandas(trimmed, "o_orderpriority string, n_used long, trimmed_mean double")
+    )
+
+
+@register(
+    "udtf_python",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+               FROM documents WHERE doc_id < 5),
+    x AS (SELECT doc_id,
+                 unnest(list_transform(range(len(tk)),
+                        i -> struct_pack(idx := i, token := tk[i+1]))) AS s
+          FROM t)
+    SELECT doc_id, s.idx AS idx, s.token AS token FROM x
+    """,
+)
+def udtf_python(spark, sf_dir):
+    """Python UDTF (Spark 4): explode a document into (position, token) rows
+    through a LATERAL table-function call."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx int, token string")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" ")):
+                yield i, tok
+
+    spark.udtf.register("split_words", SplitWords)
+    load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 5).createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.idx, s.token
+        FROM _udtf_docs d, LATERAL split_words(d.text) s
+        """
+    )
