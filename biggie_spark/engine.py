@@ -1,0 +1,90 @@
+"""Engine — the user-facing façade tying the three entry points together
+(SURVEY.md §3): fluent DataFrames, SQL strings, and the kv/LLM surface.
+
+    eng = Engine.connect(sf_dir="/root/testdata/sf0.01")
+    eng.table("lineitem").groupBy(...) ...          # §3.2 DataFrame chain
+    eng.sql("SELECT ... FROM lineitem ...")         # §3.3 SQL entry
+    eng.stash("documents").get(42)                  # §3.4 kv façade
+    eng.knn(probe_ids=[1, 2], k=5)                  # §3.4 LLM façade
+    eng.explain(df)                                 # Catalyst plan dump
+
+All three converge on the same Catalyst lifecycle: lazy logical plan ->
+Analyzer -> Optimizer -> physical plan -> AQE.  The façade adds no execution
+machinery of its own — every method expands to the §2 DataFrame rewrites.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from biggie_spark.io import TABLES, load_table, register_views
+from biggie_spark.session import get_spark
+from biggie_spark.stash import Stash
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+
+    @classmethod
+    def connect(cls, sf_dir: str, spark: SparkSession | None = None) -> "Engine":
+        eng = cls(spark or get_spark(), sf_dir)
+        register_views(eng.spark, sf_dir)
+        return eng
+
+    # ---- entry point 1: fluent DataFrame ---------------------------------
+    def table(self, name: str) -> DataFrame:
+        if name not in TABLES:
+            raise KeyError(f"unknown table {name!r}; have {TABLES}")
+        return load_table(self.spark, self.sf_dir, name)
+
+    # ---- entry point 2: SQL string ---------------------------------------
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+    # ---- entry point 3: kv / LLM façade ----------------------------------
+    _STASH_KEYS = {"documents": "doc_id", "embeddings": "vec_id", "events": "event_id"}
+
+    def stash(self, name: str, key: str | None = None) -> Stash:
+        key = key or self._STASH_KEYS.get(name)
+        if key is None:
+            raise KeyError(f"no default key for {name!r}; pass key=")
+        return Stash(self.spark, self.table(name), key)
+
+    def knn(self, probe_ids: list[int], k: int = 5) -> DataFrame:
+        """Exact cosine top-k for the given probe vectors."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from biggie_spark.util import cosine, r4
+
+        e = self.table("embeddings")
+        probes = e.filter(F.col("vec_id").isin(probe_ids)).select(
+            F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pa")
+        )
+        cands = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("na"))
+        pairs = (
+            cands.crossJoin(F.broadcast(probes))
+            .filter(F.col("neighbor_id") != F.col("probe_id"))
+            .withColumn("s", cosine(F.col("pa"), F.col("na")))
+        )
+        w = Window.partitionBy("probe_id").orderBy(F.col("s").desc(), "neighbor_id")
+        return (
+            pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("probe_id", "neighbor_id", r4(F.col("s")).alias("sim"))
+        )
+
+    def dedup_candidates(self, threshold: float = 0.95) -> DataFrame:
+        """MinHash/LSH near-duplicate candidate pairs over documents."""
+        from biggie_spark.registry import QUERIES, load_all_ops
+
+        load_all_ops()
+        return QUERIES["llm_neardup_pairs"](self.spark, self.sf_dir)
+
+    # ---- introspection ----------------------------------------------------
+    def explain(self, df: DataFrame, mode: str = "formatted") -> str:
+        return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), mode
+        )

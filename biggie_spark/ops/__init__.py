@@ -13,3 +13,4 @@ from biggie_spark.ops import scalars  # noqa: F401
 from biggie_spark.ops import llm  # noqa: F401
 from biggie_spark.ops import udfs  # noqa: F401
 from biggie_spark.ops import multimodal_ops  # noqa: F401
+from biggie_spark.ops import ann  # noqa: F401

@@ -1,0 +1,124 @@
+"""Approximate nearest-neighbor search — the scale path for similarity
+search (north-star extension).
+
+`llm_knn_cosine` (ops/llm.py) is the exact brute-force baseline: O(probes x
+corpus) scored pairs.  At 100 TB that cross product is the bottleneck, so
+this module implements standard multi-table SimHash LSH:
+
+1. **codes**: L=4 independent hash tables, each an 8-bit signed-random-
+   projection (SimHash) code.  Hyperplane sign matrices are derived from
+   md5 at plan-build time — deterministic, data-independent, nothing to
+   fit or ship, identical on every executor.
+2. **candidate generation**: probes join candidates per table on bucket
+   equality, with probe-side expansion to Hamming distance <= 1 (9 codes
+   per probe per table).  The corpus side is joined on an equi-key — hash
+   partitioned by (table, code), never a cross join.
+3. **exact rerank**: true cosine on the deduplicated candidates, top-k.
+
+Recall math (P[bit differs] = theta/pi): for true near-duplicates
+(cos >= 0.9) a table hits with p ~ 0.69, four tables ~ 0.99.  On this
+synthetic corpus the "nearest" neighbors are only cos ~ 0.3 (random
+vectors, theta ~ 72 deg, p_diff ~ 0.4 -> per-table P ~ 0.11, union ~ 0.36),
+and measured recall@5 is 0.34-0.38 — exactly the theoretical behavior of
+LSH when there is no real cluster structure.  tests/test_ann.py pins the
+recall floor and the pruning factor.
+
+No DuckDB oracle (approximate, parameter-dependent by design): the driver
+applies its rows-only check.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from biggie_spark.io import load_table
+from biggie_spark.registry import register
+from biggie_spark.util import cosine, r4
+
+N_TABLES = 4
+N_BITS = 8
+DIM = 64
+
+
+def _signs(table: int, bit: int) -> list[float]:
+    """Deterministic +/-1 hyperplane for (table, bit): one md5 call yields
+    128 bits; dimension j uses bit j of the digest."""
+    digest = hashlib.md5(f"biggie-ann:{table}:{bit}".encode()).digest()
+    return [1.0 if (digest[j // 8] >> (j % 8)) & 1 else -1.0 for j in range(DIM)]
+
+
+def table_code(emb_col, table: int) -> F.Column:
+    """8-bit SimHash code of a vector under hash table `table`."""
+    code = F.lit(0)
+    for b in range(N_BITS):
+        plane = F.array(*[F.lit(s) for s in _signs(table, b)])
+        proj = F.aggregate(
+            F.zip_with(emb_col, plane, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        code = code + F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return code
+
+
+def _probe_codes(code_col) -> F.Column:
+    """Bucket + all buckets at Hamming distance 1 (probe-side expansion)."""
+    return F.array(
+        code_col, *[code_col.bitwiseXOR(F.lit(1 << b)) for b in range(N_BITS)]
+    )
+
+
+@register("llm_knn_ann")  # approximate -> rows-only check; recall gated in CI
+def llm_knn_ann(spark, sf_dir, k: int = 5, n_probes: int = 10) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    coded = e.select(
+        "vec_id",
+        "embedding",
+        *[table_code(F.col("embedding"), t).alias(f"c{t}") for t in range(N_TABLES)],
+    )
+    # corpus side: one row per (vector, table) keyed by (table, code)
+    cands = coded.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("na"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("t"), F.col(f"c{t}").alias("code"))
+                    for t in range(N_TABLES)
+                ]
+            )
+        ).alias("bk"),
+    ).select("neighbor_id", "na", "bk.t", "bk.code")
+    # probe side: expand each table's code to its Hamming-1 ball.
+    # NB: the struct is built by a single-arg closure — a two-arg lambda
+    # (even `t=t` defaults) is interpreted by PySpark as (element, index).
+    def _tagged_ball(t: int):
+        return F.transform(
+            _probe_codes(F.col(f"c{t}")),
+            lambda c: F.struct(F.lit(t).alias("t"), c.alias("code")),
+        )
+
+    probes = coded.filter(F.col("vec_id") < n_probes).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pa"),
+        F.explode(
+            F.flatten(F.array(*[_tagged_ball(t) for t in range(N_TABLES)]))
+        ).alias("bk"),
+    ).select("probe_id", "pa", "bk.t", "bk.code")
+
+    pairs = (
+        cands.join(F.broadcast(probes), ["t", "code"])
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .select("probe_id", "pa", "neighbor_id", "na")
+        .distinct()  # a pair can collide in several tables — rerank once
+        .withColumn("s", cosine(F.col("pa"), F.col("na")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("s").desc(), "neighbor_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", "neighbor_id", r4(F.col("s")).alias("sim"))
+    )

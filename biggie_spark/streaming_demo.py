@@ -1,0 +1,111 @@
+"""Live Structured Streaming twins of the §2.H batch operators.
+
+Each demo builds the SAME logical plan as its scored batch twin
+(ops/streaming.py) on a `readStream` source and drains it with
+Trigger.AvailableNow into a memory sink — proving the operators
+incrementalize.  Not oracle-scored: streaming output depends on micro-batch
+arrival, watermark progress and state flush timing, which are engine-time,
+not input-file, functions (SURVEY.md §2.H).  tests/test_streaming_demo.py
+asserts streaming(availableNow) == batch twin where modes allow.
+
+On a real cluster the same code runs continuously: swap AvailableNow for a
+processing-time trigger and the memory sink for kafka/delta/parquet.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biggie_spark.io import load_table
+from biggie_spark.session import apply_runtime_confs
+from biggie_spark.util import r4
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a file-source stream (schema pinned from the batch reader,
+    incl. the ns->timestamp repair)."""
+    apply_runtime_confs(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # file-source streams take a directory; glob-filter to the events table
+    ev = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return ev
+
+
+def _drain(df: DataFrame, output_mode: str) -> DataFrame:
+    """Run one AvailableNow pass into a memory sink; return the result."""
+    name = "demo_" + uuid.uuid4().hex[:8]
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    return df.sparkSession.table(name)
+
+
+def demo_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of stream_tumbling (complete mode: windows finalize at
+    end-of-stream without needing the watermark to pass them)."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), r4(F.sum("value")).alias("sum_val"))
+        .select(
+            F.unix_timestamp("w.start").alias("hour_epoch"), "event_type", "n", "sum_val"
+        )
+    )
+    return _drain(agg, "complete")
+
+
+def demo_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of stream_session: stateful session-window merge."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"), r4(F.sum("value")).alias("sum_val"))
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").alias("session_start"),
+            F.unix_timestamp("w.end").alias("session_end"),
+            "n",
+            "sum_val",
+        )
+    )
+    return _drain(agg, "complete")
+
+
+def demo_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of stream_dedup_watermark: stateful key dedup."""
+    ev = _events_stream(spark, sf_dir)
+    out = ev.withWatermark("ts", "10 minutes").dropDuplicates(
+        ["user_id", "event_type"]
+    ).select("user_id", "event_type")
+    return _drain(out, "append")
+
+
+def demo_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of stream_stream_static_join: stream enriched by a
+    broadcast static dimension."""
+    ev = _events_stream(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer")
+    agg = (
+        ev.join(F.broadcast(c), ev.user_id == c.c_custkey)
+        .withWatermark("ts", "10 minutes")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n"), r4(F.sum("value")).alias("sum_val"))
+    )
+    return _drain(agg, "complete")

@@ -1,0 +1,26 @@
+"""Engine façade smoke: the three entry points (§3) converge on the same
+results."""
+
+from __future__ import annotations
+
+from biggie_spark.engine import Engine
+
+
+def test_engine_entry_points_agree(spark, sf_dir):
+    eng = Engine.connect(sf_dir, spark=spark)
+
+    df_api = (
+        eng.table("orders").groupBy("o_orderstatus").count().withColumnRenamed("count", "n")
+    )
+    sql_api = eng.sql("SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1")
+    assert sorted(map(tuple, df_api.collect())) == sorted(map(tuple, sql_api.collect()))
+
+    st = eng.stash("documents")
+    assert st.get(42).count() == 1
+    assert len(st) == eng.sql("SELECT count(*) AS n FROM documents").collect()[0].n
+
+    knn = eng.knn([0, 1], k=3).collect()
+    assert len(knn) == 6  # 2 probes x 3 neighbors
+
+    plan = eng.explain(eng.table("lineitem").select("l_orderkey"))
+    assert "ReadSchema" in plan

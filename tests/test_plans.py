@@ -1,0 +1,77 @@
+"""Physical-plan shape assertions — the 100 TB design contract
+(SURVEY.md §4).  Correct results with the wrong plan do not survive a
+1000-executor scale-up; these tests pin the plan properties that matter:
+
+* point reads push their predicate into the parquet scan (row-group skip);
+* projections prune the scan schema (the reference's lazy-field analog);
+* small dims broadcast — the fact table never shuffles for a dim join;
+* global top-k is TakeOrderedAndProject, not a full sort;
+* aggregates are partial (map-side combine) before the shuffle.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from biggie_spark.io import load_table
+from biggie_spark.registry import QUERIES
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_point_read_pushes_predicate(spark, sf_dir):
+    plan = plan_of(QUERIES["kv_get"](spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "EqualTo(doc_id,42)" in plan.replace(" ", "").replace("'", "")
+
+
+def test_field_projection_prunes_scan(spark, sf_dir):
+    plan = plan_of(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    )
+    # scan schema must contain only the projected columns
+    schema_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" in schema_line and "l_quantity" in schema_line
+    assert "l_extendedprice" not in schema_line and "l_comment" not in schema_line
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    plan = plan_of(QUERIES["join_multiway_star"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    plan = plan_of(QUERIES["limit_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_groupby_has_partial_aggregate(spark, sf_dir):
+    plan = plan_of(QUERIES["agg_groupby"](spark, sf_dir))
+    # partial + final hash aggregation around the exchange (map-side combine)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+
+
+def test_shipdate_filter_pushed(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= 45.0
+    )
+    plan = plan_of(df)
+    assert "GreaterThanOrEqual(l_quantity,45.0)" in plan.replace(" ", "")
+
+
+def test_knn_broadcasts_probes(spark, sf_dir):
+    plan = plan_of(QUERIES["llm_knn_cosine"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize("name", ["join_inner_eq", "join_semi", "join_anti"])
+def test_no_python_udfs_in_relational_paths(spark, sf_dir, name):
+    plan = plan_of(QUERIES[name](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

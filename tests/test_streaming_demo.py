@@ -1,0 +1,40 @@
+"""Streaming demos must reproduce their scored batch twins: one
+AvailableNow drain over the same files == the batch DataFrame result
+(complete-mode aggregations are exactly the batch result; append-mode dedup
+is set-equal on the key columns)."""
+
+from __future__ import annotations
+
+from biggie_spark import streaming_demo
+from biggie_spark.registry import QUERIES
+
+from tests.compare import normalize_rows
+
+
+def _rows(df):
+    return normalize_rows([tuple(r) for r in df.collect()], list(df.columns))
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir):
+    s = streaming_demo.demo_tumbling(spark, sf_dir)
+    b = QUERIES["stream_tumbling"](spark, sf_dir)
+    assert sorted(s.columns) == sorted(b.columns)
+    assert _rows(s) == _rows(b)
+
+
+def test_streaming_session_matches_batch(spark, sf_dir):
+    s = streaming_demo.demo_session(spark, sf_dir)
+    b = QUERIES["stream_session"](spark, sf_dir)
+    assert _rows(s) == _rows(b)
+
+
+def test_streaming_dedup_matches_batch(spark, sf_dir):
+    s = streaming_demo.demo_dedup(spark, sf_dir)
+    b = QUERIES["stream_dedup_watermark"](spark, sf_dir).select("user_id", "event_type")
+    assert _rows(s) == _rows(b)
+
+
+def test_streaming_static_join_matches_batch(spark, sf_dir):
+    s = streaming_demo.demo_static_join(spark, sf_dir)
+    b = QUERIES["stream_stream_static_join"](spark, sf_dir)
+    assert _rows(s) == _rows(b)
