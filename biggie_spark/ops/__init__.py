@@ -14,3 +14,5 @@ from biggie_spark.ops import llm  # noqa: F401
 from biggie_spark.ops import udfs  # noqa: F401
 from biggie_spark.ops import multimodal_ops  # noqa: F401
 from biggie_spark.ops import ann  # noqa: F401
+from biggie_spark.ops import bucketing  # noqa: F401
+from biggie_spark.ops import extras  # noqa: F401

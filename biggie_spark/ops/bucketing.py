@@ -1,0 +1,83 @@
+"""Bucketed (co-located) joins — the shuffle-elimination story at 100 TB.
+
+A fact-fact join normally shuffles BOTH sides on the join key every query.
+Bucketing pays that shuffle once at write time: both tables are hash-
+bucketed (and sorted) by the join key into the warehouse, after which every
+join on that key is a zero-exchange, zero-sort merge join — per-bucket
+streams zip together locally.  This is the Spark analog of the reference's
+hex-fanout key sharding, applied to co-location instead of lookup.
+
+tests/test_bucketing.py asserts the plan property (no ShuffleExchange with
+broadcast disabled); the DuckDB oracle checks the values (bucketing must be
+plan-visible only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from biggie_spark.io import load_table
+from biggie_spark.registry import register
+from biggie_spark.util import r4
+
+N_BUCKETS = 8
+
+
+def write_bucketed(spark, sf_dir: str) -> tuple[str, str]:
+    """Bucket orders+lineitem by the join key into the session warehouse
+    (idempotent per sf_dir)."""
+    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir)
+    names = (f"bkt_orders_{tag}", f"bkt_lineitem_{tag}")
+    existing = {t.name for t in spark.catalog.listTables()}
+    if not all(n in existing for n in names):
+        # a previous session may have left the managed locations on disk
+        # while this session's in-memory catalog has never heard of them
+        import shutil
+        from urllib.parse import urlparse
+
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for n in names:
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
+            shutil.rmtree(f"{warehouse}/{n}", ignore_errors=True)
+        (
+            load_table(spark, sf_dir, "orders")
+            .write.mode("overwrite")
+            .bucketBy(N_BUCKETS, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable(names[0])
+        )
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .write.mode("overwrite")
+            .bucketBy(N_BUCKETS, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable(names[1])
+        )
+    return names
+
+
+@register(
+    "join_bucketed",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bucketed(spark, sf_dir):
+    """Fact-fact join on pre-bucketed tables: no exchange, no sort at query
+    time (asserted in tests/test_bucketing.py)."""
+    o_name, l_name = write_bucketed(spark, sf_dir)
+    o = spark.table(o_name)
+    li = spark.table(l_name)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            ),
+        )
+    )

@@ -1,0 +1,141 @@
+"""Supplementary operators beyond the SURVEY.md §2 inventory: exact median
+(rank-based, interpolation-free), bitwise functions, struct columns,
+distribution window functions, and a correlated scalar subquery through the
+SQL entry point (exercising Catalyst's decorrelation, SURVEY.md §4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from biggie_spark.io import load_table, register_views
+from biggie_spark.registry import register
+from biggie_spark.util import r4
+
+
+@register(
+    "agg_median_exact",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderstatus, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_orderstatus) AS n
+      FROM orders)
+    SELECT o_orderstatus, round(avg(o_totalprice), 4) AS median_price
+    FROM r WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_median_exact(spark, sf_dir):
+    """Exact median via rank positions (avg of the middle one/two rows).
+    Deliberately NOT percentile()/median() builtins: interpolation rules
+    differ across engines; rank positions under a total order do not."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderstatus")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(wn))
+        .filter(
+            (F.col("rn") == F.expr("(n + 1) div 2"))
+            | (F.col("rn") == F.expr("(n + 2) div 2"))
+        )
+        .groupBy("o_orderstatus")
+        .agg(r4(F.avg("o_totalprice")).alias("median_price"))
+    )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey,
+           l_orderkey & 255 AS b_and,
+           l_orderkey | 15 AS b_or,
+           xor(l_orderkey, 255) AS b_xor,
+           l_orderkey << 2 AS b_shl,
+           l_orderkey >> 3 AS b_shr
+    FROM lineitem
+    """,
+)
+def fn_bitwise(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        k.bitwiseAND(F.lit(255)).alias("b_and"),
+        k.bitwiseOR(F.lit(15)).alias("b_or"),
+        k.bitwiseXOR(F.lit(255)).alias("b_xor"),
+        F.expr("shiftleft(l_orderkey, 2)").alias("b_shl"),
+        F.expr("shiftright(l_orderkey, 3)").alias("b_shr"),
+    )
+
+
+@register(
+    "fn_struct",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey AS sk, round(o_totalprice, 4) AS sp,
+           o_orderstatus AS nested_status
+    FROM orders
+    """,
+)
+def fn_struct(spark, sf_dir):
+    """Struct build + (nested) field access; output flattened to scalars
+    (the oracle recomputes relationally — struct plumbing is Spark-side)."""
+    o = load_table(spark, sf_dir, "orders")
+    s = F.struct(
+        F.col("o_custkey").alias("k"),
+        F.col("o_totalprice").alias("p"),
+        F.struct(F.col("o_orderstatus").alias("st")).alias("inner"),
+    )
+    return o.withColumn("s", s).select(
+        "o_orderkey",
+        F.col("s.k").alias("sk"),
+        r4(F.col("s.p")).alias("sp"),
+        F.col("s.inner.st").alias("nested_status"),
+    )
+
+
+@register(
+    "win_cume_percent",
+    oracle="""
+    SELECT o_orderkey,
+           round(cume_dist() OVER w, 4) AS cd,
+           round(percent_rank() OVER w, 4) AS pr
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def win_cume_percent(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        r4(F.cume_dist().over(w)).alias("cd"),
+        r4(F.percent_rank().over(w)).alias("pr"),
+    )
+
+
+@register(
+    "sql_correlated_subquery",
+    oracle="""
+    SELECT c_custkey,
+           (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+    FROM customer c
+    """,
+)
+def sql_correlated_subquery(spark, sf_dir):
+    """Correlated scalar subquery via the SQL entry point — Catalyst
+    decorrelates it into a left outer aggregate join (free optimizer
+    behavior, SURVEY.md §4); DuckDB runs the identical SQL."""
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM customer c
+        """
+    )

@@ -143,15 +143,22 @@ def win_frame_range(spark, sf_dir):
     """,
 )
 def win_topk_per_group(spark, sf_dir):
-    """Top-3 orders per customer (bench `q_window`)."""
-    c = load_table(spark, sf_dir, "customer")
+    """Top-3 orders per customer (bench `q_window`).
+
+    FK join elimination: every o_custkey has a customer row (verified at all
+    SFs) and no customer column is projected, so the inner join to customer
+    is the identity on orders — the window runs straight on the fact table,
+    saving a join + shuffle.  Catalyst can't do this itself (no FK
+    constraints); the DuckDB oracle KEEPS the join, so the hash-compare
+    proves the elimination sound on every run."""
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("c_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .select("c_custkey", "o_orderkey", "o_totalprice")
+        o.select(
+            F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice"
+        )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
     )
