@@ -13,14 +13,14 @@ from pyspark.sql import functions as F
 
 from biggie_spark.io import load_table, register_views
 from biggie_spark.registry import register
-from biggie_spark.util import r4
+from biggie_spark.util import dsum, r4, revenue_sum
 
 
 @register(
     "agg_scalar",
     oracle="""
     SELECT count(*) AS n,
-           round(sum(l_quantity), 4) AS sum_qty,
+           CAST(round(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0, 4) AS DOUBLE) AS sum_qty,
            round(avg(l_extendedprice), 4) AS avg_price,
            round(min(l_discount), 4) AS min_disc,
            round(max(l_tax), 4) AS max_tax
@@ -31,7 +31,7 @@ def agg_scalar(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
         F.count("*").alias("n"),
-        r4(F.sum("l_quantity")).alias("sum_qty"),
+        dsum("l_quantity").alias("sum_qty"),
         r4(F.avg("l_extendedprice")).alias("avg_price"),
         r4(F.min("l_discount")).alias("min_disc"),
         r4(F.max("l_tax")).alias("max_tax"),
@@ -42,9 +42,9 @@ def agg_scalar(spark, sf_dir):
     "agg_groupby",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 4) AS sum_qty,
-           round(sum(l_extendedprice), 4) AS sum_base,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc,
+           CAST(round(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0, 4) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0, 4) AS DOUBLE) AS sum_base,
+           CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0, 4) AS DOUBLE) AS sum_disc,
            round(avg(l_quantity), 4) AS avg_qty,
            count(*) AS n
     FROM lineitem
@@ -59,11 +59,9 @@ def agg_groupby(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            r4(F.sum("l_quantity")).alias("sum_qty"),
-            r4(F.sum("l_extendedprice")).alias("sum_base"),
-            r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
-                "sum_disc"
-            ),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base"),
+            revenue_sum().alias("sum_disc"),
             r4(F.avg("l_quantity")).alias("avg_qty"),
             F.count("*").alias("n"),
         )
@@ -73,7 +71,7 @@ def agg_groupby(spark, sf_dir):
 @register(
     "agg_having",
     oracle="""
-    SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 4) AS sum_price
+    SELECT o_orderpriority, count(*) AS n, CAST(round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 4) AS DOUBLE) AS sum_price
     FROM orders GROUP BY o_orderpriority
     HAVING count(*) > 10 AND avg(o_totalprice) > 100000
     """,
@@ -84,7 +82,7 @@ def agg_having(spark, sf_dir):
         o.groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n"),
-            r4(F.sum("o_totalprice")).alias("sum_price"),
+            dsum("o_totalprice").alias("sum_price"),
             F.avg("o_totalprice").alias("_avg"),
         )
         .filter((F.col("n") > 10) & (F.col("_avg") > 100000))
@@ -145,14 +143,14 @@ def agg_stats(spark, sf_dir):
 @register(
     "agg_rollup",
     oracle="""
-    SELECT c_mktsegment, c_nationkey, count(*) AS n, round(sum(c_acctbal), 4) AS sum_bal
+    SELECT c_mktsegment, c_nationkey, count(*) AS n, CAST(round(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) / 100.0, 4) AS DOUBLE) AS sum_bal
     FROM customer GROUP BY ROLLUP (c_mktsegment, c_nationkey)
     """,
 )
 def agg_rollup(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
     return c.rollup("c_mktsegment", "c_nationkey").agg(
-        F.count("*").alias("n"), r4(F.sum("c_acctbal")).alias("sum_bal")
+        F.count("*").alias("n"), dsum("c_acctbal").alias("sum_bal")
     )
 
 
@@ -160,14 +158,14 @@ def agg_rollup(spark, sf_dir):
     "agg_cube",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           round(sum(o_totalprice), 4) AS sum_price
+           CAST(round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 4) AS DOUBLE) AS sum_price
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )
 def agg_cube(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("n"), r4(F.sum("o_totalprice")).alias("sum_price")
+        F.count("*").alias("n"), dsum("o_totalprice").alias("sum_price")
     )
 
 
@@ -233,8 +231,8 @@ def agg_pivot(spark, sf_dir):
     oracle="""
     WITH w AS (
       SELECT l_returnflag,
-             round(sum(l_quantity), 4) AS sum_qty,
-             round(sum(l_extendedprice), 4) AS sum_price
+             CAST(round(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0, 4) AS DOUBLE) AS sum_qty,
+             CAST(round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0, 4) AS DOUBLE) AS sum_price
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, metric, val
@@ -244,8 +242,8 @@ def agg_pivot(spark, sf_dir):
 def agg_unpivot(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     wide = li.groupBy("l_returnflag").agg(
-        r4(F.sum("l_quantity")).alias("sum_qty"),
-        r4(F.sum("l_extendedprice")).alias("sum_price"),
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
     )
     return wide.unpivot(
         ids=["l_returnflag"],

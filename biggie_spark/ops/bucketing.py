@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from biggie_spark.io import load_table
 from biggie_spark.registry import register
-from biggie_spark.util import r4
+from biggie_spark.util import revenue_sum
 
 N_BUCKETS = 8
 
@@ -60,7 +60,7 @@ def write_bucketed(spark, sf_dir: str) -> tuple[str, str]:
     "join_bucketed",
     oracle="""
     SELECT o_orderpriority, count(*) AS n,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+           CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0, 4) AS DOUBLE) AS revenue
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     """,
@@ -74,10 +74,5 @@ def join_bucketed(spark, sf_dir):
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderpriority")
-        .agg(
-            F.count("*").alias("n"),
-            r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
-                "revenue"
-            ),
-        )
+        .agg(F.count("*").alias("n"), revenue_sum().alias("revenue"))
     )

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from biggie_spark.io import load_table
 from biggie_spark.registry import register
-from biggie_spark.util import r4
+from biggie_spark.util import dsum, r4, revenue_sum
 
 
 @register(
@@ -103,7 +103,7 @@ def join_anti(spark, sf_dir):
 @register(
     "join_broadcast",
     oracle="""
-    SELECT r_name, count(*) AS n_cust, round(sum(c_acctbal), 4) AS sum_bal
+    SELECT r_name, count(*) AS n_cust, CAST(round(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) / 100.0, 4) AS DOUBLE) AS sum_bal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -121,7 +121,7 @@ def join_broadcast(spark, sf_dir):
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
-        .agg(F.count("*").alias("n_cust"), r4(F.sum("c_acctbal")).alias("sum_bal"))
+        .agg(F.count("*").alias("n_cust"), dsum("c_acctbal").alias("sum_bal"))
     )
 
 
@@ -178,7 +178,7 @@ def join_theta_range(spark, sf_dir):
     "join_multiway_star",
     oracle="""
     SELECT r_name, n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0, 4) AS DOUBLE) AS revenue,
            count(*) AS n
     FROM region
     JOIN nation   ON n_regionkey = r_regionkey
@@ -203,12 +203,7 @@ def join_multiway_star(spark, sf_dir):
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
-        .agg(
-            r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
-                "revenue"
-            ),
-            F.count("*").alias("n"),
-        )
+        .agg(revenue_sum().alias("revenue"), F.count("*").alias("n"))
     )
 
 
@@ -216,7 +211,7 @@ def join_multiway_star(spark, sf_dir):
     "join_topk_revenue",
     oracle="""
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+           CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0, 4) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON o_custkey  = c_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -236,7 +231,7 @@ def join_topk_revenue(spark, sf_dir):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
-        .agg(r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(revenue_sum().alias("revenue"))
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(10)
     )

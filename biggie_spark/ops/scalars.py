@@ -21,7 +21,7 @@ from pyspark.sql import types as T
 
 from biggie_spark.io import load_table
 from biggie_spark.registry import register
-from biggie_spark.util import r4
+from biggie_spark.util import dsum, r4
 
 
 @register(
@@ -285,7 +285,7 @@ def fn_null(spark, sf_dir):
                 WHEN o_totalprice > 200000 THEN 'mid'
                 ELSE 'low' END AS tier,
            CASE WHEN o_orderstatus = 'F' THEN 'final' ELSE 'open' END AS state,
-           count(*) AS n, round(sum(o_totalprice), 4) AS sum_price
+           count(*) AS n, CAST(round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 4) AS DOUBLE) AS sum_price
     FROM orders GROUP BY 1, 2
     """,
 )
@@ -298,7 +298,7 @@ def fn_cond(spark, sf_dir):
     )
     state = F.expr("if(o_orderstatus = 'F', 'final', 'open')")
     return o.groupBy(tier.alias("tier"), state.alias("state")).agg(
-        F.count("*").alias("n"), r4(F.sum("o_totalprice")).alias("sum_price")
+        F.count("*").alias("n"), dsum("o_totalprice").alias("sum_price")
     )
 
 

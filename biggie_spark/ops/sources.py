@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from biggie_spark.io import export, load_table, save_parquet
 from biggie_spark.registry import register
-from biggie_spark.util import r4
+from biggie_spark.util import dsum, r4
 
 
 @register(
@@ -74,7 +74,7 @@ def src_scan_multi(spark, sf_dir):
 @register(
     "snk_write_parquet",
     oracle="""
-    SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+    SELECT l_returnflag, count(*) AS n, CAST(round(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0, 4) AS DOUBLE) AS sum_qty
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -92,7 +92,7 @@ def snk_write_parquet(spark, sf_dir):
         back = spark.read.parquet(tmp)
         return (
             back.groupBy("l_returnflag")
-            .agg(F.count("*").alias("n"), r4(F.sum("l_quantity")).alias("sum_qty"))
+            .agg(F.count("*").alias("n"), dsum("l_quantity").alias("sum_qty"))
             .localCheckpoint()  # materialize before the temp dir vanishes
         )
     finally:
@@ -102,7 +102,7 @@ def snk_write_parquet(spark, sf_dir):
 @register(
     "snk_write_csv_json",
     oracle="""
-    SELECT event_type, count(*) AS n, round(sum(round(value, 4)), 4) AS sum_val
+    SELECT event_type, count(*) AS n, CAST(round(sum(CAST(round(round(value, 4) * 10000, 0) AS BIGINT)) / 10000.0, 4) AS DOUBLE) AS sum_val
     FROM events GROUP BY event_type
     """,
 )
@@ -125,7 +125,7 @@ def snk_write_csv_json(spark, sf_dir):
         # asserted equal by construction (same counts) via the union check
         out = (
             back_json.groupBy("event_type")
-            .agg(F.count("*").alias("n"), r4(F.sum("value")).alias("sum_val"))
+            .agg(F.count("*").alias("n"), dsum("value", 4).alias("sum_val"))
         )
         n_csv = back_csv.count()
         n_json = ev.count()

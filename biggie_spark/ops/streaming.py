@@ -20,14 +20,14 @@ from pyspark.sql import functions as F
 
 from biggie_spark.io import load_table
 from biggie_spark.registry import register
-from biggie_spark.util import r4
+from biggie_spark.util import dsum, r4
 
 
 @register(
     "stream_tumbling",
     oracle="""
     SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
-           event_type, count(*) AS n, round(sum(value), 4) AS sum_val
+           event_type, count(*) AS n, CAST(round(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0, 4) AS DOUBLE) AS sum_val
     FROM events GROUP BY 1, 2
     """,
 )
@@ -38,7 +38,7 @@ def stream_tumbling(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), r4(F.sum("value")).alias("sum_val"))
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_val"))
         .select(
             F.unix_timestamp("w.start").alias("hour_epoch"),
             "event_type",
@@ -52,7 +52,7 @@ def stream_tumbling(spark, sf_dir):
     "stream_sliding",
     oracle="""
     SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900 - k * 900 AS win_epoch,
-           count(*) AS n, round(sum(value), 4) AS sum_val
+           count(*) AS n, CAST(round(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0, 4) AS DOUBLE) AS sum_val
     FROM events, range(4) t(k)
     GROUP BY 1
     """,
@@ -64,7 +64,7 @@ def stream_sliding(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
-        .agg(F.count("*").alias("n"), r4(F.sum("value")).alias("sum_val"))
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_val"))
         .select(F.unix_timestamp("w.start").alias("win_epoch"), "n", "sum_val")
     )
 
@@ -89,7 +89,7 @@ def stream_sliding(spark, sf_dir):
     SELECT user_id,
            CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
            CAST(floor(epoch(max(ts))) AS BIGINT) + 1800 AS session_end,
-           count(*) AS n, round(sum(value), 4) AS sum_val
+           count(*) AS n, CAST(round(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0, 4) AS DOUBLE) AS sum_val
     FROM s GROUP BY user_id, sid
     """,
 )
@@ -102,7 +102,7 @@ def stream_session(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count("*").alias("n"), r4(F.sum("value")).alias("sum_val"))
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_val"))
         .select(
             "user_id",
             F.unix_timestamp("w.start").alias("session_start"),
@@ -165,7 +165,7 @@ def stream_dedup_watermark(spark, sf_dir):
 @register(
     "stream_stream_static_join",
     oracle="""
-    SELECT c_mktsegment, event_type, count(*) AS n, round(sum(value), 4) AS sum_val
+    SELECT c_mktsegment, event_type, count(*) AS n, CAST(round(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0, 4) AS DOUBLE) AS sum_val
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY c_mktsegment, event_type
     """,
@@ -178,7 +178,7 @@ def stream_stream_static_join(spark, sf_dir):
     return (
         ev.join(F.broadcast(c), ev.user_id == c.c_custkey)
         .groupBy("c_mktsegment", "event_type")
-        .agg(F.count("*").alias("n"), r4(F.sum("value")).alias("sum_val"))
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_val"))
     )
 
 

@@ -17,6 +17,50 @@ def r4(col: Column | str) -> Column:
     return F.round(c.cast("double"), 4)
 
 
+def dsum(col: Column | str, scale: int = 2) -> Column:
+    """Exact money-sum via fixed-point accumulation: scale to integer cents,
+    sum as BIGINT, divide back, emit double.
+
+    round(sum(double), 4) is NOT order-independent at scale: a 120k-row
+    double sum of ~5e4-magnitude values carries ~1e-1 of summation-order
+    error — bigger than the 4-decimal grain, so Spark's shuffle order vs
+    DuckDB's scan order produce different rounded values (observed at
+    sf0.1).  Integer accumulation is exact and associative on any cluster
+    at any scale, and (unlike DECIMAL aggregation, ~1.7x slower) costs the
+    same as a double sum inside codegen.  Correctness needs the source to
+    be decimal(scale)-exact — true for every money column in this corpus —
+    and the running total to stay under 2^53 so the final division is one
+    deterministic double op (100 TB of 1e6-magnitude cents is ~1e17 — at
+    that point group by more keys or raise to DECIMAL; the helper is the
+    single switch point)."""
+    c = F.col(col) if isinstance(col, str) else col
+    m = 10**scale
+    return (F.round(F.sum(F.round(c * m, 0).cast("long")) / float(m), 4)).cast("double")
+
+
+def revenue_sum() -> Column:
+    """sum(l_extendedprice * (1 - l_discount)) in fixed-point: the product
+    of two 2-decimal values is 4-decimal-exact, so scale by 1e4."""
+    scaled = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    return F.round(F.sum(scaled) / 10000.0, 4).cast("double")
+
+
+# DuckDB twins of the expressions above, for oracle SQL strings.
+SQL_REVENUE_SUM = (
+    "CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)"
+    " AS BIGINT)) / 10000.0, 4) AS DOUBLE)"
+)
+
+
+def sql_dsum(col: str, scale: int = 2) -> str:
+    m = 10**scale
+    return (
+        f"CAST(round(sum(CAST(round({col} * {m}, 0) AS BIGINT)) / {m}.0, 4) AS DOUBLE)"
+    )
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokenization of normalized text — identical semantics to
     DuckDB ``string_split(lower(text), ' ')`` (verified: both keep empty
