@@ -97,6 +97,38 @@ def demo_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(out, "append")
 
 
+def demo_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    (count, sum(value)) kept in explicit GroupState across micro-batches —
+    the escape hatch for stateful logic `groupBy().agg()` can't express.
+    State is keyed by the shuffle key, so the state store shards with the
+    partitioning (executor-local at any scale)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def track(key, pdfs, state: GroupState):
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n": [n], "sum_val": [round(total, 4)]}
+        )
+
+    ev = _events_stream(spark, sf_dir).select("user_id", "value")
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType="user_id bigint, n bigint, sum_val double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _drain(out, "update")
+
+
 def demo_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of stream_stream_static_join: stream enriched by a
     broadcast static dimension."""

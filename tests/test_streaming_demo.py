@@ -34,6 +34,30 @@ def test_streaming_dedup_matches_batch(spark, sf_dir):
     assert _rows(s) == _rows(b)
 
 
+def test_streaming_stateful_custom_matches_batch(spark, sf_dir):
+    """One AvailableNow drain -> final GroupState == plain batch aggregate.
+    (sum in the state is float — compare counts exactly, sums to 4dp.)"""
+    from pyspark.sql import functions as F
+
+    from biggie_spark.io import load_table
+
+    s = {
+        r.user_id: (r.n, r.sum_val)
+        for r in streaming_demo.demo_stateful_custom(spark, sf_dir).collect()
+    }
+    b = {
+        r.user_id: (r.n, r.sum_val)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_val"))
+        .collect()
+    }
+    assert set(s) == set(b)
+    for k in b:
+        assert s[k][0] == b[k][0]
+        assert abs(s[k][1] - b[k][1]) < 1e-6
+
+
 def test_streaming_static_join_matches_batch(spark, sf_dir):
     s = streaming_demo.demo_static_join(spark, sf_dir)
     b = QUERIES["stream_stream_static_join"](spark, sf_dir)
