@@ -17,3 +17,4 @@ from biggie_spark.ops import ann  # noqa: F401
 from biggie_spark.ops import bucketing  # noqa: F401
 from biggie_spark.ops import extras  # noqa: F401
 from biggie_spark.ops import llm_text2  # noqa: F401
+from biggie_spark.ops import ivf  # noqa: F401

@@ -75,3 +75,21 @@ def test_knn_broadcasts_probes(spark, sf_dir):
 def test_no_python_udfs_in_relational_paths(spark, sf_dir, name):
     plan = plan_of(QUERIES[name](spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_asof_join_is_linear_not_quadratic(spark, sf_dir):
+    """The as-of rewrite must be a union + window scan — one shuffle on the
+    partition key, NO join operator at all (the naive inequality-join
+    formulation explodes quadratically per key)."""
+    plan = plan_of(QUERIES["join_asof"](spark, sf_dir))
+    assert "Window" in plan and "Union" in plan
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"):
+        assert bad not in plan, f"as-of degenerated into {bad}"
+
+
+def test_lsh_banding_is_equi_join(spark, sf_dir):
+    """Near-dup candidate generation must join on the band-hash equi-key —
+    never a nested-loop over all pairs."""
+    plan = plan_of(QUERIES["llm_neardup_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
