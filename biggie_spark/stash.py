@@ -58,6 +58,16 @@ class Stash:
     def scan_prefix(self, prefix: str) -> DataFrame:
         return self.df.filter(F.col(self.key).cast("string").startswith(prefix))
 
+    def scan_range(self, lo, hi) -> DataFrame:
+        """Key range scan [lo, hi] — compiles to pushed min/max parquet
+        predicates (row-group skip on sorted/bucketed stashes)."""
+        return self.df.filter(F.col(self.key).between(lo, hi))
+
+    def fields(self) -> list[str]:
+        """The stash's field set (the union schema; absent fields are null
+        per-entity — SURVEY.md §1.2)."""
+        return [c for c in self.df.columns if c != self.key]
+
     def __len__(self) -> int:
         return self.df.count()
 
@@ -71,6 +81,17 @@ class Stash:
             rows.select(self.key), self.key, "left_anti"
         ).unionByName(rows, allowMissingColumns=True)
         return Stash(self.spark, merged, self.key, self.path)
+
+    def update_field(self, key_value, field: str, value) -> "Stash":
+        """Set one field of one entity.  A pure map-side projection
+        (conditional withColumn) — no shuffle, no join, scans stay pruned."""
+        updated = self.df.withColumn(
+            field,
+            F.when(F.col(self.key) == F.lit(key_value), F.lit(value)).otherwise(
+                F.col(field)
+            ),
+        )
+        return Stash(self.spark, updated, self.key, self.path)
 
     def remove(self, key_values: list) -> "Stash":
         keys_df = self.spark.createDataFrame([Row(**{self.key: k}) for k in key_values])

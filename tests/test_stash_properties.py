@@ -53,3 +53,17 @@ def test_contains_and_len(spark):
     assert len(s) == 4
     assert 1 in s and 99 not in s
     assert s.get_fields(1, ["text"]).collect()[0].text == "one"
+
+
+def test_scan_range_and_fields(spark):
+    s = _mk_stash(spark, BASE)
+    assert {r.doc_id for r in s.scan_range(2, 10).collect()} == {2, 3, 10}
+    assert s.fields() == ["text"]
+
+
+def test_update_field(spark):
+    s = _mk_stash(spark, BASE)
+    s2 = s.update_field(2, "text", "TWO!")
+    assert s2.get(2).collect()[0].text == "TWO!"
+    assert s2.get(1).collect()[0].text == "one"  # others untouched
+    assert len(s2) == len(s)
