@@ -53,35 +53,18 @@ class Engine:
         return Stash(self.spark, self.table(name), key)
 
     def knn(self, probe_ids: list[int], k: int = 5) -> DataFrame:
-        """Exact cosine top-k for the given probe vectors."""
-        from pyspark.sql import Window
-        from pyspark.sql import functions as F
+        """Exact cosine top-k for the given probe vectors (shared kernel
+        with the llm_knn_cosine operator)."""
+        from biggie_spark.util import knn_exact
 
-        from biggie_spark.util import cosine, r4
-
-        e = self.table("embeddings")
-        probes = e.filter(F.col("vec_id").isin(probe_ids)).select(
-            F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pa")
-        )
-        cands = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("na"))
-        pairs = (
-            cands.crossJoin(F.broadcast(probes))
-            .filter(F.col("neighbor_id") != F.col("probe_id"))
-            .withColumn("s", cosine(F.col("pa"), F.col("na")))
-        )
-        w = Window.partitionBy("probe_id").orderBy(F.col("s").desc(), "neighbor_id")
-        return (
-            pairs.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k)
-            .select("probe_id", "neighbor_id", r4(F.col("s")).alias("sim"))
-        )
+        return knn_exact(self.table("embeddings"), probe_ids, k)
 
     def dedup_candidates(self, threshold: float = 0.95) -> DataFrame:
-        """MinHash/LSH near-duplicate candidate pairs over documents."""
-        from biggie_spark.registry import QUERIES, load_all_ops
+        """MinHash/LSH near-duplicate pairs over documents at the given
+        Jaccard threshold."""
+        from biggie_spark.ops.llm import llm_neardup_pairs
 
-        load_all_ops()
-        return QUERIES["llm_neardup_pairs"](self.spark, self.sf_dir)
+        return llm_neardup_pairs(self.spark, self.sf_dir, threshold=threshold)
 
     # ---- introspection ----------------------------------------------------
     def explain(self, df: DataFrame, mode: str = "formatted") -> str:

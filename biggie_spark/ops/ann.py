@@ -31,12 +31,12 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from biggie_spark.io import load_table
 from biggie_spark.registry import register
-from biggie_spark.util import cosine, r4
+from biggie_spark.util import topk_by_cosine
 
 N_TABLES = 4
 N_BITS = 8
@@ -114,11 +114,5 @@ def llm_knn_ann(spark, sf_dir, k: int = 5, n_probes: int = 10) -> DataFrame:
         .filter(F.col("neighbor_id") != F.col("probe_id"))
         .select("probe_id", "pa", "neighbor_id", "na")
         .distinct()  # a pair can collide in several tables — rerank once
-        .withColumn("s", cosine(F.col("pa"), F.col("na")))
     )
-    w = Window.partitionBy("probe_id").orderBy(F.col("s").desc(), "neighbor_id")
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("probe_id", "neighbor_id", r4(F.col("s")).alias("sim"))
-    )
+    return topk_by_cosine(pairs, k)

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from biggie_spark.io import load_table
 from biggie_spark.registry import register
-from biggie_spark.util import cosine, r4
+from biggie_spark.util import topk_by_cosine
 
 K = 16
 ITERS = 3
@@ -111,11 +111,5 @@ def llm_knn_ivf(spark, sf_dir, k: int = 5, n_probes: int = 10) -> DataFrame:
     pairs = (
         cands.join(F.broadcast(probe_lists), "cid")
         .filter(F.col("neighbor_id") != F.col("probe_id"))
-        .withColumn("s", cosine(F.col("pa"), F.col("na")))
     )
-    w = Window.partitionBy("probe_id").orderBy(F.col("s").desc(), "neighbor_id")
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("probe_id", "neighbor_id", r4(F.col("s")).alias("sim"))
-    )
+    return topk_by_cosine(pairs, k)

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from biggie_spark.io import load_table
 from biggie_spark.registry import register
-from biggie_spark.util import cosine, l2_norm_sq, r4, tokens
+from biggie_spark.util import cosine, knn_exact, l2_norm_sq, r4, tokens
 
 
 def _docs(spark, sf_dir):
@@ -199,9 +199,10 @@ def llm_minhash_sig(spark, sf_dir):
     FROM ver WHERE i * 1.0 / (na + nb - i) >= 0.95
     """,
 )
-def llm_neardup_pairs(spark, sf_dir):
+def llm_neardup_pairs(spark, sf_dir, threshold: float = 0.95):
     """Near-duplicate pairs: MinHash -> LSH banding (4 bands x 4 rows) for
-    candidate generation, then exact Jaccard >= 0.95 verification.  The
+    candidate generation, then exact Jaccard >= threshold verification
+    (registered/oracled at the 0.95 default).  The
     banding self-join touches only same-bucket pairs — the O(n^2) -> O(n)
     trick that makes near-dup feasible at corpus scale; band hashes become
     the shuffle key so each bucket is verified locally."""
@@ -240,7 +241,7 @@ def llm_neardup_pairs(spark, sf_dir):
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
         .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= 0.95)
+        .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", r4(F.col("jaccard")).alias("jaccard"))
     )
 
@@ -299,22 +300,7 @@ def llm_knn_cosine(spark, sf_dir):
     the scan is one pass with no shuffle of the big side; ranking is a
     per-probe window.  Cross-engine float convention per SURVEY.md §7.4.7
     (double fold vs DuckDB list_cosine_similarity with DOUBLE casts)."""
-    e = _emb(spark, sf_dir)
-    probes = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pa")
-    )
-    cands = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("na"))
-    pairs = (
-        cands.crossJoin(F.broadcast(probes))
-        .filter(F.col("neighbor_id") != F.col("probe_id"))
-        .withColumn("s", cosine(F.col("pa"), F.col("na")))
-    )
-    w = Window.partitionBy("probe_id").orderBy(F.col("s").desc(), "neighbor_id")
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("probe_id", "neighbor_id", r4(F.col("s")).alias("sim"))
-    )
+    return knn_exact(_emb(spark, sf_dir), range(10), k=5)
 
 
 @register(
@@ -455,16 +441,7 @@ def llm_lang_id(spark, sf_dir):
     """Language-ID heuristic: English stopword density in basis points
     (n-gram/stopword heuristics are the standard cheap lang-ID signal;
     integer arithmetic for cross-engine determinism)."""
-    d = _docs(spark, sf_dir)
-    tk = tokens("text")
-    stop_bp = (
-        F.size(F.filter(tk, lambda t: t.isin("the", "a"))) * 10000
-    ) / F.size(tk)
-    predicted = F.when(
-        F.floor(stop_bp) >= 400, "en_like"
-    ).otherwise("other")
-    # integer division via floor is safe: stop*10000 and size are exact ints
-    d = d.select(
+    d = _docs(spark, sf_dir).select(
         "lang",
         F.expr(
             "CASE WHEN (size(filter(split(lower(text), ' '), t -> t IN ('the', 'a'))) * 10000) "

@@ -18,14 +18,20 @@ from biggie_spark.util import r4
 
 
 def _shingles(col, n=4):
-    """Distinct character n-grams (shingles) of lower(text)."""
+    """Distinct character n-grams (shingles) of lower(text).  Guarded for
+    texts shorter than n: F.sequence(1, x) DESCENDS when x < 1 (yielding
+    bogus negative substr positions), while the DuckDB range() twin is
+    simply empty — so short texts must short-circuit to []."""
     t = F.lower(col)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.length(t) - (n - 1)),
-            lambda i: t.substr(i, F.lit(n)),
-        )
-    )
+    return F.when(
+        F.length(t) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - (n - 1)),
+                lambda i: t.substr(i, F.lit(n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 @register(
@@ -109,10 +115,13 @@ def llm_fingerprint_winnow(spark, sf_dir):
     unlike a whole-text hash).  md5-based so the oracle reproduces it."""
     d = load_table(spark, sf_dir, "documents")
     t = F.lower("text")
-    hashes = F.transform(
-        F.sequence(F.lit(1), F.length(t) - 7),
-        lambda i: F.md5(t.substr(i, F.lit(8))),
-    )
+    hashes = F.when(  # guard: sequence() descends for texts shorter than 8
+        F.length(t) >= 8,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - 7),
+            lambda i: F.md5(t.substr(i, F.lit(8))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return d.select(
         "doc_id",
         F.slice(F.sort_array(F.array_distinct(hashes)), 1, 4).alias("fp"),

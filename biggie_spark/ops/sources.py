@@ -121,15 +121,13 @@ def snk_write_csv_json(spark, sf_dir):
         schema = "event_id bigint, event_type string, value double"
         back_csv = spark.read.schema(schema).option("header", "true").csv(tmp_csv)
         back_json = spark.read.schema(schema).json(tmp_json)
-        # json round-trip feeds the scored aggregate; csv round-trip is
-        # asserted equal by construction (same counts) via the union check
         out = (
             back_json.groupBy("event_type")
             .agg(F.count("*").alias("n"), dsum("value", 4).alias("sum_val"))
         )
-        n_csv = back_csv.count()
-        n_json = ev.count()
-        assert n_csv == n_json, f"csv round-trip lost rows: {n_csv} != {n_json}"
+        n_src, n_csv, n_json = ev.count(), back_csv.count(), back_json.count()
+        assert n_csv == n_src, f"csv round-trip lost rows: {n_csv} != {n_src}"
+        assert n_json == n_src, f"json round-trip lost rows: {n_json} != {n_src}"
         return out.localCheckpoint()
     finally:
         shutil.rmtree(tmp_csv, ignore_errors=True)

@@ -25,8 +25,17 @@ def salted_sum_count(
     columns (key, sum_val, n).  The salt is derived from xxhash64 of all
     columns — deterministic per row, uniform across salts."""
     v = F.col(value) if isinstance(value, str) else value
-    salted = df.withColumn("_salt", F.pmod(F.xxhash64(*df.columns), F.lit(n_salts)))
-    partial = salted.groupBy(key, "_salt").agg(
+    salt_col = "_biggie_salt"
+    if salt_col in df.columns:
+        raise ValueError(f"input already has a {salt_col!r} column")
+    # the salt must be row-unique, not row-content-derived: a hot key made
+    # of MILLIONS OF IDENTICAL ROWS (the classic power-law case) would hash
+    # every duplicate into one bucket and defeat the fan-out.  The result
+    # is salt-independent, so a nondeterministic row id is fine here.
+    salted = df.withColumn(
+        salt_col, F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    )
+    partial = salted.groupBy(key, salt_col).agg(
         F.sum(v).alias("_s"), F.count("*").alias("_c")
     )
     return partial.groupBy(key).agg(

@@ -19,6 +19,8 @@ column — the analog of the reference's hex-fanout group sharding.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
@@ -84,24 +86,32 @@ class Stash:
 
     def update_field(self, key_value, field: str, value) -> "Stash":
         """Set one field of one entity.  A pure map-side projection
-        (conditional withColumn) — no shuffle, no join, scans stay pruned."""
+        (conditional withColumn) — no shuffle, no join, scans stay pruned.
+        A field this stash has never seen is created (null for every other
+        entity — the union-schema entity model, SURVEY.md §1.2)."""
+        prev = F.col(field) if field in self.df.columns else F.lit(None)
         updated = self.df.withColumn(
             field,
-            F.when(F.col(self.key) == F.lit(key_value), F.lit(value)).otherwise(
-                F.col(field)
-            ),
+            F.when(F.col(self.key) == F.lit(key_value), F.lit(value)).otherwise(prev),
         )
         return Stash(self.spark, updated, self.key, self.path)
 
     def remove(self, key_values: list) -> "Stash":
+        if not key_values:  # removing nothing is a no-op, not a crash
+            return self
         keys_df = self.spark.createDataFrame([Row(**{self.key: k}) for k in key_values])
         survived = self.df.join(F.broadcast(keys_df), self.key, "left_anti")
         return Stash(self.spark, survived, self.key, self.path)
 
     def persist_to(self, path: str, n_buckets: int | None = None) -> "Stash":
-        """Write the stash; at scale, hash-sharded on key (hex-fanout analog)."""
+        """Write the stash; at scale, hash-sharded on key (hex-fanout analog).
+        Writing back to the stash's OWN path (the natural upsert-and-save
+        flow) must materialize first — mode('overwrite') on a directory the
+        lazy plan is still reading either errors or destroys the source."""
         df = self.df
         if n_buckets:
             df = df.repartition(n_buckets, self.key)
+        if self.path and os.path.abspath(path) == os.path.abspath(self.path):
+            df = df.localCheckpoint()
         save_parquet(df, path)
         return Stash.open(self.spark, path, self.key)

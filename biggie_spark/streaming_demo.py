@@ -50,8 +50,10 @@ def _drain(df: DataFrame, output_mode: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    finished = q.awaitTermination(300)
     q.stop()
+    if not finished:
+        raise TimeoutError("AvailableNow drain did not finish; partial results discarded")
     return df.sparkSession.table(name)
 
 

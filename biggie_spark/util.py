@@ -96,6 +96,38 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(l2_norm_sq(a)) * F.sqrt(l2_norm_sq(b)))
 
 
+def topk_by_cosine(pairs, k: int):
+    """Shared rerank kernel for every similarity-search path (exact, LSH,
+    IVF, the Engine façade): score candidate pairs with the double-fold
+    cosine and keep top-k per probe under the deterministic tie-break
+    (sim desc, neighbor_id asc).  `pairs` needs columns
+    (probe_id, pa, neighbor_id, na)."""
+    from pyspark.sql import Window
+
+    scored = pairs.withColumn("_s", cosine(F.col("pa"), F.col("na")))
+    w = Window.partitionBy("probe_id").orderBy(F.col("_s").desc(), "neighbor_id")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("probe_id", "neighbor_id", r4(F.col("_s")).alias("sim"))
+    )
+
+
+def knn_exact(embeddings, probe_ids, k: int):
+    """Brute-force cosine top-k: broadcast the probe set, one pass over the
+    corpus (no shuffle of the big side), shared rerank kernel."""
+    probes = embeddings.filter(F.col("vec_id").isin(list(probe_ids))).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pa")
+    )
+    cands = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("na")
+    )
+    pairs = cands.crossJoin(F.broadcast(probes)).filter(
+        F.col("neighbor_id") != F.col("probe_id")
+    )
+    return topk_by_cosine(pairs, k)
+
+
 def epoch_s(col: Column | str) -> Column:
     """Timestamp -> epoch seconds (bigint). The only sanctioned way to emit
     event-time in a scored output (SURVEY.md §2 convention 3)."""
