@@ -87,6 +87,26 @@ def test_asof_join_is_linear_not_quadratic(spark, sf_dir):
         assert bad not in plan, f"as-of degenerated into {bad}"
 
 
+def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
+    """A stash written partitionBy(key) must answer key-filtered reads with
+    partition pruning — the directory-level analog of the reference's
+    hex-fanout lookup (only the matching partition's files are listed)."""
+    from biggie_spark.io import load_table, save_parquet
+
+    out = str(tmp_path / "li_part")
+    save_parquet(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_quantity"
+        ),
+        out,
+        partition_by=["l_returnflag"],
+    )
+    df = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan and "l_returnflag" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert df.count() > 0
+
+
 def test_lsh_banding_is_equi_join(spark, sf_dir):
     """Near-dup candidate generation must join on the band-hash equi-key —
     never a nested-loop over all pairs."""
