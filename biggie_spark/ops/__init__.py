@@ -18,3 +18,5 @@ from biggie_spark.ops import bucketing  # noqa: F401
 from biggie_spark.ops import extras  # noqa: F401
 from biggie_spark.ops import llm_text2  # noqa: F401
 from biggie_spark.ops import ivf  # noqa: F401
+from biggie_spark.ops import graph  # noqa: F401
+from biggie_spark.ops import timeseries  # noqa: F401

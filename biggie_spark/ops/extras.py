@@ -47,6 +47,31 @@ def agg_median_exact(spark, sf_dir):
 
 
 @register(
+    "agg_quantiles",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(CAST(round(o_totalprice * 100, 0) AS BIGINT), 0.25), 4) AS q25_cents,
+           round(quantile_cont(CAST(round(o_totalprice * 100, 0) AS BIGINT), 0.5), 4) AS q50_cents,
+           round(quantile_cont(CAST(round(o_totalprice * 100, 0) AS BIGINT), 0.75), 4) AS q75_cents
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_quantiles(spark, sf_dir):
+    """Exact continuous quartiles (Spark `percentile` == DuckDB
+    `quantile_cont`: pos = p*(n-1), linear interpolation).  Computed over
+    integer CENTS, not dollars: quarter-fraction interpolations of integers
+    are exact in binary, so round(,4) agrees across engines — interpolating
+    2-decimal doubles would hit the .xxxx5 rounding-boundary divergence."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = "CAST(round(o_totalprice * 100, 0) AS BIGINT)"
+    return o.groupBy("o_orderstatus").agg(
+        r4(F.expr(f"percentile({cents}, 0.25D)")).alias("q25_cents"),
+        r4(F.expr(f"percentile({cents}, 0.5D)")).alias("q50_cents"),
+        r4(F.expr(f"percentile({cents}, 0.75D)")).alias("q75_cents"),
+    )
+
+
+@register(
     "fn_bitwise",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_partkey,
