@@ -145,6 +145,94 @@ def win_cume_percent(spark, sf_dir):
 
 
 @register(
+    "fn_regexp",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract_all(text, '[a-z]*key[a-z]*') AS key_words,
+           len(regexp_extract_all(text, 'a[a-z]+')) AS n_a_words,
+           regexp_replace(text, '^(\\w+) (\\w+)', '\\2 \\1') AS first_swap,
+           regexp_matches(text, '^the ') AS starts_the
+    FROM documents
+    """,
+)
+def fn_regexp(spark, sf_dir):
+    """Regexp family beyond fn_string's basics: extract-all (list output),
+    match counting, backreference replace (Spark `$n` vs DuckDB `\\n`
+    syntax, same semantics), anchored match test.  DuckDB regexp_replace
+    is non-global by default == Spark with an unanchored pattern applies
+    globally — so the pattern here is anchored by using a single leading
+    occurrence (first two words)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr("regexp_extract_all(text, '[a-z]*key[a-z]*', 0)").alias("key_words"),
+        F.size(F.expr("regexp_extract_all(text, 'a[a-z]+', 0)")).alias("n_a_words"),
+        F.regexp_replace(
+            F.col("text"), r"^(\w+) (\w+)", "$2 $1"
+        ).alias("first_swap"),
+        F.col("text").rlike("^the ").alias("starts_the"),
+    )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type),
+    ranked AS (
+      SELECT user_id, event_type, n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type) AS rn
+      FROM counts)
+    SELECT user_id, event_type AS mode_event, n AS mode_count
+    FROM ranked WHERE rn = 1
+    """,
+)
+def agg_mode(spark, sf_dir):
+    """Deterministic per-group mode (most frequent event_type per user).
+    Deliberately NOT the mode() builtin: engines break frequency ties
+    arbitrarily; count + row_number under a total order (count desc, value
+    asc) is portable and stays a two-shuffle plan (partial-agg'd count,
+    then a window on the already-partitioned key)."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), "event_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_event"),
+            F.col("n").alias("mode_count"),
+        )
+    )
+
+
+@register(
+    "agg_string_agg",
+    oracle="""
+    SELECT o_custkey,
+           string_agg(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus) AS statuses,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def agg_string_agg(spark, sf_dir):
+    """Sorted-distinct string aggregation per group.  The sort inside the
+    aggregate is the determinism contract: Spark's collect_set order is
+    nondeterministic, so we array_sort before joining — equivalent to
+    DuckDB's ORDER BY inside string_agg."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderstatus")), "|"
+        ).alias("statuses"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
     "sql_correlated_subquery",
     oracle="""
     SELECT c_custkey,

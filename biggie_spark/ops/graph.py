@@ -35,6 +35,118 @@ from biggie_spark.registry import register
 
 _MAX_ROUNDS = 25  # >> diameter of any near-dup cluster graph
 
+_PR_ITERS = 3  # fixed iteration count — unrolled verbatim in the oracle
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    """One unrolled PageRank iteration in DuckDB SQL, all-integer: each node
+    keeps rank in units of 1e-12 (BIGINT); contributions use integer
+    division rank // out_degree, then r = 0.15/N + 0.85 * contrib — every
+    step exact, so Spark and DuckDB agree bit-for-bit."""
+    return f"""
+    {out} AS (
+        SELECT n.k,
+               b.base + (85 * coalesce(c.s, 0)) // 100 AS r
+        FROM nodes n
+        CROSS JOIN pr_base b
+        LEFT JOIN (SELECT e.dst AS k, sum({prev}.r // deg.d) AS s
+                   FROM edges e
+                   JOIN {prev} ON {prev}.k = e.src
+                   JOIN deg ON deg.src = e.src
+                   GROUP BY e.dst) c ON c.k = n.k)"""
+
+
+@register(
+    "graph_pagerank",
+    oracle="""
+    WITH edges AS MATERIALIZED (
+        SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE s_nationkey <> c_nationkey),
+    nodes AS (SELECT DISTINCT k FROM
+              (SELECT src AS k FROM edges UNION SELECT dst FROM edges)),
+    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    pr_base AS (SELECT count(*) AS n, 150000000000 // count(*) AS base,
+                       1000000000000 // count(*) AS init
+                FROM nodes),
+    r0 AS (SELECT k, b.init AS r FROM nodes CROSS JOIN pr_base b),
+    """
+    + ",".join(_pr_iter_sql(f"r{i}", f"r{i + 1}") for i in range(_PR_ITERS))
+    + """
+    SELECT k AS nationkey, r AS rank_e12 FROM r3
+    """,
+)
+def graph_pagerank(spark, sf_dir):
+    """PageRank over the nation-level trade graph (edge = some supplier in
+    nation A shipped a lineitem to a customer in nation B), damping 0.85,
+    3 fixed iterations.
+
+    The iterative-algorithm pattern at scale: each iteration is one
+    shuffle-on-dst join + groupBy — the rank state never leaves the
+    cluster, the driver holds no per-vertex data, and the edge set is
+    materialized once (localCheckpoint) instead of being recomputed by
+    every unrolled iteration's lineage.  Ranks are BIGINTs in units of
+    1e-12 with integer division throughout, which makes the fixpoint
+    arithmetic exact and engine-portable (float PageRank sums would drift
+    below round(,4) only probabilistically; integers deterministically
+    never drift).  Oracle: the same 3 iterations unrolled as chained CTEs
+    — an independent formulation of the same recurrence."""
+    from biggie_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("k"))
+        .union(edges.select(F.col("dst").alias("k")))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    base = nodes.agg(
+        F.expr("150000000000 div count(*)").alias("base"),
+        F.expr("1000000000000 div count(*)").alias("init"),
+    )
+    ranks = nodes.crossJoin(F.broadcast(base)).select(
+        "k", F.col("init").alias("r"), "base"
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(
+                ranks.select(F.col("k").alias("src"), F.col("r").alias("rs")), "src"
+            )
+            .join(deg, "src")
+            .groupBy(F.col("dst").alias("k"))
+            .agg(F.sum(F.expr("rs div d")).alias("s"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(base))
+            .join(contrib, "k", "left")
+            .select(
+                "k",
+                (
+                    F.col("base")
+                    + F.expr("85 * coalesce(s, 0) div 100")
+                ).alias("r"),
+                "base",
+            )
+        )
+    return ranks.select(F.col("k").alias("nationkey"), F.col("r").alias("rank_e12"))
+
 
 @register(
     "llm_dedup_clusters",

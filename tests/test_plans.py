@@ -107,6 +107,29 @@ def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
     assert df.count() > 0
 
 
+def test_tpch_q05_broadcasts_all_dims(spark, sf_dir):
+    """The 6-table star must broadcast every dim side (region/nation/
+    supplier/customer) — at 100 TB only the orders⋈lineitem join may
+    shuffle, and it shuffles on the natural key."""
+    plan = plan_of(QUERIES["tpch_q05_local_supplier_volume"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q03_pushes_segment_filter(spark, sf_dir):
+    plan = plan_of(QUERIES["tpch_q03_shipping_priority"](spark, sf_dir)).replace(
+        " ", ""
+    )
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q01_has_partial_aggregate(spark, sf_dir):
+    plan = plan_of(QUERIES["tpch_q01_pricing_summary"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial" in plan
+
+
 def test_lsh_banding_is_equi_join(spark, sf_dir):
     """Near-dup candidate generation must join on the band-hash equi-key —
     never a nested-loop over all pairs."""
