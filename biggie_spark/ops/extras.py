@@ -233,6 +233,105 @@ def agg_string_agg(spark, sf_dir):
 
 
 @register(
+    "agg_filtered",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (WHERE event_type = 'error') AS n_error,
+           CAST(round(sum(CAST(round(value * 100, 0) AS BIGINT))
+                      FILTER (WHERE event_type = 'purchase') / 100.0, 4)
+                AS DOUBLE) AS purchase_value,
+           bool_or(event_type = 'signup') AS ever_signed_up,
+           bool_and(value >= 0) AS all_nonneg
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_filtered(spark, sf_dir):
+    """Conditional aggregation family: FILTER-clause counts/sums and
+    boolean any/every — one pass, no self-joins (the naive formulation
+    joins the table to itself once per condition; this stays a single
+    partial+final aggregate at any scale).  Spark spells FILTER as
+    count_if / sum(CASE WHEN); the money sum keeps the fixed-point
+    convention inside the CASE."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.when(
+        F.col("event_type") == "purchase",
+        F.round(F.col("value") * 100, 0).cast("long"),
+    )
+    return e.groupBy("user_id").agg(
+        F.expr("count_if(event_type = 'purchase')").alias("n_purchase"),
+        F.expr("count_if(event_type = 'error')").alias("n_error"),
+        F.round(F.sum(cents) / 100.0, 4).cast("double").alias("purchase_value"),
+        F.expr("bool_or(event_type = 'signup')").alias("ever_signed_up"),
+        F.expr("bool_and(value >= 0)").alias("all_nonneg"),
+    )
+
+
+@register(
+    "fn_sample_hash",
+    oracle="""
+    SELECT event_id, event_type
+    FROM events
+    WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0
+    """,
+)
+def fn_sample_hash(spark, sf_dir):
+    """Deterministic ~10% sample by content hash (md5 of the key, first 8
+    hex digits mod 10).  Unlike fn_sample's RNG stream this is portable
+    across engines AND stable across reruns/cluster sizes — the property a
+    reproducible training-data pipeline needs (re-running the pipeline on
+    repartitioned data must select the same rows).  md5 is byte-identical
+    in both engines (SURVEY.md §7.4.8)."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return e.filter(bucket % 10 == 0).select("event_id", "event_type")
+
+
+@register(
+    "agg_percentile_disc",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem)
+    SELECT l_returnflag,
+           round(max(CASE WHEN rn * 10 <= n THEN l_extendedprice END), 4) AS p10,
+           round(max(CASE WHEN rn * 10 <= 9 * n THEN l_extendedprice END), 4) AS p90
+    FROM r GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_disc(spark, sf_dir):
+    """Discrete percentiles (p10/p90 as actual data values, no
+    interpolation) via rank positions under a total order — the
+    engine-portable formulation (Spark has no percentile_disc; DuckDB's
+    quantile_disc position convention differs — rank arithmetic is
+    identical by construction).  Values are existing 2-decimal rows, so
+    round(,4) is exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    r = li.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    return r.groupBy("l_returnflag").agg(
+        r4(
+            F.max(F.when(F.col("rn") * 10 <= F.col("n"), F.col("l_extendedprice")))
+        ).alias("p10"),
+        r4(
+            F.max(
+                F.when(F.col("rn") * 10 <= 9 * F.col("n"), F.col("l_extendedprice"))
+            )
+        ).alias("p90"),
+    )
+
+
+@register(
     "sql_correlated_subquery",
     oracle="""
     SELECT c_custkey,

@@ -190,3 +190,57 @@ def win_first_last(spark, sf_dir):
         r4(F.last("o_totalprice").over(w)).alias("last_price"),
         r4(F.nth_value("o_totalprice", 2).over(w)).alias("second_price"),
     )
+
+
+@register(
+    "win_islands",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+    grp AS (
+      SELECT user_id, event_id, event_type,
+             sum(brk) OVER (PARTITION BY user_id
+                            ORDER BY us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked)
+    SELECT user_id, event_type, island,
+           count(*) AS run_len, min(event_id) AS first_event
+    FROM grp GROUP BY user_id, event_type, island
+    """,
+)
+def win_islands(spark, sf_dir):
+    """Gaps-and-islands: consecutive runs of the same event_type per user
+    (lag-compare -> breakpoint flag -> running-sum island id -> per-island
+    aggregate).  The whole pattern is two window passes over ONE partition
+    shuffle on user_id — the state never leaves the executor that owns the
+    key, which is why this classic works unchanged at 100 TB.  Ordering is
+    (event time, event_id): event_id tie-breaks equal timestamps, and the
+    running sum uses the same total order on both engines.  The island id
+    is position-dependent but deterministic under that total order, so the
+    value hash matches exactly.
+
+    DuckDB note: its window ORDER BY on the raw ns-timestamp is projected
+    through epoch_us to match Spark's µs-repaired ordering (ties broken by
+    event_id anyway)."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))  # exact µs: matches DuckDB epoch_us on ns data
+    w = Window.partitionBy("user_id").orderBy(us, "event_id")
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy(us, "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = e.withColumn(
+        "brk",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0),
+    )
+    grp = marked.withColumn("island", F.sum("brk").over(wrun))
+    return grp.groupBy("user_id", "event_type", "island").agg(
+        F.count("*").alias("run_len"), F.min("event_id").alias("first_event")
+    )
