@@ -1,0 +1,169 @@
+"""North-star text-analysis extensions, part 3: the three document-shaping
+ops every LLM training-data pipeline runs between cleaning and training —
+chunking (split long docs into overlapping context windows), sequence
+packing (assign docs to fixed-token-budget bins), and decontamination
+(drop training docs that share n-gram content with an evaluation set).
+
+Scale notes: chunking is a pure per-row explode (no shuffle at all — the
+parallelism is the scan's); packing is a per-partition running sum (one
+shuffle on the partition column, state never leaves the executor);
+decontamination shuffles 16-byte md5 shingle keys, not documents, and the
+evaluation side is tiny by construction (broadcast semi-join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from biggie_spark.io import load_table
+from biggie_spark.registry import register
+from biggie_spark.util import tokens
+
+_CHUNK = 20  # tokens per chunk
+_STRIDE = 15  # chunk start stride (CHUNK - STRIDE = 5 tokens of overlap)
+_PACK = 512  # token budget per packed sequence
+_DECON_K = 5  # shingle width for contamination matching
+
+
+@register(
+    "llm_chunk_overlap",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+               FROM documents),
+    s AS (SELECT doc_id, tk, unnest(range(0, len(tk), {_STRIDE})) AS st FROM t)
+    SELECT doc_id,
+           st // {_STRIDE} AS chunk_idx,
+           array_to_string(tk[st + 1 : st + {_CHUNK}], ' ') AS chunk_text,
+           len(tk[st + 1 : st + {_CHUNK}]) AS n_tokens
+    FROM s
+    """,
+)
+def llm_chunk_overlap(spark, sf_dir):
+    """Overlapping fixed-size chunking: windows of 20 tokens every 15
+    tokens (5-token overlap), the standard pre-embedding/pre-training
+    split.  Pure projection + explode — no shuffle; at 100 TB the output
+    partitioning is inherited from the scan and chunk rows stay on the
+    executor that read the parent document.
+
+    Start generation: Spark ``sequence(0, n-1, stride)`` is inclusive of
+    its upper bound, DuckDB ``range(0, n, stride)`` is exclusive — both
+    yield starts 0, 15, ... strictly below n (memory: determinism rule on
+    sequence/range bounds).  Tail chunks shorter than 20 tokens are kept
+    (both engines' slice truncates past the end)."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    d = d.select("doc_id", tk.alias("tk"))
+    starts = F.sequence(F.lit(0), F.size("tk") - 1, F.lit(_STRIDE))
+    return (
+        d.select("doc_id", "tk", F.explode(starts).alias("st"))
+        .select(
+            "doc_id",
+            F.expr(f"st div {_STRIDE}").alias("chunk_idx"),
+            F.array_join(
+                F.slice(F.col("tk"), F.col("st") + 1, F.lit(_CHUNK)), " "
+            ).alias("chunk_text"),
+            F.size(F.slice(F.col("tk"), F.col("st") + 1, F.lit(_CHUNK))).alias(
+                "n_tokens"
+            ),
+        )
+    )
+
+
+@register(
+    "llm_pack_sequences",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang,
+                      len(string_split(lower(text), ' ')) AS n_tokens
+               FROM documents)
+    SELECT doc_id, lang, n_tokens,
+           coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) // {_PACK} AS bin
+    FROM t
+    """,
+)
+def llm_pack_sequences(spark, sf_dir):
+    """Deterministic concat-and-split sequence packing: docs are laid out
+    in doc_id order within each language stream and assigned to the
+    512-token bin where their first token lands (bin = tokens-before div
+    512).  This is the packing layout GPT-style pretraining uses, made
+    reproducible: the assignment depends only on (lang, doc_id) order,
+    never on partitioning or scheduling.  One shuffle on lang; the running
+    sum is executor-local per partition — no global window, so the op
+    scales with the number of streams."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", F.size(tokens(F.col("text"))).alias("n_tokens"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return t.withColumn("bin", before.cast("long") / F.lit(_PACK)).withColumn(
+        "bin", F.floor("bin").cast("long")
+    )
+
+
+@register(
+    "llm_decontaminate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, string_split(lower(text), ' ') AS tk
+               FROM documents),
+    sh AS (SELECT doc_id, source,
+                  md5(array_to_string(tk[i : i + {_DECON_K - 1}], ' ')) AS g
+           FROM (SELECT doc_id, source, tk,
+                        unnest(range(1, len(tk) - {_DECON_K - 2})) AS i
+                 FROM t)),
+    eval_sh AS (SELECT DISTINCT g FROM sh WHERE source = 'src0'),
+    hits AS (SELECT DISTINCT sh.doc_id FROM sh
+             JOIN eval_sh ON sh.g = eval_sh.g
+             WHERE sh.source <> 'src0')
+    SELECT t.doc_id,
+           EXISTS (SELECT 1 FROM hits WHERE hits.doc_id = t.doc_id)
+             AS contaminated
+    FROM t WHERE source <> 'src0'
+    """,
+)
+def llm_decontaminate(spark, sf_dir):
+    """Evaluation-set decontamination: flag every training document (source
+    <> 'src0') sharing at least one 5-token shingle with the held-out set
+    (source = 'src0').  The match key is md5 of the shingle — the shuffle
+    and the join carry 16-byte hashes, never text; the eval side is
+    DISTINCT-collapsed and broadcast, so the training corpus is touched in
+    one pass.  Spark ``sequence(1, n-k+1)`` == DuckDB
+    ``range(1, n-k+2)`` = shingle starts (guarded: sequence descends when
+    its upper bound < 1, so short docs short-circuit to no shingles)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "source", tokens(F.col("text")).alias("tk"))
+    n = F.size("tk")
+    starts = F.when(
+        n >= _DECON_K, F.sequence(F.lit(1), n - (_DECON_K - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    sh = t.select(
+        "doc_id",
+        "source",
+        F.explode(starts).alias("i"),
+        F.col("tk"),
+    ).select(
+        "doc_id",
+        "source",
+        F.md5(F.array_join(F.slice("tk", F.col("i"), F.lit(_DECON_K)), " ")).alias(
+            "g"
+        ),
+    )
+    eval_sh = sh.filter(F.col("source") == "src0").select("g").distinct()
+    train_sh = sh.filter(F.col("source") != "src0")
+    hits = (
+        train_sh.join(F.broadcast(eval_sh), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        t.filter(F.col("source") != "src0")
+        .select("doc_id")
+        .join(hits.withColumn("contaminated", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("contaminated", F.lit(False)).alias("contaminated")
+        )
+    )
