@@ -84,3 +84,32 @@ def export(df: DataFrame, path: str, fmt: str = "csv", mode: str = "overwrite") 
         w.json(path)
     else:
         raise ValueError(f"unsupported export format: {fmt}")
+
+
+def parquet_files(path: str) -> list[str]:
+    """Data files of a parquet dataset dir (recursive, skips _SUCCESS etc)."""
+    out = []
+    for root, _dirs, files in os.walk(path):
+        out.extend(
+            os.path.join(root, f) for f in files if f.endswith(".parquet")
+        )
+    return out
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, out: str, target_bytes: int = 128 << 20
+) -> int:
+    """Small-files compaction: rewrite a fragmented parquet dataset into
+    ceil(total_bytes / target_bytes) files (~HDFS/S3-friendly 128 MB
+    default).  The small-files problem is the classic operational failure
+    of long-lived stashes at scale — every tiny file costs a namenode/
+    listing round-trip and a task launch; compaction restores scan
+    parallelism matched to data size, not write history.  Returns the
+    target file count."""
+    import math
+
+    total = sum(os.path.getsize(f) for f in parquet_files(path))
+    n = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(path)
+    save_parquet(df.repartition(n), out)
+    return n

@@ -132,3 +132,40 @@ def snk_write_csv_json(spark, sf_dir):
     finally:
         shutil.rmtree(tmp_csv, ignore_errors=True)
         shutil.rmtree(tmp_json, ignore_errors=True)
+
+
+@register(
+    "snk_compact",
+    oracle="""
+    SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def snk_compact(spark, sf_dir):
+    """Small-files compaction round-trip: fragment the documents table into
+    64 tiny files (simulating a long history of incremental stash writes),
+    compact to size-targeted files via io.compact_parquet, and verify no
+    row was lost or duplicated (full value oracle on the re-read).  The
+    compacted layout must collapse to a handful of files — asserted here,
+    not just eyeballed."""
+    from biggie_spark.io import compact_parquet, parquet_files
+
+    df = load_table(spark, sf_dir, "documents")
+    frag = tempfile.mkdtemp(prefix="biggie_frag_")
+    comp = tempfile.mkdtemp(prefix="biggie_comp_")
+    try:
+        save_parquet(df.repartition(64), frag)
+        n_before = len(parquet_files(frag))
+        compact_parquet(spark, frag, comp, target_bytes=128 << 20)
+        n_after = len(parquet_files(comp))
+        assert n_before == 64, f"fragmentation setup wrote {n_before} files"
+        assert n_after < 8, f"compaction left {n_after} files"
+        back = spark.read.parquet(comp)
+        return (
+            back.groupBy("lang")
+            .agg(F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars"))
+            .localCheckpoint()  # materialize before the temp dirs vanish
+        )
+    finally:
+        shutil.rmtree(frag, ignore_errors=True)
+        shutil.rmtree(comp, ignore_errors=True)

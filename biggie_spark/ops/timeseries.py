@@ -103,3 +103,121 @@ def join_range_binned(spark, sf_dir):
         & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 7 DAY"))
     )
     return joined.groupBy("o_orderkey").agg(F.count("*").alias("n_items"))
+
+
+@register(
+    "ts_funnel",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    s1 AS (SELECT user_id,
+                  min(us) FILTER (WHERE event_type = 'view') AS t1
+           FROM e GROUP BY user_id),
+    s2 AS (SELECT e.user_id,
+                  min(us) FILTER (WHERE event_type = 'click' AND us >= t1) AS t2
+           FROM e JOIN s1 USING (user_id) GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id,
+                  min(us) FILTER (WHERE event_type = 'purchase' AND us >= t2) AS t3
+           FROM e JOIN s2 USING (user_id) GROUP BY e.user_id)
+    SELECT CASE WHEN t1 IS NULL THEN 0
+                WHEN t2 IS NULL THEN 1
+                WHEN t3 IS NULL THEN 2
+                ELSE 3 END AS funnel_stage,
+           count(*) AS n_users
+    FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+    GROUP BY 1
+    """,
+)
+def ts_funnel(spark, sf_dir):
+    """Ordered funnel analysis (view -> click -> purchase): per user, each
+    stage's timestamp is the earliest qualifying event AT OR AFTER the
+    previous stage's timestamp; the output is user counts per deepest
+    stage reached.  Each stage is one groupBy(user_id) aggregate joined
+    back on the same key — Spark reuses the user_id hash partitioning
+    across the chain (one real shuffle, then co-partitioned joins), so the
+    funnel depth adds executor-local passes, not extra data movement.
+    Event-time comparisons use exact microseconds (unix_micros == DuckDB
+    epoch_us on the ns-repaired column)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    s1 = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias("t1")
+    )
+    s2 = (
+        e.join(s1, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("us") >= F.col("t1")),
+                    F.col("us"),
+                )
+            ).alias("t2")
+        )
+    )
+    s3 = (
+        e.join(s2, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("us") >= F.col("t2")),
+                    F.col("us"),
+                )
+            ).alias("t3")
+        )
+    )
+    stage = (
+        F.when(F.col("t1").isNull(), 0)
+        .when(F.col("t2").isNull(), 1)
+        .when(F.col("t3").isNull(), 2)
+        .otherwise(3)
+    )
+    return (
+        s1.join(s2, "user_id")
+        .join(s3, "user_id")
+        .groupBy(stage.alias("funnel_stage"))
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@register(
+    "ts_retention",
+    oracle="""
+    WITH e AS (SELECT DISTINCT user_id,
+                      CAST(date_trunc('day', ts) AS DATE) AS d
+               FROM events),
+    c AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY user_id)
+    SELECT c.cohort AS cohort_day,
+           e.d - c.cohort AS offset_days,
+           count(*) AS n_users
+    FROM e JOIN c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def ts_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-active day; for each
+    (cohort, day-offset) the count of users active that day.  Two
+    aggregates on user_id + one on (cohort, offset); the distinct
+    (user, day) projection collapses event volume before any join, so the
+    retention matrix costs O(users x active-days), independent of raw
+    event count.  Day arithmetic stays in DATE space on both engines
+    (DuckDB date_trunc('day') returns DATE; DATE - DATE = int days ==
+    Spark datediff)."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+        )
+        .distinct()
+    )
+    c = e.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    return (
+        e.join(c, "user_id")
+        .groupBy(
+            F.col("cohort").alias("cohort_day"),
+            F.datediff(F.col("d"), F.col("cohort")).alias("offset_days"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -115,3 +115,14 @@ class Stash:
             df = df.localCheckpoint()
         save_parquet(df, path)
         return Stash.open(self.spark, path, self.key)
+
+    def compact(self, out_path: str, target_file_bytes: int = 128 << 20) -> "Stash":
+        """Rewrite this stash's backing files at ~target size each (the
+        small-files cure for long upsert histories; see io.compact_parquet).
+        Only valid for a path-backed stash."""
+        from biggie_spark.io import compact_parquet
+
+        if not self.path:
+            raise ValueError("compact() needs a path-backed stash")
+        compact_parquet(self.spark, self.path, out_path, target_file_bytes)
+        return Stash.open(self.spark, out_path, self.key)
