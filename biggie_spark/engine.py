@@ -66,6 +66,36 @@ class Engine:
 
         return llm_neardup_pairs(self.spark, self.sf_dir, threshold=threshold)
 
+    def chunk(self) -> DataFrame:
+        """Overlapping fixed-size token chunks of every document."""
+        from biggie_spark.ops.llm_text3 import llm_chunk_overlap
+
+        return llm_chunk_overlap(self.spark, self.sf_dir)
+
+    def pack(self) -> DataFrame:
+        """Deterministic sequence-packing bin assignment per document."""
+        from biggie_spark.ops.llm_text3 import llm_pack_sequences
+
+        return llm_pack_sequences(self.spark, self.sf_dir)
+
+    def decontaminate(self) -> DataFrame:
+        """Training docs flagged for n-gram overlap with the eval source."""
+        from biggie_spark.ops.llm_text3 import llm_decontaminate
+
+        return llm_decontaminate(self.spark, self.sf_dir)
+
+    def funnel(self) -> DataFrame:
+        """view->click->purchase ordered-funnel stage counts."""
+        from biggie_spark.ops.timeseries import ts_funnel
+
+        return ts_funnel(self.spark, self.sf_dir)
+
+    def retention(self) -> DataFrame:
+        """Cohort-by-day-offset active-user retention matrix."""
+        from biggie_spark.ops.timeseries import ts_retention
+
+        return ts_retention(self.spark, self.sf_dir)
+
     # ---- introspection ----------------------------------------------------
     def explain(self, df: DataFrame, mode: str = "formatted") -> str:
         return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
