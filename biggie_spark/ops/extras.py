@@ -351,3 +351,40 @@ def sql_correlated_subquery(spark, sf_dir):
         FROM customer c
         """
     )
+
+
+@register("agg_approx_quantile")  # sketch estimates are engine-specific -> rows-only
+def agg_approx_quantile(spark, sf_dir):
+    """Approximate quantiles via percentile_approx (GK sketch) — the scale
+    path beside the exact rank-based agg_quantiles: the sketch merges
+    associatively across partitions with bounded memory, where the exact
+    formulation needs a per-group sort.  Estimates are not cross-engine
+    portable (DuckDB's approx_quantile uses t-digest), hence rows-only."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("percentile_approx(o_totalprice, 0.5, 1000)").alias("median_est"),
+        F.expr("percentile_approx(o_totalprice, 0.99, 1000)").alias("p99_est"),
+    )
+
+
+@register(
+    "fn_format",
+    oracle="""
+    SELECT o_orderkey,
+           printf('%s#%09.2f', o_orderstatus, o_totalprice) AS tagline,
+           printf('%05d|%x', o_orderkey, o_orderkey) AS keyfmt
+    FROM orders
+    """,
+)
+def fn_format(spark, sf_dir):
+    """C-style string formatting (Spark format_string == DuckDB printf):
+    zero-padded fixed-width floats and ints, hex rendering.  o_totalprice
+    is 2-decimal, so %.2f rounding is exact in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.format_string("%s#%09.2f", "o_orderstatus", "o_totalprice").alias(
+            "tagline"
+        ),
+        F.format_string("%05d|%x", "o_orderkey", "o_orderkey").alias("keyfmt"),
+    )

@@ -307,3 +307,71 @@ def join_asof(spark, sf_dir):
             F.col("prev_eid").alias("prev_purchase_eid"),
         )
     )
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT e.event_id AS event_id, p.ts AS pts, p.event_id AS peid,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY p.ts ASC NULLS LAST, p.event_id ASC NULLS LAST
+             ) AS rn
+      FROM events e LEFT JOIN p
+        ON e.user_id = p.user_id
+       AND (p.ts > e.ts OR (p.ts = e.ts AND p.event_id > e.event_id))
+    )
+    SELECT event_id,
+           CAST(floor(epoch(pts)) AS BIGINT) AS next_purchase_epoch,
+           peid AS next_purchase_eid
+    FROM j WHERE rn = 1
+    """,
+)
+def join_asof_forward(spark, sf_dir):
+    """Forward as-of join: for every event, the EARLIEST 'purchase' of the
+    same user strictly after it — the mirror of `join_asof`, same
+    linear-state union-tag + window rewrite (one shuffle on user_id, no
+    pair explosion).  Here purchase copies sort BEFORE probes at identical
+    (ts, event_id) (tag 0 vs 1) so the (+1, unbounded) frame sees only
+    strictly-later purchases — a purchase event never matches itself."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    probes = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+        F.lit(None).cast("long").alias("p_eid"),
+    )
+    purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.lit(0).alias("tag"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_eid"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id", "tag")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    tagged = probes.unionByName(purchases)
+    return (
+        tagged.withColumn("next_ts", F.first("p_ts", ignorenulls=True).over(w))
+        .withColumn("next_eid", F.first("p_eid", ignorenulls=True).over(w))
+        .filter(F.col("tag") == 1)
+        .select(
+            "event_id",
+            F.unix_timestamp("next_ts").alias("next_purchase_epoch"),
+            F.col("next_eid").alias("next_purchase_eid"),
+        )
+    )

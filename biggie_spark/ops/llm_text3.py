@@ -167,3 +167,46 @@ def llm_decontaminate(spark, sf_dir):
             "doc_id", F.coalesce("contaminated", F.lit(False)).alias("contaminated")
         )
     )
+
+
+@register(
+    "llm_ngram_lm",
+    oracle="""
+    WITH t AS (SELECT string_split(lower(text), ' ') AS tk FROM documents),
+    bg AS (SELECT tk[i] AS w1, tk[i + 1] AS w2
+           FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM t)),
+    c2 AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY w1)
+    SELECT c2.w1, c2.w2, n2, n1, (n2 * 1000000) // n1 AS p_e6
+    FROM c2 JOIN c1 ON c2.w1 = c1.w1
+    WHERE n2 >= 5
+    """,
+)
+def llm_ngram_lm(spark, sf_dir):
+    """Bigram language-model statistics: corpus-wide bigram counts and the
+    conditional probability p(w2|w1) = count(w1,w2)/count(w1 as bigram
+    head), emitted as an integer-scaled BIGINT (units 1e-6, integer
+    division — engine-portable).  Two hash aggregates over exploded
+    bigrams joined on the head token; the shuffle carries (token, count)
+    pairs bounded by vocabulary size, not corpus size — the canonical
+    count-based LM estimation shape.  Bigram starts: Spark
+    sequence(1, n-1) == DuckDB range(1, n), guarded for 1-token docs
+    (sequence descends when its upper bound < its lower)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = F.expr(
+        "transform(sequence(1, size(tk) - 1),"
+        " i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))"
+    )
+    bg = (
+        d.select(tokens(F.col("text")).alias("tk"))
+        .filter(F.size("tk") >= 2)  # sequence(1, 0) would DESCEND (rule 4)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("n1"))
+    return (
+        c2.join(c1, "w1")
+        .filter(F.col("n2") >= 5)
+        .select("w1", "w2", "n2", "n1", F.expr("n2 * 1000000 div n1").alias("p_e6"))
+    )
