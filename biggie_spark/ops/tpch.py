@@ -614,6 +614,384 @@ def tpch_q19(spark, sf_dir):
 
 
 @register(
+    "tpch_q02_min_cost_supplier",
+    oracle="""
+    WITH cost AS (SELECT l_partkey AS pk, l_suppkey AS sk,
+                         min(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS cost_c
+                  FROM lineitem GROUP BY l_partkey, l_suppkey),
+    eu AS (SELECT s_suppkey, s_name, n_name
+           FROM supplier
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'EUROPE')
+    SELECT p_partkey, s_suppkey, s_name, n_name,
+           CAST(round(cost_c / 100.0, 4) AS DOUBLE) AS supply_cost
+    FROM (SELECT p_partkey, s_suppkey, s_name, n_name, cost_c,
+                 min(cost_c) OVER (PARTITION BY p_partkey) AS mn
+          FROM cost
+          JOIN part ON pk = p_partkey
+          JOIN eu ON sk = s_suppkey
+          WHERE p_type = 'STANDARD' AND p_size < 10)
+    WHERE cost_c = mn
+    """,
+)
+def tpch_q02(spark, sf_dir):
+    """TPC-H Q2 (minimum-cost supplier), adapted: the corpus has no
+    partsupp, so supply cost of a (part, supplier) pair is the minimum
+    l_extendedprice observed in lineitem (exact integer cents).  For
+    STANDARD parts of size < 10, return every EUROPE supplier achieving
+    the per-part minimum cost (ties all kept — the output is a set).
+    The correlated min-cost subquery is a window min over the part key,
+    so the per-part aggregate and the ranking share one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cost = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.min(_cents("l_extendedprice")).alias("cost_c"))
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") < 10)
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cost.join(F.broadcast(p), F.col("pk") == p.p_partkey)
+        .join(F.broadcast(eu), F.col("sk") == F.col("s_suppkey"))
+        .withColumn("mn", F.min("cost_c").over(w))
+        .filter(F.col("cost_c") == F.col("mn"))
+        .select(
+            "p_partkey",
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.round(F.col("cost_c") / 100.0, 4).cast("double").alias("supply_cost"),
+        )
+    )
+
+
+@register(
+    "tpch_q09_product_type_profit",
+    oracle="""
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)
+             - CAST(round(p_retailprice * l_quantity * 10000, 0) AS BIGINT))
+             AS profit_e4
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def tpch_q09(spark, sf_dir):
+    """TPC-H Q9 (product-type profit), adapted: no partsupp, so line cost
+    is p_retailprice * l_quantity (both 2-decimal → the product is
+    4-decimal-exact).  Profit per (supplier nation, order year) over parts
+    whose name contains 'gear', emitted as an integer-scaled BIGINT
+    (units 1e-4) — an exact, order-independent sum that may legitimately
+    be negative."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    cost = F.round(F.col("p_retailprice") * F.col("l_quantity") * 10000, 0).cast(
+        "long"
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(rev - cost).alias("profit_e4"))
+    )
+
+
+@register(
+    "tpch_q11_important_parts",
+    oracle="""
+    WITH v AS (SELECT l_partkey AS pk,
+                      sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS val_c
+               FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+               WHERE s_nationkey < 13
+               GROUP BY l_partkey),
+    t AS (SELECT sum(val_c) AS tot, count(*) AS np FROM v)
+    SELECT pk AS p_partkey,
+           CAST(round(val_c / 100.0, 4) AS DOUBLE) AS part_value
+    FROM v, t
+    WHERE 2 * val_c * np > 3 * tot
+    """,
+)
+def tpch_q11(spark, sf_dir):
+    """TPC-H Q11 (important stock identification), adapted: part "stock
+    value" is the lineitem extended-price volume shipped by suppliers of
+    the lower half of the nation-key range; keep parts whose value exceeds
+    1.5x the mean part value (scale-free, so the query is non-degenerate
+    at every SF — the classic fixed fraction empties out as the part
+    count grows).  The threshold compares exact integer cents
+    cross-multiplied (``2 * val_c * np > 3 * tot``) — no float fraction.
+    The one-row total broadcasts; the per-part and global aggregates share
+    the same shuffled partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 13)
+    v = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(F.sum(_cents("l_extendedprice")).alias("val_c"))
+    )
+    tot = v.agg(F.sum("val_c").alias("tot"), F.count("*").alias("np"))
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .filter(F.lit(2) * F.col("val_c") * F.col("np") > F.lit(3) * F.col("tot"))
+        .select(
+            F.col("pk").alias("p_partkey"),
+            F.round(F.col("val_c") / 100.0, 4).cast("double").alias("part_value"),
+        )
+    )
+
+
+@register(
+    "tpch_q12_shipping_delay",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL 30 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def tpch_q12(spark, sf_dir):
+    """TPC-H Q12 (shipping modes / order priority), adapted: the corpus
+    has no l_shipmode or commit/receipt dates, so the mode axis is
+    l_returnflag and "late delivery" is shipping ≥ 30 days after the
+    order date.  Counts priority classes per flag for one year — pure
+    integer counts, deterministic by construction."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH rev AS (SELECT l_suppkey AS sk,
+                        sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
+                            AS BIGINT)) AS r_c
+                 FROM lineitem
+                 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                   AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+                 GROUP BY l_suppkey),
+    m AS (SELECT max(r_c) AS mx FROM rev)
+    SELECT s_suppkey, s_name,
+           CAST(round(r_c / 10000.0, 4) AS DOUBLE) AS total_revenue
+    FROM rev JOIN supplier ON sk = s_suppkey CROSS JOIN m
+    WHERE r_c = mx
+    """,
+)
+def tpch_q15(spark, sf_dir):
+    """TPC-H Q15 (top supplier): supplier(s) with maximum revenue over one
+    quarter.  The classic view + scalar-subquery max becomes an aggregate
+    plus a broadcast one-row max joined back — ties (possible on exact
+    integer revenue) all survive, matching the TPC-H spec.  Revenue is
+    fixed-point e4 so the max comparison is exact in both engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    scaled = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    rev = li.groupBy(F.col("l_suppkey").alias("sk")).agg(F.sum(scaled).alias("r_c"))
+    mx = rev.agg(F.max("r_c").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("r_c") == F.col("mx"))
+        .join(F.broadcast(s), F.col("sk") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("r_c") / 10000.0, 4).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "tpch_q16_parts_supplier_relation",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#12' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def tpch_q16(spark, sf_dir):
+    """TPC-H Q16 (parts/supplier relationship), adapted: how many distinct
+    suppliers ship each surviving (brand, type, size) combination,
+    excluding suppliers with negative account balance (the corpus stand-in
+    for the complaints NOT IN subquery).  The exclusion list is a
+    broadcast anti-join; the distinct count is Spark's two-phase
+    partial-distinct aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#12")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q20_potential_promotion",
+    oracle="""
+    WITH sel AS (SELECT l_suppkey AS sk
+                 FROM lineitem JOIN part ON l_partkey = p_partkey
+                 WHERE p_name LIKE 'small%'
+                   AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                   AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+                 GROUP BY l_suppkey, l_partkey
+                 HAVING sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) > 3000)
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_nationkey IN (1, 3, 5)
+      AND s_suppkey IN (SELECT sk FROM sel)
+    """,
+)
+def tpch_q20(spark, sf_dir):
+    """TPC-H Q20 (potential part promotion), adapted: suppliers in selected
+    nations who shipped more than 30 units of some 'small...' part during
+    1997 (the availqty > 0.5*sum(qty) predicate becomes a fixed threshold
+    on exact quantity cents — no partsupp table exists).  The qualifying
+    set is a grouped HAVING feeding a left-semi join, so the supplier
+    table is never multiplied."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    sel = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("l_suppkey").alias("sk"), "l_partkey")
+        .agg(F.sum(_cents("l_quantity")).alias("qc"))
+        .filter(F.col("qc") > 3000)
+        .select("sk")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_nationkey").isin(1, 3, 5)
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(sel, s.s_suppkey == sel.sk, "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@register(
+    "tpch_q21_suppliers_kept_waiting",
+    oracle="""
+    SELECT s_name, s_suppkey, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name, s_suppkey
+    """,
+)
+def tpch_q21(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted: "late" is
+    shipping > 60 days after the order date (no commit/receipt dates in
+    the corpus).  Counts, per supplier, late lines in finished
+    multi-supplier orders where that supplier was the ONLY late one.
+
+    Spark-first rewrite: instead of correlated EXISTS / NOT EXISTS
+    (two extra joins against lineitem), aggregate once per
+    (order, supplier) — late-line count per pair — then once per order —
+    supplier count and late-supplier count — and filter
+    ``n_supp > 1 AND n_late_supp = 1``.  One shuffle on the order key
+    replaces both correlated probes; at 100 TB this is the difference
+    between one exchange and three."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).cast("int")
+    per_os = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum(late).alias("late_lines"))
+    )
+    per_o = per_os.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count("*").alias("n_supp"),
+        F.sum((F.col("late_lines") > 0).cast("int")).alias("n_late_supp"),
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        per_os.join(per_o, per_os.l_orderkey == per_o.ok)
+        .filter(
+            (F.col("late_lines") > 0)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1)
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name", "s_suppkey")
+        .agg(F.sum("late_lines").alias("numwait"))
+    )
+
+
+@register(
     "tpch_q22_global_sales_opportunity",
     oracle=f"""
     WITH pos AS (SELECT count(*) AS n,
