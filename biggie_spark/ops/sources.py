@@ -72,6 +72,83 @@ def src_scan_multi(spark, sf_dir):
 
 
 @register(
+    "src_scan_csv",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 4) AS c_acctbal,
+           c_mktsegment
+    FROM customer
+    """,
+)
+def src_scan_csv(spark, sf_dir):
+    """CSV source connector: materialize the customer table as CSV once,
+    then scan it back with an explicit schema (never inferSchema — a
+    schema-inference pass is a second full read of 100 TB).  Java writes
+    doubles in shortest-round-trip form and parses them back to identical
+    bits, so the text round-trip is lossless and the scan gets the same
+    full value oracle as the parquet path."""
+    df = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", r4("c_acctbal").alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    tmp = tempfile.mkdtemp(prefix="biggie_src_csv_")
+    try:
+        export(df, tmp, "csv")
+        schema = (
+            "c_custkey bigint, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string"
+        )
+        back = spark.read.schema(schema).option("header", "true").csv(tmp)
+        return back.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "src_scan_json",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 4) AS s_acctbal
+    FROM supplier
+    """,
+)
+def src_scan_json(spark, sf_dir):
+    """JSON-lines source connector: supplier round-trip with explicit
+    schema on the read side (same no-inference rule as CSV — and JSON
+    field order is not positional, so the schema doubles as the
+    projection contract)."""
+    df = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", r4("s_acctbal").alias("s_acctbal")
+    )
+    tmp = tempfile.mkdtemp(prefix="biggie_src_json_")
+    try:
+        export(df, tmp, "json")
+        schema = "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double"
+        back = spark.read.schema(schema).json(tmp)
+        return back.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "src_scan_orc",
+    oracle="SELECT * FROM part",
+)
+def src_scan_orc(spark, sf_dir):
+    """ORC source/sink connector: binary columnar round-trip of the part
+    table — exact for every type, so the oracle is the unmodified parquet
+    view.  Like parquet, ORC scans are splittable with predicate pushdown
+    and column pruning, so either format is a valid stash encoding at
+    100 TB; parquet stays the default for ecosystem reach."""
+    df = load_table(spark, sf_dir, "part")
+    tmp = tempfile.mkdtemp(prefix="biggie_src_orc_")
+    try:
+        df.write.mode("overwrite").orc(tmp)
+        back = spark.read.orc(tmp)
+        return back.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
     "snk_write_parquet",
     oracle="""
     SELECT l_returnflag, count(*) AS n, CAST(round(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0, 4) AS DOUBLE) AS sum_qty
