@@ -76,6 +76,36 @@ def fake_decode_frames(df: DataFrame, n_frames: int = 2) -> DataFrame:
     return df.select("doc_id", "text", "n_chars").mapInPandas(decode, FRAME_SCHEMA)
 
 
+SAMPLED_FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_hash string"
+
+
+def sample_frames(df: DataFrame, stride: int = 4, chars_per_frame: int = 64) -> DataFrame:
+    """Frame sampling with variable per-document fan-out: each document
+    decodes to ``1 + n_chars // chars_per_frame`` frames and every
+    ``stride``-th frame is kept.  Same mapInPandas plumbing a real video
+    frame-sampler uses — the fan-out count rides on row data, so batch
+    output size is data-dependent (the reason this is mapInPandas and not
+    a 1:1 pandas_udf)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_hash": []}
+            for doc_id, text, n_chars in zip(
+                pdf["doc_id"], pdf["text"], pdf["n_chars"]
+            ):
+                for k in range(0, 1 + int(n_chars) // chars_per_frame, stride):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(k)
+                    out["frame_hash"].append(
+                        hashlib.md5(f"{text}:{k}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "text", "n_chars").mapInPandas(
+        decode, SAMPLED_FRAME_SCHEMA
+    )
+
+
 def decode_image_batch(payload: pd.Series) -> pd.DataFrame:
     """Real image decode (resize / feature-extract) — requires an imaging
     library this container doesn't ship."""
