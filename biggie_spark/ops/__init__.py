@@ -22,3 +22,4 @@ from biggie_spark.ops import graph  # noqa: F401
 from biggie_spark.ops import timeseries  # noqa: F401
 from biggie_spark.ops import tpch  # noqa: F401
 from biggie_spark.ops import llm_text3  # noqa: F401
+from biggie_spark.ops import llm_sampling  # noqa: F401
