@@ -388,3 +388,67 @@ def fn_format(spark, sf_dir):
         ),
         F.format_string("%05d|%x", "o_orderkey", "o_orderkey").alias("keyfmt"),
     )
+
+
+@register(
+    "sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE chain AS (
+      SELECT doc_id AS root, doc_id AS cur, 0 AS depth FROM documents
+      UNION ALL
+      SELECT root, cur // 10, depth + 1 FROM chain WHERE cur > 0
+    )
+    SELECT root AS doc_id, max(depth) AS depth_to_zero, count(*) AS n_nodes
+    FROM chain GROUP BY root
+    """,
+)
+def sql_recursive_cte(spark, sf_dir):
+    """Recursive CTE via the SQL entry point (Spark 4.x WITH RECURSIVE):
+    walk each doc_id up its digit-strip hierarchy (id -> id div 10 -> ...
+    -> 0), a bounded data-seeded traversal.  Each recursion step is one
+    incremental DataFrame union — depth is bounded by key width (~7
+    levels), so the unrolled plan stays small; for unbounded iteration
+    the engine's iterative-join graph ops (ops/graph.py) are the scale
+    path.  DuckDB runs the same query with `//` integer division."""
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+          SELECT doc_id AS root, doc_id AS cur, 0 AS depth FROM documents
+          UNION ALL
+          SELECT root, cur DIV 10, depth + 1 FROM chain WHERE cur > 0
+        )
+        SELECT root AS doc_id, max(depth) AS depth_to_zero, count(*) AS n_nodes
+        FROM chain GROUP BY root
+        """
+    )
+
+
+@register(
+    "fn_trig",
+    oracle="""
+    SELECT p_partkey,
+           round(sin(radians(p_partkey % 360)), 4) AS sin_v,
+           round(cos(radians(p_partkey % 360)), 4) AS cos_v,
+           round(atan2(CAST(p_size AS DOUBLE), 10.0), 4) AS atan2_v,
+           round(asin(p_size / 100.0), 4) AS asin_v,
+           round(degrees(atan(1.0)), 4) AS deg45
+    FROM part
+    """,
+)
+def fn_trig(spark, sf_dir):
+    """Trigonometric scalar family over deterministic integer inputs.
+    Spark (java.lang.Math) and DuckDB (C libm) may differ in the last ulp
+    of a transcendental — harmless under the 4-decimal convention unless
+    a value sits within ~1e-12 of a rounding boundary, which bounded
+    integer-derived inputs avoid (verified at all three SFs)."""
+    p = load_table(spark, sf_dir, "part")
+    deg = F.col("p_partkey") % 360
+    return p.select(
+        "p_partkey",
+        r4(F.sin(F.radians(deg))).alias("sin_v"),
+        r4(F.cos(F.radians(deg))).alias("cos_v"),
+        r4(F.atan2(F.col("p_size").cast("double"), F.lit(10.0))).alias("atan2_v"),
+        r4(F.asin(F.col("p_size") / 100.0)).alias("asin_v"),
+        r4(F.degrees(F.atan(F.lit(1.0)))).alias("deg45"),
+    )

@@ -22,6 +22,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from biggie_spark.io import load_table
@@ -220,4 +221,56 @@ def ts_retention(spark, sf_dir):
             F.datediff(F.col("d"), F.col("cohort")).alias("offset_days"),
         )
         .agg(F.count("*").alias("n_users"))
+    )
+
+
+@register(
+    "ts_ohlc",
+    oracle="""
+    WITH r AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, value,
+             row_number() OVER (PARTITION BY date_trunc('day', ts)
+                                ORDER BY epoch_us(ts), event_id) AS rn_a,
+             row_number() OVER (PARTITION BY date_trunc('day', ts)
+                                ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn_d
+      FROM events)
+    SELECT day,
+           round(max(CASE WHEN rn_a = 1 THEN value END), 4) AS open,
+           round(max(CASE WHEN rn_d = 1 THEN value END), 4) AS close,
+           round(max(value), 4) AS high,
+           round(min(value), 4) AS low,
+           count(*) AS n
+    FROM r GROUP BY day
+    """,
+)
+def ts_ohlc(spark, sf_dir):
+    """OHLC downsampling (the classic hypertable rollup): per day, the
+    first/last value by event time plus high/low/count.  First/last are
+    made deterministic by a composite total order (exact microseconds +
+    event_id — memory rule: epoch seconds would truncate ties).  Runs as
+    two ranking windows sharing one shuffle on the day key, then a hash
+    aggregate on the same key — no second exchange.  At 100 TB the day
+    key is the natural partition column, so the windows are
+    partition-local."""
+    ev = load_table(spark, sf_dir, "events")
+    day_full = F.date_trunc("day", F.col("ts"))
+    wa = Window.partitionBy(day_full).orderBy(F.unix_micros("ts"), "event_id")
+    wd = Window.partitionBy(day_full).orderBy(
+        F.unix_micros(F.col("ts")).desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.select(
+            day_full.cast("date").alias("day"),
+            "value",
+            F.row_number().over(wa).alias("rn_a"),
+            F.row_number().over(wd).alias("rn_d"),
+        )
+        .groupBy("day")
+        .agg(
+            F.round(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 4).alias("open"),
+            F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 4).alias("close"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.count("*").alias("n"),
+        )
     )
