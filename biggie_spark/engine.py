@@ -84,6 +84,30 @@ class Engine:
 
         return llm_decontaminate(self.spark, self.sf_dir)
 
+    def stratified_sample(self) -> DataFrame:
+        """Hash-deterministic per-language quota sample of documents."""
+        from biggie_spark.ops.llm_sampling import llm_stratified_sample
+
+        return llm_stratified_sample(self.spark, self.sf_dir)
+
+    def vocab_coverage(self) -> DataFrame:
+        """Per-language out-of-vocabulary rate against the top-k vocab."""
+        from biggie_spark.ops.llm_sampling import llm_vocab_coverage
+
+        return llm_vocab_coverage(self.spark, self.sf_dir)
+
+    def shard_order(self) -> DataFrame:
+        """Deterministic training shard + position per document."""
+        from biggie_spark.ops.llm_sampling import llm_shard_order
+
+        return llm_shard_order(self.spark, self.sf_dir)
+
+    def ohlc(self) -> DataFrame:
+        """Per-day open/high/low/close/count rollup of the event stream."""
+        from biggie_spark.ops.timeseries import ts_ohlc
+
+        return ts_ohlc(self.spark, self.sf_dir)
+
     def funnel(self) -> DataFrame:
         """view->click->purchase ordered-funnel stage counts."""
         from biggie_spark.ops.timeseries import ts_funnel

@@ -158,14 +158,14 @@ def graph_pagerank(spark, sf_dir):
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey
                                       AND a.doc_id < b.doc_id),
-    tset AS (SELECT doc_id, list_distinct(tk) AS ts, len(list_distinct(tk)) AS n FROM toks),
-    edges AS (SELECT c.doc_a, c.doc_b
+    tset AS MATERIALIZED (SELECT doc_id, list_distinct(tk) AS ts, len(list_distinct(tk)) AS n FROM toks),
+    edges AS MATERIALIZED (SELECT c.doc_a, c.doc_b
               FROM cand c
               JOIN tset ta ON ta.doc_id = c.doc_a
               JOIN tset tb ON tb.doc_id = c.doc_b
               WHERE len(list_intersect(ta.ts, tb.ts)) * 1.0
                     / (ta.n + tb.n - len(list_intersect(ta.ts, tb.ts))) >= 0.8),
-    sym AS (SELECT doc_a AS u, doc_b AS v FROM edges
+    sym AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM edges
             UNION SELECT doc_b, doc_a FROM edges),
     walk(u, lbl) AS (
         SELECT u, u FROM (SELECT DISTINCT u FROM sym) s

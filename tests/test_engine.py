@@ -24,3 +24,11 @@ def test_engine_entry_points_agree(spark, sf_dir):
 
     plan = eng.explain(eng.table("lineitem").select("l_orderkey"))
     assert "ReadSchema" in plan
+
+
+def test_engine_facade_analytics_surface(spark, sf_dir):
+    eng = Engine.connect(sf_dir, spark=spark)
+    for name in ("stratified_sample", "vocab_coverage", "shard_order", "ohlc"):
+        df = getattr(eng, name)()
+        assert df.columns, name
+        assert df.limit(1).count() >= 0, name
