@@ -23,3 +23,5 @@ from biggie_spark.ops import timeseries  # noqa: F401
 from biggie_spark.ops import tpch  # noqa: F401
 from biggie_spark.ops import llm_text3  # noqa: F401
 from biggie_spark.ops import llm_sampling  # noqa: F401
+from biggie_spark.ops import diagnostics  # noqa: F401
+from biggie_spark.ops import incremental  # noqa: F401

@@ -148,10 +148,11 @@ def graph_pagerank(spark, sf_dir):
     return ranks.select(F.col("k").alias("nationkey"), F.col("r").alias("rank_e12"))
 
 
-@register(
-    "llm_dedup_clusters",
-    oracle="WITH RECURSIVE "
-    + _DUCK_SIG.format(flt="")
+# Shared near-dup edge derivation (MinHash -> LSH bands -> exact-Jaccard
+# verify at tau=0.8), MATERIALIZED so downstream iterative/multi-reference
+# CTEs evaluate it once instead of re-inlining the whole chain.
+_NEARDUP_EDGES_SQL = (
+    _DUCK_SIG.format(flt="")
     + """,
     bands AS (SELECT doc_id, b, md5(sg[4*b+1] || sg[4*b+2] || sg[4*b+3] || sg[4*b+4]) AS bkey
               FROM sig, range(4) t(b)),
@@ -164,7 +165,15 @@ def graph_pagerank(spark, sf_dir):
               JOIN tset ta ON ta.doc_id = c.doc_a
               JOIN tset tb ON tb.doc_id = c.doc_b
               WHERE len(list_intersect(ta.ts, tb.ts)) * 1.0
-                    / (ta.n + tb.n - len(list_intersect(ta.ts, tb.ts))) >= 0.8),
+                    / (ta.n + tb.n - len(list_intersect(ta.ts, tb.ts))) >= 0.8)"""
+)
+
+
+@register(
+    "llm_dedup_clusters",
+    oracle="WITH RECURSIVE "
+    + _NEARDUP_EDGES_SQL
+    + """,
     sym AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM edges
             UNION SELECT doc_b, doc_a FROM edges),
     walk(u, lbl) AS (
@@ -209,3 +218,61 @@ def llm_dedup_clusters(spark, sf_dir):
         if changed == 0:
             break
     return labels.select(F.col("u").alias("doc_id"), F.col("lbl").alias("component"))
+
+
+@register(
+    "graph_triangles",
+    oracle="WITH "
+    + _NEARDUP_EDGES_SQL
+    + """,
+    tri AS (SELECT x.doc_a AS a, x.doc_b AS b, y.doc_b AS c
+            FROM edges x
+            JOIN edges y ON y.doc_a = x.doc_b
+            JOIN edges z ON z.doc_a = x.doc_a AND z.doc_b = y.doc_b)
+    SELECT u AS doc_id, count(*) AS n_tri
+    FROM (SELECT a AS u FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+    GROUP BY u
+    """,
+)
+def graph_triangles(spark, sf_dir):
+    """Per-document triangle participation count over the near-dup graph
+    (Jaccard >= 0.8 edges): a triangle = three documents that are pairwise
+    near-duplicates, i.e. the densest redundancy motif in a corpus.  High
+    n_tri marks template/boilerplate families worth aggressive pruning.
+
+    Algorithm: edges are stored once in canonical orientation (doc_a <
+    doc_b), so each triangle u<v<w is counted exactly once by the
+    two-path + closing-edge join (x=(u,v), y=(v,w), z=(u,w)) — the standard
+    distributed triangle enumeration.  The join keys are vertex ids, so at
+    scale the two joins are plain shuffle-hash joins on the edge list; the
+    canonical orientation bounds the candidate two-paths by out-degree
+    (the degree-ordering trick that keeps the hub vertices from exploding
+    the join).  The edge list is localCheckpoint'ed: the expensive
+    MinHash/LSH lineage runs once, not three times."""
+    e = (
+        llm_neardup_pairs(spark, sf_dir, threshold=0.8)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    tri = (
+        e.alias("x")
+        .join(e.alias("y"), F.col("y.doc_a") == F.col("x.doc_b"))
+        .join(
+            e.alias("z"),
+            (F.col("z.doc_a") == F.col("x.doc_a"))
+            & (F.col("z.doc_b") == F.col("y.doc_b")),
+        )
+        .select(
+            F.col("x.doc_a").alias("a"),
+            F.col("x.doc_b").alias("b"),
+            F.col("y.doc_b").alias("c"),
+        )
+    )
+    verts = (
+        tri.select(F.col("a").alias("doc_id"))
+        .union(tri.select("b"))
+        .union(tri.select("c"))
+    )
+    return verts.groupBy("doc_id").agg(F.count("*").alias("n_tri"))
