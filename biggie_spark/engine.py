@@ -120,6 +120,37 @@ class Engine:
 
         return ts_retention(self.spark, self.sf_dir)
 
+    # ---- scale diagnostics ------------------------------------------------
+    def skew_stats(self) -> DataFrame:
+        """Join-key skew profile (max/avg ratio) for salting decisions."""
+        from biggie_spark.ops.diagnostics import diag_skew_stats
+
+        return diag_skew_stats(self.spark, self.sf_dir)
+
+    def heavy_hitters(self) -> DataFrame:
+        """Top-10 heaviest join keys with their share of all rows."""
+        from biggie_spark.ops.diagnostics import diag_heavy_hitters
+
+        return diag_heavy_hitters(self.spark, self.sf_dir)
+
+    def range_bounds(self) -> DataFrame:
+        """Exact 8-way range-partition boundaries over the per-key agg."""
+        from biggie_spark.ops.diagnostics import diag_range_bounds
+
+        return diag_range_bounds(self.spark, self.sf_dir)
+
+    def zorder_keys(self) -> DataFrame:
+        """Morton-interleaved layout key for multi-dimensional skipping."""
+        from biggie_spark.ops.diagnostics import sort_zorder
+
+        return sort_zorder(self.spark, self.sf_dir)
+
+    def source_drift(self) -> DataFrame:
+        """Per-source language-mix L1 drift vs the corpus (e6-scaled)."""
+        from biggie_spark.ops.diagnostics import llm_source_drift
+
+        return llm_source_drift(self.spark, self.sf_dir)
+
     # ---- introspection ----------------------------------------------------
     def explain(self, df: DataFrame, mode: str = "formatted") -> str:
         return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001

@@ -28,7 +28,17 @@ def test_engine_entry_points_agree(spark, sf_dir):
 
 def test_engine_facade_analytics_surface(spark, sf_dir):
     eng = Engine.connect(sf_dir, spark=spark)
-    for name in ("stratified_sample", "vocab_coverage", "shard_order", "ohlc"):
+    for name in (
+        "stratified_sample",
+        "vocab_coverage",
+        "shard_order",
+        "ohlc",
+        "skew_stats",
+        "heavy_hitters",
+        "range_bounds",
+        "zorder_keys",
+        "source_drift",
+    ):
         df = getattr(eng, name)()
         assert df.columns, name
         assert df.limit(1).count() >= 0, name

@@ -136,3 +136,34 @@ def test_lsh_banding_is_equi_join(spark, sf_dir):
     plan = plan_of(QUERIES["llm_neardup_pairs"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_histogram_has_partial_aggregate(spark, sf_dir):
+    # the combiner must collapse each partition to <=n_buckets rows
+    # before the exchange — that's what makes a 100 TB histogram cheap
+    plan = plan_of(QUERIES["agg_histogram"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_heavy_hitters_topk_and_broadcast_total(spark, sf_dir):
+    plan = plan_of(QUERIES["diag_heavy_hitters"](spark, sf_dir))
+    # global top-10 must be per-partition heaps, not a full sort
+    assert "TakeOrderedAndProject" in plan
+    # the 1-row global count rides along as a broadcast, not a shuffle join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_fuzzy_join_is_blocked_equi_join(spark, sf_dir):
+    # blocking must make this an equi-join on the block key — a cartesian
+    # product over names would be O(n^2) shuffled everywhere
+    plan = plan_of(QUERIES["join_fuzzy_name"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_zorder_is_pure_projection(spark, sf_dir):
+    # the Morton key is a scan + project: no exchange, no python worker
+    plan = plan_of(QUERIES["sort_zorder"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+    assert "codegen id" in plan  # whole-stage codegen covers the interleave
