@@ -72,3 +72,68 @@ def mv_incremental_hourly(spark, sf_dir):
             F.round(F.col("cents") / 100.0, 4).cast("double").alias("sum_val"),
         )
     )
+
+
+@register(
+    "scd2_priority_history",
+    oracle="""
+    WITH s AS (SELECT o_custkey, o_orderkey, o_orderpriority, o_orderdate,
+                      CAST(o_orderdate AS DATE) AS d,
+                      lag(o_orderpriority) OVER
+                          (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey) AS prev
+               FROM orders),
+         g AS (SELECT *, sum(CASE WHEN prev IS NULL
+                                    OR prev <> o_orderpriority
+                                  THEN 1 ELSE 0 END) OVER
+                          (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey
+                           ROWS UNBOUNDED PRECEDING) AS version
+               FROM s)
+    SELECT o_custkey, version,
+           min(o_orderpriority) AS priority,
+           min(d) AS valid_from, max(d) AS valid_to,
+           count(*) AS n_orders
+    FROM g GROUP BY o_custkey, version
+    """,
+)
+def scd2_priority_history(spark, sf_dir):
+    """Slowly-changing-dimension (type 2) history build: collapse each
+    customer's order sequence into validity intervals of constant
+    o_orderpriority — one row per (customer, version) with valid_from /
+    valid_to and a monotonically increasing version number.
+
+    This is the warehouse-dimension maintenance pattern: detect attribute
+    changes with lag() under a total order (o_orderdate, o_orderkey — the
+    date alone ties), then a running conditional sum assigns island ids,
+    then one groupBy emits the interval rows.  Both windows share the same
+    partition key (o_custkey) and order, so Spark computes them in ONE
+    shuffle + one sort — version assignment is a single pass however long
+    the history.  At 100 TB the dimension key is the only shuffle key and
+    per-key history fits a task by construction."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = o.withColumn("d", F.expr("cast(o_orderdate as date)")).withColumn(
+        "prev", F.lag("o_orderpriority").over(w)
+    )
+    g = s.withColumn(
+        "version",
+        F.sum(
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("prev") != F.col("o_orderpriority")),
+                1,
+            ).otherwise(0)
+        ).over(wrun),
+    )
+    return g.groupBy("o_custkey", "version").agg(
+        F.min("o_orderpriority").alias("priority"),
+        F.min("d").alias("valid_from"),
+        F.max("d").alias("valid_to"),
+        F.count("*").alias("n_orders"),
+    )

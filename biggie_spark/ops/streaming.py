@@ -209,3 +209,60 @@ def stream_stateful_running(spark, sf_dir):
         r4(F.sum("value").over(w)).alias("running_val"),
         F.count("*").over(w).alias("n_so_far"),
     )
+
+
+@register(
+    "stream_join_interval",
+    oracle="""
+    SELECT a.event_id AS view_id, b.event_id AS click_id, a.user_id,
+           (epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS gap_s
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    WHERE a.event_type = 'view' AND b.event_type = 'click'
+    """,
+)
+def stream_join_interval(spark, sf_dir):
+    """Batch twin of a stream-stream interval join: every (view, click) pair
+    for the same user where the click lands within 30 minutes of the view —
+    the canonical event-correlation join (ad attribution, impression ->
+    conversion).
+
+    Scale shape: the EQUI key (user_id) carries the join — Spark hashes
+    both sides on user_id and applies the time-range bound as a post-join
+    predicate inside the same task, so there is no quadratic blow-up and no
+    nested-loop join; per-user event lists are small, the range filter is
+    local.  The streaming twin (streaming_demo.demo_interval_join) runs the
+    identical condition as a watermarked stream-stream join where the time
+    bound is what lets Spark evict join state — unbounded stream-stream
+    joins cannot GC state, interval-bounded ones can.  gap_s is integer
+    microsecond arithmetic (`unix_micros`/`epoch_us`, determinism rule 9)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+        "user_id",
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("user_id").alias("c_user"),
+    )
+    return (
+        v.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("v_ts"))
+            & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select(
+            "view_id",
+            "click_id",
+            "user_id",
+            F.expr("(unix_micros(c_ts) - unix_micros(v_ts)) div 1000000").alias(
+                "gap_s"
+            ),
+        )
+    )

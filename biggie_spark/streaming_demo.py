@@ -143,3 +143,45 @@ def demo_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), r4(F.sum("value")).alias("sum_val"))
     )
     return _drain(agg, "complete")
+
+
+def demo_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of stream_join_interval: a watermarked stream-stream
+    inner join.  The interval bound on the join condition is what lets
+    Spark evict state — each side keeps only events younger than the
+    watermark minus the interval, so state is bounded on an infinite
+    stream."""
+    ev = _events_stream(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+            "user_id",
+        )
+        .withWatermark("v_ts", "10 minutes")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+            F.col("user_id").alias("c_user"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    j = v.join(
+        c,
+        F.expr(
+            "user_id = c_user AND c_ts >= v_ts"
+            " AND c_ts <= v_ts + INTERVAL 30 MINUTES"
+        ),
+    ).select(
+        "view_id",
+        "click_id",
+        "user_id",
+        F.expr("(unix_micros(c_ts) - unix_micros(v_ts)) div 1000000").alias("gap_s"),
+    )
+    return _drain(j, "append")

@@ -62,3 +62,10 @@ def test_streaming_static_join_matches_batch(spark, sf_dir):
     s = streaming_demo.demo_static_join(spark, sf_dir)
     b = QUERIES["stream_stream_static_join"](spark, sf_dir)
     assert _rows(s) == _rows(b)
+
+
+def test_streaming_interval_join_matches_batch(spark, sf_dir):
+    s = streaming_demo.demo_interval_join(spark, sf_dir)
+    b = QUERIES["stream_join_interval"](spark, sf_dir)
+    assert sorted(s.columns) == sorted(b.columns)
+    assert _rows(s) == _rows(b)
