@@ -74,7 +74,7 @@ def diag_skew_stats(spark, sf_dir):
     This is the diagnostic you run BEFORE a 100 TB join: if max_over_avg is
     ~1e6 (i.e. 1.0) the hash partitioning is balanced; at >5e6 one reducer
     owns 5x the average and `spark.sql.adaptive.skewJoin` (or explicit
-    salting, see join_salted in ops/bucketing) is warranted.  Two-stage agg:
+    salting, see skew.salted_sum_count) is warranted.  Two-stage agg:
     per-key counts (partial-agg friendly), then a single-row rollup —
     driver never sees per-key data."""
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey")

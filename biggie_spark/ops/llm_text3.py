@@ -210,3 +210,65 @@ def llm_ngram_lm(spark, sf_dir):
         .filter(F.col("n2") >= 5)
         .select("w1", "w2", "n2", "n1", F.expr("n2 * 1000000 div n1").alias("p_e6"))
     )
+
+
+@register(
+    "llm_repetition_filter",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+               FROM documents),
+         g AS (SELECT doc_id,
+                      list_transform(range(1, len(tk) - 1),
+                                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                          AS tris
+               FROM t WHERE len(tk) >= 3)
+    SELECT doc_id,
+           CAST(len(tris) AS BIGINT) AS n_tri,
+           CAST(len(tris) - len(list_distinct(tris)) AS BIGINT) AS n_dup,
+           CAST((len(tris) - len(list_distinct(tris))) * 1000000 // len(tris)
+                AS BIGINT) AS dup_e6,
+           (len(tris) - len(list_distinct(tris))) * 1000000 // len(tris)
+               < 300000 AS keep
+    FROM g
+    """,
+)
+def llm_repetition_filter(spark, sf_dir):
+    """Repetition-based quality filter (the Gopher/MassiveText heuristic):
+    per document, the fraction of word 3-grams that are duplicates of an
+    earlier 3-gram in the same document; high repetition marks boilerplate,
+    keyword stuffing, and generation loops.  keep = dup ratio < 30%.
+
+    Pure per-row computation inside whole-stage codegen — the trigram
+    array, distinct count, and ratio are all higher-order array functions
+    on the scan, so the filter runs at full parallelism with NO shuffle at
+    any scale; this is the shape every per-document quality score should
+    have.  The ratio is integer-scaled (`n_dup * 1e6 div n_tri`) before
+    the threshold compare (determinism rule 7).  Bounds care: Spark
+    `sequence(0, n)` is inclusive and DESCENDS for n < 0 (rule 4) — docs
+    with fewer than 3 tokens are filtered out on both sides before the
+    trigram expansion."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("split(lower(text), ' ')").alias("tk")
+    )
+    g = d.filter(F.expr("size(tk) >= 3")).select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, size(tk) - 3),"
+            " i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))"
+        ).alias("tris"),
+    )
+    return g.select(
+        "doc_id",
+        F.expr("cast(size(tris) as bigint)").alias("n_tri"),
+        F.expr("cast(size(tris) - size(array_distinct(tris)) as bigint)").alias(
+            "n_dup"
+        ),
+        F.expr(
+            "cast(size(tris) - size(array_distinct(tris)) as bigint) * 1000000"
+            " div size(tris)"
+        ).alias("dup_e6"),
+        F.expr(
+            "cast(size(tris) - size(array_distinct(tris)) as bigint) * 1000000"
+            " div size(tris) < 300000"
+        ).alias("keep"),
+    )
