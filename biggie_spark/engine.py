@@ -151,6 +151,24 @@ class Engine:
 
         return llm_source_drift(self.spark, self.sf_dir)
 
+    def mix_weights(self) -> DataFrame:
+        """Per-source token shares and mix-rebalancing weights (e6-scaled)."""
+        from biggie_spark.ops.llm_sampling import llm_mix_weights
+
+        return llm_mix_weights(self.spark, self.sf_dir)
+
+    def anomaly_mad(self) -> DataFrame:
+        """Median/MAD robust outlier stats per event type (integer cents)."""
+        from biggie_spark.ops.timeseries import ts_anomaly_mad
+
+        return ts_anomaly_mad(self.spark, self.sf_dir)
+
+    def cov_exact(self) -> DataFrame:
+        """Exact integer covariance numerators per supplier."""
+        from biggie_spark.ops.extras import agg_cov_exact
+
+        return agg_cov_exact(self.spark, self.sf_dir)
+
     # ---- introspection ----------------------------------------------------
     def explain(self, df: DataFrame, mode: str = "formatted") -> str:
         return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001

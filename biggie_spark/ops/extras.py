@@ -452,3 +452,59 @@ def fn_trig(spark, sf_dir):
         r4(F.asin(F.col("p_size") / 100.0)).alias("asin_v"),
         r4(F.degrees(F.atan(F.lit(1.0)))).alias("deg45"),
     )
+
+
+@register(
+    "agg_cov_exact",
+    oracle="""
+    WITH b AS (SELECT l_suppkey,
+                      CAST(l_quantity AS BIGINT) AS q,
+                      CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+               FROM lineitem)
+    SELECT l_suppkey,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(q) AS BIGINT) AS sum_q,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(sum(q * cents) AS BIGINT) AS sum_qc,
+           CAST(count(*) * sum(q * cents) - sum(q) * sum(cents) AS BIGINT)
+               AS cov_num
+    FROM b GROUP BY l_suppkey
+    """,
+)
+def agg_cov_exact(spark, sf_dir):
+    """Exact covariance numerator per supplier: n*sum(xy) - sum(x)*sum(y)
+    over (quantity, extendedprice-cents) — all-BIGINT, so the statistic is
+    bit-identical regardless of partitioning or summation order, unlike
+    covar_pop/corr builtins whose float accumulation is order-dependent at
+    scale.  cov = cov_num / n^2 (and corr's sqrt) are one deterministic
+    float op downstream of the exact integers.
+
+    One hash aggregate with map-side partial sums — the shuffle carries
+    five longs per supplier.  Overflow bound: n * sum_qc stays under 2^63
+    while a group holds < ~1e5 rows of (<=50-unit, <=1e7-cent) items; past
+    that, promote the three product sums to DECIMAL(38,0) — this op is the
+    single switch point, exactly like util.dsum."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.expr("CAST(l_quantity AS BIGINT)").alias("q"),
+        F.expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("q").alias("sum_q"),
+            F.sum("cents").alias("sum_cents"),
+            F.sum(F.col("q") * F.col("cents")).alias("sum_qc"),
+        )
+        .select(
+            "l_suppkey",
+            "n",
+            "sum_q",
+            "sum_cents",
+            "sum_qc",
+            (F.col("n") * F.col("sum_qc") - F.col("sum_q") * F.col("sum_cents"))
+            .cast("long")
+            .alias("cov_num"),
+        )
+    )

@@ -128,3 +128,50 @@ def llm_shard_order(spark, sf_dir):
         .withColumn("pos", F.row_number().over(w))
         .select("doc_id", "lang", "shard", "pos")
     )
+
+
+@register(
+    "llm_mix_weights",
+    oracle="""
+    WITH s AS (SELECT source,
+                      CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+                          AS n_tokens
+               FROM documents GROUP BY source),
+         t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+                      CAST(count(*) AS BIGINT) AS n_src
+               FROM s)
+    SELECT source, n_docs, n_tokens,
+           CAST(n_tokens * 1000000 // tot AS BIGINT) AS share_e6,
+           CAST(tot * 1000000 // (n_src * n_tokens) AS BIGINT) AS weight_e6
+    FROM s, t
+    """,
+)
+def llm_mix_weights(spark, sf_dir):
+    """Corpus mix rebalancing: per-source token counts plus the sampling
+    weight that would equalize the token mix across sources (weight_e6 =
+    total / (n_sources * source_tokens), scaled 1e6) — the knob an LLM
+    data pipeline turns to hit a target domain mixture (upsample rare
+    sources, downsample dominant ones).
+
+    Shape at scale: one hash aggregate over the corpus (map-side partial
+    sums make the shuffle carry only per-source rows), then a single-row
+    global rollup broadcast back onto the per-source frame — the corpus
+    is never re-shuffled.  Ratios are integer-scaled BIGINT (determinism
+    rule 7); the 1e6 scaling of a total-token count overflows int64 past
+    ~9e12 corpus tokens, at which point this one expression is the switch
+    point to DECIMAL(38,0)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(tokens("text")).alias("tk")
+    )
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("tk").alias("n_tokens")
+    )
+    t = s.agg(F.sum("n_tokens").alias("tot"), F.count("*").alias("n_src"))
+    return s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("n_tokens * 1000000 div tot").alias("share_e6"),
+        F.expr("tot * 1000000 div (n_src * n_tokens)").alias("weight_e6"),
+    )

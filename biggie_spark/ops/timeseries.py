@@ -274,3 +274,87 @@ def ts_ohlc(spark, sf_dir):
             F.count("*").alias("n"),
         )
     )
+
+
+@register(
+    "ts_anomaly_mad",
+    oracle="""
+    WITH e AS (SELECT event_type, event_id,
+                      CAST(round(value * 100, 0) AS BIGINT) AS cents
+               FROM events),
+         r AS (SELECT event_type, event_id, cents,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY cents, event_id) AS rn,
+                      count(*) OVER (PARTITION BY event_type) AS n
+               FROM e),
+         m AS (SELECT event_type, cents AS med_cents
+               FROM r WHERE rn = (n + 1) // 2),
+         d AS (SELECT e.event_type, e.event_id, m.med_cents,
+                      abs(e.cents - m.med_cents) AS dev
+               FROM e JOIN m USING (event_type)),
+         r2 AS (SELECT event_type, med_cents, dev, event_id,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY dev, event_id) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM d),
+         mad AS (SELECT event_type, dev AS mad_cents
+                 FROM r2 WHERE rn = (n + 1) // 2)
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           d.med_cents,
+           mad.mad_cents,
+           CAST(sum(CASE WHEN d.dev > 5 * mad.mad_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM d JOIN mad USING (event_type)
+    GROUP BY d.event_type, d.med_cents, mad.mad_cents
+    """,
+)
+def ts_anomaly_mad(spark, sf_dir):
+    """Robust anomaly detection: per event type, the exact median and
+    median-absolute-deviation of the event value (integer cents), plus the
+    count of events deviating more than 5 MADs from the median — the
+    standard robust outlier rule (median +- k*MAD tolerates up to 50%
+    contamination, unlike mean +- k*sigma).
+
+    Medians are LOWER medians by rank position under a composite total
+    order (cents, event_id) — exact, interpolation-free, so both engines
+    agree bit-for-bit (determinism rules 6/7); all arithmetic is BIGINT
+    cents.  Shape at scale: two window sorts partitioned by event_type
+    (each type sorts independently; a skewed type splits under AQE) and
+    two broadcast joins of the tiny per-type median/MAD frames back onto
+    the events — the full corpus shuffles only on event_type, never
+    globally."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wn = Window.partitionBy("event_type")
+    med = (
+        e.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(wn))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("cents").alias("med_cents"))
+    )
+    d = e.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("cents") - F.col("med_cents"))
+    )
+    w2 = Window.partitionBy("event_type").orderBy("dev", "event_id")
+    mad = (
+        d.withColumn("rn", F.row_number().over(w2))
+        .withColumn("n", F.count("*").over(wn))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("dev").alias("mad_cents"))
+    )
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med_cents", "mad_cents")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("dev") > 5 * F.col("mad_cents"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+        .select("event_type", "n", "med_cents", "mad_cents", "n_outliers")
+    )

@@ -38,6 +38,9 @@ def test_engine_facade_analytics_surface(spark, sf_dir):
         "range_bounds",
         "zorder_keys",
         "source_drift",
+        "mix_weights",
+        "anomaly_mad",
+        "cov_exact",
     ):
         df = getattr(eng, name)()
         assert df.columns, name
