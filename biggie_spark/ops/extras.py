@@ -508,3 +508,71 @@ def agg_cov_exact(spark, sf_dir):
             .alias("cov_num"),
         )
     )
+
+
+@register(
+    "agg_corr_spearman",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_suppkey,
+                      CAST(l_quantity AS BIGINT) AS q,
+                      CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+               FROM lineitem),
+         r AS (SELECT l_suppkey,
+                      row_number() OVER (PARTITION BY l_suppkey
+                                         ORDER BY q, cents) AS rx,
+                      row_number() OVER (PARTITION BY l_suppkey
+                                         ORDER BY cents, q) AS ry
+               FROM b)
+    SELECT l_suppkey,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2,
+           CAST(1000000 - 6000000 * sum((rx - ry) * (rx - ry))
+                // (count(*) * (count(*) * count(*) - 1)) AS BIGINT) AS rho_e6
+    FROM r GROUP BY l_suppkey HAVING count(*) >= 2
+    """,
+)
+def agg_corr_spearman(spark, sf_dir):
+    """Spearman rank correlation per supplier over (quantity, price),
+    ties-collapsed: ranks are computed over DISTINCT (q, cents) pairs so
+    both rank orders are strict total orders — with duplicate rows, the
+    rank pairing inside a tie block is engine-arbitrary and sum(d^2)
+    would be nondeterministic (determinism rule 6 taken one step
+    further).  rho = 1 - 6*sum(d^2) / (n(n^2-1)), emitted e6-scaled via
+    pure BIGINT arithmetic (rule 7) — float covariance-based corr() is
+    order-dependent at scale, this never is.  Overflow: 6e6 * sum_d2 <
+    2^63 holds while a group has < ~65k distinct pairs; past that this
+    expression is the DECIMAL(38,0) switch point.
+
+    Shape at scale: dedup + two windows all shuffle ONCE on l_suppkey
+    (the window partition key equals the dedup/group key, so Catalyst
+    reuses the exchange), then a per-group rollup."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.expr("CAST(l_quantity AS BIGINT)").alias("q"),
+        F.expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    b = li.distinct()
+    wx = Window.partitionBy("l_suppkey").orderBy("q", "cents")
+    wy = Window.partitionBy("l_suppkey").orderBy("cents", "q")
+    r = b.select(
+        "l_suppkey",
+        F.row_number().over(wx).alias("rx"),
+        F.row_number().over(wy).alias("ry"),
+    )
+    return (
+        r.groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))).alias(
+                "sum_d2"
+            ),
+        )
+        .filter(F.col("n") >= 2)
+        .select(
+            "l_suppkey",
+            "n",
+            "sum_d2",
+            F.expr("CAST(1000000 - 6000000 * sum_d2 div (n * (n * n - 1)) AS BIGINT)")
+            .alias("rho_e6"),
+        )
+    )

@@ -244,3 +244,27 @@ def win_islands(spark, sf_dir):
     return grp.groupBy("user_id", "event_type", "island").agg(
         F.count("*").alias("run_len"), F.min("event_id").alias("first_event")
     )
+
+
+@register(
+    "win_ntile",
+    oracle="""
+    SELECT o_orderkey,
+           ntile(8) OVER (PARTITION BY o_orderstatus
+                          ORDER BY CAST(round(o_totalprice * 100, 0) AS BIGINT),
+                                   o_orderkey) AS octile
+    FROM orders
+    """,
+)
+def win_ntile(spark, sf_dir):
+    """Equal-frequency bucketing: ntile(8) per order status under a
+    composite total order (price cents, key) — both engines share the same
+    ntile rule (earlier buckets absorb the remainder), so the assignment
+    is deterministic once the order is total (determinism rule 6).  The
+    canonical pre-step for equi-depth histograms and range partitioning;
+    one window sort per status partition, skew splits under AQE."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"), "o_orderkey"
+    )
+    return o.select("o_orderkey", F.ntile(8).over(w).alias("octile"))
