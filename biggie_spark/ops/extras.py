@@ -576,3 +576,37 @@ def agg_corr_spearman(spark, sf_dir):
             .alias("rho_e6"),
         )
     )
+
+
+@register(
+    "fn_redact",
+    oracle="""
+    SELECT event_id,
+           regexp_replace(props, '[0-9]+', '#', 'g') AS redacted,
+           CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT)
+               AS n_runs,
+           md5(regexp_replace(props, '[0-9]+', '#', 'g')) AS redacted_md5
+    FROM events
+    """,
+)
+def fn_redact(spark, sf_dir):
+    """PII-scrub plumbing: replace every digit run in the event payload
+    with a placeholder, count the redactions, and fingerprint the scrubbed
+    payload — the shape of an email/phone/ID scrubber (swap the pattern,
+    keep the plan).  Pure per-row string kernels inside whole-stage
+    codegen: zero shuffles at any scale, the scan's the whole plan.
+
+    Cross-engine traps (rule 8) handled: DuckDB regexp_replace is
+    non-global without the 'g' flag (Spark's always is), and Spark
+    regexp_extract_all defaults to group 1, so the count uses the whole
+    match via extract_all on an unanchored digit-run pattern, explicit
+    idx 0."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_replace("props", "[0-9]+", "#").alias("redacted"),
+        F.expr("CAST(size(regexp_extract_all(props, '[0-9]+', 0)) AS BIGINT)").alias(
+            "n_runs"
+        ),
+        F.md5(F.regexp_replace("props", "[0-9]+", "#")).alias("redacted_md5"),
+    )

@@ -358,3 +358,62 @@ def ts_anomaly_mad(spark, sf_dir):
         )
         .select("event_type", "n", "med_cents", "mad_cents", "n_outliers")
     )
+
+
+@register(
+    "ts_ewma",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id,
+             list(CAST(round(value * 100, 0) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS lst
+      FROM events)
+    SELECT user_id, event_id,
+           CAST(len(lst) AS BIGINT) AS k,
+           CAST(list_sum(list_transform(lst,
+                (x, i) -> x * (CAST(1 AS BIGINT) << (i - 1)))) AS BIGINT)
+               AS ewma_num,
+           CAST((CAST(1 AS BIGINT) << len(lst)) - 1 AS BIGINT) AS denom
+    FROM w
+    """,
+)
+def ts_ewma(spark, sf_dir):
+    """Truncated exponentially-weighted moving average per user: over the
+    last 8 events (total order: event time in microseconds, then event_id
+    — rule 9), each value is weighted 2^position with the most recent
+    heaviest; emitted as exact integer numerator/denominator
+    (ewma = ewma_num / denom downstream) so the statistic is
+    bit-identical on any partitioning — a float recursive EWMA is neither
+    associative nor order-stable.  The 8-step truncation bounds state (the
+    true EWMA's infinite tail below weight 2^-8 is dropped), which is what
+    makes it a pure windowed aggregate instead of a sequential scan.
+
+    Lambda-arity note: the 2-arg (x, i) form is the ONE place the
+    PySpark (element, index) convention is used on purpose (rule 5);
+    Spark's index is 0-based, DuckDB's is 1-based, hence the shift
+    offsets differ by one.  Shape at scale: one window sort per user —
+    shuffle on user_id only, frame state is 8 longs."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(-7, 0)
+    )
+    lst = F.collect_list(
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)")
+    ).over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        lst.alias("lst"),
+    ).select(
+        "user_id",
+        "event_id",
+        F.expr("CAST(size(lst) AS BIGINT)").alias("k"),
+        F.expr(
+            "aggregate(transform(lst, (x, i) -> x * shiftleft(CAST(1 AS BIGINT), i)),"
+            " CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("ewma_num"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), size(lst)) - 1").alias("denom"),
+    )
