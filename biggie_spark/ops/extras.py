@@ -610,3 +610,127 @@ def fn_redact(spark, sf_dir):
         ),
         F.md5(F.regexp_replace("props", "[0-9]+", "#")).alias("redacted_md5"),
     )
+
+
+@register(
+    "agg_pareto_half",
+    oracle="""
+    WITH b AS (SELECT o_orderpriority,
+                      CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+                      o_orderkey
+               FROM orders),
+         r AS (SELECT o_orderpriority, cents,
+                      row_number() OVER (PARTITION BY o_orderpriority
+                                         ORDER BY cents DESC, o_orderkey) AS rn,
+                      sum(cents) OVER (PARTITION BY o_orderpriority
+                                       ORDER BY cents DESC, o_orderkey
+                                       ROWS UNBOUNDED PRECEDING) AS cum,
+                      sum(cents) OVER (PARTITION BY o_orderpriority) AS tot,
+                      count(*) OVER (PARTITION BY o_orderpriority) AS n
+               FROM b)
+    SELECT o_orderpriority,
+           CAST(min(n) AS BIGINT) AS n,
+           CAST(min(rn) AS BIGINT) AS n_to_half,
+           CAST(min(rn) * 1000000 // min(n) AS BIGINT) AS frac_e6
+    FROM r WHERE 2 * cum >= tot
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_pareto_half(spark, sf_dir):
+    """Revenue-concentration (Pareto) analysis: per order priority, the
+    minimum number of orders — taken largest-first — whose cumulative value
+    reaches half the group total, and that count as an e6-scaled fraction
+    of the group ("the top X% of orders carry 50% of revenue").  The
+    50%-crossing test is cross-multiplied integers (2*cum >= tot, rule 7)
+    on exact cents; the cumulative window runs under a composite total
+    order (cents DESC, key — rule 6).  One window sort per priority
+    partition, then an all-rows-past-the-crossing min-aggregate —
+    shuffle on the group key only."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("cents").desc(), "o_orderkey"
+    )
+    wp = Window.partitionBy("o_orderpriority")
+    r = o.select(
+        "o_orderpriority",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cents").over(wp).alias("tot"),
+        F.count("*").over(wp).alias("n"),
+    )
+    return (
+        r.filter(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.min("n").cast("long").alias("n"),
+            F.min("rn").cast("long").alias("n_to_half"),
+        )
+        .select(
+            "o_orderpriority",
+            "n",
+            "n_to_half",
+            F.expr("CAST(n_to_half * 1000000 div n AS BIGINT)").alias("frac_e6"),
+        )
+    )
+
+
+@register(
+    "agg_gini",
+    oracle="""
+    WITH b AS (SELECT o_orderpriority,
+                      CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+                      o_orderkey
+               FROM orders),
+         r AS (SELECT o_orderpriority, cents,
+                      row_number() OVER (PARTITION BY o_orderpriority
+                                         ORDER BY cents, o_orderkey) AS rn
+               FROM b)
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST((2 * sum(rn * cents) - (count(*) + 1) * sum(cents))
+                // (count(*) * sum(cents) // 1000000) AS BIGINT) AS gini_e6
+    FROM r GROUP BY o_orderpriority
+    HAVING count(*) * sum(cents) >= 1000000
+    """,
+)
+def agg_gini(spark, sf_dir):
+    """Gini coefficient of order value per priority, in exact integer
+    arithmetic: G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) with x
+    ascending under a composite total order.  Emitted e6-scaled with the
+    DENOMINATOR pre-divided by 1e6 (numerator * 1e6 would overflow int64
+    once n*sum(x) passes ~9e12 cents — pre-dividing keeps every
+    intermediate in range at the cost of a bounded 1e-6 relative grain,
+    identically in both engines; the HAVING guard excludes groups too
+    small to scale).  One window rank per group + one hash aggregate —
+    the same single-exchange shape as agg_corr_spearman."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    r = o.select("o_orderpriority", "cents", F.row_number().over(w).alias("rn"))
+    return (
+        r.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cents").alias("sum_cents"),
+            F.sum(F.col("rn") * F.col("cents")).alias("sum_rc"),
+        )
+        .filter(F.col("n") * F.col("sum_cents") >= 1000000)
+        .select(
+            "o_orderpriority",
+            "n",
+            "sum_cents",
+            F.expr(
+                "CAST((2 * sum_rc - (n + 1) * sum_cents)"
+                " div (n * sum_cents div 1000000) AS BIGINT)"
+            ).alias("gini_e6"),
+        )
+    )

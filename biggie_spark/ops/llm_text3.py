@@ -272,3 +272,75 @@ def llm_repetition_filter(spark, sf_dir):
             " div size(tris) < 300000"
         ).alias("keep"),
     )
+
+
+@register(
+    "llm_ngram_novelty",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+               FROM documents),
+         t AS (SELECT doc_id,
+                      unnest(list_distinct(list_transform(
+                          range(1, len(tk) - 1),
+                          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS tri
+               FROM d WHERE len(tk) >= 3),
+         m AS (SELECT tri, min(doc_id) AS first_doc FROM t GROUP BY tri)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tri,
+           CAST(sum(CASE WHEN m.first_doc = t.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN m.first_doc = t.doc_id THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS novelty_e6
+    FROM t JOIN m USING (tri)
+    GROUP BY t.doc_id
+    """,
+)
+def llm_ngram_novelty(spark, sf_dir):
+    """Cross-document novelty score: per document, the fraction of its
+    distinct word trigrams that first appear in THIS document (first =
+    lowest doc_id over the whole corpus) — the corpus-level complement of
+    llm_repetition_filter's within-document score, and the selection
+    signal for "does this document add anything new?" curation.
+
+    Shape at scale: explode distinct trigrams (map-side, no shuffle),
+    ONE aggregate shuffled on the trigram — min(doc_id) partial-combines
+    map-side, so the shuffle carries one row per distinct trigram per
+    partition — then a shuffle join back on the trigram and a final
+    per-document rollup.  The trigram key space is Zipf-skewed; the
+    min-combiner absorbs the head before the wire, and AQE splits any
+    residual hot key.  Ratio integer-scaled (rule 7); n-gram bounds per
+    rule 4 (Spark sequence inclusive, DuckDB range exclusive)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("split(lower(text), ' ')").alias("tk")
+    )
+    t = (
+        d.filter(F.expr("size(tk) >= 3"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(0, size(tk) - 3),"
+                    " i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2])))"
+                )
+            ).alias("tri"),
+        )
+    )
+    m = t.groupBy("tri").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        t.join(m, "tri")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tri"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_tri",
+            "n_novel",
+            F.expr("CAST(n_novel * 1000000 div n_tri AS BIGINT)").alias(
+                "novelty_e6"
+            ),
+        )
+    )
