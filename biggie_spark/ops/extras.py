@@ -543,15 +543,19 @@ def agg_corr_spearman(spark, sf_dir):
     2^63 holds while a group has < ~65k distinct pairs; past that this
     expression is the DECIMAL(38,0) switch point.
 
-    Shape at scale: dedup + two windows all shuffle ONCE on l_suppkey
-    (the window partition key equals the dedup/group key, so Catalyst
-    reuses the exchange), then a per-group rollup."""
+    Shape at scale: dedup + two windows all shuffle ONCE on l_suppkey —
+    the explicit repartition on the group key satisfies the clustered
+    distribution of the distinct-aggregate (whose keys are a superset)
+    AND of both windows, so Catalyst inserts no further exchange
+    (pinned by test_plans).  This trades the dedup's map-side combine
+    for one fewer full shuffle — the right trade when most pairs are
+    distinct, as here."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_suppkey",
         F.expr("CAST(l_quantity AS BIGINT)").alias("q"),
         F.expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").alias("cents"),
     )
-    b = li.distinct()
+    b = li.repartition("l_suppkey").distinct()
     wx = Window.partitionBy("l_suppkey").orderBy("q", "cents")
     wy = Window.partitionBy("l_suppkey").orderBy("cents", "q")
     r = b.select(

@@ -167,3 +167,49 @@ def test_zorder_is_pure_projection(spark, sf_dir):
     assert "Exchange" not in plan
     assert "Python" not in plan
     assert "codegen id" in plan  # whole-stage codegen covers the interleave
+
+
+def test_spearman_reuses_single_exchange(spark, sf_dir):
+    """Dedup + both rank windows + final rollup all key on l_suppkey; the
+    plan must carry ONE shuffle on that key, reused across stages — a
+    second exchange would double the wire cost of every rank statistic."""
+    plan = plan_of(QUERIES["agg_corr_spearman"](spark, sf_dir))
+    assert plan.count(") Exchange") == 1  # one detail header per physical node
+
+
+def test_repetition_filter_no_shuffle(spark, sf_dir):
+    """Per-document quality scores are scan+project only — any Exchange
+    means the 100 TB corpus is being reshuffled for a per-row statistic."""
+    plan = plan_of(QUERIES["llm_repetition_filter"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_novelty_min_combines_map_side(spark, sf_dir):
+    """The trigram min(doc_id) aggregate must partial-combine before its
+    exchange — the Zipf head of the trigram distribution has to collapse
+    on the map side, not travel the wire."""
+    plan = plan_of(QUERIES["llm_ngram_novelty"](spark, sf_dir))
+    assert "partial_min" in plan
+
+
+def test_mix_weights_broadcasts_global_rollup(spark, sf_dir):
+    """The 1-row corpus total joins the per-source frame as a broadcast —
+    never a shuffle join against a single row."""
+    plan = plan_of(QUERIES["llm_mix_weights"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_anomaly_mad_broadcasts_medians(spark, sf_dir):
+    """Both tiny per-type frames (median, MAD) must come back as broadcast
+    joins; the events corpus shuffles only on event_type for the windows."""
+    plan = plan_of(QUERIES["ts_anomaly_mad"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_ewma_single_window_exchange(spark, sf_dir):
+    """One shuffle on user_id feeds the frame-bounded window; the weighted
+    fold runs inside codegen with no Python worker."""
+    plan = plan_of(QUERIES["ts_ewma"](spark, sf_dir))
+    assert plan.count(") Exchange") == 1  # one detail header per physical node
+    assert "Python" not in plan
