@@ -344,3 +344,81 @@ def llm_ngram_novelty(spark, sf_dir):
             ),
         )
     )
+
+
+_PREFIX_HX = "md5(concat_ws(' ', slice(split(lower(text), ' '), 1, 8)))"
+_PREFIX_HX_SQL = "md5(array_to_string(string_split(lower(text), ' ')[1:8], ' '))"
+
+
+@register(
+    "llm_cross_dup_matrix",
+    oracle=f"""
+    WITH h AS (SELECT source, {_PREFIX_HX_SQL} AS hx FROM documents),
+         s AS (SELECT DISTINCT hx, source FROM h)
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM s a JOIN s b USING (hx)
+    WHERE a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def llm_cross_dup_matrix(spark, sf_dir):
+    """Cross-source contamination matrix: for every source pair, how many
+    8-token-prefix fingerprints they share — the triage view that tells a
+    curation pipeline WHICH ingest feeds are mirroring each other (web
+    dumps re-crawling the same boilerplate) before any expensive pairwise
+    dedup runs.  Prefix fingerprinting is the cheap first pass: O(1)
+    per doc, catches templated/boilerplate openings that full-text
+    hashing misses.
+
+    Shape at scale: distinct (fingerprint, source) collapses each source's
+    copies first — the self-join then runs on the DEDUPED frame, equi-keyed
+    on the fingerprint, so join input is bounded by distinct fingerprints
+    x sources (<< corpus size) and the output by source-pairs.  The
+    canonical a<b orientation halves the join output and makes each pair
+    unique (same trick as graph_triangles)."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select("source", F.expr(_PREFIX_HX).alias("hx")).distinct()
+    a = s.alias("a")
+    b = s.alias("b")
+    return (
+        a.join(b, "hx")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+
+
+@register(
+    "llm_dedup_keep_best",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, source, n_chars, {_PREFIX_HX_SQL} AS hx
+               FROM documents),
+         r AS (SELECT doc_id, hx,
+                      row_number() OVER (PARTITION BY hx
+                                         ORDER BY n_chars DESC, doc_id) AS rn,
+                      count(*) OVER (PARTITION BY hx) AS dup_n
+               FROM h)
+    SELECT doc_id, hx, CAST(dup_n AS BIGINT) AS dup_n, rn = 1 AS keep
+    FROM r
+    """,
+)
+def llm_dedup_keep_best(spark, sf_dir):
+    """Canonical-document selection: within each 8-token-prefix fingerprint
+    group, keep the highest-quality copy (longest text, doc_id tiebreak —
+    a composite total order, rule 6) and mark the rest as drops — the
+    policy step between candidate generation and the physical delete in a
+    dedup pipeline (every real pipeline keeps ONE representative, it
+    doesn't delete whole clusters).  One window rank partitioned by the
+    fingerprint; group sizes are near-1 (dup groups are rare by
+    construction), so the shuffle is uniform and AQE coalesces the tiny
+    partitions."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("hx").orderBy(F.col("n_chars").desc(), "doc_id")
+    wn = Window.partitionBy("hx")
+    return (
+        d.select("doc_id", "n_chars", F.expr(_PREFIX_HX).alias("hx"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("dup_n", F.count("*").over(wn).cast("long"))
+        .select("doc_id", "hx", "dup_n", (F.col("rn") == 1).alias("keep"))
+    )
