@@ -76,3 +76,32 @@ def join_bucketed(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n"), revenue_sum().alias("revenue"))
     )
+
+
+@register(
+    "agg_salted_skew",
+    oracle="""
+    SELECT l_partkey,
+           CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+               AS sum_val,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_partkey
+    """,
+)
+def agg_salted_skew(spark, sf_dir):
+    """Two-phase salted aggregation over the corpus's skewed join key
+    (l_partkey — see diag_skew_stats): phase 1 groups by (key, salt) to
+    fan a power-law hot key across n_salts reducers, phase 2 merges the
+    partial states by key.  The salt is a row-unique id, NOT row-content
+    hash — a hot key of millions of identical rows must still fan out.
+    Values are integer cents so the two-phase sum is associative and the
+    result provably equals the single-phase plan (the oracle IS the
+    single-phase plan).  Only valid for algebraic aggregates; the helper
+    (biggie_spark.skew.salted_sum_count) is the reusable kernel."""
+    from biggie_spark.skew import salted_sum_count
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("CAST(round(l_quantity * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    return salted_sum_count(li, "l_partkey", "cents")
