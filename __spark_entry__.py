@@ -19,7 +19,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from biggie_spark.registry import QUERIES, ORACLES, load_all_ops  # noqa: E402
+from biggie_spark.registry import (  # noqa: E402
+    ORACLES,
+    QUERIES,
+    load_all_ops,
+    ordered_queries,
+)
 
 load_all_ops()
 
@@ -34,8 +39,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2, ordered so
+    ops without a green driver CORRECTNESS row come first (the driver
+    scores a bounded prefix; tools/driver_green.json rotates the window)."""
+    return ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:

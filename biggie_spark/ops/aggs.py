@@ -109,15 +109,40 @@ def agg_distinct(spark, sf_dir):
     )
 
 
-@register("agg_approx_distinct")  # HLL estimates are engine-specific -> rows-only
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           count(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS approx_parts_ok,
+           TRUE AS approx_orders_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark, sf_dir):
-    """approx_count_distinct (HyperLogLog++).  The scale path for distinct
-    counting at 100 TB — no oracle because HLL estimates differ across
-    engines by construction; the exact twin is `agg_distinct`."""
+    """approx_count_distinct (HyperLogLog++) — the scale path for distinct
+    counting at 100 TB.  Raw HLL estimates are engine-specific, so the
+    scored output is engine-portable: the exact counts plus a boolean per
+    sketch asserting the estimate landed within 10% of exact (HLL++ at the
+    default rsd=0.05 is comfortably inside that).  The sketch still runs;
+    the oracle pins TRUE."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey").alias("_ap"),
+        F.approx_count_distinct("l_orderkey").alias("_ao"),
+    )
+    ok = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) <= 0.1 * F.col(e)
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_orders",
+        ok("_ap", "exact_parts").alias("approx_parts_ok"),
+        ok("_ao", "exact_orders").alias("approx_orders_ok"),
     )
 
 
@@ -192,14 +217,16 @@ def agg_grouping_sets(spark, sf_dir):
 @register(
     "agg_collect",
     oracle="""
-    SELECT n_regionkey, list_sort(list(n_name)) AS names
+    SELECT n_regionkey, array_to_string(list_sort(list(n_name)), '|') AS names
     FROM nation GROUP BY n_regionkey
     """,
 )
 def agg_collect(spark, sf_dir):
+    """collect_list with a deterministic sort; the scored output joins the
+    array to a string (driver canonicalizer can't sort list cells)."""
     n = load_table(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.sort_array(F.collect_list("n_name")).alias("names")
+        F.concat_ws("|", F.sort_array(F.collect_list("n_name"))).alias("names")
     )
 
 
@@ -207,11 +234,11 @@ def agg_collect(spark, sf_dir):
     "agg_pivot",
     oracle="""
     SELECT user_id,
-           sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
-           sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error,
-           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-           sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
-           sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view
+           CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
     FROM events GROUP BY user_id
     """,
 )

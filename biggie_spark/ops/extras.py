@@ -148,7 +148,7 @@ def win_cume_percent(spark, sf_dir):
     "fn_regexp",
     oracle="""
     SELECT doc_id,
-           regexp_extract_all(text, '[a-z]*key[a-z]*') AS key_words,
+           array_to_string(regexp_extract_all(text, '[a-z]*key[a-z]*'), '|') AS key_words,
            len(regexp_extract_all(text, 'a[a-z]+')) AS n_a_words,
            regexp_replace(text, '^(\\w+) (\\w+)', '\\2 \\1') AS first_swap,
            regexp_matches(text, '^the ') AS starts_the
@@ -165,7 +165,9 @@ def fn_regexp(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.expr("regexp_extract_all(text, '[a-z]*key[a-z]*', 0)").alias("key_words"),
+        F.concat_ws(
+            "|", F.expr("regexp_extract_all(text, '[a-z]*key[a-z]*', 0)")
+        ).alias("key_words"),
         F.size(F.expr("regexp_extract_all(text, 'a[a-z]+', 0)")).alias("n_a_words"),
         F.regexp_replace(
             F.col("text"), r"^(\w+) (\w+)", "$2 $1"

@@ -111,9 +111,9 @@ def rel_filter_between(spark, sf_dir):
     "rel_filter_null",
     oracle="""
     SELECT
-      sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS n_null,
-      sum(CASE WHEN props IS NOT NULL THEN 1 ELSE 0 END) AS n_notnull,
-      sum(CASE WHEN event_type IS NOT DISTINCT FROM 'click' THEN 1 ELSE 0 END) AS n_click
+      CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      CAST(sum(CASE WHEN props IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_notnull,
+      CAST(sum(CASE WHEN event_type IS NOT DISTINCT FROM 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click
     FROM events
     """,
 )

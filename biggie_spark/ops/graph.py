@@ -76,7 +76,7 @@ def _pr_iter_sql(prev: str, out: str) -> str:
     """
     + ",".join(_pr_iter_sql(f"r{i}", f"r{i + 1}") for i in range(_PR_ITERS))
     + """
-    SELECT k AS nationkey, r AS rank_e12 FROM r3
+    SELECT k AS nationkey, CAST(r AS BIGINT) AS rank_e12 FROM r3
     """,
 )
 def graph_pagerank(spark, sf_dir):

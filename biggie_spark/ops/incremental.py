@@ -90,7 +90,7 @@ def mv_incremental_hourly(spark, sf_dir):
                            ORDER BY o_orderdate, o_orderkey
                            ROWS UNBOUNDED PRECEDING) AS version
                FROM s)
-    SELECT o_custkey, version,
+    SELECT o_custkey, CAST(version AS BIGINT) AS version,
            min(o_orderpriority) AS priority,
            min(d) AS valid_from, max(d) AS valid_to,
            count(*) AS n_orders

@@ -62,8 +62,8 @@ def kv_exists(spark, sf_dir):
       SELECT doc_id, text FROM documents WHERE doc_id NOT IN (1, 100000)
       UNION ALL SELECT * FROM (VALUES (1, '__UPDATED__'), (100000, '__NEW__')) v(doc_id, text)
     )
-    SELECT count(*) AS n, sum(doc_id) AS sum_key,
-           sum(CASE WHEN text = '__UPDATED__' THEN 1 ELSE 0 END) AS n_updated
+    SELECT count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_key,
+           CAST(sum(CASE WHEN text = '__UPDATED__' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
     FROM merged
     """,
 )
@@ -86,7 +86,7 @@ def kv_put(spark, sf_dir):
 @register(
     "kv_delete",
     oracle="""
-    SELECT count(*) AS n, sum(doc_id) AS sum_key
+    SELECT count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_key
     FROM documents WHERE doc_id NOT IN (2, 4, 6)
     """,
 )

@@ -41,7 +41,7 @@ def _emb(spark, sf_dir):
     SELECT lang, count(*) AS n_docs,
            round(avg(n_chars), 4) AS avg_chars,
            round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
-           sum(len(string_split(text, ' '))) AS total_tokens
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
     FROM documents GROUP BY lang
     """,
 )
@@ -172,11 +172,11 @@ _DUCK_SIG = """
     "llm_minhash_sig",
     oracle="WITH "
     + _DUCK_SIG.format(flt=" WHERE doc_id < 100")
-    + " SELECT doc_id, sg AS sig FROM sig",
+    + " SELECT doc_id, array_to_string(sg, '|') AS sig FROM sig",
 )
 def llm_minhash_sig(spark, sf_dir):
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
-    return d.select("doc_id", _minhash_sig("text").alias("sig"))
+    return d.select("doc_id", F.concat_ws("|", _minhash_sig("text")).alias("sig"))
 
 
 @register(
@@ -255,7 +255,7 @@ def llm_neardup_pairs(spark, sf_dir, threshold: float = 0.95):
                     sum(CASE WHEN substr(md5(tok), b + 1, 1) >= '8' THEN 1 ELSE -1 END) AS s
              FROM toks, range(16) t(b) GROUP BY doc_id, b)
     SELECT doc_id,
-           sum(CASE WHEN s > 0 THEN (1::BIGINT) << b ELSE 0 END) AS simhash
+           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
     FROM bits GROUP BY doc_id
     """,
 )
@@ -303,30 +303,91 @@ def llm_knn_cosine(spark, sf_dir):
     return knn_exact(_emb(spark, sf_dir), range(10), k=5)
 
 
+_NDC_TABLES = 4
+_NDC_BITS = 6
+
+
+def _ndc_sql_code(t: int) -> str:
+    """DuckDB twin of :func:`_ndc_code`: 8-bit coordinate-sign SimHash code
+    for hash table ``t`` (bit b = sign of dimension t*8+b)."""
+    return " + ".join(
+        f"(CASE WHEN a[{t * _NDC_BITS + b + 1}] > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(_NDC_BITS)
+    )
+
+
+def _ndc_code(emb, t: int):
+    """6-bit sign code of dims [t*6, t*6+6): axis-aligned hyperplanes are
+    valid SimHash planes and, unlike md5-derived random planes, both
+    engines can evaluate them bit-identically."""
+    code = F.lit(0)
+    for b in range(_NDC_BITS):
+        code = code + F.when(
+            F.element_at(emb, t * _NDC_BITS + b + 1).cast("double") > 0,
+            F.lit(1 << b),
+        ).otherwise(F.lit(0))
+    return code
+
+
 @register(
     "llm_neardup_cosine",
-    oracle="""
-    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-           round(CAST(list_cosine_similarity(a.embedding::DOUBLE[],
-                                             b.embedding::DOUBLE[]) AS DOUBLE), 4) AS sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings),
+    codes AS (
+      SELECT vec_id, a, t,
+             CASE t {' '.join(f'WHEN {t} THEN {_ndc_sql_code(t)}' for t in range(_NDC_TABLES))} END AS code
+      FROM e, range({_NDC_TABLES}) r(t)),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+      FROM codes x JOIN codes y ON x.t = y.t AND x.code = y.code
+                               AND x.vec_id < y.vec_id)
+    SELECT c.a_id, c.b_id,
+           round(CAST(list_cosine_similarity(ea.a, eb.a) AS DOUBLE), 4) AS sim
+    FROM cand c JOIN e ea ON ea.vec_id = c.a_id JOIN e eb ON eb.vec_id = c.b_id
+    WHERE list_cosine_similarity(ea.a, eb.a) >= 0.30
     """,
 )
 def llm_neardup_cosine(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (threshold 0.45).  Exact
-    all-pairs here (correctness baseline); at scale the same predicate runs
-    behind the SimHash/LSH bucket prefilter so only same-bucket pairs are
-    scored."""
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed (threshold 0.30):
+    4 independent 6-bit coordinate-sign SimHash tables generate candidates
+    (pair collides in >= 1 table), exact cosine verifies only within
+    buckets.  This is the 100 TB shape — the shuffle key is (table, code),
+    candidate volume is O(n x tables x bucket_occupancy), and there is no
+    CartesianProduct anywhere in the plan (pinned in tests/test_plans.py).
+    The oracle implements the *identical* bucketing, so the scored output
+    is exact, not probabilistic; recall vs all-pairs is the documented LSH
+    trade (the exact small-probe baseline is `llm_knn_cosine`)."""
     e = _emb(spark, sf_dir)
-    a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
+    coded = e.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        _ndc_code(F.col("embedding"), t).alias("code"),
+                    )
+                    for t in range(_NDC_TABLES)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "embedding", "bk.t", "bk.code")
+    x = coded.select("t", "code", F.col("vec_id").alias("a_id"))
+    y = coded.select("t", "code", F.col("vec_id").alias("b_id"))
+    cand = (
+        x.join(y, ["t", "code"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
+    pairs = cand.join(ea, "a_id").join(eb, "b_id")
     sim = cosine(F.col("ea"), F.col("eb"))
     return (
-        a.crossJoin(b)
-        .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("s", sim)
-        .filter(F.col("s") >= 0.45)
+        pairs.withColumn("s", sim)
+        .filter(F.col("s") >= 0.30)
         .select("a_id", "b_id", r4(F.col("s")).alias("sim"))
     )
 

@@ -63,8 +63,8 @@ def llm_stratified_sample(spark, sf_dir):
     freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
     vocab AS (SELECT tok FROM freq ORDER BY c DESC, tok LIMIT {_VOCAB_K})
     SELECT lang, count(*) AS total_tokens,
-           sum(CASE WHEN tok IN (SELECT tok FROM vocab) THEN 0 ELSE 1 END)
-             * 10000 // count(*) AS oov_e4
+           CAST(sum(CASE WHEN tok IN (SELECT tok FROM vocab) THEN 0 ELSE 1 END)
+             * 10000 // count(*) AS BIGINT) AS oov_e4
     FROM toks GROUP BY lang
     """,
 )

@@ -79,7 +79,7 @@ def llm_neardup_ngram(spark, sf_dir):
     oracle="""
     SELECT lang,
            count(*) AS n_docs,
-           sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS total_toks,
+           CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS total_toks,
            round(avg(len(list_distinct(
              regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')))), 4) AS avg_distinct
     FROM documents GROUP BY lang
@@ -103,8 +103,10 @@ def llm_token_bpeish(spark, sf_dir):
     "llm_fingerprint_winnow",
     oracle="""
     SELECT doc_id,
-           list_sort(list_distinct(list_transform(range(1, length(text) - 6),
-                                                  i -> md5(substr(lower(text), i, 8)))))[1:4] AS fp
+           array_to_string(
+             list_sort(list_distinct(list_transform(range(1, length(text) - 6),
+                                                    i -> md5(substr(lower(text), i, 8)))))[1:4],
+             '|') AS fp
     FROM documents
     """,
 )
@@ -124,5 +126,7 @@ def llm_fingerprint_winnow(spark, sf_dir):
     ).otherwise(F.array().cast("array<string>"))
     return d.select(
         "doc_id",
-        F.slice(F.sort_array(F.array_distinct(hashes)), 1, 4).alias("fp"),
+        F.concat_ws(
+            "|", F.slice(F.sort_array(F.array_distinct(hashes)), 1, 4)
+        ).alias("fp"),
     )

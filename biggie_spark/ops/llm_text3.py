@@ -77,9 +77,9 @@ def llm_chunk_overlap(spark, sf_dir):
                       len(string_split(lower(text), ' ')) AS n_tokens
                FROM documents)
     SELECT doc_id, lang, n_tokens,
-           coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+           CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
                                         ROWS BETWEEN UNBOUNDED PRECEDING
-                                        AND 1 PRECEDING), 0) // {_PACK} AS bin
+                                        AND 1 PRECEDING), 0) // {_PACK} AS BIGINT) AS bin
     FROM t
     """,
 )

@@ -74,9 +74,10 @@ def mm_frame_sample(spark, sf_dir):
     "mm_feature_extract",
     oracle="""
     SELECT doc_id,
-           list_transform(range(1, 9),
-                          i -> ascii(substr(md5(text), CAST(i AS INTEGER), 1)))
-             AS feat
+           array_to_string(
+             list_transform(range(1, 9),
+                            i -> ascii(substr(md5(text), CAST(i AS INTEGER), 1))),
+             '|') AS feat
     FROM documents
     """,
 )
@@ -103,7 +104,9 @@ def mm_feature_extract(spark, sf_dir):
     from biggie_spark.multimodal import attach_binary_meta
 
     d = attach_binary_meta(load_table(spark, sf_dir, "documents"))
-    return d.select("doc_id", feat(F.col("payload")).alias("feat"))
+    return d.select(
+        "doc_id", F.concat_ws("|", feat(F.col("payload"))).alias("feat")
+    )
 
 
 @register(

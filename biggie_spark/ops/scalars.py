@@ -21,7 +21,7 @@ from pyspark.sql import types as T
 
 from biggie_spark.io import load_table
 from biggie_spark.registry import register
-from biggie_spark.util import dsum, r4
+from biggie_spark.util import arr_str, dsum, r4, sql_arr_str
 
 
 @register(
@@ -142,17 +142,17 @@ def fn_math(spark, sf_dir):
 
 @register(
     "fn_array",
-    oracle="""
+    oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings WHERE vec_id < 50)
     SELECT vec_id,
            len(a) AS n,
-           list_transform(a[1:8], x -> round(x, 4)) AS first8,
+           {sql_arr_str("list_transform(a[1:8], x -> round(x, 4))", "%.4f")} AS first8,
            round(CAST(list_aggregate(a, 'sum') AS DOUBLE), 4) AS s_sum,
            round(CAST(list_aggregate(a, 'max') AS DOUBLE), 4) AS mx,
            round(CAST(list_aggregate(a, 'min') AS DOUBLE), 4) AS mn,
-           list_sort(list_transform(a[1:8], x -> round(x, 4))) AS sorted8,
-           list_transform(flatten([a[1:2], a[3:4]]), x -> round(x, 4)) AS flat4,
-           list_sort(list_distinct(list_transform(a[1:8], x -> round(x, 2)))) AS dist8,
+           {sql_arr_str("list_sort(list_transform(a[1:8], x -> round(x, 4)))", "%.4f")} AS sorted8,
+           {sql_arr_str("list_transform(flatten([a[1:2], a[3:4]]), x -> round(x, 4))", "%.4f")} AS flat4,
+           {sql_arr_str("list_sort(list_distinct(list_transform(a[1:8], x -> round(x, 2))))", "%.4f")} AS dist8,
            round(CAST(list_aggregate(list_transform(a, x -> x * 2), 'sum') AS DOUBLE), 4) AS zsum,
            list_contains(list_transform(a[1:8], x -> round(x, 4)), round(a[1], 4)) AS has_first
     FROM e
@@ -168,17 +168,23 @@ def fn_array(spark, sf_dir):
     return e.select(
         "vec_id",
         F.size(a).alias("n"),
-        rounded8.alias("first8"),
+        arr_str(rounded8, "%.4f").alias("first8"),
         r4(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x)).alias("s_sum"),
         r4(F.array_max(a)).alias("mx"),
         r4(F.array_min(a)).alias("mn"),
-        F.sort_array(rounded8).alias("sorted8"),
-        F.transform(
-            F.flatten(F.array(F.slice(a, 1, 2), F.slice(a, 3, 2))),
-            lambda x: F.round(x, 4),
+        arr_str(F.sort_array(rounded8), "%.4f").alias("sorted8"),
+        arr_str(
+            F.transform(
+                F.flatten(F.array(F.slice(a, 1, 2), F.slice(a, 3, 2))),
+                lambda x: F.round(x, 4),
+            ),
+            "%.4f",
         ).alias("flat4"),
-        F.sort_array(
-            F.array_distinct(F.transform(F.slice(a, 1, 8), lambda x: F.round(x, 2)))
+        arr_str(
+            F.sort_array(
+                F.array_distinct(F.transform(F.slice(a, 1, 8), lambda x: F.round(x, 2)))
+            ),
+            "%.4f",
         ).alias("dist8"),
         r4(
             F.aggregate(
@@ -196,7 +202,7 @@ def fn_array(spark, sf_dir):
            event_type AS type_v,
            CAST(user_id AS VARCHAR) AS uid_v,
            2 AS n_keys,
-           ['type', 'uid'] AS keys_sorted,
+           'type|uid' AS keys_sorted,
            1 AS entry_v
     FROM events WHERE event_id < 1000
     """,
@@ -215,7 +221,7 @@ def fn_map(spark, sf_dir):
         F.element_at(m, "type").alias("type_v"),
         F.element_at(m, "uid").alias("uid_v"),
         F.size(m).alias("n_keys"),
-        F.sort_array(F.map_keys(m)).alias("keys_sorted"),
+        F.concat_ws("|", F.sort_array(F.map_keys(m))).alias("keys_sorted"),
         F.element_at(ent, "a").alias("entry_v"),
     )
 
@@ -257,7 +263,7 @@ def fn_json(spark, sf_dir):
     SELECT coalesce(nullif(event_type, 'error'), 'none') AS filled,
            count(*) AS n,
            round(sum(CASE WHEN value > 300 THEN -1.0 ELSE value END), 4) AS sum_val,
-           sum(CASE WHEN nullif(event_type, 'error') IS NULL THEN 1 ELSE 0 END) AS n_was_null
+           CAST(sum(CASE WHEN nullif(event_type, 'error') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_was_null
     FROM events GROUP BY 1
     """,
 )

@@ -214,7 +214,7 @@ def snk_write_csv_json(spark, sf_dir):
 @register(
     "snk_compact",
     oracle="""
-    SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars
+    SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
     FROM documents GROUP BY lang
     """,
 )

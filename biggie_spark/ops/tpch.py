@@ -69,12 +69,12 @@ def _sql_fx_sum(expr: str, scale: int) -> str:
            {sql_dsum('l_extendedprice')} AS sum_base_price,
            {SQL_REVENUE_SUM} AS sum_disc_price,
            {_sql_fx_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
-           sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) * 100
-             // count(*) AS avg_qty_e4,
-           sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) * 100
-             // count(*) AS avg_price_e4,
-           sum(CAST(round(l_discount * 100, 0) AS BIGINT)) * 10000
-             // count(*) AS avg_disc_e6,
+           CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) * 100
+             // count(*) AS BIGINT) AS avg_qty_e4,
+           CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) * 100
+             // count(*) AS BIGINT) AS avg_price_e4,
+           CAST(sum(CAST(round(l_discount * 100, 0) AS BIGINT)) * 10000
+             // count(*) AS BIGINT) AS avg_disc_e6,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-08-06 00:00:00'
@@ -323,11 +323,11 @@ def tpch_q07(spark, sf_dir):
     "tpch_q08_market_share",
     oracle="""
     SELECT year(o_orderdate) AS o_year,
-           sum(CASE WHEN n1.n_name = 'NATION_3'
+           CAST(sum(CASE WHEN n1.n_name = 'NATION_3'
                     THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)
                     ELSE 0 END) * 10000
              // sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT))
-             AS share_e4
+             AS BIGINT) AS share_e4
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
     JOIN supplier ON l_suppkey = s_suppkey
@@ -460,11 +460,11 @@ def tpch_q13(spark, sf_dir):
 @register(
     "tpch_q14_promotion_effect",
     oracle="""
-    SELECT sum(CASE WHEN p_type = 'PROMO'
+    SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
                     THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)
                     ELSE 0 END) * 10000
              // sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT))
-             AS promo_share_e4
+             AS BIGINT) AS promo_share_e4
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
@@ -678,9 +678,9 @@ def tpch_q02(spark, sf_dir):
     "tpch_q09_product_type_profit",
     oracle="""
     SELECT n_name AS nation, year(o_orderdate) AS o_year,
-           sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)
              - CAST(round(p_retailprice * l_quantity * 10000, 0) AS BIGINT))
-             AS profit_e4
+             AS BIGINT) AS profit_e4
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
     JOIN supplier ON l_suppkey = s_suppkey
@@ -768,10 +768,10 @@ def tpch_q11(spark, sf_dir):
     "tpch_q12_shipping_delay",
     oracle="""
     SELECT l_returnflag,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 0 ELSE 1 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE l_shipdate >= o_orderdate + INTERVAL 30 DAY
       AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'

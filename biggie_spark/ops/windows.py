@@ -207,7 +207,7 @@ def win_first_last(spark, sf_dir):
                             ORDER BY us, event_id
                             ROWS UNBOUNDED PRECEDING) AS island
       FROM marked)
-    SELECT user_id, event_type, island,
+    SELECT user_id, event_type, CAST(island AS BIGINT) AS island,
            count(*) AS run_len, min(event_id) AS first_event
     FROM grp GROUP BY user_id, event_type, island
     """,

@@ -14,7 +14,9 @@ Determinism conventions (SURVEY.md §2, binding):
 
 from __future__ import annotations
 
+import json
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -22,6 +24,25 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
+
+# Ledger of ops that already have a green driver CORRECTNESS row.  The
+# driver scores a bounded prefix of queries() (50 in round 1), so
+# ordered_queries() floats not-yet-green ops to the front — each round the
+# scoring window rotates onto operators with no driver signal yet, while
+# the internal pytest sweep keeps every op (green included) verified.
+GREEN_LEDGER = Path(__file__).resolve().parent.parent / "tools" / "driver_green.json"
+
+
+def ordered_queries() -> dict[str, QueryFn]:
+    """QUERIES reordered: ops without a green driver row first (registration
+    order preserved within each half, so §2 families precede extensions)."""
+    try:
+        green = set(json.loads(GREEN_LEDGER.read_text())["green"])
+    except (OSError, ValueError, KeyError):
+        green = set()
+    out = {n: f for n, f in QUERIES.items() if n not in green}
+    out.update({n: f for n, f in QUERIES.items() if n in green})
+    return out
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

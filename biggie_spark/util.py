@@ -61,6 +61,28 @@ def sql_dsum(col: str, scale: int = 2) -> str:
     )
 
 
+def arr_str(arr: Column, fmt: str | None = None) -> Column:
+    """Stringify an array column for scored output: the driver's pandas
+    canonicalizer crashes sorting list cells (`unhashable type: 'list'`),
+    so every scored array column is emitted as a '|'-joined string on BOTH
+    engine and oracle sides.  ``fmt`` (e.g. '%.4f') pins float rendering —
+    bare CAST(double AS STRING) diverges between engines (Spark '1.0E-4'
+    vs DuckDB '0.0001').  `+ 0.0` collapses -0.0 to +0.0 (IEEE) — the two
+    engines' round() disagree on the sign of a zero result."""
+    if fmt is not None:
+        arr = F.transform(
+            arr, lambda x: F.format_string(fmt, x.cast("double") + F.lit(0.0))
+        )
+    return F.concat_ws("|", arr)
+
+
+def sql_arr_str(expr: str, fmt: str | None = None) -> str:
+    """DuckDB twin of :func:`arr_str` for oracle SQL strings."""
+    if fmt is not None:
+        expr = f"list_transform({expr}, x -> printf('{fmt}', x + 0.0))"
+    return f"array_to_string({expr}, '|')"
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokenization of normalized text — identical semantics to
     DuckDB ``string_split(lower(text), ' ')`` (verified: both keep empty

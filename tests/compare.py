@@ -1,13 +1,23 @@
-"""Spark-vs-DuckDB result comparison, modeled on the driver's t2 check:
-column names (order-insensitive), row count, and an order-insensitive
-value-level comparison.  Values must match EXACTLY after normalization —
-the driver hashes values, so approximate equality is not good enough; any
-float drift is a query bug (fix the query's rounding, not the test)."""
+"""Spark-vs-DuckDB result comparison, byte-faithful to the driver's t2 check.
+
+The driver canonicalizes BOTH sides through pandas and hashes values, so
+this mirror must reproduce its two sharp edges (round-1 postmortem):
+
+1. DuckDB HUGEINT (sum(BIGINT)) -> pandas float64 -> renders 6.0 while
+   Spark emits int64 6.  A value-level int/float mix is therefore a REAL
+   mismatch here, never normalized away (round 1's local mirror collapsed
+   Decimal->float and let five driver failures through).
+2. pandas sort_values crashes on list cells (`unhashable type: 'list'`).
+   We run the same sort on the oracle frame so an array-typed output
+   column fails loudly in pytest instead of ERR-ing in the driver.
+
+Values must match EXACTLY after normalization — any float drift is a
+query bug (fix the query's rounding, not the test).
+"""
 
 from __future__ import annotations
 
 import datetime
-import decimal
 import math
 
 
@@ -15,18 +25,30 @@ def _norm(v):
     if v is None:
         return None
     if isinstance(v, bool):
-        return bool(v)
-    if isinstance(v, decimal.Decimal):
-        return float(v)
+        return ("b", bool(v))
     if hasattr(v, "item") and type(v).__module__ == "numpy":  # numpy scalar
         return _norm(v.item())
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         if v == 0.0:
-            return 0.0  # collapse -0.0
-        return v
+            v = 0.0  # collapse -0.0
+        # floats and ints never compare equal: the driver's value hash
+        # distinguishes 6 from 6.0 (that WAS round 1's failure mode)
+        return ("f", repr(v))
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, datetime.datetime):
+        # DuckDB fetchdf renders DATE as midnight Timestamp; Spark keeps
+        # datetime.date — collapse tz-naive midnights to dates so a DATE
+        # column compares equal across the two container types.
+        if v.tzinfo is None and (v.hour, v.minute, v.second, v.microsecond) == (
+            0,
+            0,
+            0,
+            0,
+        ):
+            return ("d", v.date().isoformat())
         return ("ts", v.isoformat())
     if isinstance(v, datetime.date):
         return ("d", v.isoformat())
@@ -48,15 +70,20 @@ def normalize_rows(rows, cols):
 
 
 def compare(spark_df, duck_con, oracle_sql):
-    s_cols = list(spark_df.columns)
-    s_rows = [tuple(r) for r in spark_df.collect()]
-    cur = duck_con.execute(oracle_sql)
-    d_cols = [d[0] for d in cur.description]
-    d_rows = cur.fetchall()
+    s_pdf = spark_df.toPandas()
+    d_pdf = duck_con.execute(oracle_sql).fetchdf()  # HUGEINT -> float64, as driver
 
+    s_cols, d_cols = list(s_pdf.columns), list(d_pdf.columns)
     assert sorted(s_cols) == sorted(d_cols), (
         f"column mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"
     )
+    # Reproduce the driver canonicalizer's sort — crashes on list cells.
+    for pdf in (s_pdf, d_pdf):
+        if len(pdf):
+            pdf.sort_values(by=sorted(pdf.columns), key=None)
+
+    s_rows = [tuple(r) for r in s_pdf.itertuples(index=False, name=None)]
+    d_rows = [tuple(r) for r in d_pdf.itertuples(index=False, name=None)]
     assert len(s_rows) == len(d_rows), (
         f"row count mismatch: spark={len(s_rows)} duck={len(d_rows)}"
     )

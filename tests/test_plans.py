@@ -138,6 +138,15 @@ def test_lsh_banding_is_equi_join(spark, sf_dir):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_neardup_cosine_is_bucketed_not_all_pairs(spark, sf_dir):
+    """Embedding near-dup must generate candidates via the SimHash
+    (table, code) equi-join — round 1 shipped an all-pairs crossJoin here,
+    which never finishes at 100 TB (VERDICT.md round 1, scale-killer #1)."""
+    plan = plan_of(QUERIES["llm_neardup_cosine"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_histogram_has_partial_aggregate(spark, sf_dir):
     # the combiner must collapse each partition to <=n_buckets rows
     # before the exchange — that's what makes a 100 TB histogram cheap
