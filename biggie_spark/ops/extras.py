@@ -148,7 +148,7 @@ def win_cume_percent(spark, sf_dir):
     "fn_regexp",
     oracle="""
     SELECT doc_id,
-           array_to_string(regexp_extract_all(text, '[a-z]*key[a-z]*'), '|') AS key_words,
+           coalesce(array_to_string(regexp_extract_all(text, '[a-z]*key[a-z]*'), '|'), '') AS key_words,
            len(regexp_extract_all(text, 'a[a-z]+')) AS n_a_words,
            regexp_replace(text, '^(\\w+) (\\w+)', '\\2 \\1') AS first_swap,
            regexp_matches(text, '^the ') AS starts_the

@@ -31,17 +31,32 @@ ORACLES: dict[str, str] = {}
 # scoring window rotates onto operators with no driver signal yet, while
 # the internal pytest sweep keeps every op (green included) verified.
 GREEN_LEDGER = Path(__file__).resolve().parent.parent / "tools" / "driver_green.json"
+SEC2_CONTRACT = Path(__file__).resolve().parent.parent / "tools" / "sec2_contract.json"
 
 
 def ordered_queries() -> dict[str, QueryFn]:
-    """QUERIES reordered: ops without a green driver row first (registration
-    order preserved within each half, so §2 families precede extensions)."""
+    """QUERIES reordered for the driver's bounded scoring window:
+    (1) not-yet-green §2 contract ops, (2) not-yet-green extensions,
+    (3) already-green ops — registration order preserved within each tier,
+    so every SURVEY.md §2 ID gets a driver CORRECTNESS row before any
+    extension re-scores."""
     try:
         green = set(json.loads(GREEN_LEDGER.read_text())["green"])
     except (OSError, ValueError, KeyError):
         green = set()
-    out = {n: f for n, f in QUERIES.items() if n not in green}
-    out.update({n: f for n, f in QUERIES.items() if n in green})
+    try:
+        sec2 = set(json.loads(SEC2_CONTRACT.read_text())["sec2"])
+    except (OSError, ValueError, KeyError):
+        sec2 = set(QUERIES)
+
+    def tier(n: str) -> int:
+        if n in green:
+            return 2
+        return 0 if n in sec2 else 1
+
+    out: dict[str, QueryFn] = {}
+    for t in (0, 1, 2):
+        out.update({n: f for n, f in QUERIES.items() if tier(n) == t})
     return out
 
 
