@@ -29,19 +29,39 @@ TABLES = [
 ]
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one corpus table.
+def normalize_events(df: DataFrame) -> DataFrame:
+    """Repair ``events.ts`` to a proper session-tz TimestampType regardless
+    of the physical parquet manifestation.  Three cases observed across
+    driver environments:
 
-    ``events.ts`` is physically ``timestamp[ns]`` which Spark 4 rejects
-    unless ``spark.sql.legacy.parquet.nanosAsLong=true`` is set, in which
-    case it surfaces as a LongType of epoch-nanoseconds.  We repair it to a
-    proper TimestampType via integer division (``div`` keeps the math in
-    64-bit integers — double division would lose precision above 2^53 ns).
+    * ``timestamp[ns]`` + ``nanosAsLong=true`` → surfaces as ``bigint``
+      epoch-nanoseconds; repair via integer division (``div`` keeps the math
+      in 64-bit integers — double division loses precision above 2^53 ns).
+    * ``timestamp[us]`` with isAdjustedToUTC=false → surfaces as
+      ``timestamp_ntz``; Spark 4.1 rejects NTZ input to ``unix_micros`` and
+      friends at analysis time, so cast to TIMESTAMP — lossless because the
+      session timezone is pinned to UTC (session.py RUNTIME_CONFS).
+    * already ``timestamp`` → no-op.
+
+    Centralised here so a physical-schema flip in a future environment is
+    absorbed at the loader, not in every downstream operator
+    (tests/test_io.py pins the repaired dtype).
     """
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if dtype == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one corpus table (``events.ts`` normalized, see
+    :func:`normalize_events`)."""
     apply_runtime_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        df = normalize_events(df)
     return df
 
 

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from biggie_spark.io import load_table
 from biggie_spark.registry import register
+from biggie_spark.util import epoch_us
 
 _EPOCH0 = "1992-01-01"  # day-number origin for bin computation (pre-corpus)
 
@@ -139,7 +140,7 @@ def ts_funnel(spark, sf_dir):
     Event-time comparisons use exact microseconds (unix_micros == DuckDB
     epoch_us on the ns-repaired column)."""
     e = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+        "user_id", "event_type", epoch_us("ts").alias("us")
     )
     s1 = e.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias("t1")
@@ -254,9 +255,9 @@ def ts_ohlc(spark, sf_dir):
     partition-local."""
     ev = load_table(spark, sf_dir, "events")
     day_full = F.date_trunc("day", F.col("ts"))
-    wa = Window.partitionBy(day_full).orderBy(F.unix_micros("ts"), "event_id")
+    wa = Window.partitionBy(day_full).orderBy(epoch_us("ts"), "event_id")
     wd = Window.partitionBy(day_full).orderBy(
-        F.unix_micros(F.col("ts")).desc(), F.col("event_id").desc()
+        epoch_us("ts").desc(), F.col("event_id").desc()
     )
     return (
         ev.select(
@@ -397,7 +398,7 @@ def ts_ewma(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"), "event_id")
+        .orderBy(epoch_us("ts"), "event_id")
         .rowsBetween(-7, 0)
     )
     lst = F.collect_list(

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from biggie_spark.io import load_table
 from biggie_spark.registry import register
-from biggie_spark.util import r4
+from biggie_spark.util import epoch_us, r4
 
 
 @register(
@@ -227,7 +227,7 @@ def win_islands(spark, sf_dir):
     through epoch_us to match Spark's µs-repaired ordering (ties broken by
     event_id anyway)."""
     e = load_table(spark, sf_dir, "events")
-    us = F.unix_micros(F.col("ts"))  # exact µs: matches DuckDB epoch_us on ns data
+    us = epoch_us("ts")  # exact µs: matches DuckDB epoch_us; NTZ-safe cast inside
     w = Window.partitionBy("user_id").orderBy(us, "event_id")
     wrun = (
         Window.partitionBy("user_id")

@@ -34,10 +34,21 @@ GREEN_LEDGER = Path(__file__).resolve().parent.parent / "tools" / "driver_green.
 SEC2_CONTRACT = Path(__file__).resolve().parent.parent / "tools" / "sec2_contract.json"
 
 
+# Extension families a real user hits most often — float these ahead of the
+# remaining unscored extensions so they earn driver CORRECTNESS rows first
+# (VERDICT r2 item 3).  Prefix match on the op name.
+PRIORITY_PREFIXES = ("tpch_", "ts_", "win_", "sql_", "stream_join")
+
+
+def _priority(name: str) -> bool:
+    return name.startswith(PRIORITY_PREFIXES)
+
+
 def ordered_queries() -> dict[str, QueryFn]:
     """QUERIES reordered for the driver's bounded scoring window:
-    (1) not-yet-green §2 contract ops, (2) not-yet-green extensions,
-    (3) already-green ops — registration order preserved within each tier,
+    (1) not-yet-green §2 contract ops, (2) not-yet-green high-traffic
+    extensions (PRIORITY_PREFIXES), (3) other not-yet-green extensions,
+    (4) already-green ops — registration order preserved within each tier,
     so every SURVEY.md §2 ID gets a driver CORRECTNESS row before any
     extension re-scores."""
     try:
@@ -46,16 +57,27 @@ def ordered_queries() -> dict[str, QueryFn]:
         green = set()
     try:
         sec2 = set(json.loads(SEC2_CONTRACT.read_text())["sec2"])
-    except (OSError, ValueError, KeyError):
+    except (OSError, ValueError, KeyError) as exc:
+        # A malformed contract file would silently widen tier 0 to every op
+        # and scramble the window order — warn loudly (ADVICE r2).
+        import warnings
+
+        warnings.warn(
+            f"sec2_contract.json unreadable ({exc!r}); treating ALL queries "
+            "as contract ops — fix tools/sec2_contract.json",
+            stacklevel=2,
+        )
         sec2 = set(QUERIES)
 
     def tier(n: str) -> int:
         if n in green:
-            return 2
-        return 0 if n in sec2 else 1
+            return 3
+        if n in sec2:
+            return 0
+        return 1 if _priority(n) else 2
 
     out: dict[str, QueryFn] = {}
-    for t in (0, 1, 2):
+    for t in (0, 1, 2, 3):
         out.update({n: f for n, f in QUERIES.items() if tier(n) == t})
     return out
 

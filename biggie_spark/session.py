@@ -27,15 +27,30 @@ RUNTIME_CONFS = {
 }
 
 
+# Sessions already configured by apply_runtime_confs — each conf.set is a
+# Py4J round-trip, measurable in sub-second queries when load_table repeats
+# it per read, so apply once per live session object.
+_CONFIGURED: "weakref.WeakSet[SparkSession]" = None  # type: ignore[assignment]
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Defensively apply runtime-settable confs to any session (incl. the
     driver's own session, which may not have been built by :func:`get_spark`).
+    Idempotent and cached: repeat calls on the same session are free.
     """
+    global _CONFIGURED
+    if _CONFIGURED is None:
+        import weakref
+
+        _CONFIGURED = weakref.WeakSet()
+    if spark in _CONFIGURED:
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-settable in this build; session-level default applies
+    _CONFIGURED.add(spark)
     return spark
 
 

@@ -19,7 +19,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from biggie_spark.io import load_table
+from biggie_spark.io import load_table, normalize_events
 from biggie_spark.session import apply_runtime_confs
 from biggie_spark.util import r4
 
@@ -35,9 +35,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(ev.dtypes).get("ts") == "bigint":
-        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return ev
+    return normalize_events(ev)
 
 
 def _drain(df: DataFrame, output_mode: str) -> DataFrame:

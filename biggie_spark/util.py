@@ -150,6 +150,16 @@ def knn_exact(embeddings, probe_ids, k: int):
     return topk_by_cosine(pairs, k)
 
 
+def epoch_us(col: Column | str) -> Column:
+    """Timestamp -> exact epoch microseconds (bigint).  Casts through
+    TIMESTAMP first because Spark 4.1 rejects TIMESTAMP_NTZ input to
+    ``unix_micros`` at analysis time (DATATYPE_MISMATCH); under the UTC
+    session timezone the cast is lossless, so this is safe on either the
+    loader-normalized column or a raw NTZ read."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def epoch_s(col: Column | str) -> Column:
     """Timestamp -> epoch seconds (bigint). The only sanctioned way to emit
     event-time in a scored output (SURVEY.md §2 convention 3)."""

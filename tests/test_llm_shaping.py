@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from biggie_spark.io import load_table
 from biggie_spark.ops.llm_text3 import (
     _CHUNK,
     _PACK,
@@ -111,12 +112,10 @@ def test_retention_day_zero_equals_cohort_size(spark, sf_dir):
     cohort_sizes = {
         r["cohort_day"]: r["n"]
         for r in (
-            spark.read.parquet(f"{sf_dir}/events.parquet")
+            load_table(spark, sf_dir, "events")
             .select(
                 "user_id",
-                F.date_trunc("day", F.expr("timestamp_micros(ts div 1000)"))
-                .cast("date")
-                .alias("d"),
+                F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
             )
             .groupBy("user_id")
             .agg(F.min("d").alias("cohort_day"))

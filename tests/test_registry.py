@@ -1,0 +1,90 @@
+"""Registry / scoring-window contract tests (VERDICT r2 items 3 & 8,
+ADVICE r2): the §2 contract file must stay consistent with the registered
+ops, the green ledger must only name real ops, and — the driver-window
+guard — the top-50 of ordered_queries() (what the driver will actually
+score next round) must all be registered with runnable callables and, where
+claimed, oracle SQL.  The value-level check for every op (window included)
+is tests/test_correctness.py; this file pins the *ordering* machinery so a
+broken op can never again sit silently at the front of the rotation queue.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+from biggie_spark.registry import (
+    GREEN_LEDGER,
+    ORACLES,
+    QUERIES,
+    SEC2_CONTRACT,
+    load_all_ops,
+    ordered_queries,
+)
+
+load_all_ops()
+
+
+def test_sec2_contract_ids_all_registered():
+    sec2 = json.loads(SEC2_CONTRACT.read_text())["sec2"]
+    assert len(sec2) == len(set(sec2)), "duplicate ids in sec2 contract"
+    missing = [n for n in sec2 if n not in QUERIES]
+    assert not missing, f"contract ids with no registered op: {missing}"
+    # SURVEY.md §2 pins the contract at 89 IDs; if ops are added to the
+    # contract, update SURVEY.md §2 and this number together.
+    assert len(sec2) == 89
+
+
+def test_green_ledger_names_real_ops():
+    green = json.loads(GREEN_LEDGER.read_text())["green"]
+    unknown = [n for n in green if n not in QUERIES]
+    assert not unknown, f"ledger names unregistered ops: {unknown}"
+
+
+def test_ordered_queries_is_permutation():
+    oq = ordered_queries()
+    assert set(oq) == set(QUERIES)
+    assert len(oq) == len(QUERIES)
+
+
+def test_window_prioritizes_nongreen_contract_ops():
+    green = set(json.loads(GREEN_LEDGER.read_text())["green"])
+    sec2 = set(json.loads(SEC2_CONTRACT.read_text())["sec2"])
+    oq = list(ordered_queries())
+    window = oq[:50]
+    # every non-green contract op must be inside the scoring window
+    pending_contract = [n for n in sec2 if n not in green]
+    outside = [n for n in pending_contract if n not in window]
+    assert not outside, f"non-green §2 ops outside the window: {outside}"
+    # no green op may occupy a window slot while any non-green op waits
+    n_nongreen = sum(1 for n in oq if n not in green)
+    greens_in_window = [n for n in window if n in green]
+    assert not greens_in_window or n_nongreen < 50
+
+
+def test_window_ops_have_oracle_or_documented_weak():
+    """Rows-only (no-oracle) ops are allowed but must be the documented
+    exceptions, not accidents of registration."""
+    ROWS_ONLY_OK = {
+        "fn_sample",          # RNG not portable across engines (SURVEY §2.I)
+        "llm_knn_ann",        # approximate by design; recall gated in tests
+        "llm_knn_ivf",        # approximate by design
+        "agg_approx_quantile",  # sketch, engine-specific
+    }
+    window = list(ordered_queries())[:50]
+    bad = [n for n in window if n not in ORACLES and n not in ROWS_ONLY_OK]
+    assert not bad, f"window ops missing oracle SQL: {bad}"
+
+
+def test_malformed_contract_warns(tmp_path, monkeypatch):
+    """ADVICE r2: a bad edit to sec2_contract.json must be loud, not a
+    silent every-op-is-contract fallback."""
+    import biggie_spark.registry as reg
+
+    bad = tmp_path / "sec2_contract.json"
+    bad.write_text("{not json")
+    monkeypatch.setattr(reg, "SEC2_CONTRACT", Path(bad))
+    with pytest.warns(UserWarning, match="sec2_contract"):
+        reg.ordered_queries()
