@@ -116,3 +116,123 @@ def kv_field_project(spark, sf_dir):
     return s.get_fields(7, ["n_chars", "text"]).select(
         "doc_id", "n_chars", F.md5("text").alias("text_md5")
     )
+
+
+@register(
+    "kv_put_bucketed",
+    oracle="""
+    WITH merged AS (
+      SELECT doc_id, text FROM documents WHERE doc_id NOT IN (1, 100000)
+      UNION ALL SELECT * FROM (VALUES (1, '__UPDATED__'), (100000, '__NEW__')) v(doc_id, text)
+    )
+    SELECT count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_key,
+           CAST(sum(CASE WHEN text = '__UPDATED__' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
+    FROM merged
+    """,
+)
+def kv_put_bucketed(spark, sf_dir):
+    """Partition-pruned upsert — the 100 TB-honest kv_put.
+
+    kv_put's anti-join ∪ new is semantically right but rewrites the whole
+    stash per call; at scale a two-key put must not touch 100 TB.  Here the
+    stash is laid out as directory partitions on ``kbucket = key % N`` (the
+    key-fanout analog of the reference's hex sharding), and the put:
+
+    1. computes the incoming keys' buckets driver-side (pure arithmetic on
+       keys the caller already holds — no data collect);
+    2. reads ONLY those partitions via a literal ``kbucket IN (...)``
+       predicate (directory partition pruning: untouched buckets are never
+       scanned);
+    3. merges (anti-join ∪ incoming) within the touched buckets; and
+    4. rewrites only the touched partitions via dynamic partition overwrite
+       (``spark.sql.sources.partitionOverwriteMode=dynamic``).
+
+    Cost is O(stash/N × puts), independent of total stash size once N tracks
+    the key cardinality.  The untouched-bucket data files are asserted
+    byte-identical (same paths+sizes) across the put — the scale claim is
+    tested, not narrated.  Oracle = full post-state aggregate (same contract
+    as kv_put)."""
+    import os
+    import shutil
+    import tempfile
+
+    N = 16
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="biggie_kvb_")
+    try:
+        (
+            docs.withColumn("kbucket", F.col("doc_id") % N)
+            .write.mode("overwrite")
+            .partitionBy("kbucket")
+            .parquet(base)
+        )
+
+        put_rows = [Row(doc_id=1, text="__UPDATED__"), Row(doc_id=100000, text="__NEW__")]
+        touched = sorted({r.doc_id % N for r in put_rows})
+        incoming = spark.createDataFrame(put_rows).withColumn(
+            "kbucket", F.col("doc_id") % N
+        )
+
+        stash = spark.read.parquet(base)
+        untouched_files = {
+            (p, os.path.getsize(p))
+            for p in _bucket_files(base)
+            if _bucket_of(p) not in touched
+        }
+
+        merged_touched = (
+            stash.where(F.col("kbucket").isin(touched))
+            .join(F.broadcast(incoming.select("doc_id")), "doc_id", "left_anti")
+            .unionByName(incoming)
+        )
+        with _conf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
+            merged_touched.write.mode("overwrite").partitionBy("kbucket").parquet(base)
+
+        after = {
+            (p, os.path.getsize(p))
+            for p in _bucket_files(base)
+            if _bucket_of(p) not in touched
+        }
+        assert after == untouched_files, "untouched buckets were rewritten"
+
+        final = spark.read.parquet(base)
+        return final.agg(
+            F.count("*").alias("n"),
+            F.sum("doc_id").alias("sum_key"),
+            F.sum(F.when(F.col("text") == "__UPDATED__", 1).otherwise(0)).alias(
+                "n_updated"
+            ),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _bucket_files(base: str) -> list[str]:
+    from biggie_spark.io import parquet_files
+
+    return [p for p in parquet_files(base) if "kbucket=" in p]
+
+
+def _bucket_of(path: str) -> int:
+    part = next(s for s in path.split("/") if s.startswith("kbucket="))
+    return int(part.split("=", 1)[1])
+
+
+class _conf:
+    """Temporarily set a SQL conf (restore on exit)."""
+
+    def __init__(self, spark, key: str, value: str):
+        self.spark, self.key, self.value = spark, key, value
+
+    def __enter__(self):
+        try:
+            self.prev = self.spark.conf.get(self.key)
+        except Exception:
+            self.prev = None
+        self.spark.conf.set(self.key, self.value)
+
+    def __exit__(self, *exc):
+        if self.prev is None:
+            self.spark.conf.unset(self.key)
+        else:
+            self.spark.conf.set(self.key, self.prev)
