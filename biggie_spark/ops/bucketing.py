@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from biggie_spark.io import load_table
 from biggie_spark.registry import register
-from biggie_spark.util import revenue_sum
+from biggie_spark.util import revenue_sum, temp_conf
 
 N_BUCKETS = 8
 
@@ -105,3 +105,56 @@ def agg_salted_skew(spark, sf_dir):
         F.expr("CAST(round(l_quantity * 100, 0) AS BIGINT)").alias("cents"),
     )
     return salted_sum_count(li, "l_partkey", "cents")
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    SELECT n_name, count(*) AS n,
+           CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0, 4) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_salted_skew(spark, sf_dir):
+    """Salted replicate join — the skew-buster for when the hot-key side is
+    too big for AQE's split AND the other side is too big to broadcast.
+
+    The classic failure: one power-law key routes a third of the fact table
+    through a single reducer.  Salting fans it out: the fact side gets a
+    row-unique ``salt in [0, n)``, the dim side is replicated n ways (one
+    copy per salt via explode of a literal sequence), and the join key
+    becomes ``(key, salt)`` — the hot key now spreads across n reducers.
+    Replication cost is n × |dim|, paid only when |dim| ≫ broadcast
+    threshold; here supplier stands in for that big dim, with
+    autoBroadcastJoinThreshold pinned off so the salted exchange is the
+    plan that actually runs (tests/test_skew.py asserts the shuffle is on
+    (key, salt)).  Result provably equals the unsalted join — the oracle IS
+    the unsalted join.  The salt must be row-unique (id-derived), not
+    content-derived: a hot key of identical rows must still fan out."""
+    n_salts = 8
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_extendedprice",
+        "l_discount",
+        F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).alias("salt"),
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    with temp_conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
+        joined = li.join(
+            sup,
+            (li.l_suppkey == sup.s_suppkey) & (li.salt == sup.salt),
+        )
+        out = (
+            joined.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count("*").alias("n"), revenue_sum().alias("revenue"))
+        )
+        return out.localCheckpoint()

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from biggie_spark.io import load_table
 from biggie_spark.registry import register
 from biggie_spark.stash import Stash
+from biggie_spark.util import temp_conf
 
 
 def _stash(spark, sf_dir) -> Stash:
@@ -185,7 +186,7 @@ def kv_put_bucketed(spark, sf_dir):
             .join(F.broadcast(incoming.select("doc_id")), "doc_id", "left_anti")
             .unionByName(incoming)
         )
-        with _conf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
+        with temp_conf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
             merged_touched.write.mode("overwrite").partitionBy("kbucket").parquet(base)
 
         after = {
@@ -216,23 +217,3 @@ def _bucket_files(base: str) -> list[str]:
 def _bucket_of(path: str) -> int:
     part = next(s for s in path.split("/") if s.startswith("kbucket="))
     return int(part.split("=", 1)[1])
-
-
-class _conf:
-    """Temporarily set a SQL conf (restore on exit)."""
-
-    def __init__(self, spark, key: str, value: str):
-        self.spark, self.key, self.value = spark, key, value
-
-    def __enter__(self):
-        try:
-            self.prev = self.spark.conf.get(self.key)
-        except Exception:
-            self.prev = None
-        self.spark.conf.set(self.key, self.value)
-
-    def __exit__(self, *exc):
-        if self.prev is None:
-            self.spark.conf.unset(self.key)
-        else:
-            self.spark.conf.set(self.key, self.prev)

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from biggie_spark.io import load_table
 from biggie_spark.registry import register
-from biggie_spark.util import r4
+from biggie_spark.util import r4, tokens
 
 
 def _shingles(col, n=4):
@@ -129,4 +129,93 @@ def llm_fingerprint_winnow(spark, sf_dir):
         F.concat_ws(
             "|", F.slice(F.sort_array(F.array_distinct(hashes)), 1, 4)
         ).alias("fp"),
+    )
+
+
+@register(
+    "llm_bm25",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+    stats AS (SELECT count(*) AS nn, CAST(sum(len(tk)) AS BIGINT) AS sumdl FROM d),
+    toks AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM d),
+    q AS (SELECT doc_id, dl, term, count(*) AS tf FROM toks
+          WHERE term IN ('merge', 'window', 'vector') GROUP BY doc_id, dl, term),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+              WHERE term IN ('merge', 'window', 'vector') GROUP BY term),
+    contrib AS (
+      SELECT q.doc_id,
+             q.term,
+             ln((stats.nn - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+               * (q.tf * 2.2)
+               / (q.tf + 1.2 * (0.25 + 0.75 * q.dl * stats.nn / stats.sumdl)) AS c
+      FROM q JOIN dfreq USING (term), stats),
+    sc AS (
+      SELECT doc_id,
+             max(CASE WHEN term = 'merge'  THEN c ELSE 0.0 END) AS c1,
+             max(CASE WHEN term = 'window' THEN c ELSE 0.0 END) AS c2,
+             max(CASE WHEN term = 'vector' THEN c ELSE 0.0 END) AS c3
+      FROM contrib GROUP BY doc_id)
+    SELECT doc_id, CAST(round(c1 + c2 + c3, 4) AS DOUBLE) AS bm25
+    FROM sc ORDER BY round(c1 + c2 + c3, 4) DESC, doc_id LIMIT 20
+    """,
+)
+def llm_bm25(spark, sf_dir):
+    """BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed 3-term query —
+    the classic lexical ranker a training-data pipeline uses for corpus
+    search and decontamination probes.
+
+    Scale shape: terms are filtered to the query vocabulary BEFORE any
+    aggregate, so the shuffled intermediates are O(matching postings), not
+    O(total tokens); per-term document frequencies and the corpus stats
+    (N, total length) are single-row/broadcast joins; the only big shuffle
+    is the (doc, term) tf aggregate — partial+final hash agg on the same
+    key Spark already uses for tf-idf.
+
+    Determinism: per-term contributions are pivoted to fixed columns and
+    summed in a fixed order (c1+c2+c3) so the float result is
+    bit-identical across engines regardless of row order; avgdl is kept as
+    the exact integer pair (N, sum dl) and applied as dl*N/sumdl inside
+    the formula — no early double division to drift.  Top-20 tie-broken by
+    doc_id on the ROUNDED score (both sides)."""
+    k1, b = 1.2, 0.75
+    terms = ["merge", "window", "vector"]
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("tk")
+    )
+    stats = d.agg(
+        F.count("*").alias("nn"), F.sum(F.size("tk")).alias("sumdl")
+    )
+    toks = d.select(
+        "doc_id", F.size("tk").alias("dl"), F.explode("tk").alias("term")
+    ).filter(F.col("term").isin(terms))
+    q = toks.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    c = (
+        F.log(
+            (F.col("nn") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        )
+        * (F.col("tf") * (k1 + 1.0))
+        / (
+            F.col("tf")
+            + k1 * ((1.0 - b) + b * F.col("dl") * F.col("nn") / F.col("sumdl"))
+        )
+    )
+    contrib = (
+        q.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", c.alias("c"))
+    )
+    sc = contrib.groupBy("doc_id").agg(
+        *[
+            F.max(
+                F.when(F.col("term") == t, F.col("c")).otherwise(0.0)
+            ).alias(f"c{i + 1}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    score = F.round(F.col("c1") + F.col("c2") + F.col("c3"), 4).cast("double")
+    return (
+        sc.select("doc_id", score.alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
     )

@@ -165,3 +165,23 @@ def epoch_s(col: Column | str) -> Column:
     event-time in a scored output (SURVEY.md §2 convention 3)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.unix_timestamp(c)
+
+
+class temp_conf:
+    """Temporarily set a SQL conf (restore on exit)."""
+
+    def __init__(self, spark, key: str, value: str):
+        self.spark, self.key, self.value = spark, key, value
+
+    def __enter__(self):
+        try:
+            self.prev = self.spark.conf.get(self.key)
+        except Exception:
+            self.prev = None
+        self.spark.conf.set(self.key, self.value)
+
+    def __exit__(self, *exc):
+        if self.prev is None:
+            self.spark.conf.unset(self.key)
+        else:
+            self.spark.conf.set(self.key, self.prev)
