@@ -158,3 +158,52 @@ def join_salted_skew(spark, sf_dir):
             .agg(F.count("*").alias("n"), revenue_sum().alias("revenue"))
         )
         return out.localCheckpoint()
+
+
+@register(
+    "join_runtime_bloom",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0, 4) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+)
+def join_runtime_bloom(spark, sf_dir):
+    """Runtime bloom-filter join pruning — the scan-reduction feature that
+    matters most at 100 TB: when one join side carries a selective filter
+    (urgent orders ≈ 20% here; often ≪1% in practice), Catalyst builds a
+    bloom filter over the filtered side's join keys and injects a
+    ``might_contain`` predicate into the OTHER side's scan, so fact rows
+    that cannot join are dropped at the scan — before the shuffle — instead
+    of after it.  Row-group statistics can't do this (orderkeys are spread
+    across every row group); only a key-set filter can.
+
+    Plan shape (pinned by tests/test_plans.py): `bloom_filter_agg` on the
+    creation side, `might_contain(...)` in the fact-side Filter.  Thresholds
+    are pinned via temp confs because the sf0.01 corpus is below the
+    default 10 GB application-side threshold — on a real cluster the
+    defaults fire on their own.  Values oracle-checked against the plain
+    join."""
+    with temp_conf(
+        spark,
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    ), temp_conf(
+        spark, "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+    ), temp_conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
+        ords = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+        )
+        out = (
+            li.join(ords, li.l_orderkey == ords.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"), revenue_sum().alias("revenue"))
+        )
+        return out.localCheckpoint()

@@ -222,3 +222,31 @@ def test_ewma_single_window_exchange(spark, sf_dir):
     plan = plan_of(QUERIES["ts_ewma"](spark, sf_dir))
     assert plan.count(") Exchange") == 1  # one detail header per physical node
     assert "Python" not in plan
+
+
+def test_runtime_bloom_filter_reaches_fact_scan(spark, sf_dir):
+    """join_runtime_bloom must actually inject the bloom filter: a
+    bloom_filter_agg on the filtered (creation) side and a might_contain
+    predicate on the fact side, positioned before the shuffle."""
+    from biggie_spark.util import temp_conf
+
+    with temp_conf(
+        spark,
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    ), temp_conf(
+        spark, "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+    ), temp_conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
+        from biggie_spark.io import load_table
+        from pyspark.sql import functions as F
+
+        ords = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+        j = li.join(ords, li.l_orderkey == ords.o_orderkey).groupBy("l_returnflag").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "bloom_filter_agg" in plan
+    assert "might_contain" in plan
