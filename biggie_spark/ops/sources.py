@@ -149,6 +149,34 @@ def src_scan_orc(spark, sf_dir):
 
 
 @register(
+    "src_scan_text",
+    oracle="""
+    SELECT text AS line FROM documents WHERE doc_id < 200 ORDER BY text
+    """,
+)
+def src_scan_text(spark, sf_dir):
+    """Raw-text source connector (``spark.read.text``) — the ingest format
+    of most web-scale LLM corpora (one document per line, no schema).  The
+    round-trip drops all structure by design: write doc texts as lines,
+    read them back as a single ``line`` column.  Documents in this corpus
+    are single-line, so lines == documents and the value oracle is exact.
+    Text scans are splittable by newline at 100 TB; schema/typing is the
+    consumer's job (exactly how jsonl/warc-derived dumps are ingested)."""
+    df = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("text")
+    )
+    tmp = tempfile.mkdtemp(prefix="biggie_src_text_")
+    try:
+        df.write.mode("overwrite").text(tmp)
+        back = spark.read.text(tmp).select(F.col("value").alias("line"))
+        return back.orderBy("line").localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
     "snk_write_parquet",
     oracle="""
     SELECT l_returnflag, count(*) AS n, CAST(round(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0, 4) AS DOUBLE) AS sum_qty
