@@ -211,9 +211,17 @@ def tpch_q04(spark, sf_dir):
 )
 def tpch_q05(spark, sf_dir):
     """TPC-H Q5 (local supplier volume): 6-table star with the extra
-    c_nationkey = s_nationkey co-location predicate.  region/nation/
-    supplier/customer all broadcast (≤1% of fact size); only the
-    orders⋈lineitem join shuffles, on the natural key."""
+    c_nationkey = s_nationkey co-location predicate.
+
+    The ASIA region constraint transitively restricts BOTH fact sides
+    (supplier nation = customer nation ⊆ ASIA), so each side pre-reduces
+    via a broadcast before the one fact-fact shuffle: lineitem ⋈
+    broadcast(ASIA suppliers) and orders ⋈ broadcast(ASIA customers) cut
+    both sides ~5× ahead of the exchange; the li⋈o join then carries the
+    nation-equality as a second equi-key.  Same single-shuffle plan, 5×
+    less data through it — the ordering Catalyst cannot derive because
+    the region restriction reaches the facts only through two different
+    dimension chains."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -223,15 +231,24 @@ def tpch_q05(spark, sf_dir):
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_n = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    s_f = s.join(F.broadcast(asia_n), s.s_nationkey == F.col("n_nationkey")).select(
+        "s_suppkey", "s_nationkey", "n_name"
+    )
+    c_f = c.join(
+        F.broadcast(asia_n.select("n_nationkey")),
+        c.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey", "c_nationkey")
+    li_r = li.join(F.broadcast(s_f), li.l_suppkey == F.col("s_suppkey"))
+    o_r = o.join(F.broadcast(c_f), o.o_custkey == F.col("c_custkey"))
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(
-            F.broadcast(s),
-            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        li_r.join(
+            o_r,
+            (li_r.l_orderkey == o_r.o_orderkey)
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(revenue_sum().alias("revenue"))
     )
@@ -283,9 +300,17 @@ def tpch_q06(spark, sf_dir):
     """,
 )
 def tpch_q07(spark, sf_dir):
-    """TPC-H Q7 (volume shipping): nation-pair trade volume by year.  The
-    nation table joins twice under different roles; the disjunctive pair
-    predicate applies after both dims broadcast."""
+    """TPC-H Q7 (volume shipping): nation-pair trade volume by year.
+
+    Join-order matters more than join algorithm here: the disjunctive
+    nation-pair predicate implies each side independently satisfies
+    ``nation IN (N1, N2)`` — a constraint Catalyst does not extract from
+    the OR — so we pre-reduce BOTH fact sides before the one fact-fact
+    shuffle: lineitem ⋈ broadcast(supplier⋈n1, 2/25 nations) cuts the
+    lineitem side ~92%, orders ⋈ broadcast(customer⋈n2) cuts the orders
+    side the same, and only then do the two reduced facts shuffle-join.
+    At 100 TB that is the difference between shuffling 8% and 100% of two
+    fact tables.  The exact pair predicate applies after."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate").between(
             F.lit("1996-01-01 00:00:00").cast("timestamp"),
@@ -296,21 +321,26 @@ def tpch_q07(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
-    n1 = n.select(
+    pair_nations = ["NATION_1", "NATION_2"]
+    n1 = n.filter(F.col("n_name").isin(pair_nations)).select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
     )
-    n2 = n.select(
+    n2 = n.filter(F.col("n_name").isin(pair_nations)).select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
+    s_f = s.join(F.broadcast(n1), s.s_nationkey == F.col("n1_key")).select(
+        "s_suppkey", "supp_nation"
+    )
+    c_f = c.join(F.broadcast(n2), c.c_nationkey == F.col("n2_key")).select(
+        "c_custkey", "cust_nation"
+    )
+    li_r = li.join(F.broadcast(s_f), li.l_suppkey == F.col("s_suppkey"))
+    o_r = o.join(F.broadcast(c_f), o.o_custkey == F.col("c_custkey"))
     pair = (
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        li_r.join(o_r, li_r.l_orderkey == o_r.o_orderkey)
         .filter(pair)
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
@@ -369,14 +399,23 @@ def tpch_q08(spark, sf_dir):
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
     ).cast("long")
     nat = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0))
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    # Pre-reduce both fact sides before the one fact-fact shuffle: the PROMO
+    # part filter cuts lineitem, the ASIA region chain (region -> n2 ->
+    # customer) cuts orders — at scale the li⋈o exchange then carries only
+    # qualifying rows instead of the full tables.
+    li_r = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+    )
+    c_f = (
+        c.join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
         .join(F.broadcast(r), F.col("n2_rkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    o_r = o.join(F.broadcast(c_f), o.o_custkey == F.col("c_custkey"))
+    return (
+        li_r.join(o_r, li_r.l_orderkey == o_r.o_orderkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(F.sum(nat).alias("_nat"), F.sum(rev).alias("_tot"))
         .select("o_year", F.expr("_nat * 10000 div _tot").alias("share_e4"))
