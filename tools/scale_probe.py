@@ -1,0 +1,116 @@
+"""Empirical scale probe: replicate the sf0.1 corpus K× with key-shifted
+copies (so every join keeps linear cardinality — copy i only matches copy i)
+and measure the headline queries at both scales.
+
+The point is evidence, not benchmarking: a plan that is accidentally
+quadratic, collects to the driver, or broadcasts something that grows with
+the data will blow up visibly at 10×, while a scale-honest plan grows
+roughly with input size (sublinearly in wall-clock while cores are idle).
+Results go to stdout as a markdown table to paste into SCALE.md.
+
+Usage: python tools/scale_probe.py [K] [out_dir]
+       (defaults: K=10, out_dir=/tmp/biggie_scale_probe)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from biggie_spark.io import load_table
+from biggie_spark.registry import QUERIES, load_all_ops
+from biggie_spark.session import get_spark
+
+K = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/biggie_scale_probe"
+SRC = "/root/testdata/sf0.1"
+OFF = 1 << 33  # key shift per copy; far above any corpus key
+
+# key columns to shift per table (copy i adds i*OFF) — dims stay single-copy
+SHIFT = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+SINGLE = ["nation", "region"]
+
+HEADLINE = {
+    "q_pricing_summary": "agg_groupby",
+    "q_join_agg": "join_multiway_star",
+    "q_topk": "join_topk_revenue",
+    "q_window": "win_topk_per_group",
+    "q_events_hourly": "stream_tumbling",
+    "q_text_tokens": "llm_text_stats",
+    "q_knn_self": "llm_knn_cosine",
+    "q_json_extract": "fn_json",
+    "q_dedup_minhash_proxy": "llm_dedup_exact",
+}
+
+
+def build(spark) -> None:
+    if os.path.isdir(OUT):
+        shutil.rmtree(OUT)
+    os.makedirs(OUT)
+    for t, keys in SHIFT.items():
+        df = load_table(spark, SRC, t)
+        copies = []
+        for i in range(K):
+            c = df
+            for k in keys:
+                c = c.withColumn(k, F.col(k) + F.lit(i * OFF))
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(f"{OUT}/{t}.parquet")
+    for t in SINGLE:
+        load_table(spark, SRC, t).write.mode("overwrite").parquet(
+            f"{OUT}/{t}.parquet"
+        )
+
+
+def time_queries(spark, sf_dir: str) -> dict[str, float]:
+    out = {}
+    for bench_name, op in HEADLINE.items():
+        fn = QUERIES[op]
+        warm = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            warm = time.perf_counter() - t0
+        out[bench_name] = warm
+    return out
+
+
+def main() -> None:
+    load_all_ops()
+    spark = get_spark(app_name="biggie-scale-probe", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    build(spark)
+    print(f"built {K}x corpus at {OUT} in {time.time() - t0:.0f}s")
+    base = time_queries(spark, SRC)
+    big = time_queries(spark, OUT)
+    print(f"\n| query | sf0.1 | {K}x | ratio (ideal <= {K}) |")
+    print("|---|---|---|---|")
+    for q in HEADLINE:
+        r = big[q] / base[q]
+        print(f"| {q} | {base[q]:.3f}s | {big[q]:.3f}s | {r:.1f}x |")
+    tot = sum(big.values()) / sum(base.values())
+    print(f"| **total** | {sum(base.values()):.2f}s | {sum(big.values()):.2f}s | {tot:.1f}x |")
+    shutil.rmtree(OUT, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
