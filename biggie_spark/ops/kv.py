@@ -217,3 +217,45 @@ def _bucket_files(base: str) -> list[str]:
 def _bucket_of(path: str) -> int:
     part = next(s for s in path.split("/") if s.startswith("kbucket="))
     return int(part.split("=", 1)[1])
+
+
+@register(
+    "kv_merge",
+    oracle="""
+    WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+    b AS (SELECT doc_id, upper(text) AS text FROM documents
+          WHERE doc_id BETWEEN 200 AND 499),
+    merged AS (
+      SELECT * FROM a WHERE doc_id NOT IN (SELECT doc_id FROM b)
+      UNION ALL SELECT * FROM b)
+    SELECT count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_key,
+           CAST(sum(CASE WHEN text = upper(text) THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_from_b
+    FROM merged
+    """,
+)
+def kv_merge(spark, sf_dir):
+    """Stash-level merge, newest-wins (Stash.merge): two snapshots with an
+    overlapping key range combine into one; for overlapped keys the newer
+    stash's entity replaces the older's.  Stash B's texts are uppercased so
+    provenance is value-visible: the oracle counts how many merged rows
+    carry B's version (must equal |B| exactly — every overlap resolved in
+    B's favor, no duplicates).  One anti-join ∪ append; broadcastable
+    delta = no shuffle of the base."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = Stash(spark, docs.filter(F.col("doc_id") < 300), "doc_id")
+    b = Stash(
+        spark,
+        docs.filter(F.col("doc_id").between(200, 499)).withColumn(
+            "text", F.upper("text")
+        ),
+        "doc_id",
+    )
+    merged = a.merge(b).df
+    return merged.agg(
+        F.count("*").alias("n"),
+        F.sum("doc_id").alias("sum_key"),
+        F.sum(
+            F.when(F.col("text") == F.upper("text"), 1).otherwise(0)
+        ).alias("n_from_b"),
+    )

@@ -84,6 +84,20 @@ class Stash:
         ).unionByName(rows, allowMissingColumns=True)
         return Stash(self.spark, merged, self.key, self.path)
 
+    def merge(self, other: "Stash") -> "Stash":
+        """Merge two stashes, newest-wins: on key conflict ``other``'s
+        entity replaces this one's.  Field sets union (absent fields are
+        null per-entity — the union-schema model, SURVEY.md §1.2).  Plan
+        shape = one anti-join on the key ∪ append; with a broadcastable
+        ``other`` the big side never shuffles, and on a bucketed layout the
+        anti-join is co-partitioned."""
+        if other.key != self.key:
+            raise ValueError(f"key mismatch: {self.key!r} vs {other.key!r}")
+        merged = self.df.join(
+            other.df.select(self.key), self.key, "left_anti"
+        ).unionByName(other.df, allowMissingColumns=True)
+        return Stash(self.spark, merged, self.key, self.path)
+
     def update_field(self, key_value, field: str, value) -> "Stash":
         """Set one field of one entity.  A pure map-side projection
         (conditional withColumn) — no shuffle, no join, scans stay pruned.

@@ -67,3 +67,35 @@ def test_update_field(spark):
     assert s2.get(2).collect()[0].text == "TWO!"
     assert s2.get(1).collect()[0].text == "one"  # others untouched
     assert len(s2) == len(s)
+
+
+def test_merge_newest_wins_and_unions_fields(spark):
+    """merge(): conflicts resolve to the newer stash, disjoint keys union,
+    and a field only one side has becomes null on the other's rows."""
+    from pyspark.sql import Row
+
+    from biggie_spark.stash import Stash
+
+    a = Stash(
+        spark,
+        spark.createDataFrame(
+            [Row(k=1, v="old1"), Row(k=2, v="old2"), Row(k=3, v="old3")]
+        ),
+        "k",
+    )
+    b = Stash(
+        spark,
+        spark.createDataFrame([Row(k=2, v="new2", extra=9), Row(k=4, v="new4", extra=7)]),
+        "k",
+    )
+    m = {r.k: (r.v, r.extra) for r in a.merge(b).df.collect()}
+    assert m == {
+        1: ("old1", None),
+        2: ("new2", 9),
+        3: ("old3", None),
+        4: ("new4", 7),
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        a.merge(Stash(spark, b.df.withColumnRenamed("k", "kk"), "kk"))
