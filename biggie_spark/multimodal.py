@@ -1,11 +1,14 @@
 """Multimodal column support: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched pandas functions.
 
-The container has no image/audio codecs (no PIL/ffmpeg), so the actual
-decode kernels are STUBS behind import-tries (`decode_image_batch` raises
-NotImplementedError with installation guidance).  Everything Spark-side —
-schemas, mapInPandas batch shapes, partitioning, deterministic fake decode
-for testing — is real and oracle-tested (see ops/multimodal_ops.py).
+The container has no image/audio codec libraries (no PIL/ffmpeg), so
+jpeg/png/video kernels are STUBS behind import-tries (`decode_image_batch`
+raises NotImplementedError with installation guidance).  One codec IS real
+with zero external deps: the pure-numpy P6 PPM encoder/decoder below
+(`encode_ppm`/`decode_ppm`, oracle-checked end-to-end by `mm_codec_ppm`).
+Everything Spark-side — schemas, mapInPandas batch shapes, partitioning,
+deterministic fake decode for testing — is real and oracle-tested
+(see ops/multimodal_ops.py).
 
 At 100 TB: binary payloads ride in their own parquet column (column pruning
 keeps metadata-only queries from touching bytes); decode fans out via
@@ -118,3 +121,64 @@ def decode_image_batch(payload: pd.Series) -> pd.DataFrame:
             "plumbing, schemas and partitioning above are codec-agnostic"
         ) from e
     raise NotImplementedError("wire the PIL kernel here")
+
+
+# ---- real codec: PPM (P6), pure numpy — no external imaging library ------
+#
+# The container ships no PIL/ffmpeg, so jpeg/png stay behind the
+# NotImplementedError hook above; PPM is a real binary raster format whose
+# codec needs only numpy, which makes the decode path genuinely real here:
+# header parse (whitespace + comment handling per the netpbm spec), raw
+# byte-stride math, numpy frombuffer/reshape.  ops/multimodal_ops.py
+# round-trips synthetic rasters through BOTH functions and oracle-checks
+# the decoded pixel sums against closed forms — a header or stride bug
+# breaks the hash.
+
+PPM_STATS_SCHEMA = (
+    "width int, height int, n_px bigint, sum_r bigint, sum_g bigint, sum_b bigint"
+)
+
+
+def encode_ppm(width: int, height: int, base_rgb: tuple[int, int, int]) -> bytes:
+    """Encode a P6 PPM whose channel c pixel at (x, y) is base_c + x + y
+    (callers keep base + width + height < 256 so no wraparound)."""
+    import numpy as np
+
+    y = np.arange(height, dtype=np.uint16)[:, None]
+    x = np.arange(width, dtype=np.uint16)[None, :]
+    grad = (x + y)[:, :, None]
+    base = np.array(base_rgb, dtype=np.uint16)[None, None, :]
+    px = (base + grad).astype(np.uint8)  # shape (h, w, 3)
+    header = f"P6\n# biggie synthetic\n{width} {height}\n255\n".encode()
+    return header + px.tobytes()
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, int, int, int, int]:
+    """Parse a binary P6 PPM: returns (width, height, n_px, sum_r, sum_g,
+    sum_b).  Implements the actual netpbm header grammar — token stream
+    with '#' comments running to end-of-line — then one numpy reshape over
+    the raw samples."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while payload[pos : pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval, then raw samples
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported, maxval={maxval}")
+    px = np.frombuffer(payload, dtype=np.uint8, count=width * height * 3, offset=pos)
+    px = px.reshape(height, width, 3).astype(np.int64)
+    sums = px.sum(axis=(0, 1))
+    return (width, height, width * height, int(sums[0]), int(sums[1]), int(sums[2]))

@@ -4,6 +4,8 @@ schema/batch/partitioning path is real and fully oracle-checked)."""
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import functions as F
 
 from biggie_spark.io import load_table
@@ -140,4 +142,78 @@ def mm_resize_plan(spark, sf_dir):
         F.expr(
             "(32 + n_chars % 64) * 32 div greatest(64 + n_chars % 32, 32 + n_chars % 64)"
         ).alias("new_h"),
+    )
+
+
+@register(
+    "mm_codec_ppm",
+    oracle="""
+    WITH probe AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+    dims AS (
+      SELECT doc_id,
+             4 + doc_id % 4 AS w, 3 AS h,
+             doc_id % 100 AS rb, (doc_id * 7) % 100 AS gb, (doc_id * 13) % 100 AS bb
+      FROM probe)
+    SELECT doc_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(w * h AS BIGINT) AS n_px,
+           CAST(w*h*rb + h*(w*(w-1)//2) + w*(h*(h-1)//2) AS BIGINT) AS sum_r,
+           CAST(w*h*gb + h*(w*(w-1)//2) + w*(h*(h-1)//2) AS BIGINT) AS sum_g,
+           CAST(w*h*bb + h*(w*(w-1)//2) + w*(h*(h-1)//2) AS BIGINT) AS sum_b
+    FROM dims
+    """,
+)
+def mm_codec_ppm(spark, sf_dir):
+    """REAL image codec round-trip, no external imaging library: synthetic
+    P6 PPM rasters (gradient pixels, per-doc dimensions and base color) are
+    encoded to raw bytes and decoded back — actual netpbm header parsing
+    (token grammar incl. '#' comments) and numpy stride math, not a fake
+    hash kernel (biggie_spark/multimodal.py encode_ppm/decode_ppm).  The
+    oracle predicts the decoded pixel sums in closed form, so any header,
+    offset, or stride bug in the decoder breaks the value hash.
+
+    Scale shape: both kernels are Arrow-batched pandas_udfs (1:1 row maps,
+    so pandas_udf not mapInPandas); payload bytes live in one binary
+    column, stats in typed columns — at 100 TB the decode fans out with
+    partition parallelism and metadata-only readers never touch bytes."""
+    from pyspark.sql.functions import pandas_udf
+
+    from biggie_spark.multimodal import PPM_STATS_SCHEMA, decode_ppm, encode_ppm
+
+    @pandas_udf("binary")
+    def encode_udf(doc_id: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                encode_ppm(
+                    4 + int(d) % 4,
+                    3,
+                    (int(d) % 100, (int(d) * 7) % 100, (int(d) * 13) % 100),
+                )
+                for d in doc_id
+            ]
+        )
+
+    @pandas_udf(f"struct<{PPM_STATS_SCHEMA}>")
+    def decode_udf(payload: pd.Series) -> pd.DataFrame:
+        rows = [decode_ppm(bytes(b)) for b in payload]
+        return pd.DataFrame(
+            rows, columns=["width", "height", "n_px", "sum_r", "sum_g", "sum_b"]
+        )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 64)
+        .select("doc_id")
+    )
+    decoded = d.withColumn("payload", encode_udf("doc_id")).withColumn(
+        "st", decode_udf("payload")
+    )
+    return decoded.select(
+        "doc_id",
+        F.col("st.width").alias("width"),
+        F.col("st.height").alias("height"),
+        F.col("st.n_px").alias("n_px"),
+        F.col("st.sum_r").alias("sum_r"),
+        F.col("st.sum_g").alias("sum_g"),
+        F.col("st.sum_b").alias("sum_b"),
     )
