@@ -182,3 +182,61 @@ def decode_ppm(payload: bytes) -> tuple[int, int, int, int, int, int]:
     px = px.reshape(height, width, 3).astype(np.int64)
     sums = px.sum(axis=(0, 1))
     return (width, height, width * height, int(sums[0]), int(sums[1]), int(sums[2]))
+
+
+# ---- real codec: WAV (RIFF/PCM16), pure numpy ----------------------------
+
+WAV_STATS_SCHEMA = (
+    "sample_rate int, channels int, n_samples bigint, sum_amp bigint, peak int"
+)
+
+
+def encode_wav(samples, sample_rate: int = 8000, channels: int = 1) -> bytes:
+    """Encode int16 PCM samples into a canonical RIFF/WAVE container."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, channels, sample_rate, byte_rate, channels * 2, 16
+    )
+    data = struct.pack("<4sI", b"data", len(pcm)) + pcm
+    riff = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE")
+    return riff + fmt + data
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, int, int]:
+    """Parse a RIFF/WAVE container: real chunk-list walking (fmt may not
+    directly precede data; unknown chunks are skipped with even-byte
+    padding per the RIFF spec), then one numpy pass over the PCM samples.
+    Returns (sample_rate, channels, n_samples, sum_amp, peak)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, sample_rate, channels, pcm = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_format, channels, sample_rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_format != 1 or bits != 16:
+                raise ValueError("only 16-bit PCM supported")
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size & 1)  # RIFF chunks pad to even offsets
+    if sample_rate is None or pcm is None:
+        raise ValueError("missing fmt or data chunk")
+    s = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+    return (
+        int(sample_rate),
+        int(channels),
+        len(s) // channels,
+        int(s.sum()),
+        int(np.abs(s).max(initial=0)),
+    )

@@ -217,3 +217,66 @@ def mm_codec_ppm(spark, sf_dir):
         F.col("st.sum_g").alias("sum_g"),
         F.col("st.sum_b").alias("sum_b"),
     )
+
+
+@register(
+    "mm_codec_wav",
+    oracle="""
+    WITH probe AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+    dims AS (
+      SELECT doc_id,
+             100 + doc_id % 50 AS n, doc_id % 50 AS base
+      FROM probe)
+    SELECT doc_id,
+           8000 AS sample_rate, 1 AS channels,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(n*base + (n//7)*21 + (n%7)*((n%7)-1)//2 AS BIGINT) AS sum_amp,
+           CAST(base + CASE WHEN n >= 7 THEN 6 ELSE n-1 END AS INT) AS peak
+    FROM dims
+    """,
+)
+def mm_codec_wav(spark, sf_dir):
+    """REAL audio codec round-trip, numpy-only: deterministic int16 PCM
+    waveforms (sample i = base + i mod 7, per-doc length) are packed into
+    canonical RIFF/WAVE containers and decoded back via actual chunk-list
+    walking (even-byte padding, fmt/data discovery, PCM validation —
+    biggie_spark/multimodal.py encode_wav/decode_wav).  The oracle
+    predicts sample count, amplitude sum, and peak in closed form, so any
+    container-offset or sample-width bug breaks the value hash.  Same
+    Arrow-batched 1:1 pandas_udf shape as mm_codec_ppm."""
+    from pyspark.sql.functions import pandas_udf
+
+    from biggie_spark.multimodal import WAV_STATS_SCHEMA, decode_wav, encode_wav
+
+    @pandas_udf("binary")
+    def encode_udf(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_id:
+            n, base = 100 + int(d) % 50, int(d) % 50
+            out.append(encode_wav([base + (i % 7) for i in range(n)]))
+        return pd.Series(out)
+
+    @pandas_udf(f"struct<{WAV_STATS_SCHEMA}>")
+    def decode_udf(payload: pd.Series) -> pd.DataFrame:
+        rows = [decode_wav(bytes(b)) for b in payload]
+        return pd.DataFrame(
+            rows,
+            columns=["sample_rate", "channels", "n_samples", "sum_amp", "peak"],
+        )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 64)
+        .select("doc_id")
+    )
+    decoded = d.withColumn("payload", encode_udf("doc_id")).withColumn(
+        "st", decode_udf("payload")
+    )
+    return decoded.select(
+        "doc_id",
+        F.col("st.sample_rate").alias("sample_rate"),
+        F.col("st.channels").alias("channels"),
+        F.col("st.n_samples").alias("n_samples"),
+        F.col("st.sum_amp").alias("sum_amp"),
+        F.col("st.peak").alias("peak"),
+    )
