@@ -207,3 +207,60 @@ def join_runtime_bloom(spark, sf_dir):
             .agg(F.count("*").alias("n"), revenue_sum().alias("revenue"))
         )
         return out.localCheckpoint()
+
+
+@register(
+    "join_dynamic_partition_prune",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority
+    """,
+)
+def join_dynamic_partition_prune(spark, sf_dir):
+    """Dynamic partition pruning (DPP) — the partition-level partner of the
+    row-level bloom filter: when a directory-partitioned fact joins a dim
+    whose filter restricts the partition column, Catalyst injects the dim's
+    qualifying key set as a runtime subquery into the fact's file index, so
+    whole partitions are never LISTED, let alone scanned.  At 100 TB with
+    date-partitioned facts this is the single biggest scan saver there is.
+
+    Here: orders written partitionBy(o_orderpriority) (the stash key-fanout
+    layout), joined to a 5-row priority dim filtered to 2 hot classes — the
+    plan must carry `dynamicpruning#` on the fact scan (pinned in
+    tests/test_plans.py).  Values oracle-checked against the equivalent
+    static filter."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Row
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    tmp = tempfile.mkdtemp(prefix="biggie_dpp_")
+    try:
+        o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(tmp)
+        fact = spark.read.parquet(tmp)
+        # the dim filter must be a comparison DPP's hasSelectivePredicate
+        # recognizes (string equality here); a bare boolean attribute is
+        # not treated as selective and the subquery is never injected
+        dim = spark.createDataFrame(
+            [
+                Row(prio="1-URGENT", tier="hot"),
+                Row(prio="2-HIGH", tier="hot"),
+                Row(prio="3-MEDIUM", tier="cold"),
+                Row(prio="4-NOT SPECIFIED", tier="cold"),
+                Row(prio="5-LOW", tier="cold"),
+            ]
+        ).filter(F.col("tier") == "hot")
+        out = (
+            fact.join(F.broadcast(dim), fact.o_orderpriority == dim.prio)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"), F.sum("o_custkey").alias("sum_cust"))
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

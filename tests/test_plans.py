@@ -250,3 +250,27 @@ def test_runtime_bloom_filter_reaches_fact_scan(spark, sf_dir):
         plan = j._jdf.queryExecution().executedPlan().toString()
     assert "bloom_filter_agg" in plan
     assert "might_contain" in plan
+
+
+def test_dynamic_partition_pruning_on_fact_scan(spark, tmp_path):
+    """The partitioned fact's scan must carry a dynamicpruning subquery fed
+    by the broadcast dim — partition dirs outside the dim's key set are
+    never listed.  Pinned to the sf0.01 corpus: below ~1 MB of fact data
+    Spark's DPP benefit heuristic (correctly) declines to insert the
+    subquery, so the sf0.001 default would test nothing."""
+    from pyspark.sql import Row
+
+    o = load_table(spark, "/root/testdata/sf0.01", "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    path = str(tmp_path / "dpp_orders")
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [Row(prio="1-URGENT", tier="hot"), Row(prio="5-LOW", tier="cold")]
+    ).filter(F.col("tier") == "hot")
+    j = fact.join(F.broadcast(dim), fact.o_orderpriority == dim.prio).groupBy(
+        "o_orderpriority"
+    ).count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
