@@ -16,6 +16,7 @@ from biggie_spark.ops import multimodal_ops  # noqa: F401
 from biggie_spark.ops import ann  # noqa: F401
 from biggie_spark.ops import bucketing  # noqa: F401
 from biggie_spark.ops import extras  # noqa: F401
+from biggie_spark.ops import llm_bpe  # noqa: F401
 from biggie_spark.ops import llm_text2  # noqa: F401
 from biggie_spark.ops import ivf  # noqa: F401
 from biggie_spark.ops import graph  # noqa: F401
