@@ -222,6 +222,8 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int, int]:
     while pos + 8 <= len(payload):
         cid, size = struct.unpack_from("<4sI", payload, pos)
         body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated {cid!r} chunk: {len(body)} < {size}")
         if cid == b"fmt ":
             audio_format, channels, sample_rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]

@@ -1,0 +1,59 @@
+"""Property tests for the real multimodal codecs (pure-numpy PPM + WAV):
+decode(encode(x)) must equal the closed-form stats for ANY dimensions/bases
+in the supported envelope, not just the corpus-derived ones the registered
+ops use.  Also pins the malformed-input errors (a decoder that silently
+misparses garbage is worse than one that throws)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from biggie_spark.multimodal import decode_ppm, decode_wav, encode_ppm, encode_wav
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    rb=st.integers(0, 150),
+    gb=st.integers(0, 150),
+    bb=st.integers(0, 150),
+)
+def test_ppm_roundtrip_closed_form(w, h, rb, gb, bb):
+    out = decode_ppm(encode_ppm(w, h, (rb, gb, bb)))
+    grad = h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2)
+    n = w * h
+    assert out == (w, h, n, n * rb + grad, n * gb + grad, n * bb + grad)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    samples=st.lists(st.integers(-32768, 32767), min_size=0, max_size=500),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip(samples, rate):
+    sr, ch, n, total, peak = decode_wav(encode_wav(samples, sample_rate=rate))
+    assert (sr, ch, n) == (rate, 1, len(samples))
+    assert total == sum(samples)
+    assert peak == max((abs(s) for s in samples), default=0)
+
+
+def test_ppm_header_comments_and_whitespace():
+    """Real netpbm grammar: comments between any header tokens."""
+    b = encode_ppm(3, 2, (5, 6, 7))
+    # inject an extra comment after the magic; decoder must skip it
+    patched = b"P6\n# injected\n# twice\n" + b[len(b"P6\n# biggie synthetic\n") :]
+    assert decode_ppm(patched) == decode_ppm(b)
+
+
+def test_codecs_reject_garbage():
+    with pytest.raises(ValueError):
+        decode_ppm(b"JFIF not a ppm")
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxAVI LIST")
+    # truncated WAV: fmt present, data chunk missing
+    good = encode_wav([1, 2, 3])
+    with pytest.raises(ValueError):
+        decode_wav(good[:20])
