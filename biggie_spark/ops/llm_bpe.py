@@ -148,3 +148,94 @@ def llm_bpe_train(spark, sf_dir):
     for r in rules[1:]:
         out = out.unionByName(r)
     return out.orderBy("step")
+
+
+def _bpe_apply_oracle() -> str:
+    """Like the train oracle, but CTEs carry the source word and one final
+    merge (rule K-1) is applied; output = segmentation of the 20 most
+    frequent words."""
+    ctes = [
+        """w AS (
+          SELECT tok AS w, count(*) AS freq
+          FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+          WHERE tok <> '' GROUP BY tok)""",
+        """r0 AS (
+          SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS rep, freq FROM w)""",
+    ]
+    for k in range(N_MERGES):
+        ctes.append(f"p{k} AS ({_sql_pair_counts(f'r{k}')})")
+        ctes.append(
+            f"t{k} AS (SELECT pr, weight FROM p{k} ORDER BY weight DESC, pr LIMIT 1)"
+        )
+        ctes.append(
+            f"r{k + 1} AS (SELECT w, {_sql_rep_merge('rep', k)} AS rep, freq FROM r{k})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT w, CAST(freq AS BIGINT) AS freq, trim(rep) AS segmented,
+           CAST(len(string_split(trim(rep), ' ')) AS INT) AS n_pieces
+    FROM r{N_MERGES} ORDER BY freq DESC, w LIMIT 20"""
+    )
+
+
+@register("llm_bpe_apply", oracle=_bpe_apply_oracle())
+def llm_bpe_apply(spark, sf_dir):
+    """Apply the N_MERGES learned merge rules to the vocabulary and emit the
+    segmentation of the 20 most frequent words — the tokenizer-inference
+    half of llm_bpe_train (same broadcast-rule, JVM-side replace loop; the
+    training aggregates rerun here because each op is a self-contained
+    query).  Output: (w, freq, segmented, n_pieces)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        d.select(F.explode(tokens("text")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    words = w.select(
+        "w",
+        F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 ")).alias("rep"),
+        "freq",
+    )
+    for _k in range(N_MERGES):
+        tk = F.split(F.trim(F.col("rep")), " ")
+        bigrams = F.when(
+            F.size(tk) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 1),
+                lambda i: F.concat(
+                    F.element_at(tk, i), F.lit(" "), F.element_at(tk, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        top1 = (
+            words.select(F.explode(bigrams).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("weight"))
+            .orderBy(F.col("weight").desc(), "pair")
+            .limit(1)
+        )
+        merged_words = words.crossJoin(
+            F.broadcast(top1.select(F.col("pair").alias("_mp")))
+        )
+        rep = F.col("rep")
+        pat = F.concat(F.lit(" "), F.col("_mp"), F.lit(" "))
+        rpl = F.concat(
+            F.lit(" "), F.replace(F.col("_mp"), F.lit(" "), F.lit("")), F.lit(" ")
+        )
+        for _ in range(N_PASSES):
+            rep = F.replace(rep, pat, rpl)
+        words = merged_words.select("w", rep.alias("rep"), "freq")
+    seg = F.trim(F.col("rep"))
+    return (
+        words.select(
+            "w",
+            "freq",
+            seg.alias("segmented"),
+            F.size(F.split(seg, " ")).alias("n_pieces"),
+        )
+        .orderBy(F.col("freq").desc(), "w")
+        .limit(20)
+    )
