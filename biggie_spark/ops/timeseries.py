@@ -418,3 +418,114 @@ def ts_ewma(spark, sf_dir):
         ).alias("ewma_num"),
         F.expr("shiftleft(CAST(1 AS BIGINT), size(lst)) - 1").alias("denom"),
     )
+
+
+@register(
+    "ts_resample_interp",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS us,
+             0 AS src, event_id AS eid, value AS v
+      FROM events),
+    b AS (SELECT min(date_trunc('hour', ts)) AS lo, max(date_trunc('hour', ts)) AS hi
+          FROM events),
+    grid AS (
+      SELECT t.event_type, CAST(epoch_us(g.h) AS BIGINT) AS us,
+             1 AS src, CAST(0 AS BIGINT) AS eid, CAST(NULL AS DOUBLE) AS v
+      FROM (SELECT DISTINCT event_type FROM e) t
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+                  FROM b) g),
+    u AS (SELECT * FROM e UNION ALL SELECT * FROM grid),
+    m AS (
+      SELECT event_type, us, src,
+             last_value(v IGNORE NULLS) OVER w_prev AS prev_v,
+             last_value(CASE WHEN src = 0 THEN us END IGNORE NULLS) OVER w_prev AS prev_us,
+             first_value(v IGNORE NULLS) OVER w_next AS next_v,
+             first_value(CASE WHEN src = 0 THEN us END IGNORE NULLS) OVER w_next AS next_us
+      FROM u
+      WINDOW
+        w_prev AS (PARTITION BY event_type ORDER BY us, src, eid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY event_type ORDER BY us, src, eid
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+    SELECT event_type, CAST(us // 1000000 AS BIGINT) AS t_s,
+           CAST(round(prev_v + (next_v - prev_v)
+                      * (us - prev_us) / (next_us - prev_us), 4) AS DOUBLE) AS v
+    FROM m
+    WHERE src = 1 AND prev_us IS NOT NULL AND next_us IS NOT NULL
+    """,
+)
+def ts_resample_interp(spark, sf_dir):
+    """Linear-interpolation resampling: per event type, the irregular value
+    series is sampled onto the dense hourly grid, each grid point
+    interpolated between its surrounding observations (edge points with no
+    observation on one side are dropped, not extrapolated).
+
+    Shape: grid markers union into the event stream and BOTH neighbors
+    come from the same two window passes over ONE shuffle on event_type —
+    the as-of-join trick (joins.py join_asof) applied twice in opposite
+    directions, so there is no inequality join and no per-grid-point probe.
+    Grid rows sort after real events at the same instant (src tie-key), so
+    an observation exactly on a grid point contributes as 'previous' and
+    the interpolation degenerates to its value exactly.  Time stays in
+    integer microseconds until the final division; the interpolation
+    itself is the same IEEE double expression on both engines."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        epoch_us("ts").alias("us"),
+        F.lit(0).alias("src"),
+        F.col("event_id").alias("eid"),
+        F.col("value").alias("v"),
+    )
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.date_trunc("hour", "ts")).alias("lo"),
+        F.max(F.date_trunc("hour", "ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(hours)
+        .select(
+            "event_type",
+            epoch_us("h").alias("us"),
+            F.lit(1).alias("src"),
+            F.lit(0).cast("bigint").alias("eid"),
+            F.lit(None).cast("double").alias("v"),
+        )
+    )
+    u = e.unionByName(grid)
+    w_prev = Window.partitionBy("event_type").orderBy("us", "src", "eid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_next = Window.partitionBy("event_type").orderBy("us", "src", "eid").rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    ev_us = F.when(F.col("src") == 0, F.col("us"))
+    m = u.select(
+        "event_type",
+        "us",
+        "src",
+        F.last("v", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.last(ev_us, ignorenulls=True).over(w_prev).alias("prev_us"),
+        F.first("v", ignorenulls=True).over(w_next).alias("next_v"),
+        F.first(ev_us, ignorenulls=True).over(w_next).alias("next_us"),
+    )
+    interp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (
+        F.col("us") - F.col("prev_us")
+    ) / (F.col("next_us") - F.col("prev_us"))
+    return (
+        m.filter(
+            (F.col("src") == 1)
+            & F.col("prev_us").isNotNull()
+            & F.col("next_us").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.expr("us div 1000000").alias("t_s"),
+            F.round(interp, 4).cast("double").alias("v"),
+        )
+    )
