@@ -393,6 +393,54 @@ def llm_neardup_cosine(spark, sf_dir):
 
 
 @register(
+    "llm_dedup_semantic",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS a FROM embeddings),
+    codes AS (
+      SELECT vec_id, a, t,
+             CASE t {' '.join(f'WHEN {t} THEN {_ndc_sql_code(t)}' for t in range(_NDC_TABLES))} END AS code
+      FROM e, range({_NDC_TABLES}) r(t)),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+      FROM codes x JOIN codes y ON x.t = y.t AND x.code = y.code
+                               AND x.vec_id < y.vec_id),
+    dropped AS (
+      SELECT DISTINCT c.b_id AS vec_id
+      FROM cand c JOIN e ea ON ea.vec_id = c.a_id JOIN e eb ON eb.vec_id = c.b_id
+      WHERE list_cosine_similarity(ea.a, eb.a) >= 0.30)
+    SELECT e.label AS label, count(*) AS n_total,
+           CAST(sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM e LEFT JOIN dropped d ON e.vec_id = d.vec_id
+    GROUP BY e.label
+    """,
+)
+def llm_dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic dedup SELECTION: from the LSH-bucketed
+    cosine near-dup pairs (llm_neardup_cosine's exact machinery), drop the
+    higher vec_id of every verified pair and keep the min-id canonical —
+    the embedding-space twin of llm_dedup_keep_best.  Output is the
+    per-label survivor census (total vs kept), i.e. how much the corpus
+    shrinks under semantic dedup at threshold 0.30.
+
+    Scale: the pair generation is the banded-LSH shape (shuffle key =
+    (table, code), no all-pairs); the drop set is one distinct projection
+    of the pair list; survivorship is an anti-join — broadcastable while
+    |near-dups| is small, shuffle-joinable when it is not."""
+    pairs = llm_neardup_cosine(spark, sf_dir)
+    dropped = pairs.select(F.col("b_id").alias("vec_id")).distinct()
+    e = _emb(spark, sf_dir).select("vec_id", "label")
+    kept_flag = F.when(F.col("dropped_id").isNull(), 1).otherwise(0)
+    joined = e.join(
+        dropped.select(F.col("vec_id").alias("dropped_id")),
+        e.vec_id == F.col("dropped_id"),
+        "left",
+    )
+    return joined.groupBy("label").agg(
+        F.count("*").alias("n_total"), F.sum(kept_flag).alias("n_kept")
+    )
+
+
+@register(
     "llm_embed_norm",
     oracle="""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings WHERE vec_id < 10)
