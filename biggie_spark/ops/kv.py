@@ -259,3 +259,70 @@ def kv_merge(spark, sf_dir):
             F.when(F.col("text") == F.upper("text"), 1).otherwise(0)
         ).alias("n_from_b"),
     )
+
+
+@register(
+    "kv_tensor_field",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             3 AS n_rows, 4 + doc_id % 3 AS n_cols, doc_id % 50 AS base
+      FROM documents WHERE doc_id < 100)
+    SELECT doc_id,
+           CAST(n_rows AS INT) AS n_rows, CAST(n_cols AS INT) AS n_cols,
+           CAST(n_cols * base + 3 * (n_cols - 1) * n_cols // 2 AS BIGINT) AS row0_sum,
+           CAST(n_rows * n_cols * base + 2 * n_cols * 3
+                + 3 * n_rows * (n_cols - 1) * n_cols // 2 AS BIGINT) AS total_sum,
+           CAST(base + 2 * (n_rows - 1) + 3 * (n_cols - 1) AS BIGINT) AS max_elem
+    FROM t
+    """,
+)
+def kv_tensor_field(spark, sf_dir):
+    """Rank-2 tensor fields — the reference's core entity payload (numpy
+    ndarrays, e.g. spectrograms) in its Spark mapping: ``struct<shape:
+    array<int>, data: array<float>>`` with row-major flat data (SURVEY.md
+    §1.2).  Demonstrates the three tensor access patterns entirely with
+    JVM-side higher-order functions (no UDF, no Python):
+
+    * shape access — struct field projection (never touches data);
+    * row slice — ``slice(data, r*cols+1, cols)`` on the flat layout;
+    * reduction — ``aggregate`` folds for row/total sums and max.
+
+    Tensors are synthesized deterministically (elem(i,j) = base + 2i + 3j)
+    so the oracle can state every reduction in closed form; the integer
+    values are float-exact, making the sums BIGINT-comparable.  At 100 TB
+    the payloads ride in one parquet column; shape-only queries prune the
+    data column exactly like the reference's lazy fields."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    rows = F.lit(3)
+    cols = (F.lit(4) + F.col("doc_id") % 3).cast("int")
+    base = (F.col("doc_id") % 50).cast("int")
+    data = F.transform(
+        F.sequence(F.lit(0), rows * cols - 1),
+        lambda k: (base + 2 * (k / cols).cast("int") + 3 * (k % cols)).cast(
+            "float"
+        ),
+    )
+    t = d.select(
+        "doc_id",
+        F.struct(
+            F.array(rows, cols).alias("shape"), data.alias("data")
+        ).alias("tensor"),
+    )
+    shape = F.col("tensor.shape")
+    n_rows = F.element_at(shape, 1)
+    n_cols = F.element_at(shape, 2)
+    flat = F.col("tensor.data")
+    row0 = F.slice(flat, 1, n_cols)
+    fsum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    fmax = F.array_max(flat)
+    return t.select(
+        "doc_id",
+        n_rows.alias("n_rows"),
+        n_cols.alias("n_cols"),
+        fsum(row0).cast("bigint").alias("row0_sum"),
+        fsum(flat).cast("bigint").alias("total_sum"),
+        fmax.cast("bigint").alias("max_elem"),
+    )
