@@ -185,6 +185,12 @@ def kv_put_bucketed(spark, sf_dir):
             stash.where(F.col("kbucket").isin(touched))
             .join(F.broadcast(incoming.select("doc_id")), "doc_id", "left_anti")
             .unionByName(incoming)
+            # Materialize BEFORE the overwrite: Spark forbids/undefines
+            # overwriting a path that is simultaneously being read, and the
+            # touched partitions are both source and sink here.  A touched
+            # bucket is O(stash/N) by construction, so the checkpoint is
+            # small regardless of total stash size.
+            .localCheckpoint()
         )
         with temp_conf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
             merged_touched.write.mode("overwrite").partitionBy("kbucket").parquet(base)
@@ -223,13 +229,13 @@ def _bucket_of(path: str) -> int:
     "kv_merge",
     oracle="""
     WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
-    b AS (SELECT doc_id, upper(text) AS text FROM documents
+    b AS (SELECT doc_id, 'B::' || text AS text FROM documents
           WHERE doc_id BETWEEN 200 AND 499),
     merged AS (
       SELECT * FROM a WHERE doc_id NOT IN (SELECT doc_id FROM b)
       UNION ALL SELECT * FROM b)
     SELECT count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_key,
-           CAST(sum(CASE WHEN text = upper(text) THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(sum(CASE WHEN text LIKE 'B::%' THEN 1 ELSE 0 END) AS BIGINT)
                AS n_from_b
     FROM merged
     """,
@@ -237,17 +243,19 @@ def _bucket_of(path: str) -> int:
 def kv_merge(spark, sf_dir):
     """Stash-level merge, newest-wins (Stash.merge): two snapshots with an
     overlapping key range combine into one; for overlapped keys the newer
-    stash's entity replaces the older's.  Stash B's texts are uppercased so
-    provenance is value-visible: the oracle counts how many merged rows
-    carry B's version (must equal |B| exactly — every overlap resolved in
-    B's favor, no duplicates).  One anti-join ∪ append; broadcastable
-    delta = no shuffle of the base."""
+    stash's entity replaces the older's.  Stash B's texts carry an explicit
+    ``B::`` provenance prefix so survivorship is value-visible and exact:
+    the oracle counts merged rows whose text starts with the marker — that
+    count equals |B| iff every overlap resolved in B's favor with no
+    duplicates, with no reliance on incidental value properties of the
+    corpus.  One anti-join ∪ append; broadcastable delta = no shuffle of
+    the base."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     a = Stash(spark, docs.filter(F.col("doc_id") < 300), "doc_id")
     b = Stash(
         spark,
         docs.filter(F.col("doc_id").between(200, 499)).withColumn(
-            "text", F.upper("text")
+            "text", F.concat(F.lit("B::"), F.col("text"))
         ),
         "doc_id",
     )
@@ -256,7 +264,7 @@ def kv_merge(spark, sf_dir):
         F.count("*").alias("n"),
         F.sum("doc_id").alias("sum_key"),
         F.sum(
-            F.when(F.col("text") == F.upper("text"), 1).otherwise(0)
+            F.when(F.col("text").startswith("B::"), 1).otherwise(0)
         ).alias("n_from_b"),
     )
 

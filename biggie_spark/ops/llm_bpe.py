@@ -13,11 +13,17 @@ pair rides as a broadcast 1-row frame, exactly like tf-idf's corpus-N).
 
 Determinism/oracle: words are represented as space-separated symbol
 strings with sentinel spaces (`' a b c '`); a merge is
-``replace(rep, ' x y ', ' xy ')`` applied 4× (left-to-right non-overlapping
-replace converges to the merge-all-adjacent-occurrences fixpoint in ≤4
-passes for words ≤32 symbols — runs halve each pass).  Both engines'
-``replace`` scans left-to-right non-overlapping (verified), so the oracle
-reproduces training byte-for-byte; ties break on (weight DESC, pair ASC).
+``replace(rep, ' x y ', ' xy ')`` applied 4×.  Note this is NOT the
+canonical greedy BPE merge on self-overlapping runs: for `'a a a a'` a
+left-to-right non-overlapping replace yields `'aa aa'` on the first pass
+but `'a a a a a'` (odd run) leaves a straggler whose placement alternates
+across passes, so segmentation of repeated-symbol runs can diverge from a
+reference BPE implementation.  What the 4 passes DO guarantee is a
+deterministic fixpoint of the *non-overlapping* rewrite for words ≤32
+symbols (runs at least halve each pass), and both engines' ``replace``
+scans left-to-right non-overlapping (verified), so Spark and the DuckDB
+oracle apply byte-identical semantics; ties break on (weight DESC,
+pair ASC).
 
 At 100 TB: the per-iteration aggregates run over the VOCABULARY (|V| words,
 millions at web scale — still thousands of times smaller than the corpus),

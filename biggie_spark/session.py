@@ -44,6 +44,15 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
 
         _CONFIGURED = weakref.WeakSet()
     if spark in _CONFIGURED:
+        # One conf is correctness-critical rather than merely performance-
+        # tuning: the NTZ->timestamp repair in io.load_table and epoch math
+        # vs the DuckDB oracle silently break if anything reset the session
+        # timezone mid-run.  Re-pin it on every call (a single Py4J
+        # round-trip) instead of trusting the cache blindly.
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        except Exception:
+            pass
         return spark
     for k, v in RUNTIME_CONFS.items():
         try:

@@ -1,29 +1,58 @@
-"""ANN quality gates: the bucketed path must (a) prune the candidate space
+"""ANN quality gates: the bucketed paths must (a) prune the candidate space
 vs brute force and (b) keep recall@5 against the exact baseline above a
-floor.  Approximate ops get engineering tests, not value oracles."""
+floor.  Approximate ops get engineering tests, not value oracles.
+
+``llm_knn_ann`` (the user-facing default) routes through the IVF index and
+is held to the accuracy bar a default deserves: recall@5 >= 0.9, pinned at
+BOTH the fixture SF and sf0.01.  ``llm_knn_lsh`` (the SimHash tables) is
+held to its theory-predicted floor on this cluster-free corpus (ops/ann.py
+docstring: 0.34-0.38 measured; floor 0.25 to catch collapses, not noise).
+"""
 
 from __future__ import annotations
+
+import os
+
+import pytest
 
 from pyspark.sql import functions as F
 
 from biggie_spark.io import load_table
-from biggie_spark.ops.ann import llm_knn_ann, table_code
+from biggie_spark.ops.ann import llm_knn_ann, llm_knn_lsh, table_code
 from biggie_spark.registry import QUERIES
 
 
-def test_ann_recall_and_pruning(spark, sf_dir):
+def _recall_at_5(spark, sf, approx_fn) -> float:
     exact = {
         (r.probe_id, r.neighbor_id)
-        for r in QUERIES["llm_knn_cosine"](spark, sf_dir).collect()
+        for r in QUERIES["llm_knn_cosine"](spark, sf).collect()
     }
-    approx = {
-        (r.probe_id, r.neighbor_id) for r in llm_knn_ann(spark, sf_dir).collect()
-    }
+    approx = {(r.probe_id, r.neighbor_id) for r in approx_fn(spark, sf).collect()}
+    return len(exact & approx) / len(exact)
+
+
+def test_ann_default_recall(spark, sf_dir):
+    """The default ANN path must be accurate, not just bucketed."""
+    recall = _recall_at_5(spark, sf_dir, llm_knn_ann)
+    assert recall >= 0.9, f"default ANN recall@5 below bar: {recall:.2f}"
+
+
+@pytest.mark.slow
+def test_ann_default_recall_sf001(spark):
+    """Same bar at sf0.01 — the driver's correctness scale (VERDICT r3 #3)."""
+    sf = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf):
+        pytest.skip("sf0.01 corpus not present")
+    recall = _recall_at_5(spark, sf, llm_knn_ann)
+    assert recall >= 0.9, f"default ANN recall@5 below bar at sf0.01: {recall:.2f}"
+
+
+def test_lsh_recall_and_pruning(spark, sf_dir):
+    recall = _recall_at_5(spark, sf_dir, llm_knn_lsh)
     # measured 0.34-0.38 on this corpus, matching SimHash theory for
     # cos~0.3 neighbors (see ops/ann.py docstring); floor set below the
     # measured band to catch collapses, not noise
-    recall = len(exact & approx) / len(exact)
-    assert recall >= 0.25, f"recall@5 collapsed: {recall:.2f}"
+    assert recall >= 0.25, f"LSH recall@5 collapsed: {recall:.2f}"
 
     # pruning: candidate pairs considered << full cross product
     e = load_table(spark, sf_dir, "embeddings")
@@ -35,10 +64,10 @@ def test_ann_recall_and_pruning(spark, sf_dir):
     assert max_bucket < n, "bucketing degenerated to a single bucket"
 
 
-def test_ann_exact_on_duplicate_vector(spark, sf_dir):
+def test_lsh_exact_on_duplicate_vector(spark, sf_dir):
     """A vector is always in the same bucket as itself — identical vectors
     must be retrieved (sanity floor for the bucket join)."""
-    approx = llm_knn_ann(spark, sf_dir).collect()
+    approx = llm_knn_lsh(spark, sf_dir).collect()
     assert len(approx) > 0
     by_probe = {}
     for r in approx:

@@ -10,7 +10,13 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from biggie_spark.multimodal import decode_ppm, decode_wav, encode_ppm, encode_wav
+from biggie_spark.multimodal import (
+    decode_image_batch,
+    decode_ppm,
+    decode_wav,
+    encode_ppm,
+    encode_wav,
+)
 
 
 @settings(max_examples=50, deadline=None)
@@ -46,6 +52,24 @@ def test_ppm_header_comments_and_whitespace():
     # inject an extra comment after the magic; decoder must skip it
     patched = b"P6\n# injected\n# twice\n" + b[len(b"P6\n# biggie synthetic\n") :]
     assert decode_ppm(patched) == decode_ppm(b)
+
+
+def test_decode_image_batch_ppm_dispatch():
+    """The batch image kernel decodes PPM payloads natively (no pillow
+    needed) and rejects unknown formats with a ValueError naming the
+    supported path — no NotImplementedError stubs anywhere."""
+    import pandas as pd
+
+    payloads = pd.Series([encode_ppm(3, 2, (5, 6, 7)), encode_ppm(2, 2, (0, 0, 0))])
+    out = decode_image_batch(payloads)
+    assert list(out.columns) == ["width", "height", "n_px", "sum_r", "sum_g", "sum_b"]
+    assert tuple(out.iloc[0]) == decode_ppm(bytes(payloads[0]))
+    assert tuple(out.iloc[1]) == decode_ppm(bytes(payloads[1]))
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(ValueError, match="PPM natively"):
+            decode_image_batch(pd.Series([b"\xff\xd8\xff\xe0 jpeg-ish"]))
 
 
 def test_codecs_reject_garbage():

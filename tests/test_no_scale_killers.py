@@ -31,9 +31,45 @@ ALLOWED_NESTED = {
 }
 
 # Single-row/scalar broadcast frames appear as BroadcastNestedLoopJoin; they
-# replicate ONE row and are scale-safe.  CartesianProduct (both sides
-# unbounded, no broadcast) is never acceptable outside ALLOWED_NESTED.
+# replicate ONE row (or a literal-bounded probe set) and are scale-safe.
+# CartesianProduct (both sides unbounded, no broadcast) is never acceptable
+# outside ALLOWED_NESTED, and BroadcastNestedLoopJoin is only acceptable for
+# the audited ops below — each one's broadcast side is bounded by
+# construction, independent of input scale:
+#   scalar aggregate (exactly 1 row: corpus-N, min/max bounds, total mass):
+#     diag_heavy_hitters diag_range_bounds graph_pagerank llm_bm25
+#     llm_mix_weights llm_source_drift llm_tf_idf stream_watermark_late
+#     tpch_q11_important_parts tpch_q22_global_sales_opportunity
+#     ts_gapfill ts_resample_interp
+#   limit(1) winning-pair frame (1 row per iteration):
+#     llm_bpe_train llm_bpe_apply
+#   literal-bounded probe subset (doc_id/vec_id < k, k ≤ 10, documented as
+#   the exact-baseline probe pattern in the op docstring):
+#     llm_embed_norm llm_knn_cosine llm_knn_ivf
+# An op outside this set whose plan grows a BNLJ — e.g. a non-equi join
+# against a large broadcast side — fails the sweep.
 CARTESIAN = "CartesianProduct"
+BNLJ = "BroadcastNestedLoopJoin"
+ALLOWED_BNLJ = {
+    "diag_heavy_hitters",
+    "diag_range_bounds",
+    "graph_pagerank",
+    "llm_bm25",
+    "llm_bpe_apply",
+    "llm_bpe_train",
+    "llm_embed_norm",
+    "llm_knn_ann",  # routes to llm_knn_ivf (same bounded probe pattern)
+    "llm_knn_cosine",
+    "llm_knn_ivf",
+    "llm_mix_weights",
+    "llm_source_drift",
+    "llm_tf_idf",
+    "stream_watermark_late",
+    "tpch_q11_important_parts",
+    "tpch_q22_global_sales_opportunity",
+    "ts_gapfill",
+    "ts_resample_interp",
+}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
@@ -43,3 +79,8 @@ def test_no_unbounded_cartesian(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert CARTESIAN not in plan, f"{name} plan contains CartesianProduct"
+    if name not in ALLOWED_BNLJ:
+        assert BNLJ not in plan, (
+            f"{name} plan contains BroadcastNestedLoopJoin but is not in the "
+            "audited scalar/bounded-broadcast allowlist"
+        )

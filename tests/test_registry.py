@@ -70,6 +70,7 @@ def test_window_ops_have_oracle_or_documented_weak():
     ROWS_ONLY_OK = {
         "fn_sample",          # RNG not portable across engines (SURVEY §2.I)
         "llm_knn_ann",        # approximate by design; recall gated in tests
+        "llm_knn_lsh",        # approximate by design (SimHash tables)
         "llm_knn_ivf",        # approximate by design
         "agg_approx_quantile",  # sketch, engine-specific
     }

@@ -57,6 +57,20 @@ HEADLINE = {
     "q_dedup_minhash_proxy": "llm_dedup_exact",
 }
 
+# dedup/ANN family (VERDICT r3 #6): the banded/bucketed-join sublinearity
+# claim, measured — these are the ops whose naive versions are O(n²).
+# NOT probed via key-shifted replication: the replicas carry byte-identical
+# TEXT/EMBEDDINGS, so every copy is a genuine near-duplicate of every other
+# copy and the true answer itself grows K² — a data artifact, not a plan
+# property.  Instead these are measured across the natural 10× step
+# sf0.01 → sf0.1 (iid content, linear true answer).
+CONTENT_KEYED = {
+    "q_neardup_lsh": "llm_neardup_pairs",
+    "q_dedup_semantic": "llm_dedup_semantic",
+    "q_knn_ivf": "llm_knn_ivf",
+}
+SRC_SMALL = "/root/testdata/sf0.01"
+
 
 def build(spark) -> None:
     if os.path.isdir(OUT):
@@ -80,9 +94,9 @@ def build(spark) -> None:
         )
 
 
-def time_queries(spark, sf_dir: str) -> dict[str, float]:
+def time_queries(spark, sf_dir: str, suite: dict[str, str]) -> dict[str, float]:
     out = {}
-    for bench_name, op in HEADLINE.items():
+    for bench_name, op in suite.items():
         fn = QUERIES[op]
         warm = None
         for _ in range(2):
@@ -100,8 +114,8 @@ def main() -> None:
     t0 = time.time()
     build(spark)
     print(f"built {K}x corpus at {OUT} in {time.time() - t0:.0f}s")
-    base = time_queries(spark, SRC)
-    big = time_queries(spark, OUT)
+    base = time_queries(spark, SRC, HEADLINE)
+    big = time_queries(spark, OUT, HEADLINE)
     print(f"\n| query | sf0.1 | {K}x | ratio (ideal <= {K}) |")
     print("|---|---|---|---|")
     for q in HEADLINE:
@@ -110,6 +124,14 @@ def main() -> None:
     tot = sum(big.values()) / sum(base.values())
     print(f"| **total** | {sum(base.values()):.2f}s | {sum(big.values()):.2f}s | {tot:.1f}x |")
     shutil.rmtree(OUT, ignore_errors=True)
+
+    small = time_queries(spark, SRC_SMALL, CONTENT_KEYED)
+    nat = time_queries(spark, SRC, CONTENT_KEYED)
+    print("\n| dedup/ANN op | sf0.01 | sf0.1 (10x rows) | ratio (ideal <= 10) |")
+    print("|---|---|---|---|")
+    for q in CONTENT_KEYED:
+        r = nat[q] / small[q]
+        print(f"| {q} | {small[q]:.3f}s | {nat[q]:.3f}s | {r:.1f}x |")
 
 
 if __name__ == "__main__":
