@@ -59,6 +59,39 @@ class Engine:
 
         return knn_exact(self.table("embeddings"), probe_ids, k)
 
+    def knn_approx(self, k: int = 5, n_probes: int = 10) -> DataFrame:
+        """Approximate cosine top-k via the default ANN path (IVF index,
+        recall@5 >= 0.9 gated in tests/test_ann.py).  For corpora dominated
+        by true near-duplicates (cos >= 0.9) the SimHash tables
+        (`llm_knn_lsh`) may be preferable — see ops/ann.py."""
+        from biggie_spark.ops.ann import llm_knn_ann
+
+        return llm_knn_ann(self.spark, self.sf_dir, k=k, n_probes=n_probes)
+
+    def sample(self, pct: int = 10) -> DataFrame:
+        """Deterministic content-hash sampling (the blessed sampling path,
+        `fn_sample_hash` semantics): stable across engines, reruns and
+        repartitioning."""
+        from pyspark.sql import functions as F
+
+        e = self.table("events")
+        bucket = F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        return e.filter(bucket % (100 // pct) == 0)
+
+    def sessionize(self) -> DataFrame:
+        """Gap-based user sessions with per-session stats (1 h inactivity)."""
+        from biggie_spark.ops.pipeline2 import ts_sessionize
+
+        return ts_sessionize(self.spark, self.sf_dir)
+
+    def importance_sample(self) -> DataFrame:
+        """Deterministic quality-weighted document downsampling."""
+        from biggie_spark.ops.pipeline2 import llm_importance_sample
+
+        return llm_importance_sample(self.spark, self.sf_dir)
+
     def dedup_candidates(self, threshold: float = 0.95) -> DataFrame:
         """MinHash/LSH near-duplicate pairs over documents at the given
         Jaccard threshold."""

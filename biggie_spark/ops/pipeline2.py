@@ -242,6 +242,119 @@ def mm_audio_energy(spark, sf_dir):
     )
 
 
+TOL_S = 86400  # as-of tolerance: 1 day
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT e.event_id AS event_id, p.ts AS pts, p.event_id AS peid,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY p.ts DESC NULLS LAST, p.event_id DESC NULLS LAST
+             ) AS rn
+      FROM events e LEFT JOIN p
+        ON e.user_id = p.user_id
+       AND (p.ts < e.ts OR (p.ts = e.ts AND p.event_id < e.event_id))
+       AND p.ts >= e.ts - INTERVAL {TOL_S} SECOND
+    )
+    SELECT event_id,
+           CAST(floor(epoch(pts)) AS BIGINT) AS prev_purchase_epoch,
+           peid AS prev_purchase_eid
+    FROM j WHERE rn = 1
+    """,
+)
+def join_asof_tolerance(spark, sf_dir):
+    """As-of join with a max-staleness tolerance (pandas `merge_asof
+    tolerance=` / kdb wj semantics): the latest prior purchase per user,
+    but only if it happened within the last day — older matches become
+    NULL, exactly like a feature-store lookup that refuses stale features.
+
+    Same ONE-shuffle union-tag + running `last(ignorenulls)` rewrite as
+    `join_asof` (ops/joins.py — no inequality join, linear state); the
+    tolerance is applied as a post-filter on the running result, sound
+    because the running last is the LATEST prior match: if it is stale,
+    every earlier match is staler.  The oracle keeps the independent
+    inequality-join formulation with the tolerance in the ON clause."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    probes = ev.select(
+        "user_id", "ts", "event_id",
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+        F.lit(None).cast("long").alias("p_eid"),
+    )
+    purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", "ts", "event_id",
+            F.lit(1).alias("tag"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_eid"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id", "tag")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = probes.unionByName(purchases)
+    fresh = F.col("prev_ts") >= F.col("ts") - F.expr(f"INTERVAL {TOL_S} SECOND")
+    return (
+        tagged.withColumn("prev_ts", F.last("p_ts", ignorenulls=True).over(w))
+        .withColumn("prev_eid", F.last("p_eid", ignorenulls=True).over(w))
+        .filter(F.col("tag") == 0)
+        .select(
+            "event_id",
+            F.when(fresh, F.unix_timestamp("prev_ts")).alias("prev_purchase_epoch"),
+            F.when(fresh, F.col("prev_eid")).alias("prev_purchase_eid"),
+        )
+    )
+
+
+@register(
+    "stream_topk_windowed",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY hour_epoch
+                                   ORDER BY n DESC, event_type) AS rk
+      FROM c)
+    SELECT hour_epoch, event_type, n, CAST(rk AS INT) AS rk
+    FROM r WHERE rk <= 2
+    """,
+)
+def stream_topk_windowed(spark, sf_dir):
+    """Per-hour top-2 event types by count — the "trending topics" shape.
+    Batch-equivalent semantics of the streaming twin (`F.window` rollup
+    feeding a per-window rank; under `readStream` the same agg runs
+    incrementally and the rank applies per emitted window on completion).
+    Two stages: hash agg on (hour, type) with map-side partials, then a
+    window over the tiny per-hour group — the second shuffle moves only
+    hours × types rows, independent of input size.  Ties break on
+    event_type ascending in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_timestamp("w.start").alias("hour_epoch"), "event_type", "n"
+        )
+    )
+    wr = Window.partitionBy("hour_epoch").orderBy(F.col("n").desc(), "event_type")
+    return (
+        counts.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 2)
+    )
+
+
 @register(
     "fn_url_parse",
     oracle="""

@@ -22,6 +22,14 @@ def test_engine_entry_points_agree(spark, sf_dir):
     knn = eng.knn([0, 1], k=3).collect()
     assert len(knn) == 6  # 2 probes x 3 neighbors
 
+    approx = eng.knn_approx(k=3, n_probes=2).collect()
+    assert 0 < len(approx) <= 6  # IVF may surface < k per probe
+
+    samp = eng.sample(pct=10)
+    assert 0 < samp.count() < eng.table("events").count()
+    # deterministic: the same selection on a second call
+    assert samp.count() == eng.sample(pct=10).count()
+
     plan = eng.explain(eng.table("lineitem").select("l_orderkey"))
     assert "ReadSchema" in plan
 
@@ -41,6 +49,8 @@ def test_engine_facade_analytics_surface(spark, sf_dir):
         "mix_weights",
         "anomaly_mad",
         "cov_exact",
+        "sessionize",
+        "importance_sample",
     ):
         df = getattr(eng, name)()
         assert df.columns, name
