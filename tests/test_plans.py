@@ -274,3 +274,45 @@ def test_dynamic_partition_pruning_on_fact_scan(spark, tmp_path):
     ).count()
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
+
+
+def test_asof_tolerance_join_is_linear(spark, sf_dir):
+    """The tolerance variant must keep the as-of linear shape: union +
+    window + post-filter, no join operator (the tolerance lives in a
+    projection, not an inequality join)."""
+    plan = plan_of(QUERIES["join_asof_tolerance"](spark, sf_dir))
+    assert "Window" in plan and "Union" in plan
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"):
+        assert bad not in plan, f"as-of tolerance degenerated into {bad}"
+
+
+def test_sessionize_single_user_shuffle(spark, sf_dir):
+    """Sessionization = two windows + one agg, ALL keyed by user_id: the
+    plan must contain exactly one hashpartitioning exchange on user_id and
+    no other shuffle (window work is partition-local after it)."""
+    import re
+
+    plan = plan_of(QUERIES["ts_sessionize"](spark, sf_dir))
+    exchanges = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert exchanges, "expected a user_id exchange"
+    assert all("user_id" in e for e in exchanges), exchanges
+
+
+def test_importance_sample_is_map_only(spark, sf_dir):
+    """Deterministic importance sampling is a pure scan+filter: no
+    exchange of any kind in the plan."""
+    plan = plan_of(QUERIES["llm_importance_sample"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_reg_slope_single_frame_pass(spark, sf_dir):
+    """All five rolling sums must share one window frame (a single Window
+    node computes them in one pass), after one partition-key exchange."""
+    import re
+
+    plan = plan_of(QUERIES["win_reg_slope"](spark, sf_dir))
+    # two Window nodes total: row_number assignment + the shared frame
+    window_nodes = re.findall(r"^\(\d+\) Window", plan, flags=re.M)
+    assert len(window_nodes) == 2, window_nodes
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan
