@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from biggie_spark.io import load_table
 from biggie_spark.registry import register
-from biggie_spark.util import epoch_s
+from biggie_spark.util import epoch_s, tokens
 
 SESSION_GAP_S = 3600  # 1 hour of inactivity ends a session
 
@@ -386,4 +386,81 @@ def fn_url_parse(spark, sf_dir):
         F.parse_url(url, F.lit("HOST")).alias("host"),
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
+
+
+@register(
+    "ts_cumulative_distinct",
+    oracle="""
+    WITH f AS (
+      SELECT event_type, user_id,
+             min(CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)) AS first_h
+      FROM events GROUP BY event_type, user_id),
+    n AS (SELECT event_type, first_h AS hour_epoch, count(*) AS n_new
+          FROM f GROUP BY event_type, first_h)
+    SELECT event_type, hour_epoch, n_new,
+           CAST(sum(n_new) OVER (PARTITION BY event_type ORDER BY hour_epoch
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+    FROM n
+    """,
+)
+def ts_cumulative_distinct(spark, sf_dir):
+    """Cumulative distinct users per event type by hour — the
+    growth-accounting metric ("total users who have ever done X as of
+    hour h").  A naive rolling count(distinct) over an expanding frame
+    re-scans history per step; the exact linear rewrite is: min
+    first-seen hour per (type, user) — one hash agg over the corpus —
+    then new-user counts per (type, hour) (tiny), then a running sum
+    along the HOURS axis partitioned by type.  All corpus-sized work is
+    two partial-aggregated shuffles; the window touches only the
+    types × hours frame, independent of input row count — the shape that
+    keeps the metric computable at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("event_type", "user_id").agg(
+        F.min(epoch_s(F.date_trunc("hour", F.col("ts")))).alias("first_h")
+    )
+    hourly = first.groupBy(
+        "event_type", F.col("first_h").alias("hour_epoch")
+    ).agg(F.count("*").alias("n_new"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_epoch")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return hourly.withColumn("cum_users", F.sum("n_new").over(w).cast("bigint"))
+
+
+N_FEATURE_BUCKETS = 32
+
+
+@register(
+    "llm_feature_hash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents)
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+                % {N_FEATURE_BUCKETS} AS INT) AS bucket,
+           count(*) AS n
+    FROM toks GROUP BY 1, 2
+    """,
+)
+def llm_feature_hash(spark, sf_dir):
+    """Hashing-trick bag-of-words features (sparse long format): each token
+    maps to one of 32 buckets by md5 and the per-(doc, bucket) counts are
+    the feature values — the fixed-dimension, vocabulary-free featurizer
+    a streaming ML pipeline uses (no vocab build, no global state, new
+    tokens never resize the space).  One explode + one hash aggregate on
+    (doc_id, bucket) with map-side partials; md5 keeps the bucket
+    assignment engine-portable (SURVEY.md §7.4.8) where Spark's `hash()`
+    would not be."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+        % N_FEATURE_BUCKETS
+    ).cast("int")
+    return tok.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count("*").alias("n")
     )
