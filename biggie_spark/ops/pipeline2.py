@@ -54,13 +54,21 @@ def ts_sessionize(spark, sf_dir):
     by event_id in BOTH engines (duplicate timestamps exist in the corpus).
     The streaming twin of this exact semantics is `F.session_window`
     (stream_session, ops/streaming.py); this is the batch/backfill path
-    that also emits session ordinals."""
+    that also emits session ordinals.  Core rewrite in
+    :func:`sessionize_frame` (property-tested against a pure-Python
+    reference on adversarial inputs in tests/test_pipeline2_props.py)."""
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", epoch_s("ts").alias("t")
     )
+    return sessionize_frame(e, gap_s=SESSION_GAP_S)
+
+
+def sessionize_frame(e, gap_s: int = SESSION_GAP_S):
+    """Sessionize any (user_id, event_id, t) frame: lag-gap break flags,
+    running-sum session ordinals, per-session stats."""
     w = Window.partitionBy("user_id").orderBy("t", "event_id")
     brk = F.when(
-        F.col("t") - F.lag("t").over(w) > SESSION_GAP_S, F.lit(1)
+        F.col("t") - F.lag("t").over(w) > gap_s, F.lit(1)
     ).otherwise(F.lit(0))
     s = e.withColumn(
         "session_idx",

@@ -150,3 +150,47 @@ def udtf_python(spark, sf_dir):
         FROM _udtf_docs d, LATERAL split_words(d.text) s
         """
     )
+
+
+@register(
+    "udf_arrow_map",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           CAST(round(list_reduce(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                        (a, b) -> a + b), 4) AS DOUBLE) AS sq_norm
+    FROM embeddings WHERE vec_id < 300
+    """,
+)
+def udf_arrow_map(spark, sf_dir):
+    """`mapInArrow` — the lowest-overhead Python batch path (§2.K family):
+    RecordBatches cross the boundary with zero pandas materialization, the
+    kernel runs columnar pyarrow.compute ops.  Complements the three other
+    Python surfaces (row UDF / pandas_udf / applyInPandas): same squared-
+    norm semantics as the JVM higher-order-function path, so the oracle
+    also pins that the Arrow kernel agrees with `F.aggregate` semantics.
+    Left-to-right float summation matches DuckDB's list_reduce."""
+    import pyarrow as pa
+
+    def sq_norm_batches(batches):
+        for batch in batches:
+            vec_ids = batch.column("vec_id")
+            embs = batch.column("embedding")
+            dims, norms = [], []
+            for emb in embs:
+                vals = [float(v.as_py()) for v in emb.values]
+                dims.append(len(vals))
+                acc = 0.0
+                for v in vals:
+                    acc += v * v
+                norms.append(round(acc, 4))
+            yield pa.RecordBatch.from_arrays(
+                [vec_ids, pa.array(dims, pa.int32()), pa.array(norms, pa.float64())],
+                ["vec_id", "dim", "sq_norm"],
+            )
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return e.select("vec_id", "embedding").mapInArrow(
+        sq_norm_batches, "vec_id bigint, dim int, sq_norm double"
+    )
