@@ -50,9 +50,16 @@ def ordered_queries() -> dict[str, QueryFn]:
     extensions (PRIORITY_PREFIXES), (3) other not-yet-green extensions,
     (4) already-green ops — registration order preserved within each tier,
     so every SURVEY.md §2 ID gets a driver CORRECTNESS row before any
-    extension re-scores."""
+    extension re-scores.
+
+    "Green" for tiering purposes = hash-green (ledger key ``green``) OR
+    rows-only-scored (key ``rows_only_scored``): a no-oracle-by-design op
+    that already has its rows-only driver row can never upgrade it, so
+    re-scoring it would waste a window slot every round forever
+    (fn_sample was doing exactly that)."""
     try:
-        green = set(json.loads(GREEN_LEDGER.read_text())["green"])
+        ledger = json.loads(GREEN_LEDGER.read_text())
+        green = set(ledger["green"]) | set(ledger.get("rows_only_scored", []))
     except (OSError, ValueError, KeyError):
         green = set()
     try:
