@@ -50,18 +50,29 @@ def test_ordered_queries_is_permutation():
 
 
 def test_window_prioritizes_nongreen_contract_ops():
-    green = set(json.loads(GREEN_LEDGER.read_text())["green"])
+    ledger = json.loads(GREEN_LEDGER.read_text())
+    # "done" for window purposes = hash-green OR rows-only-scored (a
+    # no-oracle-by-design op whose rows-only row can never upgrade)
+    green = set(ledger["green"]) | set(ledger.get("rows_only_scored", []))
     sec2 = set(json.loads(SEC2_CONTRACT.read_text())["sec2"])
     oq = list(ordered_queries())
     window = oq[:50]
-    # every non-green contract op must be inside the scoring window
+    # every non-done contract op must be inside the scoring window
     pending_contract = [n for n in sec2 if n not in green]
     outside = [n for n in pending_contract if n not in window]
     assert not outside, f"non-green §2 ops outside the window: {outside}"
-    # no green op may occupy a window slot while any non-green op waits
+    # no done op may occupy a window slot while any non-done op waits
     n_nongreen = sum(1 for n in oq if n not in green)
     greens_in_window = [n for n in window if n in green]
     assert not greens_in_window or n_nongreen < 50
+
+
+def test_rows_only_scored_ops_really_have_no_oracle():
+    """Only no-oracle-by-design ops may ride the rows_only_scored tier —
+    an oracle-bearing op parked there would silently skip its hash row."""
+    ledger = json.loads(GREEN_LEDGER.read_text())
+    bad = [n for n in ledger.get("rows_only_scored", []) if n in ORACLES]
+    assert not bad, f"oracle-bearing ops in rows_only_scored: {bad}"
 
 
 def test_window_ops_have_oracle_or_documented_weak():
