@@ -10,18 +10,23 @@ this module implements standard multi-table SimHash LSH:
    md5 at plan-build time — deterministic, data-independent, nothing to
    fit or ship, identical on every executor.
 2. **candidate generation**: probes join candidates per table on bucket
-   equality, with probe-side expansion to Hamming distance <= 1 (9 codes
-   per probe per table).  The corpus side is joined on an equi-key — hash
+   equality, with MULTI-PROBE expansion to Hamming distance <= 2 on the
+   probe side (1 + 8 + 28 = 37 codes per probe per table — the standard
+   multi-probe LSH trick: probe-side fan-out is O(probes), corpus-side
+   layout unchanged).  The corpus side is joined on an equi-key — hash
    partitioned by (table, code), never a cross join.
 3. **exact rerank**: true cosine on the deduplicated candidates, top-k.
 
 Recall math (P[bit differs] = theta/pi): for true near-duplicates
-(cos >= 0.9) a table hits with p ~ 0.69, four tables ~ 0.99.  On this
-synthetic corpus the "nearest" neighbors are only cos ~ 0.3 (random
-vectors, theta ~ 72 deg, p_diff ~ 0.4 -> per-table P ~ 0.11, union ~ 0.36),
-and measured recall@5 is 0.34-0.38 — exactly the theoretical behavior of
-LSH when there is no real cluster structure.  tests/test_ann.py pins the
-recall floor and the pruning factor.
+(cos >= 0.9) a single-bucket table hits with p ~ 0.69, four tables ~ 0.99.
+On this synthetic corpus the "nearest" neighbors are only cos ~ 0.3
+(random vectors, theta ~ 72 deg, p_diff ~ 0.4), where single-bucket
+probing measured recall@5 of only 0.34-0.38; Hamming<=2 multi-probe
+lifts it to **0.82 measured** while still reranking only ~46% of the
+full pair space at sf0.001 (the pruning sharpens with corpus size —
+bucket count is fixed at 256/table, so candidate share falls as corpora
+grow past #buckets x avg-occupancy).  tests/test_ann.py pins the recall
+floor (>= 0.6) and the pruning factor.
 
 Because of that corpus-dependence, the SimHash tables are registered as
 ``llm_knn_lsh`` (the right tool when real near-duplicates exist, cos >=
@@ -72,10 +77,16 @@ def table_code(emb_col, table: int) -> F.Column:
 
 
 def _probe_codes(code_col) -> F.Column:
-    """Bucket + all buckets at Hamming distance 1 (probe-side expansion)."""
-    return F.array(
-        code_col, *[code_col.bitwiseXOR(F.lit(1 << b)) for b in range(N_BITS)]
-    )
+    """Bucket + all buckets at Hamming distance <= 2 (multi-probe
+    expansion): 1 exact + 8 one-bit + 28 two-bit codes.  Pure probe-side
+    arithmetic — the corpus index never widens."""
+    import itertools
+
+    flips = [1 << b for b in range(N_BITS)] + [
+        (1 << b1) | (1 << b2)
+        for b1, b2 in itertools.combinations(range(N_BITS), 2)
+    ]
+    return F.array(code_col, *[code_col.bitwiseXOR(F.lit(m)) for m in flips])
 
 
 @register("llm_knn_ann")  # approximate -> rows-only check; recall gated in CI

@@ -49,10 +49,10 @@ def test_ann_default_recall_sf001(spark):
 
 def test_lsh_recall_and_pruning(spark, sf_dir):
     recall = _recall_at_5(spark, sf_dir, llm_knn_lsh)
-    # measured 0.34-0.38 on this corpus, matching SimHash theory for
-    # cos~0.3 neighbors (see ops/ann.py docstring); floor set below the
-    # measured band to catch collapses, not noise
-    assert recall >= 0.25, f"LSH recall@5 collapsed: {recall:.2f}"
+    # Hamming<=2 multi-probe measures 0.82 on this corpus (vs 0.34-0.38
+    # single-bucket — see ops/ann.py docstring); floor set below the
+    # measured value to catch collapses, not noise (ADVICE r3)
+    assert recall >= 0.6, f"LSH recall@5 collapsed: {recall:.2f}"
 
     # pruning: candidate pairs considered << full cross product
     e = load_table(spark, sf_dir, "embeddings")
