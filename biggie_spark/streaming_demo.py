@@ -183,3 +183,59 @@ def demo_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(unix_micros(c_ts) - unix_micros(v_ts)) div 1000000").alias("gap_s"),
     )
     return _drain(j, "append")
+
+
+def demo_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via the Spark 4 `transformWithStateInPandas`
+    API (StatefulProcessor + typed state handles) — the successor to
+    applyInPandasWithState above, shown side-by-side so both stateful
+    surfaces are covered.  Per-user running (count, max value) kept in a
+    ValueState; state shards with the user_id partitioning exactly like the
+    GroupState variant, so the state store is executor-local at any scale.
+
+    Runtime dependency: the TWS Python worker speaks protobuf to the state
+    server — google.protobuf must be on the image (standard on Spark 4
+    clusters; absent in this CI container, where the matching test
+    importorskips and the GroupState demo provides the verified stateful
+    path)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("mx", DoubleType())]
+    )
+
+    class RunningMax(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("agg", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, mx = (0, float("-inf"))
+            if self._state.exists():
+                n, mx = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                mx = max(mx, float(pdf["value"].max()))
+            self._state.update((n, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [n], "max_val": [round(mx, 4)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = _events_stream(spark, sf_dir).select("user_id", "value")
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        RunningMax(),
+        outputStructType="user_id bigint, n bigint, max_val double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    return _drain(out, "update")

@@ -5,6 +5,8 @@ is set-equal on the key columns)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from biggie_spark import streaming_demo
 from biggie_spark.registry import QUERIES
 
@@ -69,3 +71,37 @@ def test_streaming_interval_join_matches_batch(spark, sf_dir):
     b = QUERIES["stream_join_interval"](spark, sf_dir)
     assert sorted(s.columns) == sorted(b.columns)
     assert _rows(s) == _rows(b)
+
+
+def test_streaming_transform_with_state_matches_batch(spark, sf_dir):
+    """The transformWithStateInPandas twin's final per-user state must equal
+    the batch groupBy aggregate (update mode may emit a row per micro-batch
+    per key; the last one carries the final state).
+
+    Requires google.protobuf (the TWS state-server wire protocol) — absent
+    in this container, present on any real Spark 4 cluster image; the
+    GroupState variant (demo_stateful_custom) covers custom stateful
+    operators in CI either way."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs protobuf (cluster image)",
+    )
+    from biggie_spark.io import load_table
+
+    out = streaming_demo.demo_transform_with_state(spark, sf_dir).collect()
+    final = {}
+    for r in out:
+        final[r.user_id] = (r.n, r.max_val)  # later rows overwrite earlier
+    batch = {
+        r.user_id: (r.n, r.max_val)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.max("value"), 4).alias("max_val"),
+        )
+        .collect()
+    }
+    assert final == batch
