@@ -280,3 +280,64 @@ def mm_codec_wav(spark, sf_dir):
         F.col("st.sum_amp").alias("sum_amp"),
         F.col("st.peak").alias("peak"),
     )
+
+
+@register(
+    "mm_decode_dispatch",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 3 + doc_id % 5 AS w, 2 + doc_id % 3 AS h,
+             doc_id % 90 AS rb, (doc_id * 3) % 90 AS gb, (doc_id * 11) % 90 AS bb
+      FROM documents WHERE doc_id < 48)
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(w*h AS BIGINT) AS n_px,
+           CAST(w*h*rb + h*(w*(w-1)//2) + w*(h*(h-1)//2) AS BIGINT) AS sum_r,
+           CAST(w*h*gb + h*(w*(w-1)//2) + w*(h*(h-1)//2) AS BIGINT) AS sum_g,
+           CAST(w*h*bb + h*(w*(w-1)//2) + w*(h*(h-1)//2) AS BIGINT) AS sum_b
+    FROM dims
+    """,
+)
+def mm_decode_dispatch(spark, sf_dir):
+    """The format-dispatching image kernel (`decode_image_batch`,
+    biggie_spark/multimodal.py) in the Spark path: payloads enter as an
+    opaque binary column, the kernel sniffs the magic bytes per payload and
+    decodes through the right codec (PPM natively; JPEG/PNG via pillow when
+    the cluster image ships it).  Same closed-form gradient oracle as
+    mm_codec_ppm but through the DISPATCH surface — so a regression in the
+    sniffing/dispatch layer (not just the codec) breaks the hash.  1:1 row
+    map -> Arrow-batched pandas_udf."""
+    from pyspark.sql.functions import pandas_udf
+
+    from biggie_spark.multimodal import (
+        PPM_STATS_SCHEMA,
+        decode_image_batch,
+        encode_ppm,
+    )
+
+    @pandas_udf("binary")
+    def encode_udf(doc_id: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                encode_ppm(
+                    3 + int(d) % 5,
+                    2 + int(d) % 3,
+                    (int(d) % 90, (int(d) * 3) % 90, (int(d) * 11) % 90),
+                )
+                for d in doc_id
+            ]
+        )
+
+    @pandas_udf(f"struct<{PPM_STATS_SCHEMA}>")
+    def decode_udf(payload: pd.Series) -> pd.DataFrame:
+        return decode_image_batch(payload)
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 48)
+        .select("doc_id")
+    )
+    decoded = d.withColumn("st", decode_udf(encode_udf("doc_id")))
+    return decoded.select(
+        "doc_id", "st.width", "st.height", "st.n_px", "st.sum_r", "st.sum_g",
+        "st.sum_b",
+    )
