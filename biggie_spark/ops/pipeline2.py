@@ -472,3 +472,100 @@ def llm_feature_hash(spark, sf_dir):
     return tok.groupBy("doc_id", bucket.alias("bucket")).agg(
         F.count("*").alias("n")
     )
+
+
+@register(
+    "ts_downsample_minmax",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS bucket,
+             CAST(round(value * 100, 0) AS BIGINT) AS v_cents,
+             event_id
+      FROM events),
+    r AS (
+      SELECT bucket, v_cents, event_id,
+             row_number() OVER (PARTITION BY bucket ORDER BY event_id) AS rf,
+             row_number() OVER (PARTITION BY bucket ORDER BY event_id DESC) AS rl
+      FROM e)
+    SELECT bucket * 21600 AS bucket_epoch,
+           count(*) AS n,
+           min(v_cents) AS min_cents, max(v_cents) AS max_cents,
+           CAST(max(CASE WHEN rf = 1 THEN v_cents END) AS BIGINT) AS first_cents,
+           CAST(max(CASE WHEN rl = 1 THEN v_cents END) AS BIGINT) AS last_cents
+    FROM r GROUP BY bucket
+    """,
+)
+def ts_downsample_minmax(spark, sf_dir):
+    """M4-style downsampling — the lossless-for-plotting reduction every
+    time-series dashboard runs at scale: per 6-hour pixel bucket keep
+    (min, max, first, last) of the series plus the point count.  min/max
+    are plain partial-aggregated hash aggs; first/last are window
+    row_numbers ordered by event_id (the deterministic arrival key — ts
+    has duplicates), all sharing the one shuffle on the bucket key.
+    Values ride as exact integer cents (SURVEY.md convention (a)).  Output
+    cardinality = bucket count, independent of input rows — the property
+    that makes the 100 TB series renderable."""
+    ev = load_table(spark, sf_dir, "events").select(
+        (epoch_s("ts") / 21600).cast("bigint").alias("bucket"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v_cents"),
+        "event_id",
+    )
+    wf = Window.partitionBy("bucket").orderBy("event_id")
+    wl = Window.partitionBy("bucket").orderBy(F.col("event_id").desc())
+    r = ev.withColumn("rf", F.row_number().over(wf)).withColumn(
+        "rl", F.row_number().over(wl)
+    )
+    return r.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.min("v_cents").alias("min_cents"),
+        F.max("v_cents").alias("max_cents"),
+        F.max(F.when(F.col("rf") == 1, F.col("v_cents"))).cast("bigint").alias("first_cents"),
+        F.max(F.when(F.col("rl") == 1, F.col("v_cents"))).cast("bigint").alias("last_cents"),
+    ).select(
+        (F.col("bucket") * 21600).alias("bucket_epoch"),
+        "n", "min_cents", "max_cents", "first_cents", "last_cents",
+    )
+
+
+@register(
+    "win_pattern_match",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id
+      FROM events),
+    s AS (
+      SELECT user_id, event_type, t, event_id,
+             lead(event_type, 1) OVER w AS t1,
+             lead(event_type, 2) OVER w AS t2
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+    SELECT user_id, count(*) AS n_patterns,
+           min(t) AS first_match_s
+    FROM s
+    WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def win_pattern_match(spark, sf_dir):
+    """Event-sequence pattern detection (MATCH_RECOGNIZE's most common
+    shape): per user, occurrences of the CONSECUTIVE view -> click ->
+    purchase sequence — stricter than ts_funnel's eventually-ordered
+    funnel, because intervening events break the match.  Pure lead()
+    chains over one (user_id) window: single shuffle, no self-joins (the
+    naive 3-way self-join is quadratic per key at scale).  Ties on ts
+    break by event_id in both engines."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", epoch_s("ts").alias("t"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    s = e.withColumn("t1", F.lead("event_type", 1).over(w)).withColumn(
+        "t2", F.lead("event_type", 2).over(w)
+    )
+    hits = s.filter(
+        (F.col("event_type") == "view")
+        & (F.col("t1") == "click")
+        & (F.col("t2") == "purchase")
+    )
+    return hits.groupBy("user_id").agg(
+        F.count("*").alias("n_patterns"),
+        F.min("t").alias("first_match_s"),
+    )
