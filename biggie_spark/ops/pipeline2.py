@@ -569,3 +569,59 @@ def win_pattern_match(spark, sf_dir):
         F.count("*").alias("n_patterns"),
         F.min("t").alias("first_match_s"),
     )
+
+
+@register(
+    "llm_pipeline_e2e",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, lang, source, text, n_chars
+      FROM documents
+      WHERE n_chars BETWEEN 120 AND 400
+        AND lang IN ('en', 'de', 'fr')),
+    d AS (
+      SELECT *, row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                                   ORDER BY doc_id) AS rn
+      FROM q),
+    survivors AS (SELECT doc_id, lang, source, text FROM d WHERE rn = 1),
+    s AS (
+      SELECT * FROM survivors
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0)
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           count(DISTINCT source) AS n_sources
+    FROM s GROUP BY lang
+    """,
+)
+def llm_pipeline_e2e(spark, sf_dir):
+    """The composed training-data pipeline, end-to-end in ONE lazy plan:
+    quality filter -> exact dedup (min-id survivor) -> deterministic
+    hash sample -> per-language token accounting.  Every stage is an
+    operator this engine ships individually (llm_quality_filter,
+    llm_dedup_exact/keep-best, fn_sample_hash semantics, llm_text_stats);
+    composing them in one DataFrame chain is the point: Catalyst fuses
+    the filters into the scan, the dedup window and the final agg are the
+    only two shuffles, and nothing materializes between stages.  The
+    oracle replays the identical four stages as CTEs, so the hash check
+    covers the COMPOSITION — stage-order bugs, filter/dedup interaction —
+    not just each stage alone."""
+    d = load_table(spark, sf_dir, "documents")
+    q = d.filter(
+        F.col("n_chars").between(120, 400) & F.col("lang").isin("en", "de", "fr")
+    ).select("doc_id", "lang", "source", "text")
+    wd = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text"))))).orderBy("doc_id")
+    survivors = (
+        q.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    sampled = survivors.filter(h % 2 == 0)
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("n_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+    )

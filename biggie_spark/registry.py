@@ -97,6 +97,16 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
         if oracle is not None:
+            if "--" in oracle:
+                # Whitespace collapsing below folds the SQL onto one line,
+                # so a `--` line comment would comment out the REST OF THE
+                # QUERY — refuse at registration instead of failing in the
+                # driver with an opaque parse error.
+                raise ValueError(
+                    f"oracle for {name!r} contains a '--' SQL comment; "
+                    "use /* ... */ or remove it (oracles are collapsed to "
+                    "one line)"
+                )
             ORACLES[name] = " ".join(oracle.split())
         return fn
 
