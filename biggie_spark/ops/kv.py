@@ -334,3 +334,53 @@ def kv_tensor_field(spark, sf_dir):
         fsum(flat).cast("bigint").alias("total_sum"),
         fmax.cast("bigint").alias("max_elem"),
     )
+
+
+@register(
+    "kv_snapshot_diff",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 400),
+    b AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN text || ' [edited]' ELSE text END AS text
+      FROM documents WHERE doc_id >= 100 AND doc_id < 500),
+    j AS (
+      SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+             CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN a.text <> b.text THEN 'changed'
+                  ELSE 'unchanged' END AS change
+      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+    SELECT change, count(*) AS n,
+           CAST(sum(doc_id) AS BIGINT) AS sum_key
+    FROM j WHERE change <> 'unchanged' GROUP BY change
+    """,
+)
+def kv_snapshot_diff(spark, sf_dir):
+    """Snapshot diff between two stash states (Stash.diff) — the kv-store
+    change-capture primitive: which keys were added / removed / changed
+    between yesterday's stash and today's.  Snapshot B drops keys < 100,
+    adds keys 400-499, and edits every 10th text, so all three change
+    classes appear with exact expected counts.  ONE full outer join on the
+    key (both sides hash-partitioned, linear at any stash size; bucketed
+    layouts make it shuffle-free); change detection compares md5 value
+    fingerprints, never full payloads, so the exchange carries 16-byte
+    hashes.  The oracle recomputes the diff relationally."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = Stash(spark, docs.filter(F.col("doc_id") < 400), "doc_id")
+    b = Stash(
+        spark,
+        docs.filter(F.col("doc_id").between(100, 499)).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(" [edited]"))
+            ).otherwise(F.col("text")),
+        ),
+        "doc_id",
+    )
+    d = a.diff(b)
+    return d.groupBy("change").agg(
+        F.count("*").alias("n"),
+        F.sum("doc_id").alias("sum_key"),
+    )

@@ -98,6 +98,36 @@ class Stash:
         ).unionByName(other.df, allowMissingColumns=True)
         return Stash(self.spark, merged, self.key, self.path)
 
+    def diff(self, other: "Stash", value_cols: list[str] | None = None) -> DataFrame:
+        """Snapshot diff vs ``other`` (the newer snapshot): one row per key
+        that was added, removed, or changed, tagged with ``change``.
+        Change detection hashes the requested value columns (default: all
+        shared non-key columns) with md5 over a canonical concat.  Plan
+        shape = ONE full outer join on the key — hash-partitioned both
+        sides, no broadcast needed, linear at any stash size; on a bucketed
+        layout it is co-partitioned and shuffle-free."""
+        if other.key != self.key:
+            raise ValueError(f"key mismatch: {self.key!r} vs {other.key!r}")
+        if value_cols is None:
+            shared = [c for c in self.df.columns if c != self.key]
+            value_cols = [c for c in shared if c in other.df.columns]
+
+        def fp(df: DataFrame) -> DataFrame:
+            h = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in value_cols]))
+            return df.select(F.col(self.key), h.alias("_fp"))
+
+        a = fp(self.df).withColumnRenamed("_fp", "_fp_a")
+        b = fp(other.df).withColumnRenamed("_fp", "_fp_b")
+        j = a.join(b, self.key, "full_outer")
+        return j.select(
+            self.key,
+            F.when(F.col("_fp_a").isNull(), F.lit("added"))
+            .when(F.col("_fp_b").isNull(), F.lit("removed"))
+            .when(F.col("_fp_a") != F.col("_fp_b"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("change"),
+        ).filter(F.col("change") != "unchanged")
+
     def update_field(self, key_value, field: str, value) -> "Stash":
         """Set one field of one entity.  A pure map-side projection
         (conditional withColumn) — no shuffle, no join, scans stay pruned.
