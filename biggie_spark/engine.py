@@ -92,6 +92,14 @@ class Engine:
 
         return llm_importance_sample(self.spark, self.sf_dir)
 
+    def pipeline(self) -> DataFrame:
+        """The composed training-data pipeline (quality filter -> exact
+        dedup -> deterministic sample -> per-lang token accounting) as one
+        lazy plan."""
+        from biggie_spark.ops.pipeline2 import llm_pipeline_e2e
+
+        return llm_pipeline_e2e(self.spark, self.sf_dir)
+
     def dedup_candidates(self, threshold: float = 0.95) -> DataFrame:
         """MinHash/LSH near-duplicate pairs over documents at the given
         Jaccard threshold."""

@@ -51,6 +51,7 @@ def test_engine_facade_analytics_surface(spark, sf_dir):
         "cov_exact",
         "sessionize",
         "importance_sample",
+        "pipeline",
     ):
         df = getattr(eng, name)()
         assert df.columns, name
