@@ -625,3 +625,122 @@ def llm_pipeline_e2e(spark, sf_dir):
         F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("n_tokens"),
         F.countDistinct("source").alias("n_sources"),
     )
+
+
+@register(
+    "llm_topic_lift",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents),
+    st AS (SELECT source, tok, count(*) AS tf_s FROM tok GROUP BY 1, 2),
+    ct AS (SELECT tok, count(*) AS tf_c FROM tok GROUP BY 1),
+    stot AS (SELECT source, count(*) AS tot_s FROM tok GROUP BY 1),
+    ctot AS (SELECT count(*) AS tot_c FROM tok),
+    lift AS (
+      SELECT st.source, st.tok,
+             CAST(st.tf_s * ctot.tot_c * 1000000
+                  // (ct.tf_c * stot.tot_s) AS BIGINT) AS lift_e6
+      FROM st JOIN ct USING (tok) JOIN stot USING (source) CROSS JOIN ctot
+      WHERE st.tf_s >= 3),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY lift_e6 DESC, tok) AS rk
+      FROM lift)
+    SELECT source, tok, lift_e6, CAST(rk AS INT) AS rk
+    FROM r WHERE rk <= 3
+    """,
+)
+def llm_topic_lift(spark, sf_dir):
+    """Per-source distinguishing tokens by LIFT — P(token|source) over
+    P(token|corpus) — the topic-keyword / source-characterization pass a
+    corpus audit runs (complements tf-idf, which scores tokens per
+    DOCUMENT).  Lift ordering is computed as the exact integer
+    (tf_s·tot_c·10⁶) // (tf_c·tot_s) — no float ratio to straddle a
+    boundary (SURVEY.md convention (b)).  Shapes: three hash aggregates
+    (all map-side partial), a vocab-keyed equi-join, a broadcastable
+    per-source totals join, and the corpus total as a 1-row scalar
+    broadcast (the audited tf-idf corpus-N pattern); min-support tf_s >= 3
+    keeps the rank window off the singleton tail."""
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.explode(tokens("text")).alias("tok"))
+    )
+    st = tok.groupBy("source", "tok").agg(F.count("*").alias("tf_s"))
+    ct = tok.groupBy("tok").agg(F.count("*").alias("tf_c"))
+    stot = tok.groupBy("source").agg(F.count("*").alias("tot_s"))
+    ctot = tok.agg(F.count("*").alias("tot_c"))
+    lift = (
+        st.filter(F.col("tf_s") >= 3)
+        .join(ct, "tok")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(ctot))
+        .withColumn("num", F.col("tf_s") * F.col("tot_c") * F.lit(1000000))
+        .withColumn("den", F.col("tf_c") * F.col("tot_s"))
+        # exact BIGINT division (`div`), NOT double `/` + cast: the double
+        # quotient can round across an integer boundary where DuckDB's
+        # integer `//` floors exactly
+        .select("source", "tok", F.expr("num div den").alias("lift_e6"))
+    )
+    wr = Window.partitionBy("source").orderBy(F.col("lift_e6").desc(), "tok")
+    return (
+        lift.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS p_cents,
+             CAST(l_quantity AS BIGINT) AS w,
+             sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY CAST(round(l_extendedprice * 100, 0) AS BIGINT),
+                        l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING) AS cumw,
+             sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag) AS totw
+      FROM lineitem)
+    SELECT l_returnflag, CAST(min(p_cents) AS BIGINT) AS wmedian_cents,
+           CAST(max(totw) AS BIGINT) AS total_weight
+    FROM r WHERE 2 * cumw >= totw GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark, sf_dir):
+    """Weighted median price (weight = quantity) per return flag — the
+    robust location statistic inventory/pricing rollups need (the plain
+    median treats a 1-unit and a 50-unit line identically).  Classic
+    cumulative-weight rewrite: one window pass accumulating weights in
+    sorted price order, then the first price where cumulative weight
+    crosses half the total.  All quantities are exact BIGINTs and the
+    crossing test is the cross-multiplied ``2·cumw >= totw`` (convention
+    (c)) — the chosen price is order-invariant under equal-price
+    permutations because equal prices collapse to the same emitted value.
+    One shuffle on the group key."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("p_cents"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("p_cents", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    r = li.withColumn("cumw", F.sum("w").over(wc)).withColumn(
+        "totw", F.sum("w").over(wt)
+    )
+    return (
+        r.filter(2 * F.col("cumw") >= F.col("totw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("p_cents").cast("bigint").alias("wmedian_cents"),
+            F.max("totw").cast("bigint").alias("total_weight"),
+        )
+    )

@@ -64,6 +64,7 @@ ALLOWED_BNLJ = {
     "llm_mix_weights",
     "llm_source_drift",
     "llm_tf_idf",
+    "llm_topic_lift",
     "stream_watermark_late",
     "tpch_q11_important_parts",
     "tpch_q22_global_sales_opportunity",

@@ -316,3 +316,21 @@ def test_reg_slope_single_frame_pass(spark, sf_dir):
     assert len(window_nodes) == 2, window_nodes
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert bad not in plan
+
+
+def test_nested_struct_field_prunes_scan(spark, sf_dir, tmp_path):
+    """The reference's lazy-fields analog extends INTO nested structs: a
+    stash persisted with a struct payload column must support metadata-only
+    reads that prune to the touched subfield — ReadSchema carries just
+    meta.n_bytes, not the payload bytes or the rest of the struct."""
+    from biggie_spark.multimodal import attach_binary_meta
+
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    path = str(tmp_path / "mm_struct")
+    attach_binary_meta(d).select("doc_id", "payload", "meta").write.parquet(path)
+    df = spark.read.parquet(path).select("doc_id", F.col("meta.n_bytes"))
+    plan = plan_of(df)
+    schema_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "n_bytes" in schema_line
+    assert "payload" not in schema_line, "payload bytes read for a metadata query"
+    assert "content_md5" not in schema_line, "untouched struct fields not pruned"
