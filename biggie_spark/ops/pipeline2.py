@@ -744,3 +744,97 @@ def agg_weighted_median(spark, sf_dir):
             F.max("totw").cast("bigint").alias("total_weight"),
         )
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT e.event_id AS event_id,
+             p.ts AS pts, p.event_id AS peid,
+             abs(epoch(p.ts) - epoch(e.ts)) AS adt,
+             CASE WHEN (p.ts < e.ts OR (p.ts = e.ts AND p.event_id < e.event_id))
+                  THEN 0 ELSE 1 END AS dir,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY abs(epoch(p.ts) - epoch(e.ts)) NULLS LAST,
+                        CASE WHEN (p.ts < e.ts OR (p.ts = e.ts AND p.event_id < e.event_id))
+                             THEN 0 ELSE 1 END,
+                        CASE WHEN (p.ts < e.ts OR (p.ts = e.ts AND p.event_id < e.event_id))
+                             THEN -p.event_id ELSE p.event_id END
+             ) AS rn
+      FROM events e LEFT JOIN p
+        ON e.user_id = p.user_id AND p.event_id <> e.event_id
+    )
+    SELECT event_id,
+           CAST(floor(epoch(pts)) AS BIGINT) AS near_purchase_epoch,
+           peid AS near_purchase_eid
+    FROM j WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    """Nearest-match as-of join (pandas ``merge_asof direction='nearest'``):
+    for every event, the purchase of the same user CLOSEST in time, in
+    either direction; ties on |dt| prefer the earlier purchase, then the
+    latest prior / earliest later id.
+
+    Linear rewrite: the backward pass (union-tag + running
+    ``last(ignorenulls)``, identical to join_asof) and the forward pass
+    (same construct on the reversed sort) each cost one window over the
+    SAME user_id shuffle — Spark reuses the exchange — and the winner is a
+    projection over the two candidates.  The oracle is the independent
+    inequality-join + row_number formulation with the matching
+    deterministic preference order.  No inequality join, no quadratic
+    blow-up per key."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    base = ev.select(
+        "user_id", "ts", "event_id",
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+        F.lit(None).cast("long").alias("p_eid"),
+    )
+    purch = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", "ts", "event_id",
+            F.lit(1).alias("tag"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_eid"),
+        )
+    )
+    tagged = base.unionByName(purch)
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id", "tag")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc(), F.col("tag"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    both = (
+        tagged.withColumn("prev_ts", F.last("p_ts", ignorenulls=True).over(wb))
+        .withColumn("prev_eid", F.last("p_eid", ignorenulls=True).over(wb))
+        .withColumn("next_ts", F.last("p_ts", ignorenulls=True).over(wf))
+        .withColumn("next_eid", F.last("p_eid", ignorenulls=True).over(wf))
+        .filter(F.col("tag") == 0)
+    )
+    dt_prev = F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+    dt_next = F.unix_timestamp("next_ts") - F.unix_timestamp("ts")
+    prefer_prev = F.col("prev_ts").isNotNull() & (
+        F.col("next_ts").isNull() | (dt_prev <= dt_next)
+    )
+    return both.select(
+        "event_id",
+        F.when(prefer_prev, F.unix_timestamp("prev_ts"))
+        .otherwise(F.unix_timestamp("next_ts"))
+        .alias("near_purchase_epoch"),
+        F.when(prefer_prev, F.col("prev_eid"))
+        .otherwise(F.col("next_eid"))
+        .alias("near_purchase_eid"),
+    )
