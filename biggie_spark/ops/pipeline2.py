@@ -838,3 +838,129 @@ def join_asof_nearest(spark, sf_dir):
         .otherwise(F.col("next_eid"))
         .alias("near_purchase_eid"),
     )
+
+
+@register(
+    "ts_seasonal_profile",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(hour(ts) AS INT) AS hod,
+             CAST(round(value * 100, 0) AS BIGINT) AS v_cents
+      FROM events)
+    SELECT event_type, hod, count(*) AS n,
+           CAST(sum(v_cents) AS BIGINT) AS sum_cents,
+           CAST(sum(v_cents) // count(*) AS BIGINT) AS mean_cents_floor
+    FROM e GROUP BY event_type, hod
+    """,
+)
+def ts_seasonal_profile(spark, sf_dir):
+    """Hour-of-day seasonal baseline per event type — the profile stage of
+    seasonal decomposition (subtracting it from the series yields the
+    de-seasonalized residual an anomaly detector consumes;
+    `ts_anomaly_mad` is the robust-threshold counterpart).  One hash
+    aggregate on (type, hour-of-day), fully map-side partial; output is
+    |types| x 24 rows regardless of corpus size.  Mean emitted as exact
+    integer floor division of BIGINT cents (convention (b))."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("int").alias("hod"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v_cents"),
+    )
+    g = e.groupBy("event_type", "hod").agg(
+        F.count("*").alias("n"),
+        F.sum("v_cents").cast("bigint").alias("sum_cents"),
+    )
+    return g.withColumn(
+        "mean_cents_floor", F.expr("sum_cents div n").cast("bigint")
+    )
+
+
+@register(
+    "ts_vwap",
+    oracle="""
+    WITH l AS (
+      SELECT CAST(floor(epoch(date_trunc('day', l_shipdate))) AS BIGINT) AS day_epoch,
+             CAST(l_quantity AS BIGINT) AS q,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS p_cents
+      FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-04-01 00:00:00')
+    SELECT day_epoch,
+           CAST(sum(q * p_cents) AS BIGINT) AS pv_num,
+           CAST(sum(q) AS BIGINT) AS vol,
+           CAST(sum(q * p_cents) // sum(q) AS BIGINT) AS vwap_cents_floor
+    FROM l GROUP BY day_epoch
+    """,
+)
+def ts_vwap(spark, sf_dir):
+    """Volume-weighted average price per ship-day — the canonical
+    finance/telemetry weighted rollup.  Everything is exact BIGINT
+    arithmetic: the price-volume numerator and volume accumulate
+    independently (both associative, any cluster order), and the VWAP is
+    emitted as numerator, denominator AND their exact integer floor
+    quotient — never a float division that could straddle a rounding
+    boundary.  Date filter reaches the parquet scan; one partial-agg
+    shuffle on the day key."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") < "1995-04-01")
+        .select(
+            epoch_s(F.date_trunc("day", F.col("l_shipdate"))).alias("day_epoch"),
+            F.col("l_quantity").cast("bigint").alias("q"),
+            F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("p_cents"),
+        )
+    )
+    g = li.groupBy("day_epoch").agg(
+        F.sum(F.col("q") * F.col("p_cents")).cast("bigint").alias("pv_num"),
+        F.sum("q").cast("bigint").alias("vol"),
+    )
+    return g.withColumn(
+        "vwap_cents_floor", F.expr("pv_num div vol").cast("bigint")
+    )
+
+
+@register(
+    "win_percent_change",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_epoch,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS day_cents
+      FROM events GROUP BY 1, 2),
+    c AS (
+      SELECT *, lag(day_cents) OVER (PARTITION BY event_type
+                                     ORDER BY day_epoch) AS prev_cents
+      FROM d)
+    SELECT event_type, day_epoch, day_cents,
+           CAST((day_cents - prev_cents) * 10000 // prev_cents AS BIGINT)
+             AS change_bp
+    FROM c WHERE prev_cents IS NOT NULL AND prev_cents > 0
+    """,
+)
+def win_percent_change(spark, sf_dir):
+    """Day-over-day percent change per event type, in integer basis points
+    (floor) — the period-over-period trend metric every metrics dashboard
+    computes.  Daily rollup (partial-agg shuffle on (type, day)) + one lag
+    window over the tiny per-type day series; the bp change is exact
+    integer arithmetic throughout, emitted as the toward-zero-truncated
+    quotient: DuckDB's integer `//` and Spark's `div` BOTH truncate
+    toward zero (verified: -7//2 = -3 in DuckDB), so the expressions are
+    engine-identical including negative day-over-day changes."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            epoch_s(F.date_trunc("day", F.col("ts"))).alias("day_epoch"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("v_cents"),
+        )
+        .groupBy("event_type", "day_epoch")
+        .agg(F.sum("v_cents").cast("bigint").alias("day_cents"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day_epoch")
+    c = d.withColumn("prev_cents", F.lag("day_cents").over(w)).filter(
+        F.col("prev_cents").isNotNull() & (F.col("prev_cents") > 0)
+    )
+    q = F.expr("((day_cents - prev_cents) * 10000) div prev_cents")
+    return c.select(
+        "event_type", "day_epoch", "day_cents",
+        q.cast("bigint").alias("change_bp"),
+    )
