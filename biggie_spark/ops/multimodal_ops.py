@@ -341,3 +341,95 @@ def mm_decode_dispatch(spark, sf_dir):
         "doc_id", "st.width", "st.height", "st.n_px", "st.sum_r", "st.sum_g",
         "st.sum_b",
     )
+
+
+def _ppm_dims(header: bytes) -> tuple[int, int]:
+    """Width/height from a P6 header blob (same token grammar as
+    decode_ppm: whitespace-separated tokens, '#' comments to EOL)."""
+    pos, toks = 2, []
+    while len(toks) < 2:
+        while header[pos : pos + 1].isspace():
+            pos += 1
+        if header[pos : pos + 1] == b"#":
+            while header[pos : pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(header) and not header[pos : pos + 1].isspace():
+            pos += 1
+        toks.append(int(header[start:pos]))
+    return toks[0], toks[1]
+
+
+@register(
+    "mm_video_keyframes",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, 2 + doc_id % 3 AS n_frames, 3 + doc_id % 4 AS w, 3 AS h
+      FROM documents WHERE doc_id < 40),
+    frames AS (
+      SELECT doc_id, w, h, unnest(range(n_frames)) AS f
+      FROM docs),
+    kept AS (SELECT * FROM frames WHERE f % 2 = 0)
+    SELECT doc_id, CAST(f AS INT) AS frame_idx,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(3 * (w*h*((doc_id + 17*f) % 60)
+                     + h*(w*(w-1)//2) + w*(h*(h-1)//2)) AS BIGINT) AS sum_rgb
+    FROM kept
+    """,
+)
+def mm_video_keyframes(spark, sf_dir):
+    """Keyframe extraction from a PACKED multi-frame binary container —
+    the video-pipeline pattern: one opaque payload holds N concatenated
+    P6 PPM frames, the kernel walks the byte stream parsing frame
+    boundaries from the headers (real incremental container parsing, no
+    frame index), keeps every 2nd frame, and emits per-keyframe pixel
+    stats.  Encode and decode both run inside one mapInPandas pass
+    (fan-out: 1 row in, ceil(n_frames/2) rows out); frame f of doc d uses
+    base (d + 17f) % 60 on all three channels, so the oracle states each
+    keyframe's stats in closed form — a mis-parsed frame boundary shifts
+    every subsequent frame and breaks the hash.  At 100 TB: payloads stay
+    in one binary column; the walk is sequential per row, parallelism =
+    partitions."""
+    from biggie_spark.multimodal import decode_ppm, encode_ppm
+
+    def work(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "width": [], "height": [],
+                   "sum_rgb": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n_frames, w, h = 2 + d % 3, 3 + d % 4, 3
+                payload = b"".join(
+                    encode_ppm(w, h, ((d + 17 * f) % 60,) * 3)
+                    for f in range(n_frames)
+                )
+                # walk the container: parse each frame's header, compute
+                # its exact byte length (header + w*h*3 samples), advance —
+                # content-independent framing, no magic-byte scanning
+                # (pixel bytes may legally contain 'P6')
+                pos, f = 0, 0
+                while pos < len(payload):
+                    hdr_end = payload.index(b"\n255\n", pos) + 5
+                    chunk_head = payload[pos:hdr_end]
+                    fw, fh = _ppm_dims(chunk_head)
+                    frame_len = (hdr_end - pos) + fw * fh * 3
+                    chunk = payload[pos : pos + frame_len]
+                    fw, fh, _, sr, sg, sb = decode_ppm(chunk)
+                    if f % 2 == 0:
+                        out["doc_id"].append(d)
+                        out["frame_idx"].append(f)
+                        out["width"].append(fw)
+                        out["height"].append(fh)
+                        out["sum_rgb"].append(sr + sg + sb)
+                    pos, f = pos + frame_len, f + 1
+            yield pd.DataFrame(out)
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id")
+    )
+    return d.mapInPandas(
+        work, "doc_id bigint, frame_idx int, width int, height int, sum_rgb bigint"
+    )

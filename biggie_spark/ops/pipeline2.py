@@ -964,3 +964,41 @@ def win_percent_change(spark, sf_dir):
         "event_type", "day_epoch", "day_cents",
         q.cast("bigint").alias("change_bp"),
     )
+
+
+GAP_MIN_S = 7200  # report silences longer than 2 hours
+
+
+@register(
+    "ts_gap_detect",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id
+      FROM events),
+    g AS (
+      SELECT event_type, t,
+             lag(t) OVER (PARTITION BY event_type ORDER BY t, event_id) AS prev_t
+      FROM e)
+    SELECT event_type,
+           prev_t AS gap_start_s, t AS gap_end_s, t - prev_t AS gap_s
+    FROM g WHERE t - prev_t > {GAP_MIN_S}
+    """,
+)
+def ts_gap_detect(spark, sf_dir):
+    """Silence detection — the inverse of ts_gapfill: report every interval
+    longer than 2 h in which an event type produced NOTHING (monitoring's
+    "did the pipeline stall" primitive).  One lag window per type over the
+    (type)-partitioned shuffle; emits only the offending intervals, so
+    output is proportional to the number of gaps, not the corpus.  Ties on
+    t break by event_id in both engines."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", epoch_s("ts").alias("t"), "event_id"
+    )
+    w = Window.partitionBy("event_type").orderBy("t", "event_id")
+    g = e.withColumn("prev_t", F.lag("t").over(w))
+    return g.filter(F.col("t") - F.col("prev_t") > GAP_MIN_S).select(
+        "event_type",
+        F.col("prev_t").alias("gap_start_s"),
+        F.col("t").alias("gap_end_s"),
+        (F.col("t") - F.col("prev_t")).alias("gap_s"),
+    )
