@@ -92,6 +92,24 @@ class Engine:
 
         return llm_importance_sample(self.spark, self.sf_dir)
 
+    def vwap(self) -> DataFrame:
+        """Per-day volume-weighted average price in exact integer cents."""
+        from biggie_spark.ops.pipeline2 import ts_vwap
+
+        return ts_vwap(self.spark, self.sf_dir)
+
+    def gaps(self) -> DataFrame:
+        """Silence intervals (>2 h) per event type — pipeline-stall detection."""
+        from biggie_spark.ops.pipeline2 import ts_gap_detect
+
+        return ts_gap_detect(self.spark, self.sf_dir)
+
+    def pattern_match(self) -> DataFrame:
+        """Consecutive view->click->purchase sequences per user."""
+        from biggie_spark.ops.pipeline2 import win_pattern_match
+
+        return win_pattern_match(self.spark, self.sf_dir)
+
     def pipeline(self) -> DataFrame:
         """The composed training-data pipeline (quality filter -> exact
         dedup -> deterministic sample -> per-lang token accounting) as one

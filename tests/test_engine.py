@@ -52,6 +52,9 @@ def test_engine_facade_analytics_surface(spark, sf_dir):
         "sessionize",
         "importance_sample",
         "pipeline",
+        "vwap",
+        "gaps",
+        "pattern_match",
     ):
         df = getattr(eng, name)()
         assert df.columns, name
