@@ -1002,3 +1002,63 @@ def ts_gap_detect(spark, sf_dir):
         F.col("t").alias("gap_end_s"),
         (F.col("t") - F.col("prev_t")).alias("gap_s"),
     )
+
+
+@register(
+    "llm_vocab_jaccard",
+    oracle="""
+    WITH st AS (
+      SELECT DISTINCT source, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents),
+    sizes AS (SELECT source, count(*) AS n_vocab FROM st GROUP BY source),
+    inter AS (
+      SELECT a.source AS s1, b.source AS s2, count(*) AS n_common
+      FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT s1, s2, n_common,
+           CAST(n_common * 1000000
+                // (za.n_vocab + zb.n_vocab - n_common) AS BIGINT)
+             AS jaccard_e6
+    FROM inter
+    JOIN sizes za ON za.source = s1
+    JOIN sizes zb ON zb.source = s2
+    WHERE n_common * 5 > za.n_vocab
+    """,
+)
+def llm_vocab_jaccard(spark, sf_dir):
+    """Pairwise vocabulary Jaccard similarity between SOURCES — the
+    corpus-audit matrix ("which feeds are near-clones of each other")
+    that decides mix weights and dedup scopes.  The pair generation is a
+    token-keyed EQUI-join of the (source, token) vocab sets with
+    `s1 < s2` dedup — candidate pairs are proportional to shared-token
+    co-occurrences, never the |sources|² × vocab cross product; at 100 TB
+    the vocab relation is corpus-compressed (DISTINCT collapses token
+    repeats map-side) and the join shuffles on the token key.  Jaccard is
+    emitted as exact integer ppm via inclusion-exclusion; min-overlap
+    filter keeps the output to meaningfully-similar pairs."""
+    st = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.explode(tokens("text")).alias("tok"))
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count("*").alias("n_vocab"))
+    a = st.select(F.col("source").alias("s1"), "tok")
+    b = st.select(F.col("source").alias("s2"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    za = sizes.select(F.col("source").alias("s1"), F.col("n_vocab").alias("va"))
+    zb = sizes.select(F.col("source").alias("s2"), F.col("n_vocab").alias("vb"))
+    j = (
+        inter.join(F.broadcast(za), "s1")
+        .join(F.broadcast(zb), "s2")
+        .filter(F.col("n_common") * 5 > F.col("va"))
+        .withColumn("num", F.col("n_common") * 1000000)
+        .withColumn("den", F.col("va") + F.col("vb") - F.col("n_common"))
+    )
+    return j.select(
+        "s1", "s2", "n_common", F.expr("num div den").alias("jaccard_e6")
+    )
