@@ -27,3 +27,4 @@ from biggie_spark.ops import llm_sampling  # noqa: F401
 from biggie_spark.ops import diagnostics  # noqa: F401
 from biggie_spark.ops import incremental  # noqa: F401
 from biggie_spark.ops import pipeline2  # noqa: F401
+from biggie_spark.ops import curation  # noqa: F401

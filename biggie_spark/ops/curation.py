@@ -1,0 +1,186 @@
+"""Corpus-curation operators round 4 — the sub-document dedup / quality
+family a C4-style web-scale cleaning pipeline runs between crawl and
+training (complements the document-level dedup ops in ops/llm.py):
+
+* ``llm_segment_dedup`` — C4-style GLOBAL segment-level dedup: chunk every
+  document into fixed-length token segments, count each segment's corpus-
+  wide occurrences, and drop segments seen more than once (C4 dropped
+  duplicate three-sentence spans the same way).
+* ``llm_prefix_dup`` — prefix-cluster detection (docs sharing an identical
+  leading token span — boilerplate headers, mirrored pages).
+* ``llm_entropy_filter`` — character-level Shannon entropy as a quality
+  signal (flags keyboard-mash / template junk that length or stopword
+  ratios miss).
+* ``graph_degree_dist`` — degree distribution of the user->event_type
+  interaction graph (the standard first profile of any graph column).
+
+Scale notes (100 TB): every op here is hash-aggregate / equi-join shaped —
+segment hashes shuffle once for the global count, the count join is on the
+segment hash key, entropy is a two-level hash agg over (doc, char_class);
+nothing is quadratic in documents and nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from biggie_spark.io import load_table
+from biggie_spark.registry import register
+from biggie_spark.util import r4, tokens
+
+SEG_LEN = 3  # tokens per segment — short enough that the synthetic corpus
+# actually contains cross-document duplicate segments (~19% at sf0.001)
+
+
+@register(
+    "llm_segment_dedup",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+                  FROM documents),
+    seg0 AS (SELECT doc_id,
+                    unnest(range(CAST(ceil(len(tk) / {SEG_LEN}.0) AS BIGINT))) AS i,
+                    tk
+             FROM toks),
+    segs AS (SELECT doc_id, i,
+                    array_to_string(tk[(i*{SEG_LEN}+1):(i*{SEG_LEN}+{SEG_LEN})], ' ') AS seg
+             FROM seg0),
+    cnt AS (SELECT seg, count(*) AS c FROM segs GROUP BY seg)
+    SELECT s.doc_id, count(*) AS n_segs,
+           CAST(sum(CASE WHEN c.c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(coalesce(string_agg(CASE WHEN c.c = 1 THEN s.seg END, ' '
+                                   ORDER BY s.i), '')) AS kept_md5
+    FROM segs s JOIN cnt c USING (seg)
+    GROUP BY s.doc_id
+    """,
+)
+def llm_segment_dedup(spark, sf_dir):
+    """C4-style global segment-level dedup: every document is chunked into
+    non-overlapping SEG_LEN-token segments; a segment that occurs anywhere
+    else in the corpus (verbatim) is dropped from every document carrying
+    it.  Returns per-doc segment counts plus an md5 of the surviving text
+    so the reassembly order is value-checked, not just the counts.
+
+    Plan shape: explode -> ONE corpus-wide hash agg on the segment string ->
+    equi-join counts back on the same key -> per-doc hash agg.  All shuffle
+    keys are hashes; at 100 TB this is the linear-cost shape C4/RefinedWeb
+    actually ran (no pairwise comparison anywhere)."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    n_seg = F.ceil(F.size(tk) / F.lit(float(SEG_LEN))).cast("int")
+    segs = (
+        d.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_seg - 1),
+                    lambda i: F.array_join(
+                        F.slice(tk, i * SEG_LEN + 1, SEG_LEN), " "
+                    ),
+                )
+            ).alias("i", "seg"),
+        )
+    )
+    cnt = segs.groupBy("seg").agg(F.count("*").alias("c"))
+    joined = segs.join(cnt, "seg")
+    kept_sorted = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("c") == 1, F.struct("i", "seg"))
+            )
+        ),
+        lambda s: s["seg"],
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_segs"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.md5(F.array_join(kept_sorted, " ")).alias("kept_md5"),
+    )
+
+
+@register(
+    "llm_prefix_dup",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+                  FROM documents)
+    SELECT md5(array_to_string(tk[1:2], ' ')) AS prefix_md5,
+           count(*) AS n_docs, min(doc_id) AS min_doc
+    FROM toks GROUP BY 1 HAVING count(*) >= 2
+    """,
+)
+def llm_prefix_dup(spark, sf_dir):
+    """Prefix-cluster detection: documents sharing an identical leading
+    2-token span cluster together (web-scale analog: boilerplate headers /
+    mirrored page heads; The Pile deduped on leading spans the same way).
+    One hash agg on the prefix hash — the O(n) shape; pair enumeration
+    within a cluster, if a caller wants it, stays bounded by cluster size."""
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.md5(F.array_join(F.slice(tokens(F.col("text")), 1, 2), " "))
+    return (
+        d.select(prefix.alias("prefix_md5"), "doc_id")
+        .groupBy("prefix_md5")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@register(
+    "llm_entropy_filter",
+    oracle="""
+    WITH ch0 AS (SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+                 FROM documents WHERE doc_id < 300),
+    cnt AS (SELECT doc_id, ch, count(*) AS c
+            FROM ch0 WHERE ch <> '' GROUP BY 1, 2)
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars_counted,
+           round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy_nats,
+           (ln(sum(c)) - sum(c * ln(c)) / sum(c)) < 2.85 AS low_entropy
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def llm_entropy_filter(spark, sf_dir):
+    """Character-level Shannon entropy per document (nats) — the classic
+    cheap quality signal: templated/repetitive junk scores low even when
+    its length and stopword ratios look normal.  H = ln(n) - sum(c·ln c)/n
+    over character counts, computed as a two-level hash agg (doc×char then
+    doc) entirely JVM-side; the flag threshold (2.85) sits inside this
+    corpus's observed range so both branches are exercised."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    ch = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    cnt = ch.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    n = F.sum("c")
+    entropy = F.log(n) - F.sum(F.col("c") * F.log("c")) / n
+    return cnt.groupBy("doc_id").agg(
+        n.cast("bigint").alias("n_chars_counted"),
+        r4(entropy).alias("entropy_nats"),
+        (entropy < 2.85).alias("low_entropy"),
+    )
+
+
+@register(
+    "graph_degree_dist",
+    oracle="""
+    WITH deg AS (SELECT user_id,
+                        count(DISTINCT (event_type, date_trunc('day', ts)))
+                            AS degree
+                 FROM events GROUP BY user_id)
+    SELECT CAST(degree AS BIGINT) AS degree, count(*) AS n_users,
+           min(user_id) AS min_user
+    FROM deg GROUP BY degree
+    """,
+)
+def graph_degree_dist(spark, sf_dir):
+    """Degree distribution of the user -> (event_type, day) interaction
+    graph — the standard first profile of any graph column (and the skew
+    check you run before choosing a join strategy on it).  Nodes = users,
+    neighbors = distinct (event_type, day) pairs; plain event_type alone
+    degenerates to degree 5 for every user on this corpus, so the day
+    refinement is what makes the distribution a real value check.  Two
+    chained hash aggs, the second over at most |distinct degrees| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    deg = ev.groupBy("user_id").agg(
+        F.countDistinct("event_type", F.date_trunc("day", "ts")).alias("degree")
+    )
+    return deg.groupBy("degree").agg(
+        F.count("*").alias("n_users"), F.min("user_id").alias("min_user")
+    )
