@@ -278,3 +278,69 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int, int]:
         int(s.sum()),
         int(np.abs(s).max(initial=0)),
     )
+
+
+def decode_ppm_array(payload: bytes):
+    """Parse a binary P6 PPM into an (h, w, 3) uint8 numpy array (same
+    header grammar as :func:`decode_ppm`, which returns only stats)."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    pos, toks = 2, []
+    while len(toks) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while payload[pos : pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        toks.append(int(payload[start:pos]))
+    pos += 1
+    width, height, maxval = toks
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported, maxval={maxval}")
+    import numpy as np
+
+    px = np.frombuffer(payload, dtype=np.uint8, count=width * height * 3, offset=pos)
+    return px.reshape(height, width, 3)
+
+
+def resize_ppm_half(payload: bytes) -> bytes:
+    """REAL image downsample: 2x2 average pooling (integer-exact: block
+    sums are divided by 4 with // — on the synthetic gradient images every
+    block sum is divisible by 4, so no rounding policy leaks into the
+    oracle).  Odd trailing rows/cols are cropped, as standard pool layers
+    do.  Returns a re-encoded P6 PPM of the pooled raster."""
+    import numpy as np
+
+    px = decode_ppm_array(payload).astype(np.uint32)
+    h, w, _ = px.shape
+    h2, w2 = h // 2, w // 2
+    px = px[: h2 * 2, : w2 * 2, :]
+    pooled = (
+        px.reshape(h2, 2, w2, 2, 3).sum(axis=(1, 3)) // 4
+    ).astype(np.uint8)
+    header = f"P6\n{w2} {h2}\n255\n".encode()
+    return header + pooled.tobytes()
+
+
+def wav_samples(payload: bytes):
+    """Decode a RIFF/WAVE payload to its int64 PCM sample array (same
+    chunk-walking as :func:`decode_wav`, returning samples not stats)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, pcm = 12, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        if cid == b"data":
+            pcm = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if pcm is None:
+        raise ValueError("missing data chunk")
+    return np.frombuffer(pcm, dtype="<i2").astype(np.int64)

@@ -433,3 +433,148 @@ def mm_video_keyframes(spark, sf_dir):
     return d.mapInPandas(
         work, "doc_id bigint, frame_idx int, width int, height int, sum_rgb bigint"
     )
+
+
+@register(
+    "mm_image_resize",
+    oracle="""
+    WITH probe AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+    dims AS (
+      SELECT doc_id,
+             (4 + 2 * (doc_id % 3)) // 2 AS w2, 2 AS h2,
+             doc_id % 100 AS rb, (doc_id * 7) % 100 AS gb, (doc_id * 13) % 100 AS bb
+      FROM probe)
+    SELECT doc_id,
+           CAST(w2 AS INT) AS new_w, CAST(h2 AS INT) AS new_h,
+           CAST(w2*h2*(rb+1) + h2*w2*(w2-1) + w2*h2*(h2-1) AS BIGINT) AS sum_r,
+           CAST(w2*h2*(gb+1) + h2*w2*(w2-1) + w2*h2*(h2-1) AS BIGINT) AS sum_g,
+           CAST(w2*h2*(bb+1) + h2*w2*(w2-1) + w2*h2*(h2-1) AS BIGINT) AS sum_b
+    FROM dims
+    """,
+)
+def mm_image_resize(spark, sf_dir):
+    """REAL image resize kernel — 2x2 average pooling over decoded P6 PPM
+    rasters, re-encoded and re-decoded so the header/stride path is
+    exercised in BOTH directions (encode -> resize -> decode, three real
+    codec passes; biggie_spark/multimodal.py resize_ppm_half).  On the
+    synthetic gradient image (pixel = base + x + y) the pooled pixel is
+    exactly base + 2X + 2Y + 1, so the oracle states the resized channel
+    sums in closed form — an off-by-one in the pooling window, crop, or
+    re-encode header breaks the hash.
+
+    Scale shape: Arrow-batched pandas_udfs, 1:1 row maps; the resize fans
+    out with partition parallelism and shuffles nothing."""
+    from pyspark.sql.functions import pandas_udf
+
+    from biggie_spark.multimodal import (
+        PPM_STATS_SCHEMA,
+        decode_ppm,
+        encode_ppm,
+        resize_ppm_half,
+    )
+
+    @pandas_udf("binary")
+    def encode_udf(doc_id: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                encode_ppm(
+                    4 + 2 * (int(d) % 3),
+                    4,
+                    (int(d) % 100, (int(d) * 7) % 100, (int(d) * 13) % 100),
+                )
+                for d in doc_id
+            ]
+        )
+
+    @pandas_udf("binary")
+    def resize_udf(payload: pd.Series) -> pd.Series:
+        return pd.Series([resize_ppm_half(bytes(b)) for b in payload])
+
+    @pandas_udf(f"struct<{PPM_STATS_SCHEMA}>")
+    def decode_udf(payload: pd.Series) -> pd.DataFrame:
+        rows = [decode_ppm(bytes(b)) for b in payload]
+        return pd.DataFrame(
+            rows, columns=["width", "height", "n_px", "sum_r", "sum_g", "sum_b"]
+        )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 64)
+        .select("doc_id")
+    )
+    out = (
+        d.withColumn("payload", encode_udf("doc_id"))
+        .withColumn("small", resize_udf("payload"))
+        .withColumn("st", decode_udf("small"))
+    )
+    return out.select(
+        "doc_id",
+        F.col("st.width").alias("new_w"),
+        F.col("st.height").alias("new_h"),
+        F.col("st.sum_r").alias("sum_r"),
+        F.col("st.sum_g").alias("sum_g"),
+        F.col("st.sum_b").alias("sum_b"),
+    )
+
+
+@register(
+    "mm_audio_clip_detect",
+    oracle="""
+    WITH probe AS (SELECT doc_id, 120 + doc_id % 60 AS n
+                   FROM documents WHERE doc_id < 64),
+    s AS (SELECT doc_id, n,
+                 ((unnest(range(n)) * 2654435761) % 65536) - 32768 AS samp
+          FROM probe)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+           CAST(sum(CASE WHEN abs(samp) >= 30000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped,
+           CAST(max(abs(samp)) AS BIGINT) AS peak
+    FROM s GROUP BY doc_id, n
+    """,
+)
+def mm_audio_clip_detect(spark, sf_dir):
+    """REAL audio analysis kernel — clipping detection over decoded PCM:
+    synthesize a deterministic Knuth-hash sample stream per doc, encode it
+    as a RIFF/WAVE container, decode the container back (real chunk walk,
+    biggie_spark/multimodal.py wav_samples) and count samples at or above
+    the clip threshold (|s| >= 30000).  The oracle regenerates the identical
+    stream arithmetically, so a byte-order, chunk-offset, or dtype bug in
+    either codec direction breaks the hash."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    from biggie_spark.multimodal import encode_wav, wav_samples
+
+    @pandas_udf("binary")
+    def encode_udf(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_id:
+            n = 120 + int(d) % 60
+            s = ((np.arange(n, dtype=np.int64) * 2654435761) % 65536) - 32768
+            out.append(encode_wav(s.astype("<i2")))
+        return pd.Series(out)
+
+    @pandas_udf("struct<n_samples bigint, n_clipped bigint, peak bigint>")
+    def clip_udf(payload: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in payload:
+            s = wav_samples(bytes(b))
+            a = np.abs(s)
+            rows.append((len(s), int((a >= 30000).sum()), int(a.max(initial=0))))
+        return pd.DataFrame(rows, columns=["n_samples", "n_clipped", "peak"])
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 64)
+        .select("doc_id")
+    )
+    out = d.withColumn("payload", encode_udf("doc_id")).withColumn(
+        "st", clip_udf("payload")
+    )
+    return out.select(
+        "doc_id",
+        F.col("st.n_samples").alias("n_samples"),
+        F.col("st.n_clipped").alias("n_clipped"),
+        F.col("st.peak").alias("peak"),
+    )

@@ -81,3 +81,36 @@ def test_codecs_reject_garbage():
     good = encode_wav([1, 2, 3])
     with pytest.raises(ValueError):
         decode_wav(good[:20])
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    w=st.integers(2, 40),
+    h=st.integers(2, 40),
+    rb=st.integers(0, 150),
+    gb=st.integers(0, 150),
+    bb=st.integers(0, 150),
+)
+def test_resize_half_closed_form(w, h, rb, gb, bb):
+    """2x2 average pool over the gradient image: pooled pixel is exactly
+    base + 2X + 2Y + 1 (block sum 4*base + 8X + 8Y + 4, // 4 exact), for
+    ANY dims in the envelope including odd ones (trailing row/col crop)."""
+    from biggie_spark.multimodal import resize_ppm_half
+
+    out = decode_ppm(resize_ppm_half(encode_ppm(w, h, (rb, gb, bb))))
+    w2, h2 = w // 2, h // 2
+    grad = h2 * w2 * (w2 - 1) + w2 * h2 * (h2 - 1)  # sum of 2X+2Y terms
+    n = w2 * h2
+    assert out == (
+        w2, h2, n,
+        n * (rb + 1) + grad, n * (gb + 1) + grad, n * (bb + 1) + grad,
+    )
+
+
+@settings(max_examples=50, deadline=None)
+@given(samples=st.lists(st.integers(-32768, 32767), min_size=0, max_size=500))
+def test_wav_samples_roundtrip(samples):
+    """wav_samples returns the exact PCM stream, not just stats."""
+    from biggie_spark.multimodal import wav_samples
+
+    assert list(wav_samples(encode_wav(samples))) == samples
