@@ -274,3 +274,42 @@ def snk_compact(spark, sf_dir):
     finally:
         shutil.rmtree(frag, ignore_errors=True)
         shutil.rmtree(comp, ignore_errors=True)
+
+
+@register(
+    "snk_partition_prune_read",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(round(sum(CAST(round(round(value, 4) * 10000, 0) AS BIGINT))
+                      / 10000.0, 4) AS DOUBLE) AS sum_val
+    FROM events WHERE event_type IN ('click', 'purchase') GROUP BY event_type
+    """,
+)
+def snk_partition_prune_read(spark, sf_dir):
+    """Directory-partitioned sink + PRUNED read-back: write events
+    partitioned by event_type, then read two partitions back through a
+    partition-column predicate and assert the scan's plan carries the
+    predicate as a PartitionFilter (directory pruning — untouched
+    partitions are never listed or read).  snk_write_parquet proves the
+    layout round-trips values; this op proves the layout actually PAYS at
+    read time, which is the point of partitioning 100 TB by a hot key."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.round(F.col("value"), 4).alias("value")
+    )
+    tmp = tempfile.mkdtemp(prefix="biggie_snk_prune_")
+    try:
+        save_parquet(ev, tmp, partition_by=["event_type"])
+        back = spark.read.parquet(tmp).filter(
+            F.col("event_type").isin("click", "purchase")
+        )
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "event_type" in plan.split(
+            "PartitionFilters", 1
+        )[1][:200], "partition predicate did not reach the scan's PartitionFilters"
+        return (
+            back.groupBy("event_type")
+            .agg(F.count("*").alias("n"), dsum("value", 4).alias("sum_val"))
+            .localCheckpoint()  # materialize before the temp dir vanishes
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -266,3 +266,87 @@ def stream_join_interval(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "stream_foreach_batch_upsert",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, round(value, 4) AS value, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS last_epoch,
+           CAST(value AS DOUBLE) AS last_value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def stream_foreach_batch_upsert(spark, sf_dir):
+    """A REAL Structured Streaming run (readStream -> foreachBatch ->
+    Trigger.AvailableNow), scored with a full value oracle: the input is
+    split into 4 parquet files consumed one micro-batch at a time
+    (maxFilesPerTrigger=1), and each batch upserts into an accumulator
+    keyed by user_id, keeping the row with the greatest (ts, event_id).
+
+    Keep-greatest merge is associative and commutative, so the final state
+    is independent of micro-batch arrival order — which is exactly what
+    makes an idempotent foreachBatch sink exactly-once under retries, and
+    what makes this streaming op deterministic enough to hash-check against
+    a plain window oracle.  The accumulator is localCheckpoint'ed before
+    each overwrite (self-overwrite guard, same rule as kv_put_bucketed).
+
+    Scale shape: per batch, one broadcast-sized window over |users| rows;
+    state lives in a parquet dir, not executor memory, so accumulated state
+    survives restarts (tests/test_streaming_resume.py pins the restart
+    path for the checkpointed variant)."""
+    import shutil
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="biggie_fbu_src_")
+    acc = tempfile.mkdtemp(prefix="biggie_fbu_acc_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id", F.round("value", 4).alias("value")
+        )
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+
+        schema = spark.read.parquet(src).schema
+        acc_has_data = {"v": False}
+
+        def upsert(batch, batch_id):
+            merged = batch
+            if acc_has_data["v"]:
+                merged = spark.read.parquet(acc).unionByName(batch)
+            w = Window.partitionBy("user_id").orderBy(
+                F.col("ts").desc(), F.col("event_id").desc()
+            )
+            latest = (
+                merged.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+                .localCheckpoint()  # materialize the read before overwriting
+            )
+            latest.write.mode("overwrite").parquet(acc)
+            acc_has_data["v"] = True
+
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(upsert)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        final = spark.read.parquet(acc)
+        from biggie_spark.util import epoch_s
+
+        return final.select(
+            "user_id",
+            epoch_s("ts").alias("last_epoch"),
+            F.col("value").alias("last_value"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(acc, ignore_errors=True)
