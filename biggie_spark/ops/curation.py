@@ -184,3 +184,165 @@ def graph_degree_dist(spark, sf_dir):
     return deg.groupBy("degree").agg(
         F.count("*").alias("n_users"), F.min("user_id").alias("min_user")
     )
+
+
+@register(
+    "llm_minhash_calibration",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+                  FROM documents),
+    exp AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+    h AS (SELECT doc_id, i, min(md5(tok || ':' || CAST(i AS VARCHAR))) AS mh
+          FROM exp, range(16) t(i) GROUP BY doc_id, i),
+    sig AS (SELECT doc_id, list(mh ORDER BY i) AS sg FROM h GROUP BY doc_id),
+    bands AS (SELECT doc_id, b,
+                     md5(sg[4*b+1] || sg[4*b+2] || sg[4*b+3] || sg[4*b+4]) AS bkey
+              FROM sig, range(4) t(b)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    tset AS (SELECT doc_id, list_distinct(tk) AS ts,
+                    len(list_distinct(tk)) AS n FROM toks),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_filter(range(1, 17),
+                             i -> sa.sg[i] = sb.sg[i])) AS n_match,
+             len(list_intersect(ta.ts, tb.ts)) * 1.0
+               / (ta.n + tb.n - len(list_intersect(ta.ts, tb.ts))) AS exact_j
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b
+      JOIN tset ta ON ta.doc_id = c.doc_a
+      JOIN tset tb ON tb.doc_id = c.doc_b)
+    SELECT CAST(n_match AS BIGINT) AS n_match, count(*) AS n_pairs,
+           round(avg(exact_j), 4) AS avg_exact_jaccard,
+           round(avg(abs(n_match / 16.0 - exact_j)), 4) AS avg_abs_err
+    FROM pairs GROUP BY n_match
+    """,
+)
+def llm_minhash_calibration(spark, sf_dir):
+    """Sketch-quality audit: for every LSH-banded candidate pair, compare
+    the MinHash Jaccard ESTIMATE (fraction of 16 signature positions that
+    agree) against the EXACT token-set Jaccard, summarized as a calibration
+    table keyed by signature-agreement count.  This is the measurement a
+    pipeline owner runs before trusting banded dedup thresholds at 100 TB —
+    E[matches/k] = J is the MinHash guarantee, and this op checks it on the
+    actual corpus rather than citing the theorem.
+
+    Plan shape: same banded equi-join candidate generation as
+    llm_neardup_pairs (no all-pairs), signature/token-set lookups are
+    equi-joins on doc_id, final output is a <=17-row aggregate."""
+    from biggie_spark.ops.llm import _minhash_sig
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            _minhash_sig("text").alias("sig"),
+            F.array_distinct(tokens("text")).alias("ts"),
+        )
+    )
+    bands = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda b: F.struct(
+                    b.alias("b"),
+                    F.md5(F.concat_ws("", F.slice("sig", b * 4 + 1, 4))).alias(
+                        "bkey"
+                    ),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.b", "bk.bkey")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = d.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"),
+                  F.col("ts").alias("ts_a"))
+    sb = d.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"),
+                  F.col("ts").alias("ts_b"))
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    exact = inter / (F.size("ts_a") + F.size("ts_b") - inter)
+    n_match = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    pairs = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(n_match.alias("n_match"), exact.alias("exact_j"))
+    )
+    return pairs.groupBy("n_match").agg(
+        F.count("*").alias("n_pairs"),
+        r4(F.avg("exact_j")).alias("avg_exact_jaccard"),
+        r4(F.avg(F.abs(F.col("n_match") / 16.0 - F.col("exact_j")))).alias(
+            "avg_abs_err"
+        ),
+    ).withColumn("n_match", F.col("n_match").cast("bigint"))
+
+
+@register(
+    "llm_perplexity_bucket",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+               FROM documents),
+    tok AS (SELECT doc_id, unnest(tk) AS w FROM t),
+    c AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    tot AS (SELECT sum(c) AS n FROM c),
+    sc AS (SELECT tok.doc_id,
+                  ln(CAST(c.c AS DOUBLE) / (SELECT n FROM tot)) AS lp
+           FROM tok JOIN c USING (w)),
+    ppl AS (SELECT doc_id, count(*) AS n_tok, -avg(lp) AS lppl
+            FROM sc GROUP BY doc_id)
+    SELECT doc_id, n_tok, round(lppl, 4) AS log_ppl,
+           CASE WHEN lppl < 3.40 THEN 'head'
+                WHEN lppl < 3.41 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ppl
+    """,
+)
+def llm_perplexity_bucket(spark, sf_dir):
+    """CCNet-style perplexity bucketing: score every document under the
+    corpus's own unigram LM (log-perplexity = -mean ln p(token)) and
+    assign head/middle/tail quality buckets.  CCNet used a KenLM 5-gram;
+    the Spark shape is identical for any count-based LM — train = one
+    vocabulary-sized aggregate, score = explode + broadcast equi-join on
+    the token, bucket = a case expression.  The LM frame is |vocab| rows
+    (tiny vs corpus) so it broadcasts; nothing here is quadratic.
+
+    Bucket thresholds are fixed constants inside the corpus's observed
+    log-ppl range (3.38-3.70) so all branches are exercised; fixed
+    thresholds (not global quantiles) keep the op embarrassingly parallel
+    after the LM broadcast, which is how you'd run it at 100 TB too."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("w"))
+    c = tok.groupBy("w").agg(F.count("*").alias("c"))
+    tot = c.agg(F.sum("c").alias("n"))
+    lm = F.broadcast(c.crossJoin(F.broadcast(tot)).select(
+        "w", (F.col("c").cast("double") / F.col("n")).alias("p")
+    ))
+    sc = tok.join(lm, "w").select("doc_id", F.log("p").alias("lp"))
+    ppl = sc.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"), (-F.avg("lp")).alias("lppl")
+    )
+    return ppl.select(
+        "doc_id",
+        "n_tok",
+        r4(F.col("lppl")).alias("log_ppl"),
+        F.when(F.col("lppl") < 3.40, "head")
+        .when(F.col("lppl") < 3.41, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

@@ -38,7 +38,8 @@ ALLOWED_NESTED = {
 # construction, independent of input scale:
 #   scalar aggregate (exactly 1 row: corpus-N, min/max bounds, total mass):
 #     diag_heavy_hitters diag_range_bounds graph_pagerank llm_bm25
-#     llm_mix_weights llm_source_drift llm_tf_idf stream_watermark_late
+#     llm_mix_weights llm_perplexity_bucket llm_source_drift llm_tf_idf
+#     stream_watermark_late
 #     tpch_q11_important_parts tpch_q22_global_sales_opportunity
 #     ts_gapfill ts_resample_interp
 #   limit(1) winning-pair frame (1 row per iteration):
@@ -62,6 +63,7 @@ ALLOWED_BNLJ = {
     "llm_knn_cosine",
     "llm_knn_ivf",
     "llm_mix_weights",
+    "llm_perplexity_bucket",  # 1-row corpus-total frame (token count)
     "llm_source_drift",
     "llm_tf_idf",
     "llm_topic_lift",
