@@ -334,3 +334,27 @@ def test_nested_struct_field_prunes_scan(spark, sf_dir, tmp_path):
     assert "n_bytes" in schema_line
     assert "payload" not in schema_line, "payload bytes read for a metadata query"
     assert "content_md5" not in schema_line, "untouched struct fields not pruned"
+
+
+def test_segment_dedup_is_equi_join_on_segment(spark, sf_dir):
+    """C4-style segment dedup: candidate dedup rides an equi (shuffle or
+    broadcast) hash join on the segment string — never a nested loop —
+    and the global segment count is a partial (map-side) aggregate."""
+    plan = plan_of(QUERIES["llm_segment_dedup"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_" in plan
+
+
+def test_perplexity_lm_broadcasts(spark, sf_dir):
+    """CCNet-style scoring: the unigram LM frame (|vocab| rows) broadcasts;
+    the corpus-sized token stream must NOT shuffle for the LM join."""
+    plan = plan_of(QUERIES["llm_perplexity_bucket"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_minhash_calibration_banded_not_all_pairs(spark, sf_dir):
+    """Candidate generation joins on (band, bucket-hash) equi keys — the
+    same O(n) banding as llm_neardup_pairs, never an unbounded product."""
+    plan = plan_of(QUERIES["llm_minhash_calibration"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
