@@ -228,6 +228,37 @@ class Engine:
 
         return agg_cov_exact(self.spark, self.sf_dir)
 
+    # ---- curation family (round 4) ----------------------------------------
+    def segment_dedup(self) -> DataFrame:
+        """C4-style global segment-level dedup stats per document."""
+        from biggie_spark.ops.curation import llm_segment_dedup
+
+        return llm_segment_dedup(self.spark, self.sf_dir)
+
+    def prefix_clusters(self) -> DataFrame:
+        """Documents clustering on an identical leading token span."""
+        from biggie_spark.ops.curation import llm_prefix_dup
+
+        return llm_prefix_dup(self.spark, self.sf_dir)
+
+    def entropy_filter(self) -> DataFrame:
+        """Char-level Shannon entropy quality signal per document."""
+        from biggie_spark.ops.curation import llm_entropy_filter
+
+        return llm_entropy_filter(self.spark, self.sf_dir)
+
+    def perplexity_buckets(self) -> DataFrame:
+        """CCNet-style head/middle/tail buckets under the corpus unigram LM."""
+        from biggie_spark.ops.curation import llm_perplexity_bucket
+
+        return llm_perplexity_bucket(self.spark, self.sf_dir)
+
+    def minhash_calibration(self) -> DataFrame:
+        """MinHash-estimate vs exact-Jaccard calibration table."""
+        from biggie_spark.ops.curation import llm_minhash_calibration
+
+        return llm_minhash_calibration(self.spark, self.sf_dir)
+
     # ---- introspection ----------------------------------------------------
     def explain(self, df: DataFrame, mode: str = "formatted") -> str:
         return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001

@@ -55,6 +55,11 @@ def test_engine_facade_analytics_surface(spark, sf_dir):
         "vwap",
         "gaps",
         "pattern_match",
+        "segment_dedup",
+        "prefix_clusters",
+        "entropy_filter",
+        "perplexity_buckets",
+        "minhash_calibration",
     ):
         df = getattr(eng, name)()
         assert df.columns, name

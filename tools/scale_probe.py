@@ -68,6 +68,8 @@ CONTENT_KEYED = {
     "q_neardup_lsh": "llm_neardup_pairs",
     "q_dedup_semantic": "llm_dedup_semantic",
     "q_knn_ivf": "llm_knn_ivf",
+    "q_segment_dedup": "llm_segment_dedup",
+    "q_minhash_calibration": "llm_minhash_calibration",
 }
 SRC_SMALL = "/root/testdata/sf0.01"
 
