@@ -43,6 +43,30 @@ class Engine:
     def sql(self, query: str) -> DataFrame:
         return self.spark.sql(query)
 
+    # ---- entry point 2b: any registered operator by name ------------------
+    def op(self, name: str) -> DataFrame:
+        """Run ANY registered operator (the full SURVEY.md §2 inventory plus
+        every extension) against this engine's corpus — the named facade
+        methods below are curated conveniences; this is the complete
+        surface.  `Engine.ops()` lists what's available."""
+        from biggie_spark.registry import QUERIES, load_all_ops
+
+        load_all_ops()
+        if name not in QUERIES:
+            import difflib
+
+            near = difflib.get_close_matches(name, QUERIES, n=3)
+            raise KeyError(f"unknown operator {name!r}; did you mean {near}?")
+        return QUERIES[name](self.spark, self.sf_dir)
+
+    @staticmethod
+    def ops() -> list[str]:
+        """Sorted names of every registered operator."""
+        from biggie_spark.registry import QUERIES, load_all_ops
+
+        load_all_ops()
+        return sorted(QUERIES)
+
     # ---- entry point 3: kv / LLM façade ----------------------------------
     _STASH_KEYS = {"documents": "doc_id", "embeddings": "vec_id", "events": "event_id"}
 

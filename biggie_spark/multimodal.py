@@ -161,8 +161,8 @@ def decode_image_batch(payload: pd.Series) -> pd.DataFrame:
 
 # ---- real codec: PPM (P6), pure numpy — no external imaging library ------
 #
-# The container ships no PIL/ffmpeg, so jpeg/png stay behind the
-# NotImplementedError hook above; PPM is a real binary raster format whose
+# The container ships no PIL/ffmpeg, so jpeg/png decode only when pillow is
+# present (decode_image_batch above); PPM is a real binary raster format whose
 # codec needs only numpy, which makes the decode path genuinely real here:
 # header parse (whitespace + comment handling per the netpbm spec), raw
 # byte-stride math, numpy frombuffer/reshape.  ops/multimodal_ops.py

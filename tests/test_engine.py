@@ -64,3 +64,21 @@ def test_engine_facade_analytics_surface(spark, sf_dir):
         df = getattr(eng, name)()
         assert df.columns, name
         assert df.limit(1).count() >= 0, name
+
+
+def test_engine_op_dispatch(spark, sf_dir):
+    """Engine.op reaches the full registry; unknown names suggest near
+    matches instead of a bare KeyError."""
+    from biggie_spark.engine import Engine
+
+    eng = Engine.connect(sf_dir, spark=spark)
+    assert len(eng.ops()) >= 236
+    assert eng.op("llm_segment_dedup").columns == [
+        "doc_id", "n_segs", "n_kept", "kept_md5",
+    ]
+    try:
+        eng.op("llm_segment_dedupe")
+    except KeyError as e:
+        assert "llm_segment_dedup" in str(e)
+    else:  # pragma: no cover
+        raise AssertionError("expected KeyError")
