@@ -28,3 +28,4 @@ from biggie_spark.ops import diagnostics  # noqa: F401
 from biggie_spark.ops import incremental  # noqa: F401
 from biggie_spark.ops import pipeline2  # noqa: F401
 from biggie_spark.ops import curation  # noqa: F401
+from biggie_spark.ops import spark4  # noqa: F401

@@ -1,0 +1,194 @@
+"""Spark-4-native surfaces: VariantType JSON, schema-evolution reads, and
+the Python DataSource API (pyspark.sql.datasource) — the engine features a
+pipeline running on Spark 4.x should be using, exercised as scored ops.
+
+* ``fn_variant`` — semi-structured JSON through the VARIANT type
+  (`parse_json` once, `try_variant_get` per path) instead of repeated
+  string path extraction.  At 100 TB variant's binary encoding is parsed
+  once at ingest and every downstream path read is a cheap binary probe,
+  vs get_json_object re-parsing the string per call.
+* ``src_schema_evolution`` — two parquet generations with different
+  schemas unified by ``mergeSchema`` — the read path every long-lived
+  table hits after its schema grows a column.
+* ``src_python_datasource`` — a custom partition-planned source written
+  against the Python DataSource API: the reader declares N input
+  partitions, each executor materializes only its own range — the
+  contract any external-system connector (REST shard, queue, blob
+  manifest) implements.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from biggie_spark.io import load_table
+from biggie_spark.registry import register
+from biggie_spark.util import dsum, r4
+
+
+@register(
+    "fn_variant",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(user_id) AS BIGINT) AS sum_u,
+           CAST(round(sum(CAST(round(round(value, 4) * 2 * 10000, 0) AS BIGINT))
+                      / 10000.0, 4) AS DOUBLE) AS sum_v2
+    FROM events GROUP BY event_type
+    """,
+)
+def fn_variant(spark, sf_dir):
+    """Semi-structured JSON via Spark 4 VARIANT: build a nested JSON
+    payload, `parse_json` it ONCE into a variant column, then read three
+    typed paths back with `try_variant_get` ($.u bigint, $.vals[1] double,
+    $.meta.t string) and aggregate.  The oracle computes the same values
+    from the base columns, so a wrong path, index base, or type coercion
+    in the variant round-trip breaks the hash.  One parse + cheap binary
+    probes is the pattern that replaces repeated get_json_object string
+    re-parses at scale."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.round("value", 4).alias("value")
+    )
+    payload = F.to_json(
+        F.struct(
+            F.col("user_id").alias("u"),
+            F.array(F.col("value"), F.col("value") * 2).alias("vals"),
+            F.struct(F.col("event_type").alias("t")).alias("meta"),
+        )
+    )
+    v = ev.select(F.parse_json(payload).alias("var"))
+    return (
+        v.select(
+            F.try_variant_get("var", "$.u", "bigint").alias("u"),
+            F.try_variant_get("var", "$.vals[1]", "double").alias("v2"),
+            F.try_variant_get("var", "$.meta.t", "string").alias("event_type"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("u").alias("sum_u"),
+            dsum("v2", 4).alias("sum_v2"),
+        )
+    )
+
+
+@register(
+    "src_schema_evolution",
+    oracle="""
+    WITH unioned AS (
+      SELECT doc_id, lang, NULL AS quality FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, lang, doc_id % 5 AS quality FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT lang, count(*) AS n,
+           CAST(sum(CASE WHEN quality IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_old_schema,
+           CAST(coalesce(sum(quality), 0) AS BIGINT) AS sum_quality
+    FROM unioned GROUP BY lang
+    """,
+)
+def src_schema_evolution(spark, sf_dir):
+    """Schema evolution on a long-lived table: generation 1 files lack the
+    `quality` column, generation 2 files carry it; `mergeSchema=true`
+    unifies the footers and back-fills NULL for the missing column — the
+    read-path behavior every appended-to 100 TB table depends on after a
+    schema change.  Old-generation rows are identified *by the scan* (null
+    quality), not by a side channel, so the oracle checks the fill
+    semantics exactly."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    base = tempfile.mkdtemp(prefix="biggie_evo_")
+    try:
+        d.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
+            f"{base}/gen=1"
+        )
+        (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 2 == 1)
+            .select("doc_id", "lang", (F.col("doc_id") % 5).alias("quality"))
+            .write.mode("overwrite")
+            .parquet(f"{base}/gen=2")
+        )
+        back = spark.read.option("mergeSchema", "true").parquet(
+            f"{base}/gen=1", f"{base}/gen=2"
+        )
+        assert "quality" in back.columns, "mergeSchema did not surface the new column"
+        return (
+            back.groupBy("lang")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.when(F.col("quality").isNull(), 1).otherwise(0)
+                ).alias("n_old_schema"),
+                F.coalesce(F.sum("quality"), F.lit(0)).alias("sum_quality"),
+            )
+            .localCheckpoint()  # materialize before the temp dir vanishes
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+N_SYNTH = 2000
+N_PARTS = 8
+
+
+@register(
+    "src_python_datasource",
+    oracle=f"""
+    SELECT i AS id, CAST(i % 10 AS INT) AS bucket,
+           CAST((i * 7) % 100 AS INT) AS score
+    FROM range({N_SYNTH}) t(i)
+    """,
+)
+def src_python_datasource(spark, sf_dir):
+    """A scored custom source on the Spark 4 Python DataSource API: the
+    reader plans {N_PARTS} input partitions up front and each task
+    materializes ONLY its own id range — the partition-planning contract
+    that any external connector (REST shards, queue offsets, blob
+    manifests) implements to parallelize ingest.  Values are closed-form
+    in the id, so the oracle checks every generated row, and a partition
+    plan that dropped/duplicated a range breaks row count and hash."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class SynthReader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", N_SYNTH))
+            self.parts = int(options.get("parts", N_PARTS))
+
+        def partitions(self):
+            step = (self.n + self.parts - 1) // self.parts
+            return [
+                InputPartition((lo, min(lo + step, self.n)))
+                for lo in range(0, self.n, step)
+            ]
+
+        def read(self, partition):
+            lo, hi = partition.value
+            for i in range(lo, hi):
+                yield (i, i % 10, (i * 7) % 100)
+
+    class SynthSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "biggie_synth"
+
+        def schema(self):
+            return "id bigint, bucket int, score int"
+
+        def reader(self, schema):
+            return SynthReader(self.options)
+
+    # register() is idempotent per name (latest registration wins)
+    spark.dataSource.register(SynthSource)
+    return (
+        spark.read.format("biggie_synth")
+        .option("n", str(N_SYNTH))
+        .option("parts", str(N_PARTS))
+        .load()
+    )
