@@ -740,3 +740,59 @@ def agg_gini(spark, sf_dir):
             ).alias("gini_e6"),
         )
     )
+
+
+@register(
+    "sql_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+    """,
+)
+def sql_lateral_topk(spark, sf_dir):
+    """Correlated LATERAL subquery with ORDER BY + LIMIT (Spark 4 lateral
+    join support) — per-customer best order expressed as the SQL a
+    warehouse user would actually write.  Catalyst decorrelates the
+    lateral into a window/aggregate join (same physical shape as
+    win_topk_per_group, §4 free-optimizer behavior); DuckDB executes the
+    byte-identical statement, so the decorrelation is value-checked.
+    Customers with no orders drop out (inner lateral), matching DuckDB."""
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+        """
+    )
+
+
+@register(
+    "sql_lateral_explode",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+                  FROM documents WHERE doc_id < 20),
+    pos AS (SELECT doc_id, unnest(range(len(tk))) AS pos, tk FROM toks)
+    SELECT doc_id, CAST(pos AS INT) AS pos, tk[pos + 1] AS tok
+    FROM pos
+    """,
+)
+def sql_lateral_explode(spark, sf_dir):
+    """LATERAL VIEW posexplode via the SQL entry point — the HiveQL-lineage
+    table-generating surface (the SQL twin of the DataFrame explode used
+    throughout the LLM ops).  Position indexes are value-checked against
+    DuckDB's unnest-with-range formulation."""
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(
+        """
+        SELECT doc_id, pos, tok
+        FROM documents
+        LATERAL VIEW posexplode(split(lower(text), ' ')) t AS pos, tok
+        WHERE doc_id < 20
+        """
+    )
