@@ -796,3 +796,90 @@ def sql_lateral_explode(spark, sf_dir):
         WHERE doc_id < 20
         """
     )
+
+
+@register(
+    "fn_collation",
+    oracle="""
+    WITH mixed AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                  ELSE event_type END AS et, value
+      FROM events)
+    SELECT lower(et) AS event_type_ci, count(*) AS n,
+           CAST(sum(CASE WHEN lower(et) = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_click_ci
+    FROM mixed GROUP BY lower(et)
+    """,
+)
+def fn_collation(spark, sf_dir):
+    """Spark 4 collations: group and compare case-insensitively via the
+    UTF8_LCASE collation instead of wrapping every expression in lower().
+    The mixed-case column is derived deterministically (even event_ids are
+    uppercased); grouping on `collate(et, 'UTF8_LCASE')` merges case
+    variants engine-side, and the emitted key is normalized with lower()
+    because a collated group's representative value is whichever variant
+    the engine saw first — never emit the raw representative across
+    engines.  DuckDB oracles the same semantics through explicit lower()."""
+    ev = load_table(spark, sf_dir, "events")
+    mixed = ev.select(
+        F.when(F.col("event_id") % 2 == 0, F.upper("event_type"))
+        .otherwise(F.col("event_type"))
+        .alias("et")
+    )
+    ci = F.collate(F.col("et"), "UTF8_LCASE")
+    return (
+        mixed.groupBy(ci.alias("et_ci"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(ci == F.lit("click"), 1).otherwise(0)
+            ).alias("n_click_ci"),
+        )
+        .select(
+            F.lower(F.col("et_ci").cast("string")).alias("event_type_ci"),
+            "n",
+            "n_click_ci",
+        )
+    )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (SELECT doc_id,
+                      CASE WHEN doc_id % 7 = 0 THEN NULL
+                           ELSE doc_id % 50 END AS k
+               FROM documents),
+    b AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN NULL
+                              ELSE doc_id % 50 END AS k
+          FROM documents),
+    j AS (SELECT a.k FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k)
+    SELECT coalesce(CAST(k AS VARCHAR), '<null>') AS k, count(*) AS n_pairs
+    FROM j GROUP BY 1
+    """,
+)
+def join_null_safe(spark, sf_dir):
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of dropping out — required for dimension
+    keys where NULL is a real category (unknown source, unattributed).
+    Spark plans `eqNullSafe` as an ordinary hash-partitioned equi join
+    (null-safe equality is still a deterministic hash key), so the shape
+    is scale-safe; the caveat at 100 TB is that ALL nulls land in ONE
+    hash bucket — a known skew hazard, which is why the skew toolkit
+    (join_salted_skew, AQE skew split) exists alongside."""
+    d = load_table(spark, sf_dir, "documents")
+    a = d.select(
+        F.when(F.col("doc_id") % 7 == 0, None)
+        .otherwise(F.col("doc_id") % 50)
+        .alias("k")
+    )
+    b = d.select(
+        F.when(F.col("doc_id") % 11 == 0, None)
+        .otherwise(F.col("doc_id") % 50)
+        .alias("kb")
+    )
+    j = a.join(b, F.col("k").eqNullSafe(F.col("kb")))
+    return j.groupBy("k").agg(F.count("*").alias("n_pairs")).select(
+        F.coalesce(F.col("k").cast("string"), F.lit("<null>")).alias("k"),
+        "n_pairs",
+    )
