@@ -883,3 +883,78 @@ def join_null_safe(spark, sf_dir):
         F.coalesce(F.col("k").cast("string"), F.lit("<null>")).alias("k"),
         "n_pairs",
     )
+
+
+@register(
+    "agg_grouping_id",
+    oracle="""
+    SELECT coalesce(o_orderstatus, '<all>') AS status,
+           coalesce(o_orderpriority, '<all>') AS priority,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+                AS BIGINT) AS gid,
+           count(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_grouping_id(spark, sf_dir):
+    """GROUPING()/grouping_id over a cube: the bitmask that tells total
+    rows apart from genuine NULL group keys — without it a cube over a
+    nullable column is ambiguous.  Emitted as grouping(status)*2 +
+    grouping(priority) so Spark's grouping_id bit order is value-checked
+    against DuckDB's per-column grouping() bits."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            (
+                F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")
+            ).cast("bigint").alias("gid"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "gid",
+            "n",
+        )
+    )
+
+
+@register(
+    "fn_try_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                ELSE o_orderkey // (o_orderkey % 10) END AS safe_div,
+           CASE WHEN o_orderkey > 9223372036854775807 - 1000000
+                THEN NULL ELSE o_orderkey + 1000000 END AS safe_add,
+           CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                ELSE CAST(o_orderkey AS VARCHAR) END AS parsed
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def fn_try_arithmetic(spark, sf_dir):
+    """ANSI-safe arithmetic (Spark 4 runs ANSI mode by default, where
+    division by zero and overflow THROW): try_divide / try_add / try_cast
+    return NULL instead of failing the job — the difference between one
+    bad row poisoning a 100 TB pipeline stage and a NULL you can audit.
+    The oracle states the NULL-producing conditions explicitly (DuckDB has
+    no try_* family), so the try-semantics are value-checked: %10==0 rows
+    divide by zero -> NULL, and a deliberately un-castable string -> NULL."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_orderkey"), F.col("o_orderkey") % 10)
+        .cast("bigint")
+        .alias("safe_div"),
+        F.try_add(F.col("o_orderkey"), F.lit(1000000)).alias("safe_add"),
+        F.try_to_number(
+            F.when(F.col("o_orderkey") % 3 == 0, "not-a-number").otherwise(
+                F.col("o_orderkey").cast("string")
+            ),
+            F.lit("999999999"),
+        )
+        .cast("bigint")
+        .cast("string")
+        .alias("parsed"),
+    )

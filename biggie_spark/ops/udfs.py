@@ -194,3 +194,51 @@ def udf_arrow_map(spark, sf_dir):
     return e.select("vec_id", "embedding").mapInArrow(
         sq_norm_batches, "vec_id bigint, dim int, sq_norm double"
     )
+
+
+@register(
+    "udtf_polymorphic",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+               FROM documents WHERE doc_id < 5),
+    x AS (SELECT doc_id, unnest(range(len(tk) - 2)) AS i, tk FROM t)
+    SELECT doc_id, CAST(i AS INT) AS idx,
+           tk[i + 1] AS w0, tk[i + 2] AS w1, tk[i + 3] AS w2
+    FROM x
+    """,
+)
+def udtf_polymorphic(spark, sf_dir):
+    """Polymorphic Python UDTF (Spark 4 `analyze()` static method): the
+    output schema is computed at PLAN time from the literal n argument —
+    ngrams(text, 3) materializes columns (idx, w0, w1, w2); calling it
+    with a different n would change the schema without touching the
+    class.  This is the dynamic-schema table-function contract (the
+    static-schema twin is udtf_python above)."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class NGrams:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            fields = [StructField("idx", IntegerType())] + [
+                StructField(f"w{i}", StringType()) for i in range(n.value)
+            ]
+            return AnalyzeResult(StructType(fields))
+
+        def eval(self, text: str, n: int):
+            toks = text.split(" ")
+            for i in range(len(toks) - n + 1):
+                yield (i, *toks[i : i + n])
+
+    spark.udtf.register("ngrams_poly", NGrams)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 5
+    ).createOrReplaceTempView("_udtf_poly_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.idx, s.w0, s.w1, s.w2
+        FROM _udtf_poly_docs d, LATERAL ngrams_poly(d.text, 3) s
+        """
+    )
