@@ -34,6 +34,29 @@ GREEN_LEDGER = Path(__file__).resolve().parent.parent / "tools" / "driver_green.
 SEC2_CONTRACT = Path(__file__).resolve().parent.parent / "tools" / "sec2_contract.json"
 
 
+# Ops the round-3 verdict named explicitly for driver scoring (VERDICT r3
+# item 2) — guaranteed a window slot ahead of every other unscored
+# extension, so late registrations can never displace them.
+VERDICT_PRIORITY = (
+    "mm_codec_ppm",
+    "mm_codec_wav",
+    "llm_bpe_train",
+    "llm_bpe_apply",
+    "llm_bm25",
+    "agg_median_exact",
+    "agg_quantiles",
+    "join_salted_skew",
+    "join_runtime_bloom",
+    "join_dynamic_partition_prune",
+    "graph_pagerank",
+    "llm_dedup_clusters",
+    "graph_triangles",
+    "llm_knn_ivf",
+    "llm_knn_ann",
+    "llm_knn_lsh",
+    "fn_sample_hash",
+)
+
 # Extension families a real user hits most often — float these ahead of the
 # remaining unscored extensions so they earn driver CORRECTNESS rows first
 # (VERDICT r2 item 3).  Prefix match on the op name.
@@ -76,16 +99,23 @@ def ordered_queries() -> dict[str, QueryFn]:
         )
         sec2 = set(QUERIES)
 
+    verdict_rank = {n: i for i, n in enumerate(VERDICT_PRIORITY)}
+
     def tier(n: str) -> int:
         if n in green:
-            return 3
+            return 4
         if n in sec2:
             return 0
-        return 1 if _priority(n) else 2
+        if n in verdict_rank:
+            return 1
+        return 2 if _priority(n) else 3
 
     out: dict[str, QueryFn] = {}
-    for t in (0, 1, 2, 3):
-        out.update({n: f for n, f in QUERIES.items() if tier(n) == t})
+    for t in (0, 1, 2, 3, 4):
+        names = [n for n in QUERIES if tier(n) == t]
+        if t == 1:
+            names.sort(key=verdict_rank.__getitem__)
+        out.update({n: QUERIES[n] for n in names})
     return out
 
 
