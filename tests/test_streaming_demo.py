@@ -179,3 +179,63 @@ def test_streaming_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
         base["click"][1] + clicks_extra.s,
     )
     assert second == expected, "resume reprocessed or dropped input"
+
+
+def test_streaming_rocksdb_state_store_matches_default(spark, sf_dir, tmp_path):
+    """State-backend independence: the same stateful streaming aggregation
+    produces identical results under the default (HDFS-backed, in-memory)
+    state store and RocksDBStateStoreProvider.  RocksDB is the provider a
+    100 TB deployment runs (state spills to local disk instead of executor
+    heap), so the engine's stateful ops must not depend on backend-specific
+    behavior — this pins that, executed for real, not narrated."""
+    ev = QUERIES["stream_tumbling"]  # batch twin for the expected answer
+    expected = _rows(ev(spark, sf_dir))
+
+    src = str(tmp_path / "src")
+    spark.read.parquet(f"{sf_dir}/events.parquet").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    results = {}
+    for tag, provider in (
+        ("default", None),
+        (
+            "rocksdb",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        ),
+    ):
+        if provider:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", provider
+            )
+        try:
+            from biggie_spark.io import normalize_events
+
+            sdf = (
+                normalize_events(spark.readStream.schema(schema).parquet(src))
+                .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+                .agg(F.count("*").alias("n"),
+                     (F.round(F.sum(F.col("value").cast("double")
+                                    .cast("decimal(20,2)")), 4)
+                      .cast("double")).alias("sum_val"))
+                .select(
+                    F.unix_timestamp("w.start").alias("hour_epoch"),
+                    "event_type", "n", "sum_val",
+                )
+            )
+            q = (
+                sdf.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(f"state_{tag}")
+                .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            results[tag] = _rows(spark.sql(f"select * from state_{tag}"))
+        finally:
+            if provider:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    assert results["default"] == results["rocksdb"]
+    assert results["rocksdb"] == expected
