@@ -346,3 +346,53 @@ def llm_perplexity_bucket(spark, sf_dir):
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+@register(
+    "llm_length_filter",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS lo,
+             CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS hi
+      FROM documents)
+    SELECT d.source, count(*) AS n_total,
+           CAST(sum(CASE WHEN d.n_chars BETWEEN b.lo AND b.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(min(b.lo) AS BIGINT) AS lo, CAST(max(b.hi) AS BIGINT) AS hi
+    FROM documents d, bounds b GROUP BY d.source
+    """,
+)
+def llm_length_filter(spark, sf_dir):
+    """Corpus-relative length filter: keep documents whose n_chars lies in
+    the corpus's [P5, P95] band — the standard outlier cut before training
+    (absolute thresholds go stale as the crawl mix shifts; percentile
+    bands self-calibrate).  Two-pass broadcast shape: pass 1 computes the
+    two DISCRETE percentiles (percentile_disc picks an actual data value —
+    exact and engine-portable, no interpolation float risk) as a 1-row
+    frame; pass 2 broadcasts it against the corpus — at 100 TB the bounds
+    frame is 16 bytes and the filter is map-side."""
+    d = load_table(spark, sf_dir, "documents")
+    # percentile() interpolates between data values; percentile_approx at
+    # maximum accuracy degenerates to the exact DISCRETE percentile (an
+    # actual n_chars value), matching DuckDB's percentile_disc bit-for-bit.
+    bounds = d.agg(
+        F.expr(
+            "percentile_approx(n_chars, 0.05, 2147483647)"
+        ).cast("bigint").alias("lo"),
+        F.expr(
+            "percentile_approx(n_chars, 0.95, 2147483647)"
+        ).cast("bigint").alias("hi"),
+    )
+    return (
+        d.crossJoin(F.broadcast(bounds))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(
+                F.when(F.col("n_chars").between(F.col("lo"), F.col("hi")), 1)
+                .otherwise(0)
+            ).alias("n_kept"),
+            F.min("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+        )
+    )

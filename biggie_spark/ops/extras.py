@@ -958,3 +958,32 @@ def fn_try_arithmetic(spark, sf_dir):
         .cast("string")
         .alias("parsed"),
     )
+
+
+@register(
+    "agg_bool_family",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           count(*) FILTER (WHERE o_totalprice > 100000) AS n_large,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+           CAST(min(o_orderkey) AS BIGINT) AS first_key
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_bool_family(spark, sf_dir):
+    """Boolean/conditional aggregate family: count_if, every (bool_and),
+    some (bool_or), plus a DETERMINISTIC stand-in for any_value — min by
+    key — because raw any_value/first are partition-order-dependent and
+    banned by determinism rule 4; emitting min instead makes the 'pick a
+    representative' pattern value-checkable.  All are single-pass partial
+    aggregates (map-side combine)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_large"),
+        F.every(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.some(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.min("o_orderkey").alias("first_key"),
+    )

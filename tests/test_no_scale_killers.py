@@ -62,6 +62,7 @@ ALLOWED_BNLJ = {
     "llm_knn_ann",  # routes to llm_knn_ivf (same bounded probe pattern)
     "llm_knn_cosine",
     "llm_knn_ivf",
+    "llm_length_filter",  # 1-row percentile-bounds frame
     "llm_mix_weights",
     "llm_perplexity_bucket",  # 1-row corpus-total frame (token count)
     "llm_source_drift",
