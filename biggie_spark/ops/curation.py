@@ -396,3 +396,128 @@ def llm_length_filter(spark, sf_dir):
             F.max("hi").alias("hi"),
         )
     )
+
+
+@register(
+    "llm_curation_pipeline",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS lo,
+             CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS hi
+      FROM documents),
+    lf AS (SELECT d.doc_id, d.source, d.text FROM documents d, bounds b
+           WHERE d.n_chars BETWEEN b.lo AND b.hi),
+    tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents),
+    c AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    tot AS (SELECT sum(c) AS n FROM c),
+    ppl AS (SELECT tok.doc_id,
+                   -avg(ln(CAST(c.c AS DOUBLE) / (SELECT n FROM tot))) AS lppl
+            FROM tok JOIN c USING (w) GROUP BY tok.doc_id),
+    kept AS (SELECT lf.doc_id, lf.source, lf.text
+             FROM lf JOIN ppl USING (doc_id) WHERE ppl.lppl < 3.41),
+    ktoks AS (SELECT doc_id, source, string_split(lower(text), ' ') AS tk
+              FROM kept),
+    seg0 AS (SELECT doc_id, source,
+                    unnest(range(CAST(ceil(len(tk) / {SEG_LEN}.0) AS BIGINT))) AS i,
+                    tk
+             FROM ktoks),
+    segs AS (SELECT doc_id, source,
+                    array_to_string(tk[(i*{SEG_LEN}+1):(i*{SEG_LEN}+{SEG_LEN})], ' ') AS seg
+             FROM seg0),
+    segc AS (SELECT seg, count(*) AS c FROM segs GROUP BY seg),
+    per_doc AS (SELECT s.doc_id, s.source, count(*) AS n_segs,
+                       sum(CASE WHEN segc.c = 1 THEN 1 ELSE 0 END) AS n_uniq
+                FROM segs s JOIN segc USING (seg) GROUP BY s.doc_id, s.source)
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(coalesce(sum(CASE WHEN lf.doc_id IS NOT NULL THEN 1 END), 0)
+                AS BIGINT) AS n_len_kept,
+           CAST(coalesce(sum(CASE WHEN k.doc_id IS NOT NULL THEN 1 END), 0)
+                AS BIGINT) AS n_ppl_kept,
+           CAST(coalesce(sum(p.n_segs), 0) AS BIGINT) AS n_segs,
+           CAST(coalesce(sum(p.n_uniq), 0) AS BIGINT) AS n_uniq_segs
+    FROM documents d
+    LEFT JOIN lf ON lf.doc_id = d.doc_id
+    LEFT JOIN kept k ON k.doc_id = d.doc_id
+    LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def llm_curation_pipeline(spark, sf_dir):
+    """The full C4/CCNet-style cleaning pass composed as ONE lazy Catalyst
+    plan — length band filter (corpus P5-P95) -> unigram-LM perplexity cut
+    (head+middle kept) -> C4 segment-level dedup accounting on the
+    survivors — reported per source so a pipeline owner sees exactly where
+    each source's volume goes.  Every stage is the already-scored operator
+    shape (llm_length_filter / llm_perplexity_bucket / llm_segment_dedup);
+    composing them stays declarative, so Catalyst prunes columns across
+    stage boundaries and reuses the exploded-token scan for the LM.
+
+    Scale shape: two 1-row broadcast frames (percentile bounds, corpus
+    token total), one |vocab| broadcast (LM), hash aggs and equi-joins for
+    everything else.  The left joins at the end are doc_id equi-joins used
+    only for per-source attribution."""
+    d = load_table(spark, sf_dir, "documents")
+    bounds = d.agg(
+        F.expr("percentile_approx(n_chars, 0.05, 2147483647)")
+        .cast("bigint").alias("lo"),
+        F.expr("percentile_approx(n_chars, 0.95, 2147483647)")
+        .cast("bigint").alias("hi"),
+    )
+    lf = (
+        d.crossJoin(F.broadcast(bounds))
+        .filter(F.col("n_chars").between(F.col("lo"), F.col("hi")))
+        .select("doc_id", "source", "text")
+    )
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("w"))
+    c = tok.groupBy("w").agg(F.count("*").alias("c"))
+    tot = c.agg(F.sum("c").alias("n"))
+    lm = F.broadcast(
+        c.crossJoin(F.broadcast(tot)).select(
+            "w", (F.col("c").cast("double") / F.col("n")).alias("p")
+        )
+    )
+    ppl = (
+        tok.join(lm, "w")
+        .groupBy("doc_id")
+        .agg((-F.avg(F.log("p"))).alias("lppl"))
+    )
+    kept = lf.join(ppl, "doc_id").filter(F.col("lppl") < 3.41).select(
+        "doc_id", "source", "text"
+    )
+    tk = tokens(F.col("text"))
+    n_seg = F.ceil(F.size(tk) / F.lit(float(SEG_LEN))).cast("int")
+    segs = kept.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_seg - 1),
+                lambda i: F.array_join(F.slice(tk, i * SEG_LEN + 1, SEG_LEN), " "),
+            )
+        ).alias("seg"),
+    )
+    segc = segs.groupBy("seg").agg(F.count("*").alias("c"))
+    per_doc = (
+        segs.join(segc, "seg")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_segs"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_uniq"),
+        )
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(lf.select("doc_id", F.lit(1).alias("in_lf")), "doc_id", "left")
+        .join(kept.select("doc_id", F.lit(1).alias("in_kept")), "doc_id", "left")
+        .join(per_doc.select("doc_id", "n_segs", "n_uniq"), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum("in_lf"), F.lit(0)).alias("n_len_kept"),
+            F.coalesce(F.sum("in_kept"), F.lit(0)).alias("n_ppl_kept"),
+            F.coalesce(F.sum("n_segs"), F.lit(0)).alias("n_segs"),
+            F.coalesce(F.sum("n_uniq"), F.lit(0)).alias("n_uniq_segs"),
+        )
+    )

@@ -62,6 +62,7 @@ ALLOWED_BNLJ = {
     "llm_knn_ann",  # routes to llm_knn_ivf (same bounded probe pattern)
     "llm_knn_cosine",
     "llm_knn_ivf",
+    "llm_curation_pipeline",  # 1-row bounds + 1-row corpus-total frames
     "llm_length_filter",  # 1-row percentile-bounds frame
     "llm_mix_weights",
     "llm_perplexity_bucket",  # 1-row corpus-total frame (token count)
