@@ -283,6 +283,13 @@ class Engine:
 
         return llm_minhash_calibration(self.spark, self.sf_dir)
 
+    def curation_pipeline(self) -> DataFrame:
+        """The composed C4/CCNet cleaning pass (length band -> perplexity
+        cut -> segment dedup accounting) as one lazy plan, per source."""
+        from biggie_spark.ops.curation import llm_curation_pipeline
+
+        return llm_curation_pipeline(self.spark, self.sf_dir)
+
     # ---- introspection ----------------------------------------------------
     def explain(self, df: DataFrame, mode: str = "formatted") -> str:
         return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001

@@ -60,6 +60,7 @@ def test_engine_facade_analytics_surface(spark, sf_dir):
         "entropy_filter",
         "perplexity_buckets",
         "minhash_calibration",
+        "curation_pipeline",
     ):
         df = getattr(eng, name)()
         assert df.columns, name

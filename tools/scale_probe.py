@@ -70,6 +70,7 @@ CONTENT_KEYED = {
     "q_knn_ivf": "llm_knn_ivf",
     "q_segment_dedup": "llm_segment_dedup",
     "q_minhash_calibration": "llm_minhash_calibration",
+    "q_curation_pipeline": "llm_curation_pipeline",
 }
 SRC_SMALL = "/root/testdata/sf0.01"
 
