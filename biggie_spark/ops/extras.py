@@ -940,7 +940,10 @@ def fn_try_arithmetic(spark, sf_dir):
     bad row poisoning a 100 TB pipeline stage and a NULL you can audit.
     The oracle states the NULL-producing conditions explicitly (DuckDB has
     no try_* family), so the try-semantics are value-checked: %10==0 rows
-    divide by zero -> NULL, and a deliberately un-castable string -> NULL."""
+    divide by zero -> NULL, and a deliberately un-castable string -> NULL.
+    (try_divide performs TRUE division to double; the bigint cast truncates
+    toward zero, which equals the oracle's floor division because every
+    operand here is non-negative.)"""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
     return o.select(
         "o_orderkey",
