@@ -1,0 +1,502 @@
+"""Round-4 analytic operators: interval-overlap join, bounded BFS, OHLC
+bars, rolling exact median, exact higher moments, MERGE semantics, and a
+clustered (data-skipping) write path.
+
+Scale design (100 TB):
+* `join_interval_overlap` — interval × interval overlap is a nested loop
+  if expressed directly.  Gridding rewrites it as an EQUI-join: each
+  interval explodes to the fixed-width grid cells it touches (≤ 2 here:
+  cell width ≥ max interval length), the join runs hash/SMJ on the cell
+  key, and each overlapping pair is emitted EXACTLY ONCE by the owner-cell
+  rule — only the cell containing ``max(start_a, start_b)`` reports the
+  pair — so no post-join dedup shuffle exists at all.  This is the
+  standard spatial-grid/range-bin trick for overlap joins.
+* `graph_bfs_distance` — frontier-relaxation BFS: K bounded iterations of
+  (frontier ⋈ edges → min-label groupBy).  Each iteration is one shuffle
+  on node id; the frontier never materializes driver-side.  K is a fixed
+  hop budget, so the plan is a static K-stage DAG — the same shape
+  distributed Pregel/GraphX uses for bounded traversals.
+* `agg_moments` — skewness/kurtosis over 100 TB must be one pass of
+  order-independent partial aggregates.  Raw power sums of integer cents
+  (Σm, Σm², Σm³, Σm⁴) accumulate exactly in DECIMAL(38,0) (Spark) /
+  HUGEINT (DuckDB) — associative, overflow-free to ~1e38 — and the final
+  central-moment algebra runs on the handful of aggregate values.  The
+  float convention (round 4) applies only at the very end.
+* `snk_write_clustered` — sort-clustered parquet layout
+  (`repartitionByRange` + `sortWithinPartitions`) gives every row group a
+  tight min/max envelope, so a selective read prunes whole row groups from
+  footer stats alone.  The op asserts the pruning ratio from the actual
+  parquet footers — the skipping claim is measured, not narrated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from biggie_spark.io import load_table
+from biggie_spark.registry import register
+from biggie_spark.util import r4
+
+# Interval grid: cell width must be >= the max interval length so every
+# interval touches at most 2 cells (bounded explode factor).
+_CELL_DAYS = 14
+_MAX_SPAN_DAYS = 11
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    WITH iv AS (
+      SELECT o_orderkey AS k,
+             CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE) + CAST((o_orderkey % 11 + 1) AS INTEGER) AS e
+      FROM orders),
+    probe AS (SELECT * FROM iv WHERE k % 97 = 0)
+    SELECT p.k AS probe_key, count(*) AS n_overlap
+    FROM probe p JOIN iv a
+      ON a.s <= p.e AND p.s <= a.e AND a.k <> p.k
+    GROUP BY p.k
+    """,
+)
+def join_interval_overlap(spark, sf_dir):
+    """Interval-overlap join (closed intervals), grid-binned to an
+    equi-join with exactly-once pair emission.
+
+    Each order carries a synthetic activity interval
+    ``[o_orderdate, o_orderdate + (o_orderkey % 11 + 1) days]`` (1–12 day
+    span); the probe side is the ``o_orderkey % 97 = 0`` subset.  Both
+    sides explode to the 14-day grid cells their interval touches (≤ 2
+    cells, since cell ≥ max span), join hash-wise on the cell id, and a
+    pair is counted only in the cell owning ``greatest(s_a, s_p)`` — the
+    overlap's left edge — which both intervals provably touch.  Join
+    cardinality falls from |probe|×|orders| to Σ per-cell products, and
+    the exact overlap predicate survives as a residual filter, so the
+    result is byte-identical to the nested-loop oracle."""
+    iv = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01")).alias("s"),
+        )
+        .withColumn("e", F.col("s") + F.col("k") % 11 + 1)
+    )
+
+    def cells(df, s="s", e="e"):
+        return df.withColumn(
+            "cell",
+            F.explode(
+                F.sequence(
+                    (F.col(s) / _CELL_DAYS).cast("int"),
+                    (F.col(e) / _CELL_DAYS).cast("int"),
+                )
+            ),
+        )
+
+    probe = cells(
+        iv.filter(F.col("k") % 97 == 0).select(
+            F.col("k").alias("pk"), F.col("s").alias("ps"), F.col("e").alias("pe")
+        ),
+        s="ps",
+        e="pe",
+    )
+    corpus = cells(iv)
+    pairs = corpus.join(probe, "cell").filter(
+        (F.col("s") <= F.col("pe"))
+        & (F.col("ps") <= F.col("e"))
+        & (F.col("k") != F.col("pk"))
+        # owner-cell rule: count the pair only where the overlap starts
+        & ((F.greatest("s", "ps") / _CELL_DAYS).cast("int") == F.col("cell"))
+    )
+    return pairs.groupBy(F.col("pk").alias("probe_key")).agg(
+        F.count("*").alias("n_overlap")
+    )
+
+
+_BFS_N = 500
+_BFS_HOPS = 6
+
+
+@register(
+    "graph_bfs_distance",
+    oracle=f"""
+    WITH RECURSIVE nodes AS (SELECT doc_id AS v FROM documents WHERE doc_id < {_BFS_N}),
+    edges AS (
+      SELECT v AS src, (v * 2 + 1) % {_BFS_N} AS dst FROM nodes
+      UNION ALL
+      SELECT v, (v * 3 + 7) % {_BFS_N} FROM nodes),
+    walk AS (
+      SELECT 0 AS node, 0 AS dist
+      UNION ALL
+      SELECT e.dst, walk.dist + 1
+      FROM walk JOIN edges e ON e.src = walk.node
+      WHERE walk.dist < {_BFS_HOPS})
+    SELECT CAST(node AS BIGINT) AS node, CAST(min(dist) AS INT) AS dist
+    FROM walk GROUP BY node
+    """,
+)
+def graph_bfs_distance(spark, sf_dir):
+    """Bounded-hop BFS shortest-path distances from node 0 over a
+    deterministic synthetic digraph (v → 2v+1 mod N, v → 3v+7 mod N on the
+    doc_id < N node set) — the traversal primitive under reachability,
+    k-hop neighborhoods, and taint propagation.
+
+    Frontier relaxation: `reached` starts as {0: 0}; each of the K=6
+    iterations joins the previous frontier to the edge list, unions the
+    relaxed labels in, and takes `min(dist)` per node (one shuffle per
+    hop, partial-aggregated map-side).  Only the frontier (nodes first
+    reached in the previous hop) joins against edges, so per-iteration
+    work tracks the BFS wavefront, not the whole reached set.  The DuckDB
+    oracle is the same traversal as a recursive CTE — path enumeration is
+    bounded by out-degree^K, collapsed by the final min()."""
+    nodes = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _BFS_N)
+        .select(F.col("doc_id").alias("v"))
+    )
+    edges = nodes.select(
+        F.col("v").alias("src"), ((F.col("v") * 2 + 1) % _BFS_N).alias("dst")
+    ).unionByName(
+        nodes.select(
+            F.col("v").alias("src"), ((F.col("v") * 3 + 7) % _BFS_N).alias("dst")
+        )
+    )
+    edges = edges.localCheckpoint()
+    reached = spark.range(1).select(
+        F.lit(0).cast("long").alias("node"), F.lit(0).alias("dist")
+    )
+    frontier = reached
+    for _ in range(_BFS_HOPS):
+        relaxed = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        merged = (
+            reached.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            # reached feeds BOTH next-iteration branches (union + anti-join);
+            # materialize per hop so lineage stays linear instead of
+            # Fibonacci-exploding — the frontier/label state is O(|V|),
+            # which an iterative graph algorithm must persist anyway
+            # (same rule as Pregel superstep state).
+            .localCheckpoint()
+        )
+        frontier = merged.join(reached.select("node"), "node", "left_anti")
+        reached = merged
+    return reached.select("node", F.col("dist").cast("int").alias("dist"))
+
+
+@register(
+    "ts_ohlc",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, value, ts, event_id,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn,
+             count(*)    OVER (PARTITION BY event_type, date_trunc('hour', ts)) AS cnt
+      FROM events)
+    SELECT event_type, CAST(floor(epoch(h)) AS BIGINT) AS hour_s,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(max(CASE WHEN rn = 1 THEN value END), 4) AS DOUBLE) AS open,
+           CAST(round(max(value), 4) AS DOUBLE) AS high,
+           CAST(round(min(value), 4) AS DOUBLE) AS low,
+           CAST(round(max(CASE WHEN rn = cnt THEN value END), 4) AS DOUBLE) AS close
+    FROM e GROUP BY event_type, h
+    """,
+)
+def ts_ohlc(spark, sf_dir):
+    """Hourly OHLC candlestick bars per event type — the market-data /
+    telemetry rollup.  Open/close are the first/last value by event time
+    (ties broken on event_id, the determinism convention); high/low are
+    plain min/max.  One window pass tags first/last rows, one hash
+    aggregate folds the bar — two shuffles on the same (type, hour) key,
+    and AQE coalesces the tiny bar-count output."""
+    w = Window.partitionBy("event_type", "h").orderBy("ts", "event_id")
+    e = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("h", F.date_trunc("hour", F.col("ts")))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count("*").over(Window.partitionBy("event_type", "h")))
+    )
+    return e.groupBy("event_type", "h").agg(
+        F.count("*").alias("n"),
+        r4(F.max(F.when(F.col("rn") == 1, F.col("value")))).alias("open"),
+        r4(F.max("value")).alias("high"),
+        r4(F.min("value")).alias("low"),
+        r4(F.max(F.when(F.col("rn") == F.col("cnt"), F.col("value")))).alias("close"),
+    ).select(
+        "event_type",
+        F.unix_timestamp("h").alias("hour_s"),
+        "n",
+        "open",
+        "high",
+        "low",
+        "close",
+    )
+
+
+@register(
+    "win_rolling_median",
+    oracle="""
+    SELECT event_id,
+           CAST(round(median(value) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS DOUBLE)
+               AS med5
+    FROM events WHERE user_id < 100
+    """,
+)
+def win_rolling_median(spark, sf_dir):
+    """Rolling EXACT median of the trailing 5 events per user — the
+    robust-smoothing twin of a moving average (medians shrug off the
+    spikes that wreck means).  Spark's `percentile(value, 0.5)` over a
+    ROWS frame and DuckDB's windowed `median` both linear-interpolate the
+    midpoint of the sorted frame, so the engines agree bit-for-bit after
+    the r4 convention.  The frame is O(1) rows, so the window state stays
+    tiny regardless of history length; partitioning is per-user, the
+    natural shuffle key."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 100)
+        .select(
+            "event_id",
+            r4(F.expr("percentile(value, 0.5)").over(w)).alias("med5"),
+        )
+    )
+
+
+@register(
+    "agg_moments",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c
+      FROM events),
+    s AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(c) AS DOUBLE) AS s1,
+             CAST(sum(c * c) AS DOUBLE) AS s2,
+             CAST(sum(c * c * c) AS DOUBLE) AS s3,
+             CAST(sum(CAST(c AS HUGEINT) * c * c * c) AS DOUBLE) AS s4
+      FROM m GROUP BY event_type),
+    mo AS (
+      SELECT event_type, n,
+             s1 / n AS mu,
+             s2 / n - (s1 / n) * (s1 / n) AS v,
+             s3 / n - 3 * (s1 / n) * (s2 / n - (s1 / n) * (s1 / n))
+                    - (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+             s4 / n - 4 * (s1 / n) * (s3 / n)
+                    + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                    - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+      FROM s)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(round(mu / 100, 4) AS DOUBLE) AS mean,
+           CAST(round(m3 / pow(v, 1.5), 4) AS DOUBLE) AS skewness,
+           CAST(round(m4 / (v * v) - 3, 4) AS DOUBLE) AS excess_kurtosis
+    FROM mo
+    """,
+)
+def agg_moments(spark, sf_dir):
+    """Exact skewness / excess kurtosis per event type from one pass of
+    order-independent power sums.
+
+    Built-in `skewness`/`kurtosis` accumulate floating central moments
+    whose value depends on partition order — not reproducible across
+    engines or cluster layouts.  Here the per-row value becomes integer
+    cents and the engine aggregates Σc, Σc², Σc³, Σc⁴ exactly
+    (DECIMAL(38,0) partials in Spark, HUGEINT in DuckDB — both
+    associative and overflow-free at 1e38, i.e. ~1e18 rows of this
+    magnitude).  The central-moment algebra then runs on ONE row per
+    group in textually identical double arithmetic on both engines, so
+    the r4-rounded outputs hash-match."""
+    c = F.round(F.col("value") * 100, 0).cast("long")
+    s = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", c.alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("c").cast("double").alias("s1"),
+            # Σc² / Σc³ / Σc⁴ accumulate in DECIMAL(38,0): |c| ≤ ~5e4 so
+            # c⁴ ≈ 6e18 per row — a BIGINT sum overflows after ~2 rows,
+            # and even Σc³ overflows past ~1e5 rows.  Decimal partials
+            # stay exact to 1e38 (DuckDB's HUGEINT does the same).
+            F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("s2"),
+            F.sum(
+                (F.col("c") * F.col("c") * F.col("c")).cast("decimal(38,0)")
+            )
+            .cast("double")
+            .alias("s3"),
+            F.sum(
+                (F.col("c") * F.col("c")).cast("decimal(38,0)")
+                * (F.col("c") * F.col("c")).cast("decimal(38,0)")
+            )
+            .cast("double")
+            .alias("s4"),
+        )
+    )
+    n, s1, s2, s3, s4 = (F.col(x) for x in ("n", "s1", "s2", "s3", "s4"))
+    mu = s1 / n
+    v = s2 / n - mu * mu
+    m3 = s3 / n - F.lit(3) * mu * (s2 / n - mu * mu) - mu * mu * mu
+    m4 = (
+        s4 / n
+        - F.lit(4) * mu * (s3 / n)
+        + F.lit(6) * mu * mu * (s2 / n)
+        - F.lit(3) * mu * mu * mu * mu
+    )
+    return s.select(
+        "event_type",
+        n.alias("n"),
+        r4(mu / 100).alias("mean"),
+        r4(m3 / F.pow(v, 1.5)).alias("skewness"),
+        r4(m4 / (v * v) - 3).alias("excess_kurtosis"),
+    )
+
+
+@register(
+    "sql_merge_full",
+    oracle="""
+    WITH target AS (
+      SELECT c_custkey AS k, CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal
+      FROM customer WHERE c_custkey <= 1000),
+    source AS (
+      SELECT c_custkey AS k FROM customer
+      WHERE c_custkey % 3 = 0 AND c_custkey <= 1500),
+    merged AS (
+      /* unmatched target rows carry through */
+      SELECT t.k, t.bal, 'keep' AS action FROM target t
+      WHERE t.k NOT IN (SELECT k FROM source)
+      UNION ALL
+      /* matched + negative balance -> DELETE (emit nothing) ;
+         matched otherwise -> UPDATE bal += 100.00 */
+      SELECT t.k, t.bal + 10000, 'update' FROM target t
+      JOIN source s ON s.k = t.k WHERE t.bal >= 0
+      UNION ALL
+      /* source rows with no target -> INSERT with bal 0 */
+      SELECT s.k, 0, 'insert' FROM source s
+      WHERE s.k NOT IN (SELECT k FROM target))
+    SELECT k, bal AS bal_cents, action FROM merged
+    """,
+)
+def sql_merge_full(spark, sf_dir):
+    """Full MERGE-INTO semantics matrix (the lakehouse upsert statement) as
+    one relational plan: WHEN MATCHED AND bal < 0 THEN DELETE / WHEN
+    MATCHED THEN UPDATE / WHEN NOT MATCHED THEN INSERT.
+
+    Implementation is a single full-outer join on the merge key with a
+    CASE over the (target?, source?, condition) triple — the exact plan
+    Delta/Iceberg compile MERGE to before write-back.  One shuffle on the
+    key; the delete branch drops rows via filter rather than anti-join, so
+    no extra pass.  Balances stay integer cents end-to-end."""
+    cust = load_table(spark, sf_dir, "customer")
+    target = cust.filter(F.col("c_custkey") <= 1000).select(
+        F.col("c_custkey").alias("k"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal"),
+    )
+    source = (
+        cust.filter((F.col("c_custkey") % 3 == 0) & (F.col("c_custkey") <= 1500))
+        .select(F.col("c_custkey").alias("sk"))
+    )
+    joined = target.join(source, target.k == source.sk, "full_outer")
+    action = (
+        F.when(F.col("sk").isNull(), F.lit("keep"))
+        .when(F.col("k").isNull(), F.lit("insert"))
+        .when(F.col("bal") < 0, F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    merged = joined.withColumn("action", action).filter(F.col("action") != "delete")
+    return merged.select(
+        F.coalesce("k", "sk").alias("k"),
+        F.when(F.col("action") == "insert", F.lit(0))
+        .when(F.col("action") == "update", F.col("bal") + 10000)
+        .otherwise(F.col("bal"))
+        .alias("bal_cents"),
+        "action",
+    )
+
+
+@register(
+    "snk_write_clustered",
+    oracle="""
+    SELECT count(*) AS n,
+           CAST(round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                / 100.0, 4) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+)
+def snk_write_clustered(spark, sf_dir):
+    """Sort-clustered parquet write + measured row-group skipping — the
+    data-layout half of scan performance at 100 TB.
+
+    The table is written `repartitionByRange(8, l_shipdate)` +
+    `sortWithinPartitions(l_shipdate)`, giving each file/row group a tight
+    disjoint shipdate envelope.  The op then reads the parquet FOOTERS
+    (pyarrow) and asserts that at most half the row groups intersect a
+    one-month probe window — i.e. a selective scan provably skips ≥ half
+    the data from stats alone, the property Z-ordering generalizes to
+    multiple keys.  The returned frame is the probe-month aggregate read
+    back THROUGH the pruned scan, oracle-checked against the source table
+    (fixed-point revenue)."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from biggie_spark.io import parquet_files
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice"
+    )
+    base = tempfile.mkdtemp(prefix="biggie_clustered_")
+    try:
+        (
+            li.repartitionByRange(8, "l_shipdate")
+            .sortWithinPartitions("l_shipdate")
+            .write.mode("overwrite")
+            .parquet(base)
+        )
+        lo, hi = "1996-03-01", "1996-04-01"
+        total = touched = 0
+        for path in parquet_files(base):
+            meta = pq.ParquetFile(path).metadata
+            for rg in range(meta.num_row_groups):
+                stats = next(
+                    meta.row_group(rg).column(i).statistics
+                    for i in range(meta.num_columns)
+                    if meta.row_group(rg).column(i).path_in_schema == "l_shipdate"
+                )
+                total += 1
+                if str(stats.min) < hi and str(stats.max) >= lo:
+                    touched += 1
+        assert total >= 4 and touched * 2 <= total, (
+            f"clustered layout should skip >= half the row groups for a "
+            f"1-month probe; touched {touched}/{total}"
+        )
+        out = (
+            spark.read.parquet(base)
+            .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+            .agg(
+                F.count("*").alias("n"),
+                F.round(
+                    F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+                    / 100.0,
+                    4,
+                )
+                .cast("double")
+                .alias("revenue"),
+            )
+            .localCheckpoint()
+        )
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -578,3 +578,76 @@ def mm_audio_clip_detect(spark, sf_dir):
         F.col("st.n_clipped").alias("n_clipped"),
         F.col("st.peak").alias("peak"),
     )
+
+
+@register(
+    "mm_image_histogram",
+    oracle="""
+    WITH probe AS (SELECT doc_id, 16 + doc_id % 8 AS w, 8 AS h,
+                          (doc_id * 5) % 200 AS base
+                   FROM documents WHERE doc_id < 64),
+    px AS (
+      SELECT doc_id, w, h, (base + x.v + y.v) // 64 AS bin
+      FROM probe, range(24) x(v), range(8) y(v)
+      WHERE x.v < w AND y.v < h)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN bin = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+           CAST(sum(CASE WHEN bin = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+           CAST(sum(CASE WHEN bin = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+           CAST(sum(CASE WHEN bin = 3 THEN 1 ELSE 0 END) AS BIGINT) AS b3
+    FROM px GROUP BY doc_id
+    """,
+)
+def mm_image_histogram(spark, sf_dir):
+    """Decode → analyze: 4-bin intensity histogram (64-wide bins over the
+    red channel) of real P6 PPM rasters — the feature-extraction step that
+    follows decode in any vision-data pipeline (brightness filtering,
+    exposure bucketing, near-black frame drops).
+
+    Images are synthesized with wider gradients than the codec op
+    (w = 16 + doc_id % 8, h = 8, base = 5·doc_id mod 200, so intensities
+    span all four bins), encoded to actual PPM bytes, decoded back through
+    the full netpbm header grammar (`decode_ppm_array`), and histogrammed
+    with one `np.bincount` per image inside an Arrow-batched pandas_udf.
+    The oracle re-derives every pixel from the generating grid — any
+    stride/offset bug in decode shifts a bin count and breaks the hash.
+    Scale shape identical to mm_codec_ppm: 1:1 row map, payload isolated
+    in one binary column."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    from biggie_spark.multimodal import decode_ppm_array, encode_ppm
+
+    @pandas_udf("binary")
+    def encode_udf(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_id:
+            b = (int(d) * 5) % 200
+            out.append(encode_ppm(16 + int(d) % 8, 8, (b, b, b)))
+        return pd.Series(out)
+
+    @pandas_udf("struct<b0 bigint, b1 bigint, b2 bigint, b3 bigint>")
+    def hist_udf(payload: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in payload:
+            px = decode_ppm_array(bytes(b))
+            counts = np.bincount(px[:, :, 0].ravel() // 64, minlength=4)
+            rows.append(tuple(int(c) for c in counts[:4]))
+        return pd.DataFrame(rows, columns=["b0", "b1", "b2", "b3"])
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 64)
+        .select("doc_id")
+    )
+    out = d.withColumn("payload", encode_udf("doc_id")).withColumn(
+        "st", hist_udf("payload")
+    )
+    return out.select(
+        "doc_id",
+        F.col("st.b0").alias("b0"),
+        F.col("st.b1").alias("b1"),
+        F.col("st.b2").alias("b2"),
+        F.col("st.b3").alias("b3"),
+    )
