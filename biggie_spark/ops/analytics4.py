@@ -500,3 +500,160 @@ def snk_write_clustered(spark, sf_dir):
         return out
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT o_orderpriority, count(DISTINCT o_custkey) AS nd_cust
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_bitmap_distinct(spark, sf_dir):
+    """EXACT distinct counting via roaring-style bitmap aggregation
+    (Spark's `bitmap_*` family) — the bitmap-index pattern warehouses use
+    when approximate HLL is not acceptable but `count(distinct)`'s
+    full-shuffle of raw values is too expensive.
+
+    Keys hash into fixed 32k-position buckets (`bitmap_bucket_number` /
+    `bitmap_bit_position`), each (group, bucket) folds to ONE 4 KB bitmap
+    map-side, and the final count is a sum of per-bucket popcounts.  The
+    shuffle carries O(groups × occupied-buckets) bitmaps instead of one
+    row per distinct key — at 100 TB with 1e9 customers that is ~30k
+    bitmaps per group vs 1e9 shuffled longs, and the partial aggregation
+    is associative so AQE/map-side combine apply.  Result is exact, unlike
+    `approx_count_distinct` (hash-green as agg_approx_distinct)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_custkey")
+    per_bucket = (
+        o.withColumn("bucket", F.expr("bitmap_bucket_number(o_custkey)"))
+        .groupBy("o_orderpriority", "bucket")
+        .agg(
+            F.expr(
+                "bitmap_count(bitmap_construct_agg(bitmap_bit_position(o_custkey)))"
+            ).alias("nd")
+        )
+    )
+    return per_bucket.groupBy("o_orderpriority").agg(
+        F.sum("nd").alias("nd_cust")
+    )
+
+
+@register("agg_hll_sketch_union")  # sketch output -> rows-only by design
+def agg_hll_sketch_union(spark, sf_dir):
+    """Mergeable HLL sketches (Apache DataSketches via Spark's
+    `hll_sketch_agg` / `hll_union_agg`) — the re-aggregatable distinct
+    pattern: per-source sketches materialize once, any rollup (here the
+    ALL row) merges sketch BYTES without touching raw data again.  That
+    re-aggregation property is what `approx_count_distinct` lacks — its
+    estimate is terminal, so every new rollup grain costs a full rescan;
+    at 100 TB a sketch column in a daily summary table answers "distinct
+    docs this quarter" from kilobytes.
+
+    Sketches are approximate, so no DuckDB oracle exists by design
+    (same contract note as agg_approx_quantile); tests/test_analytics4.py
+    pins every estimate within 5% of the exact distinct count, and the
+    driver records the rows-only check."""
+    d = load_table(spark, sf_dir, "documents").select("source", "doc_id")
+    per_src = d.groupBy("source").agg(
+        F.expr("hll_sketch_agg(doc_id)").alias("sk")
+    )
+    est = per_src.select(
+        "source", F.expr("hll_sketch_estimate(sk)").alias("nd_docs")
+    )
+    total = per_src.agg(
+        F.lit("ALL").alias("source"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("nd_docs"),
+    )
+    return est.unionByName(total)
+
+
+@register(
+    "sql_pivot_syntax",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent,
+           count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS high,
+           count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS low
+    FROM orders GROUP BY yr
+    """,
+)
+def sql_pivot_syntax(spark, sf_dir):
+    """The SQL `PIVOT` clause surface (vs agg_pivot's DataFrame
+    `.pivot()`): orders per year pivoted on an explicit priority list.
+    An explicit IN list is the scale-honest form — it keeps the output
+    schema static at plan time, so no distinct-values pre-scan runs (the
+    implicit form's hidden first job).  Compiles to the same single
+    hash aggregate with conditional counters as the oracle's CASE form."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT * FROM (
+          SELECT year(o_orderdate) AS yr, o_orderpriority FROM orders_v)
+        PIVOT (count(1) FOR o_orderpriority IN
+               ('1-URGENT' AS urgent, '2-HIGH' AS high, '5-LOW' AS low))
+        """
+    ).select(
+        F.col("yr").cast("long").alias("yr"),
+        F.coalesce("urgent", F.lit(0)).alias("urgent"),
+        F.coalesce("high", F.lit(0)).alias("high"),
+        F.coalesce("low", F.lit(0)).alias("low"),
+    )
+
+
+@register(
+    "stream_stream_outer_join",
+    oracle="""
+    WITH v AS (SELECT event_id AS view_id, user_id, ts AS v_ts
+               FROM events WHERE event_type = 'view'),
+    c AS (SELECT event_id AS click_id, user_id, ts AS c_ts
+          FROM events WHERE event_type = 'click')
+    SELECT v.view_id, v.user_id,
+           CAST(count(c.click_id) AS BIGINT) AS n_clicks,
+           CAST(min((epoch_us(c.c_ts) - epoch_us(v.v_ts)) // 1000000)
+                AS BIGINT) AS first_gap_s
+    FROM v LEFT JOIN c
+      ON c.user_id = v.user_id
+     AND c.c_ts >= v.v_ts
+     AND c.c_ts <= v.v_ts + INTERVAL 30 MINUTE
+    GROUP BY v.view_id, v.user_id
+    """,
+)
+def stream_stream_outer_join(spark, sf_dir):
+    """Batch twin of a watermarked stream-stream LEFT OUTER interval join:
+    every view emits — with its click count and seconds-to-first-click
+    inside a 30-minute horizon, or NULL/0 if no click ever arrives (the
+    un-attributed impression row an inner join silently drops).
+
+    Streaming semantics: outer emission is only legal because the interval
+    bound + watermark tell the engine when a view can no longer match —
+    state for views older than (watermark − 30 min) is evicted AND their
+    null-padded rows emitted at that moment.  An unbounded outer
+    stream-stream join is unrunnable (state never closes); this bounded
+    shape is the production attribution pattern.  The equi key (user_id)
+    carries the shuffle; the time bound is a residual predicate — same
+    plan family as stream_join_interval, plus the outer side."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+        "user_id",
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("user_id").alias("c_user"),
+    )
+    joined = v.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left",
+    )
+    gap = F.expr("(unix_micros(c_ts) - unix_micros(v_ts)) div 1000000")
+    return joined.groupBy("view_id", "user_id").agg(
+        F.count("click_id").alias("n_clicks"),
+        F.min(gap).alias("first_gap_s"),
+    )
