@@ -188,7 +188,7 @@ def graph_bfs_distance(spark, sf_dir):
 
 
 @register(
-    "ts_ohlc",
+    "ts_ohlc_hourly",
     oracle="""
     WITH e AS (
       SELECT event_type, date_trunc('hour', ts) AS h, value, ts, event_id,
@@ -205,7 +205,7 @@ def graph_bfs_distance(spark, sf_dir):
     FROM e GROUP BY event_type, h
     """,
 )
-def ts_ohlc(spark, sf_dir):
+def ts_ohlc_hourly(spark, sf_dir):
     """Hourly OHLC candlestick bars per event type — the market-data /
     telemetry rollup.  Open/close are the first/last value by event time
     (ties broken on event_id, the determinism convention); high/low are
@@ -656,4 +656,323 @@ def stream_stream_outer_join(spark, sf_dir):
     return joined.groupBy("view_id", "user_id").agg(
         F.count("click_id").alias("n_clicks"),
         F.min(gap).alias("first_gap_s"),
+    )
+
+
+@register(
+    "fn_encrypt_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 * (octet_length(encode(text)) // 16 + 1) AS BIGINT)
+               AS ct_bytes,
+           md5(text) AS pt_md5
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def fn_encrypt_roundtrip(spark, sf_dir):
+    """Column-level encryption at rest (`aes_encrypt`/`aes_decrypt`,
+    AES-128-ECB): each document's text encrypts to ciphertext bytes and
+    decrypts back byte-identically.  ECB is chosen deliberately — GCM
+    prepends a random IV, which would be unreproducible; deterministic
+    encryption is also what equality-preserving encrypted join keys
+    require.  The oracle pins two facts: the PKCS#7 ciphertext length
+    (16·⌊n/16 + 1⌋ — proves real block encryption ran, not a passthrough)
+    and the md5 of the DECRYPTED text (proves the round trip is lossless).
+    Both kernels are JVM codegen expressions — no Python touches the
+    plaintext."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    ct = F.expr("aes_encrypt(text, '0123456789abcdef', 'ECB')")
+    return d.select(
+        "doc_id",
+        F.octet_length(ct).cast("long").alias("ct_bytes"),
+        F.md5(
+            F.expr(
+                "cast(aes_decrypt(aes_encrypt(text, '0123456789abcdef', 'ECB'),"
+                " '0123456789abcdef', 'ECB') as string)"
+            )
+        ).alias("pt_md5"),
+    )
+
+
+@register(
+    "ts_time_decay_avg",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, value, epoch_us(ts) AS us,
+             max(epoch_us(ts)) OVER (PARTITION BY user_id) AS t_us
+      FROM events WHERE user_id < 50),
+    w AS (SELECT user_id, value,
+                 exp(-(CAST(t_us - us AS DOUBLE) / 3600000000.0) * 0.028881132523331052) AS wt
+          FROM e)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(value * wt) / sum(wt), 4) AS DOUBLE) AS decayed_avg
+    FROM w GROUP BY user_id
+    """,
+)
+def ts_time_decay_avg(spark, sf_dir):
+    """Time-decayed mean with a 24-hour half-life, anchored at each user's
+    latest event — the recency-weighted feature a ranking/fraud model
+    reads ("recent behavior counts more"), computed EXACTLY for irregular
+    event spacing (a fixed-α EWMA silently assumes uniform gaps).
+
+    weight_i = exp(-λ·Δhours_i), λ = ln2/24.  One window max for the
+    per-user anchor and one hash aggregate for the two weighted sums —
+    both shuffle on user_id only.  Δt is exact integer microseconds
+    (`unix_micros`) before the single double conversion; the exp-sum is a
+    float reduction, covered by the r4 convention like the entropy and
+    perplexity ops (both engines' exp/ln agree far below the 1e-4
+    grain)."""
+    lam = 0.028881132523331052  # ln(2)/24 — half-life of one day, per hour
+    w = Window.partitionBy("user_id")
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .select("user_id", "value", F.unix_micros("ts").alias("us"))
+        .withColumn("t_us", F.max("us").over(w))
+    )
+    wt = F.exp(-((F.col("t_us") - F.col("us")).cast("double") / 3.6e9) * lam)
+    return (
+        e.withColumn("wt", wt)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            r4(F.sum(F.col("value") * F.col("wt")) / F.sum("wt")).alias(
+                "decayed_avg"
+            ),
+        )
+    )
+
+
+@register(
+    "llm_dataset_card",
+    oracle="""
+    WITH d AS (SELECT doc_id, text, lang, source, n_chars,
+                      len(string_split(lower(text), ' ')) AS n_tok
+               FROM documents),
+    lang_counts AS (SELECT lang, count(*) AS c FROM d GROUP BY lang),
+    top_lang AS (SELECT lang, c FROM lang_counts
+                 ORDER BY c DESC, lang LIMIT 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups,
+           (SELECT lang FROM top_lang) AS top_lang,
+           CAST((SELECT c FROM top_lang) * 10000 // count(*) AS BIGINT)
+               AS top_lang_share_bp
+    FROM d
+    """,
+)
+def llm_dataset_card(spark, sf_dir):
+    """One-pass dataset card — the summary block a training-data release
+    publishes (docs, sources, languages, token mass, exact-dup count,
+    dominant language share).  Everything folds in ONE corpus scan: the
+    doc-level derivations are narrow projections, the counts are hash
+    aggregates with map-side partials, and the language mode rides a tiny
+    per-lang count frame joined back as a 1-row broadcast.  All outputs
+    are integers (share in basis points via integer division) — no float
+    convention needed, so the card is byte-stable across engines and
+    cluster layouts."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+        F.size(F.split(F.lower("text"), " ")).alias("n_tok"),
+        F.md5("text").alias("digest"),
+    )
+    top = (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "lang")
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"), F.col("c").alias("top_c"))
+    )
+    card = d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_tok").alias("total_tokens"),
+        (F.count("*") - F.countDistinct("digest")).alias("n_exact_dups"),
+    )
+    return card.crossJoin(F.broadcast(top)).select(
+        "n_docs",
+        "n_sources",
+        "n_langs",
+        "total_chars",
+        "total_tokens",
+        "n_exact_dups",
+        "top_lang",
+        F.expr("top_c * 10000 div n_docs").alias("top_lang_share_bp"),
+    )
+
+
+@register(
+    "llm_token_pmi",
+    oracle="""
+    WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+                FROM documents),
+    bg AS (SELECT unnest(list_transform(range(1, len(tk)),
+                                        i -> tk[i] || ' ' || tk[i+1])) AS pr,
+                  unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+                  unnest(list_transform(range(1, len(tk)), i -> tk[i+1])) AS w2
+           FROM tk),
+    pc AS (SELECT pr, any_value(w1) AS w1, any_value(w2) AS w2,
+                  count(*) AS c_ab
+           FROM bg GROUP BY pr),
+    uc AS (SELECT w1 AS w, count(*) AS c FROM bg GROUP BY w1),
+    tot AS (SELECT count(*) AS n FROM bg),
+    last_tok AS (SELECT tk[len(tk)] AS w FROM tk),
+    uc_full AS (
+      SELECT w, CAST(sum(c) AS BIGINT) AS c FROM (
+        SELECT w, c FROM uc
+        UNION ALL SELECT w, count(*) FROM last_tok GROUP BY w) GROUP BY w),
+    scored AS (
+      SELECT pr AS bigram, c_ab,
+             c_ab * (SELECT n FROM tot) * 1000000
+                 // (a.c * b.c) AS ratio_ppm,
+             round(ln(CAST(c_ab AS DOUBLE) * (SELECT n FROM tot)
+                      / (CAST(a.c AS DOUBLE) * b.c)), 4) AS pmi
+      FROM pc JOIN uc_full a ON a.w = pc.w1
+              JOIN uc_full b ON b.w = pc.w2
+      WHERE c_ab >= 5)
+    SELECT bigram, CAST(c_ab AS BIGINT) AS c_ab, CAST(pmi AS DOUBLE) AS pmi
+    FROM scored ORDER BY ratio_ppm DESC, bigram LIMIT 20
+    """,
+)
+def llm_token_pmi(spark, sf_dir):
+    """Collocation mining: top-20 token bigrams by pointwise mutual
+    information (min count 5) — the classic phrase detector (word2vec
+    phrases, quality-signal n-grams).
+
+    PMI = ln(c_ab·N / (c_a·c_b)) needs three count frames: bigrams (one
+    corpus explode + hash agg), unigrams (derived from the SAME exploded
+    frame plus each doc's final token, so the two marginals are consistent
+    by construction), and the scalar N riding as a broadcast 1-row frame.
+    The top-k cutoff orders by the exact INTEGER ratio c_ab·N·1e6 div
+    (c_a·c_b) — PMI is monotone in it, so rank boundaries can never flip
+    on a last-ulp ln() disagreement between engines; the float pmi column
+    is display-only under r4."""
+    tk = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("tk")
+    )
+    bg = tk.select(
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(tk, 1, size(tk) - 1)"),
+                F.expr("slice(tk, 2, size(tk) - 1)"),
+            )
+        ).alias("z")
+    ).select(F.col("z.0").alias("w1"), F.col("z.1").alias("w2"))
+    pc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
+    uc_full = (
+        bg.select(F.col("w1").alias("w"))
+        .unionByName(tk.select(F.expr("element_at(tk, -1)").alias("w")))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = bg.agg(F.count("*").alias("n"))
+    a = uc_full.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    b = uc_full.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    scored = (
+        pc.filter(F.col("c_ab") >= 5)
+        .join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            "c_ab",
+            F.expr("c_ab * n * 1000000 div (c_a * c_b)").alias("ratio_ppm"),
+            r4(
+                F.log(
+                    F.col("c_ab").cast("double")
+                    * F.col("n")
+                    / (F.col("c_a").cast("double") * F.col("c_b"))
+                )
+            ).alias("pmi"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("ratio_ppm").desc(), "bigram")
+        .limit(20)
+        .select("bigram", "c_ab", "pmi")
+    )
+
+
+@register(
+    "ts_changepoint_cusum",
+    oracle="""
+    WITH e AS (SELECT event_type, event_id,
+                      CAST(round(value * 100, 0) AS BIGINT) AS c,
+                      epoch_us(ts) AS us
+               FROM events),
+    s AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(c) AS HUGEINT) AS tot
+          FROM e GROUP BY event_type),
+    p AS (SELECT e.event_type, e.event_id,
+                 CAST(sum(e.c) OVER (PARTITION BY e.event_type
+                                     ORDER BY e.us, e.event_id) AS HUGEINT)
+                     AS pfx,
+                 CAST(row_number() OVER (PARTITION BY e.event_type
+                                         ORDER BY e.us, e.event_id)
+                      AS HUGEINT) AS i
+          FROM e),
+    d AS (SELECT p.event_type, p.event_id,
+                 abs(s.n * p.pfx - p.i * s.tot) AS dev
+          FROM p JOIN s ON s.event_type = p.event_type),
+    r AS (SELECT event_type, event_id, dev,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY dev DESC, event_id) AS rn
+          FROM d)
+    SELECT event_type, event_id AS peak_event_id,
+           CAST(dev AS DOUBLE) AS peak_dev_scaled
+    FROM r WHERE rn = 1
+    """,
+)
+def ts_changepoint_cusum(spark, sf_dir):
+    """CUSUM changepoint location per event type: the event where the
+    cumulative deviation from the series mean peaks — the standard
+    level-shift detector (deploys, pricing changes, sensor drift).
+
+    Exactness trick: the peak of |Σ_{j≤i}(c_j − s/n)| is the peak of
+    |n·prefix_i − i·s| (cross-multiplied by n), which is pure INTEGER
+    arithmetic on cent values — no float mean, no accumulation error, so
+    the argmax is deterministic at any scale.  Products are DECIMAL(38,0)
+    (Spark) / HUGEINT (DuckDB): n·prefix at 1e9 rows of 1e4-cent values
+    is ~1e22, past BIGINT.  One window cumsum + one 5-row broadcast join
+    + one ranking window, all partitioned on event_type."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+        F.unix_micros("ts").alias("us"),
+    )
+    s = e.groupBy("event_type").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("c").cast("decimal(38,0)").alias("tot"),
+    )
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    p = e.select(
+        "event_type",
+        "event_id",
+        F.sum("c").over(w).cast("decimal(38,0)").alias("pfx"),
+        F.row_number().over(w).cast("decimal(38,0)").alias("i"),
+    )
+    d = p.join(F.broadcast(s), "event_type").select(
+        "event_type",
+        "event_id",
+        F.abs(F.col("n") * F.col("pfx") - F.col("i") * F.col("tot")).alias("dev"),
+    )
+    rw = Window.partitionBy("event_type").orderBy(F.col("dev").desc(), "event_id")
+    return (
+        d.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("event_id").alias("peak_event_id"),
+            F.col("dev").cast("double").alias("peak_dev_scaled"),
+        )
     )

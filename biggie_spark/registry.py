@@ -125,6 +125,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     ops: write paths, sampling, approximate sketches, streaming demos)."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            # A silent overwrite once shadowed ts_ohlc (per-day) with a new
+            # hourly op of the same name — the ledger then lied about what
+            # the driver had actually scored.  Names are contract keys;
+            # collisions must fail at import time.
+            raise ValueError(f"operator {name!r} is already registered")
         QUERIES[name] = fn
         if oracle is not None:
             if "--" in oracle:

@@ -63,6 +63,8 @@ ALLOWED_BNLJ = {
     "llm_knn_cosine",
     "llm_knn_ivf",
     "llm_curation_pipeline",  # 1-row bounds + 1-row corpus-total frames
+    "llm_dataset_card",  # 1-row top-language frame joined onto the 1-row card
+    "llm_token_pmi",  # 1-row bigram-total frame (corpus-N pattern)
     "llm_length_filter",  # 1-row percentile-bounds frame
     "llm_mix_weights",
     "llm_perplexity_bucket",  # 1-row corpus-total frame (token count)

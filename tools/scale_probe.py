@@ -27,8 +27,9 @@ from biggie_spark.io import load_table
 from biggie_spark.registry import QUERIES, load_all_ops
 from biggie_spark.session import get_spark
 
-K = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/biggie_scale_probe"
+_POS = [a for a in sys.argv[1:] if not a.startswith("--")]
+K = int(_POS[0]) if _POS else 10
+OUT = _POS[1] if len(_POS) > 1 else "/tmp/biggie_scale_probe"
 SRC = "/root/testdata/sf0.1"
 OFF = 1 << 33  # key shift per copy; far above any corpus key
 
@@ -74,6 +75,20 @@ CONTENT_KEYED = {
 }
 SRC_SMALL = "/root/testdata/sf0.01"
 
+# Round-4 analytics, also measured over the natural sf0.01 → sf0.1 step:
+# the interval join overlaps on DATES (shared by key-shifted replicas, so
+# replication would make the true answer quadratic — same artifact as the
+# content-keyed dedup family), and the others are event-table rollups whose
+# natural-step ratio is the honest read.
+ROUND4 = {
+    "q_interval_overlap": "join_interval_overlap",
+    "q_ohlc_hourly": "ts_ohlc_hourly",
+    "q_moments": "agg_moments",
+    "q_outer_attrib": "stream_stream_outer_join",
+    "q_bitmap_distinct": "agg_bitmap_distinct",
+    "q_rolling_median": "win_rolling_median",
+}
+
 
 def build(spark) -> None:
     if os.path.isdir(OUT):
@@ -114,6 +129,15 @@ def main() -> None:
     load_all_ops()
     spark = get_spark(app_name="biggie-scale-probe", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
+    if "--round4-only" in sys.argv:
+        small = time_queries(spark, SRC_SMALL, ROUND4)
+        nat = time_queries(spark, SRC, ROUND4)
+        print("\n| round-4 op | sf0.01 | sf0.1 (10x rows) | ratio (ideal <= 10) |")
+        print("|---|---|---|---|")
+        for q in ROUND4:
+            r = nat[q] / small[q]
+            print(f"| {q} | {small[q]:.3f}s | {nat[q]:.3f}s | {r:.1f}x |")
+        return
     t0 = time.time()
     build(spark)
     print(f"built {K}x corpus at {OUT} in {time.time() - t0:.0f}s")
