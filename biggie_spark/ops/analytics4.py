@@ -976,3 +976,346 @@ def ts_changepoint_cusum(spark, sf_dir):
             F.col("dev").cast("double").alias("peak_dev_scaled"),
         )
     )
+
+
+@register(
+    "kv_version_travel",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text, 0 AS layer, FALSE AS tomb
+      FROM documents WHERE doc_id < 400),
+    d1 AS (
+      SELECT doc_id, 'V1::' || text AS text, 1 AS layer, FALSE AS tomb
+      FROM documents WHERE doc_id < 400 AND doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id, 'V1NEW::' || text, 1, FALSE
+      FROM documents WHERE doc_id BETWEEN 400 AND 449),
+    d2 AS (
+      SELECT doc_id, NULL AS text, 2 AS layer, TRUE AS tomb
+      FROM documents WHERE doc_id < 450 AND doc_id % 50 = 0
+      UNION ALL
+      SELECT doc_id, 'V2::' || text, 2, FALSE
+      FROM documents WHERE doc_id < 450 AND doc_id % 11 = 0 AND doc_id % 50 <> 0),
+    layers AS (SELECT * FROM base UNION ALL SELECT * FROM d1
+               UNION ALL SELECT * FROM d2),
+    versions AS (SELECT 1 AS v UNION ALL SELECT 2),
+    resolved AS (
+      SELECT v, doc_id, text, tomb,
+             row_number() OVER (PARTITION BY v, doc_id
+                                ORDER BY layer DESC) AS rn
+      FROM versions JOIN layers ON layers.layer <= versions.v)
+    SELECT v AS version, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(doc_id) AS BIGINT) AS sum_key,
+           md5(string_agg(md5(text), '' ORDER BY doc_id)) AS state_md5
+    FROM resolved WHERE rn = 1 AND NOT tomb
+    GROUP BY v
+    """,
+)
+def kv_version_travel(spark, sf_dir):
+    """Snapshot time travel over a layered stash — the lakehouse read path
+    (Delta/Iceberg `VERSION AS OF`) expressed relationally: a base layer
+    plus append-only delta layers (updates, inserts, DELETE tombstones);
+    reading version v resolves newest-wins per key across layers ≤ v.
+
+    Resolution is ONE ranking window per (version, key) over the unioned
+    layers — no per-layer joins, so cost is O(live rows + delta rows)
+    regardless of how many versions exist; tombstones drop after the
+    window (a filter, not an anti-join).  Deltas are tiny relative to the
+    base at 100 TB, which is the whole point of layered storage: version
+    reads never rewrite or rescan history.  The output pins each
+    version's full state via an order-insensitive rollup (count, key sum,
+    md5 over key-ordered row digests) so any survivorship bug at any key
+    flips the hash."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 400).select(
+        "doc_id", "text", F.lit(0).alias("layer"), F.lit(False).alias("tomb")
+    )
+    d1 = (
+        docs.filter((F.col("doc_id") < 400) & (F.col("doc_id") % 7 == 0))
+        .select(
+            "doc_id",
+            F.concat(F.lit("V1::"), F.col("text")).alias("text"),
+            F.lit(1).alias("layer"),
+            F.lit(False).alias("tomb"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id").between(400, 449)).select(
+                "doc_id",
+                F.concat(F.lit("V1NEW::"), F.col("text")).alias("text"),
+                F.lit(1).alias("layer"),
+                F.lit(False).alias("tomb"),
+            )
+        )
+    )
+    d2 = (
+        docs.filter(
+            (F.col("doc_id") < 450) & (F.col("doc_id") % 50 == 0)
+        ).select(
+            "doc_id",
+            F.lit(None).cast("string").alias("text"),
+            F.lit(2).alias("layer"),
+            F.lit(True).alias("tomb"),
+        )
+    ).unionByName(
+        docs.filter(
+            (F.col("doc_id") < 450)
+            & (F.col("doc_id") % 11 == 0)
+            & (F.col("doc_id") % 50 != 0)
+        ).select(
+            "doc_id",
+            F.concat(F.lit("V2::"), F.col("text")).alias("text"),
+            F.lit(2).alias("layer"),
+            F.lit(False).alias("tomb"),
+        )
+    )
+    layers = base.unionByName(d1).unionByName(d2)
+    versions = spark.range(1, 3).select(F.col("id").cast("int").alias("v"))
+    tagged = layers.join(F.broadcast(versions), F.col("layer") <= F.col("v"))
+    w = Window.partitionBy("v", "doc_id").orderBy(F.col("layer").desc())
+    live = (
+        tagged.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (~F.col("tomb")))
+    )
+    return live.groupBy(F.col("v").alias("version")).agg(
+        F.count("*").alias("n"),
+        F.sum("doc_id").alias("sum_key"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", F.md5("text").alias("h")))
+                    ),
+                    lambda s: s["h"],
+                ),
+                "",
+            )
+        ).alias("state_md5"),
+    )
+
+
+@register(
+    "agg_ols_fit",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             epoch_us(ts) // 3600000000 AS h,
+             CAST(round(value * 100, 0) AS BIGINT) AS y
+      FROM events),
+    x AS (SELECT event_type,
+                 h - min(h) OVER (PARTITION BY event_type) AS x, y
+          FROM e),
+    s AS (SELECT event_type,
+                 CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(x) AS HUGEINT) AS sx,
+                 CAST(sum(y) AS HUGEINT) AS sy,
+                 CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+                 CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                 CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+          FROM x GROUP BY event_type),
+    d AS (SELECT event_type, n,
+                 CAST(n * sxy - sx * sy AS DOUBLE) AS cxy,
+                 CAST(n * sxx - sx * sx AS DOUBLE) AS cxx,
+                 CAST(n * syy - sy * sy AS DOUBLE) AS cyy,
+                 CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+          FROM s)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(round(cxy / cxx, 4) AS DOUBLE) AS slope_cents_per_h,
+           CAST(round((syd - (cxy / cxx) * sxd) / CAST(n AS DOUBLE), 4)
+                AS DOUBLE) AS intercept_cents,
+           CAST(round(cxy * cxy / (cxx * cyy), 4) AS DOUBLE) AS r2
+    FROM d
+    """,
+)
+def agg_ols_fit(spark, sf_dir):
+    """Per-group ordinary-least-squares trend fit (slope, intercept, R²)
+    for value-over-time — the one-pass distributed regression every
+    monitoring/forecast pipeline runs per series.
+
+    The five sufficient statistics (Σx, Σy, Σxy, Σx², Σy²) accumulate as
+    exact integers — x is whole hours from each series' own start (one
+    window min), y is cents — in DECIMAL(38,0)/HUGEINT, so the fit is
+    order-independent on any cluster layout; the closed-form slope/R²
+    algebra runs in double on ONE row per group, textually identical in
+    both engines (same r4 discipline as agg_moments).  Σ(x·y) at 1e9 rows
+    of (1e4 hours × 1e6 cents) is ~1e19 per group — past BIGINT, inside
+    DECIMAL(38,0) with 19 digits of headroom."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(3600000000)).cast("long").alias("h"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("y"),
+    )
+    w = Window.partitionBy("event_type")
+    x = e.select(
+        "event_type",
+        (F.col("h") - F.min("h").over(w)).alias("x"),
+        "y",
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = x.groupBy("event_type").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x")) * dec(F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y")) * dec(F.col("y"))).alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy"))
+    cxy = (n * sxy - sx * sy).cast("double")
+    cxx = (n * sxx - sx * sx).cast("double")
+    cyy = (n * syy - sy * sy).cast("double")
+    return s.select(
+        "event_type",
+        n.cast("long").alias("n"),
+        r4(cxy / cxx).alias("slope_cents_per_h"),
+        r4(
+            (sy.cast("double") - (cxy / cxx) * sx.cast("double"))
+            / n.cast("double")
+        ).alias("intercept_cents"),
+        r4(cxy * cxy / (cxx * cyy)).alias("r2"),
+    )
+
+
+@register(
+    "llm_embed_quantize",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             unnest(range(len(embedding))) AS d
+      FROM embeddings),
+    stats AS (SELECT d, min(x) AS lo, max(x) AS hi FROM dims GROUP BY d),
+    q AS (SELECT vec_id, dims.d,
+                 CAST(round((x - lo) * 255.0 / (hi - lo), 0) AS BIGINT) AS code,
+                 CAST(round((CAST(round((x - lo) * 255.0 / (hi - lo), 0)
+                             AS DOUBLE) * (hi - lo) / 255.0 + lo - x) * 1000000,
+                      0) AS BIGINT) AS err_e6
+          FROM dims JOIN stats ON stats.d = dims.d)
+    SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
+           CAST(sum(code) AS BIGINT) AS sum_code,
+           CAST(sum(err_e6 * err_e6) AS BIGINT) AS sq_err_e12
+    FROM q GROUP BY vec_id
+    """,
+)
+def llm_embed_quantize(spark, sf_dir):
+    """Int8-style scalar quantization of the embedding column — the
+    4×-storage-cut (float32 → uint8 codes) every vector index applies
+    before ANN at scale: per-DIMENSION min/max calibration over the
+    corpus, affine code = round(255·(x−lo)/(hi−lo)), and per-vector
+    reconstruction error accounting.
+
+    The calibration frame is 64 rows (one per dimension) — a classic
+    broadcast join back onto the exploded corpus; the explode itself is
+    the only corpus-sized stage and feeds straight into one hash
+    aggregate per vec_id.  Codes are exact integers; the reconstruction
+    error is pinned to integer micro-units BEFORE summing (err_e6), so
+    the per-vector squared-error total is order-independent — the same
+    fixed-point discipline as the money sums, applied to quantization
+    QA."""
+    dims = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("d", "x"))
+        .select("vec_id", "d", F.col("x").cast("double").alias("x"))
+    )
+    stats = dims.groupBy("d").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    code = F.round((F.col("x") - F.col("lo")) * 255.0 / (F.col("hi") - F.col("lo")), 0).cast(
+        "long"
+    )
+    recon = code.cast("double") * (F.col("hi") - F.col("lo")) / 255.0 + F.col("lo")
+    q = dims.join(F.broadcast(stats), "d").select(
+        "vec_id",
+        code.alias("code"),
+        F.round((recon - F.col("x")) * 1000000, 0).cast("long").alias("err_e6"),
+    )
+    return q.groupBy("vec_id").agg(
+        F.count("*").alias("n_dims"),
+        F.sum("code").alias("sum_code"),
+        F.sum(F.col("err_e6") * F.col("err_e6")).alias("sq_err_e12"),
+    )
+
+
+@register(
+    "win_gap_fill_locf",
+    oracle="""
+    WITH e AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                      CAST(round(value * 100, 0) AS BIGINT) AS c
+               FROM events),
+    b AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+    grid AS (SELECT t.event_type, g.h
+             FROM (SELECT DISTINCT event_type FROM e) t
+             CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+                         FROM b) g),
+    obs AS (SELECT event_type, h, max(c) AS v FROM e GROUP BY event_type, h),
+    j AS (SELECT grid.event_type, grid.h, obs.v
+          FROM grid LEFT JOIN obs USING (event_type, h))
+    SELECT event_type, CAST(floor(epoch(h)) AS BIGINT) AS hour_s,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_c
+    FROM j
+    """,
+)
+def win_gap_fill_locf(spark, sf_dir):
+    """Gap-fill with last-observation-carried-forward — the hypertable
+    `locf()` interpolation (ts_gapfill's zero-fill twin): a dense hourly
+    grid per event type where silent hours repeat the most recent
+    observed value (hourly max, in exact cents) instead of zeroing.
+
+    Same scale shape as ts_gapfill — the grid derives from one 1-row
+    min/max aggregate crossed with the tiny type dimension, observations
+    arrive via one (type, hour) hash aggregate — plus ONE ignore-nulls
+    running `last()` window per type, the standard distributed LOCF
+    (window state is a single value; leading NULLs before a type's first
+    observation stay NULL by definition)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+    )
+    bounds = e.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    grid = e.select("event_type").distinct().crossJoin(hours)
+    obs = e.groupBy("event_type", "h").agg(F.max("c").alias("v"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, ["event_type", "h"], "left")
+        .withColumn("filled_c", F.last("v", ignorenulls=True).over(w))
+        .select("event_type", F.unix_timestamp("h").alias("hour_s"), "filled_c")
+    )
+
+
+@register(
+    "sql_unpivot_syntax",
+    oracle="""
+    WITH w AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent,
+             count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS low
+      FROM orders GROUP BY yr)
+    SELECT yr, 'urgent' AS priority, urgent AS n FROM w
+    UNION ALL
+    SELECT yr, 'low', low FROM w
+    """,
+)
+def sql_unpivot_syntax(spark, sf_dir):
+    """The SQL `UNPIVOT` clause surface (vs agg_unpivot's `stack()`
+    DataFrame form): wide per-year priority counts melt back to long
+    (yr, priority, n) rows.  UNPIVOT is pure plan rewrite — Catalyst
+    expands it to the same Expand node as `stack()`, no shuffle beyond
+    the source aggregate."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_unpv")
+    return spark.sql(
+        """
+        SELECT yr, priority, n FROM (
+          SELECT year(o_orderdate) AS yr,
+                 count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+                     AS urgent,
+                 count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS low
+          FROM orders_unpv GROUP BY year(o_orderdate))
+        UNPIVOT (n FOR priority IN (urgent, low))
+        """
+    ).select(F.col("yr").cast("long").alias("yr"), "priority", "n")

@@ -76,6 +76,8 @@ ALLOWED_BNLJ = {
     "tpch_q22_global_sales_opportunity",
     "ts_gapfill",
     "ts_resample_interp",
+    "kv_version_travel",  # 2-row version-tag frame (layer <= v non-equi)
+    "win_gap_fill_locf",  # 1-row bounds frame -> dense grid (ts_gapfill twin)
 }
 
 
