@@ -1319,3 +1319,106 @@ def sql_unpivot_syntax(spark, sf_dir):
         UNPIVOT (n FOR priority IN (urgent, low))
         """
     ).select(F.col("yr").cast("long").alias("yr"), "priority", "n")
+
+
+@register(
+    "llm_containment_dup",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+                  FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                      range(1, len(tk) - 1),
+                      i -> md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])))) AS s
+           FROM toks WHERE len(tk) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+    blocks AS (SELECT doc_id, s FROM (
+                 SELECT doc_id, s,
+                        row_number() OVER (PARTITION BY doc_id ORDER BY s) AS rn
+                 FROM sh) WHERE rn <= 4),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM blocks a JOIN blocks b
+               ON a.s = b.s AND a.doc_id < b.doc_id),
+    inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.doc_a
+              JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+              GROUP BY c.doc_a, c.doc_b)
+    SELECT doc_a, doc_b,
+           CAST(i * 10000 // least(za.nsh, zb.nsh) AS BIGINT) AS containment_bp
+    FROM inter
+    JOIN sizes za ON za.doc_id = doc_a
+    JOIN sizes zb ON zb.doc_id = doc_b
+    ORDER BY containment_bp DESC, doc_a, doc_b LIMIT 50
+    """,
+)
+def llm_containment_dup(spark, sf_dir):
+    """Asymmetric containment detection — the near-dup class Jaccard
+    misses: a short document wholly embedded in a longer one (quote
+    farms, boilerplate-wrapped reposts) has tiny Jaccard but containment
+    ≈ 1.  Reports the top-50 doc pairs by shingle containment
+    |S_a ∩ S_b| / min(|S_a|, |S_b|), in integer basis points.
+
+    Scale shape (the same O(n) discipline as the MinHash family):
+    1. 3-token shingle sets per doc (md5, engine-portable), ONE explode;
+    2. blocking on each doc's 4 LEXICOGRAPHICALLY SMALLEST shingle hashes
+       — a containing pair shares the contained doc's minimum shingles
+       with high probability (min-wise hashing argument), so candidates
+       arrive from an EQUI self-join on block keys, never all-pairs;
+    3. exact intersection counts only for candidate pairs, via two
+       equi-joins of the candidate list back onto the shingle frame;
+    4. integer basis points — no float convention needed, and the top-50
+       cutoff ranks on exact integers (ties broken by pair id)."""
+    tk = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("tk")
+    )
+    sh = (
+        tk.filter(F.size("tk") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(0, size(tk) - 3), "
+                        "i -> md5(concat(tk[i], ' ', tk[i+1], ' ', tk[i+2])))"
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
+    wb = Window.partitionBy("doc_id").orderBy("s")
+    blocks = (
+        sh.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= 4)
+        .select("doc_id", "s")
+    )
+    cand = (
+        blocks.alias("a")
+        .join(blocks.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    shb = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("sb"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+        .join(shb, (F.col("doc_b") == F.col("b_id")) & (F.col("s") == F.col("sb")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nb"))
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("i * 10000 div least(na, nb)").alias("containment_bp"),
+        )
+        .orderBy(F.col("containment_bp").desc(), "doc_a", "doc_b")
+        .limit(50)
+    )

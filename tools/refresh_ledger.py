@@ -1,0 +1,76 @@
+"""Refresh tools/driver_green.json from every CORRECTNESS_r*.json on disk.
+
+Run this FIRST THING each round (the round-3 verdict's #1 lesson: a stale
+ledger makes ordered_queries() waste its bounded scoring window re-scoring
+already-green ops while never-scored extensions stay unscored forever).
+
+* ``green``            — ops with a hash-green row in ANY round.
+* ``rows_only_scored`` — ops that have a driver row but CANNOT ever be
+  hash-green (no oracle by design: sketches, RNG sampling, ANN); their
+  rows-only check passed, so re-scoring them is pure window waste.
+
+An op with an oracle whose row failed (rows/schema/hash mismatch) stays
+OUT of both lists so it re-enters the window after a fix.
+
+Usage: python tools/refresh_ledger.py        # rewrite + print summary
+       python tools/refresh_ledger.py --dry  # print what would change
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from biggie_spark.registry import ORACLES, QUERIES, load_all_ops
+
+LEDGER = "/root/repo/tools/driver_green.json"
+
+
+def main() -> None:
+    load_all_ops()
+    green: set[str] = set()
+    rows_only: set[str] = set()
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        rows = json.load(open(path))
+        for name, r in rows.items():
+            if name not in QUERIES:
+                continue  # renamed/removed op; let the window re-resolve it
+            if r.get("hash_match"):
+                green.add(name)
+            elif name not in ORACLES and r.get("rows_match") is not False:
+                # no oracle by design and the driver recorded its rows-only
+                # row (spark_rows > 0): permanently scored
+                if (r.get("spark_rows") or 0) > 0:
+                    rows_only.add(name)
+    rows_only -= green
+
+    old = json.load(open(LEDGER))
+    new = {
+        "_": old["_"],
+        "green": sorted(green),
+        "rows_only_scored": sorted(rows_only),
+    }
+    added_g = green - set(old.get("green", []))
+    added_r = rows_only - set(old.get("rows_only_scored", []))
+    print(
+        f"green: {len(old.get('green', []))} -> {len(green)} (+{len(added_g)}); "
+        f"rows_only: {len(old.get('rows_only_scored', []))} -> {len(rows_only)} "
+        f"(+{len(added_r)})"
+    )
+    if added_g:
+        print("new green:", ", ".join(sorted(added_g)))
+    if added_r:
+        print("new rows-only-scored:", ", ".join(sorted(added_r)))
+    if "--dry" in sys.argv:
+        return
+    with open(LEDGER, "w") as f:
+        json.dump(new, f, indent=1)
+        f.write("\n")
+    print(f"wrote {LEDGER}")
+
+
+if __name__ == "__main__":
+    main()
