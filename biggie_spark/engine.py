@@ -290,6 +290,40 @@ class Engine:
 
         return llm_curation_pipeline(self.spark, self.sf_dir)
 
+    def dataset_card(self) -> DataFrame:
+        """One-row corpus summary card (docs, sources, langs, token mass,
+        exact-dup count, dominant-language share in basis points)."""
+        from biggie_spark.ops.analytics4 import llm_dataset_card
+
+        return llm_dataset_card(self.spark, self.sf_dir)
+
+    def containment_dups(self) -> DataFrame:
+        """Top doc pairs by asymmetric shingle containment — catches
+        doc-inside-doc near-dups whose Jaccard is below the MinHash bar."""
+        from biggie_spark.ops.analytics4 import llm_containment_dup
+
+        return llm_containment_dup(self.spark, self.sf_dir)
+
+    def quantize_embeddings(self) -> DataFrame:
+        """Int8 scalar quantization of the embedding column with exact
+        per-vector reconstruction-error accounting."""
+        from biggie_spark.ops.analytics4 import llm_embed_quantize
+
+        return llm_embed_quantize(self.spark, self.sf_dir)
+
+    def version_travel(self) -> DataFrame:
+        """Layered-snapshot time travel (VERSION AS OF) state digests."""
+        from biggie_spark.ops.analytics4 import kv_version_travel
+
+        return kv_version_travel(self.spark, self.sf_dir)
+
+    def trend_fit(self) -> DataFrame:
+        """Per-series exact OLS trend (slope/intercept/R²) from integer
+        sufficient statistics."""
+        from biggie_spark.ops.analytics4 import agg_ols_fit
+
+        return agg_ols_fit(self.spark, self.sf_dir)
+
     # ---- introspection ----------------------------------------------------
     def explain(self, df: DataFrame, mode: str = "formatted") -> str:
         return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
