@@ -185,6 +185,54 @@ def demo_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(j, "append")
 
 
+def demo_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of stream_stream_outer_join: a watermarked
+    stream-stream LEFT OUTER interval join.  Outer emission is the part
+    inner joins don't exercise — a view's null-padded row may only emit
+    once the watermark proves no matching click can still arrive (state
+    eviction time = watermark − 30 min interval), so rows near the end of
+    a finite stream legitimately stay IN state when an AvailableNow drain
+    terminates.  tests/test_streaming_demo.py asserts the mode-aware
+    containment: matched rows equal the batch inner join exactly, and
+    every null-padded row the stream emits is clickless in the batch
+    twin."""
+    ev = _events_stream(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+            "user_id",
+        )
+        .withWatermark("v_ts", "10 minutes")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+            F.col("user_id").alias("c_user"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    j = v.join(
+        c,
+        F.expr(
+            "user_id = c_user AND c_ts >= v_ts"
+            " AND c_ts <= v_ts + INTERVAL 30 MINUTES"
+        ),
+        "leftOuter",
+    ).select(
+        "view_id",
+        "click_id",
+        "user_id",
+        F.expr("(unix_micros(c_ts) - unix_micros(v_ts)) div 1000000").alias("gap_s"),
+    )
+    return _drain(j, "append")
+
+
 def demo_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via the Spark 4 `transformWithStateInPandas`
     API (StatefulProcessor + typed state handles) — the successor to

@@ -73,6 +73,26 @@ def test_streaming_interval_join_matches_batch(spark, sf_dir):
     assert _rows(s) == _rows(b)
 
 
+def test_streaming_outer_interval_join_mode_aware(spark, sf_dir):
+    """LEFT OUTER stream-stream join, mode-aware containment: the matched
+    rows must equal the batch INNER interval join exactly; null-padded rows
+    may only emit for views the watermark has proven unmatchable, so every
+    one of them must be clickless in the batch outer twin (views still in
+    state at AvailableNow termination legitimately never emit)."""
+    s = streaming_demo.demo_outer_interval_join(spark, sf_dir)
+    matched = [tuple(r) for r in s.filter("click_id IS NOT NULL").collect()]
+    b_inner = [tuple(r) for r in QUERIES["stream_join_interval"](spark, sf_dir).collect()]
+    assert sorted(matched) == sorted(b_inner)
+    clickless_batch = {
+        r.view_id
+        for r in QUERIES["stream_stream_outer_join"](spark, sf_dir)
+        .filter("n_clicks = 0")
+        .collect()
+    }
+    null_views = {r.view_id for r in s.filter("click_id IS NULL").collect()}
+    assert null_views <= clickless_batch
+
+
 def test_streaming_transform_with_state_matches_batch(spark, sf_dir):
     """The transformWithStateInPandas twin's final per-user state must equal
     the batch groupBy aggregate (update mode may emit a row per micro-batch
