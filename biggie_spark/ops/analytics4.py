@@ -1422,3 +1422,88 @@ def llm_containment_dup(spark, sf_dir):
         .orderBy(F.col("containment_bp").desc(), "doc_a", "doc_b")
         .limit(50)
     )
+
+
+@register(
+    "llm_embedding_pipeline",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS a FROM embeddings),
+    nrm AS (
+      SELECT vec_id, label,
+             sqrt(CAST(list_aggregate(list_transform(a, v -> v * v), 'sum')
+                       AS DOUBLE)) AS nr, a
+      FROM e),
+    dims AS (
+      SELECT vec_id, label, CAST(round(nr * 1000000, 0) AS BIGINT) AS nr_e6,
+             unnest(list_transform(a, v -> v / nr)) AS nx,
+             unnest(range(len(a))) AS d
+      FROM nrm),
+    stats AS (SELECT d, min(nx) AS lo, max(nx) AS hi FROM dims GROUP BY d),
+    q AS (SELECT vec_id, label, nr_e6,
+                 CAST(round((CAST(round((nx - lo) * 255.0 / (hi - lo), 0)
+                             AS DOUBLE) * (hi - lo) / 255.0 + lo - nx)
+                            * 1000000, 0) AS BIGINT) AS err_e6
+          FROM dims JOIN stats ON stats.d = dims.d),
+    per_vec AS (
+      SELECT vec_id, label, any_value(nr_e6) AS nr_e6,
+             sum(err_e6 * err_e6) AS sqe
+      FROM q GROUP BY vec_id, label)
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(sqe) AS BIGINT) AS sq_err_e12,
+           CAST(sum(nr_e6) // count(*) AS BIGINT) AS avg_norm_e6
+    FROM per_vec GROUP BY label
+    """,
+)
+def llm_embedding_pipeline(spark, sf_dir):
+    """Composed embedding-prep pipeline as ONE lazy plan — the vector-side
+    twin of llm_curation_pipeline: L2-normalize → per-dimension int8
+    calibration/quantization → per-label quality rollup (vector count,
+    integer-exact total squared reconstruction error, mean pre-norm
+    magnitude in micro-units).
+
+    Single corpus explode feeds every stage; the 64-row calibration frame
+    broadcasts back; norms ride alongside as integer micro-units so the
+    per-label mean needs no float sum.  The stages never materialize —
+    Catalyst fuses normalize + quantize + error into one pass over the
+    exploded frame, exactly how a production embedding-prep job should
+    run at 100 TB (the only shuffles are the 64-row dim stats and the
+    per-label rollup)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("a")
+    )
+    nr = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("a"), lambda v: v * v),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    nrm = e.select(
+        "vec_id",
+        "label",
+        F.round(nr * 1000000, 0).cast("long").alias("nr_e6"),
+        F.transform(F.col("a"), lambda v: v / nr).alias("nx"),
+    )
+    dims = nrm.select(
+        "vec_id", "label", "nr_e6", F.posexplode("nx").alias("d", "nx")
+    )
+    stats = dims.groupBy("d").agg(F.min("nx").alias("lo"), F.max("nx").alias("hi"))
+    code = F.round(
+        (F.col("nx") - F.col("lo")) * 255.0 / (F.col("hi") - F.col("lo")), 0
+    )
+    recon = code.cast("double") * (F.col("hi") - F.col("lo")) / 255.0 + F.col("lo")
+    q = dims.join(F.broadcast(stats), "d").select(
+        "vec_id",
+        "label",
+        "nr_e6",
+        F.round((recon - F.col("nx")) * 1000000, 0).cast("long").alias("err_e6"),
+    )
+    per_vec = q.groupBy("vec_id", "label", "nr_e6").agg(
+        F.sum(F.col("err_e6") * F.col("err_e6")).alias("sq_err_e12")
+    )
+    return per_vec.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("sq_err_e12").alias("sq_err_e12"),
+        F.expr("sum(nr_e6) div count(*)").alias("avg_norm_e6"),
+    )

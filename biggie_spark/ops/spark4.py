@@ -192,3 +192,93 @@ def src_python_datasource(spark, sf_dir):
         .option("parts", str(N_PARTS))
         .load()
     )
+
+
+@register(
+    "sql_parameterized",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n,
+           CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+               AS bal_cents
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY') AND c_acctbal >= 100.0
+    GROUP BY c_mktsegment
+    """,
+)
+def sql_parameterized(spark, sf_dir):
+    """Named-parameter SQL binding (`spark.sql(query, args=...)`, Spark 4)
+    — the injection-safe templating surface: parameters bind as typed
+    literals in the parse tree, never string-spliced, so a hostile
+    segment value cannot change query structure.  Constant-folds to the
+    same plan as inline literals — predicate pushdown still sees the
+    bound values."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("cust_prm")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, count(*) AS n,
+               sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS bal_cents
+        FROM cust_prm
+        WHERE c_mktsegment IN (:seg1, :seg2) AND c_acctbal >= :lo
+        GROUP BY c_mktsegment
+        """,
+        args={"seg1": "BUILDING", "seg2": "MACHINERY", "lo": 100.0},
+    )
+
+
+@register(
+    "sql_variables",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_variables(spark, sf_dir):
+    """SQL session variables (`DECLARE VARIABLE` / `SET VAR`, Spark 4) —
+    procedural state between statements without any client-side string
+    building; the variable reference resolves at analysis time so the
+    filter still pushes down to the scan."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_var")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE prio_filter STRING DEFAULT '1-URGENT'"
+    )
+    spark.sql("SET VAR prio_filter = '1-URGENT'")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders_var
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderpriority = session.prio_filter
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "sql_identifier_clause",
+    oracle="""
+    SELECT 'region' AS tbl, (SELECT count(*) FROM region) AS n
+    UNION ALL
+    SELECT 'nation', (SELECT count(*) FROM nation)
+    """,
+)
+def sql_identifier_clause(spark, sf_dir):
+    """The `IDENTIFIER(:name)` clause (Spark 4): dynamic table binding
+    with identifier semantics — the safe form of "table name as a
+    variable" (a catalog-layer concern templating engines otherwise solve
+    with string concat).  Each binding compiles to a plain scan of the
+    named view."""
+    from functools import reduce
+
+    frames = []
+    for t in ("region", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"idtest_{t}")
+        frames.append(
+            spark.sql(
+                "SELECT :label AS tbl, count(*) AS n FROM IDENTIFIER(:t)",
+                args={"label": t, "t": f"idtest_{t}"},
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), frames)
