@@ -1507,3 +1507,103 @@ def llm_embedding_pipeline(spark, sf_dir):
         F.sum("sq_err_e12").alias("sq_err_e12"),
         F.expr("sum(nr_e6) div count(*)").alias("avg_norm_e6"),
     )
+
+
+@register(
+    "win_frame_range_time",
+    oracle="""
+    SELECT event_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w AS BIGINT)
+               AS cents_1h
+    FROM events WHERE user_id < 100
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_frame_range_time(spark, sf_dir):
+    """Time-interval RANGE window frames — the rolling "last 60 minutes"
+    per entity (rate limiting, velocity checks, sliding spend caps),
+    expressed as a true event-time range (`RANGE BETWEEN INTERVAL 1 HOUR
+    PRECEDING`), not a row-count approximation: irregular event spacing
+    means ROWS frames and time frames disagree, and the time frame is
+    the semantically right one.
+
+    The frame bound is resolved by ordering value, so Spark keeps one
+    sorted pass per user partition with a sliding aggregate state — no
+    self-join re-scan per row (the naive O(n·k) formulation).  Sums
+    accumulate in exact cents; ties in ts are safe because the frame is
+    range-based (all equal-ts peers share a frame), so no tiebreak
+    column is needed."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_rng")
+    return spark.sql(
+        """
+        SELECT event_id,
+               count(*) OVER w AS n_1h,
+               sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w AS cents_1h
+        FROM events_rng WHERE user_id < 100
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """
+    )
+
+
+@register(
+    "sql_group_by_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+               AS qty_cents
+    FROM lineitem GROUP BY ALL
+    """,
+)
+def sql_group_by_all(spark, sf_dir):
+    """`GROUP BY ALL` (Spark 4 / modern-SQL ergonomics): the grouping set
+    is inferred as every non-aggregate select item — removes the classic
+    drift bug where a new projected column silently falls out of the
+    GROUP BY.  Resolves at analysis time to the identical hash aggregate
+    as the explicit form."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gba")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS qty_cents
+        FROM li_gba GROUP BY ALL
+        """
+    )
+
+
+@register(
+    "fn_uuid_v5",
+    oracle="""
+    WITH h AS (SELECT doc_id, md5('biggie:' || text) AS x
+               FROM documents WHERE doc_id < 200)
+    SELECT doc_id,
+           substr(x, 1, 8) || '-' || substr(x, 9, 4) || '-5' ||
+           substr(x, 14, 3) || '-8' || substr(x, 18, 3) || '-' ||
+           substr(x, 21, 12) AS stable_uuid
+    FROM h
+    """,
+)
+def fn_uuid_v5(spark, sf_dir):
+    """Deterministic content-derived UUIDs (v5-style: name hash with fixed
+    version/variant nibbles) — the stable row identity every distributed
+    pipeline needs where `uuid()`'s randomness would break retries,
+    re-runs, and cross-engine joins.  Pure string/hash expressions inside
+    codegen; the same content always maps to the same id on any cluster,
+    which is what makes idempotent MERGE upserts possible."""
+    h = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.md5(F.concat(F.lit("biggie:"), F.col("text"))).alias("x"))
+    )
+    return h.select(
+        "doc_id",
+        F.concat(
+            F.substring("x", 1, 8), F.lit("-"),
+            F.substring("x", 9, 4), F.lit("-5"),
+            F.substring("x", 14, 3), F.lit("-8"),
+            F.substring("x", 18, 3), F.lit("-"),
+            F.substring("x", 21, 12),
+        ).alias("stable_uuid"),
+    )
