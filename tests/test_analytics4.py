@@ -103,3 +103,35 @@ def test_bfs_distances_monotone_frontier(spark, sf_dir):
         for v in ((u * 2 + 1) % n, (u * 3 + 7) % n):
             if v in dist:
                 assert dist[v] <= d + 1
+
+
+def test_containment_candidates_equi_join(spark, sf_dir):
+    """Containment candidates must come from the min-shingle block
+    equi-join; no all-pairs comparison anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "llm_containment_dup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-50 without a global sort
+
+
+def test_embedding_pipeline_broadcast_calibration(spark, sf_dir):
+    """The 64-row per-dimension calibration frame must broadcast back onto
+    the exploded corpus — a shuffle join there would move the whole corpus
+    for a constant-size dimension table."""
+    plan = _plan(spark, sf_dir, "llm_embedding_pipeline")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quantize_codes_in_range(spark, sf_dir):
+    """Every emitted code sum is consistent with codes in [0, 255] and the
+    per-dim calibration covering the data (defense beyond the oracle)."""
+    from pyspark.sql import functions as F2
+
+    out = QUERIES["llm_embed_quantize"](spark, sf_dir)
+    row = out.agg(
+        F2.min("sum_code").alias("lo"), F2.max("sum_code").alias("hi"),
+        F2.min("n_dims").alias("nd")
+    ).collect()[0]
+    assert row["nd"] == 64
+    assert 0 <= row["lo"] and row["hi"] <= 255 * 64

@@ -87,6 +87,9 @@ ROUND4 = {
     "q_outer_attrib": "stream_stream_outer_join",
     "q_bitmap_distinct": "agg_bitmap_distinct",
     "q_rolling_median": "win_rolling_median",
+    "q_containment_dup": "llm_containment_dup",
+    "q_embed_quantize": "llm_embed_quantize",
+    "q_embedding_pipeline": "llm_embedding_pipeline",
 }
 
 
