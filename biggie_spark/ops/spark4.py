@@ -282,3 +282,83 @@ def sql_identifier_clause(spark, sf_dir):
             )
         )
     return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+@register(
+    "fn_xml_roundtrip",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey,
+           CAST(round(s_acctbal, 4) AS DOUBLE) AS s_acctbal
+    FROM supplier
+    """,
+)
+def fn_xml_roundtrip(spark, sf_dir):
+    """Column-level XML codec (`to_xml`/`from_xml`, Spark 4): each supplier
+    row serializes to an XML fragment and parses back through an explicit
+    schema.  The oracle is the original table, so any serializer/parser
+    asymmetry (escaping, numeric formatting, null handling) breaks the
+    hash — the same round-trip-against-source contract as the CSV/JSON
+    connectors, at expression level for message-queue payloads."""
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", r4("s_acctbal").alias("s_acctbal")
+    )
+    xml = s.select(
+        F.expr("to_xml(struct(s_suppkey, s_name, s_nationkey, s_acctbal))").alias(
+            "x"
+        )
+    )
+    return xml.select(
+        F.expr(
+            "from_xml(x, 's_suppkey BIGINT, s_name STRING, s_nationkey INT,"
+            " s_acctbal DOUBLE')"
+        ).alias("st")
+    ).select("st.*")
+
+
+@register(
+    "fn_csv_parse",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def fn_csv_parse(spark, sf_dir):
+    """Column-level CSV codec (`to_csv`/`from_csv`): the per-record parse
+    path for CSV payloads embedded in another stream (log lines, queue
+    messages) — distinct from the file-level CSV connector.  Explicit
+    schema, no inference; round-trip oracle against the source table."""
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    csv = n.select(
+        F.expr("to_csv(struct(n_nationkey, n_name, n_regionkey))").alias("c")
+    )
+    return csv.select(
+        F.expr(
+            "from_csv(c, 'n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT')"
+        ).alias("st")
+    ).select("st.*")
+
+
+@register(
+    "sql_join_hints",
+    oracle="""
+    SELECT n_name, count(*) AS n_cust
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def sql_join_hints(spark, sf_dir):
+    """SQL join-strategy hints (`/*+ BROADCAST(n) */`): the escape hatch
+    when statistics mislead the planner — e.g. a dimension behind a view
+    whose size estimate exceeds the broadcast threshold.  The hint pins a
+    BroadcastHashJoin (asserted in tests/test_analytics4.py); semantics
+    are unchanged, so the oracle is the plain join."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("cust_h")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nat_h")
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(n) */ n_name, count(*) AS n_cust
+        FROM cust_h c JOIN nat_h n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n_name
+        """
+    )

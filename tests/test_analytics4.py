@@ -135,3 +135,11 @@ def test_quantize_codes_in_range(spark, sf_dir):
     ).collect()[0]
     assert row["nd"] == 64
     assert 0 <= row["lo"] and row["hi"] <= 255 * 64
+
+
+def test_join_hint_pins_broadcast(spark, sf_dir):
+    """The /*+ BROADCAST */ hint must reach the physical plan as a
+    BroadcastHashJoin regardless of size estimates."""
+    plan = _plan(spark, sf_dir, "sql_join_hints")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
