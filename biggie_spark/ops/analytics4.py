@@ -1607,3 +1607,69 @@ def fn_uuid_v5(spark, sf_dir):
             F.substring("x", 21, 12),
         ).alias("stable_uuid"),
     )
+
+
+@register(
+    "kv_inverted_index",
+    oracle="""
+    WITH hits AS (
+      SELECT doc_id, lang, n_chars
+      FROM documents
+      WHERE list_contains(string_split(lower(text), ' '), 'dup'))
+    SELECT count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_key,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           count(DISTINCT lang) AS n_langs
+    FROM hits
+    """,
+)
+def kv_inverted_index(spark, sf_dir):
+    """Secondary (inverted) index over the stash — the lookup structure a
+    pure kv store lacks: "which entities contain token T" without
+    scanning entity payloads.
+
+    Build once: one corpus explode to distinct (token, doc_id) postings,
+    written as parquet PARTITIONED BY the token's hash prefix (16-way
+    directory fanout — same sharding idea as the stash's key buckets).
+    Query: the token's prefix is computed driver-side from the token
+    alone (pure arithmetic, no data read), so the index scan prunes to
+    ONE directory; the posting list then fetches matching entities via a
+    broadcast semi-join on the primary key.  Query cost is
+    O(index/16 + |postings|) — independent of corpus text size; payload
+    bytes are never touched (column pruning keeps the fetch to the
+    projected fields).  The op asserts directory pruning from the actual
+    scan plan (PartitionFilters), then returns the fetched entities'
+    rollup, oracle-checked against a full-scan predicate."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    token = "dup"
+    docs = load_table(spark, sf_dir, "documents")
+    postings = docs.select(
+        F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("tok"),
+        "doc_id",
+    ).withColumn("pfx", F.substring(F.md5("tok"), 1, 1))
+    base = tempfile.mkdtemp(prefix="biggie_invidx_")
+    try:
+        postings.write.mode("overwrite").partitionBy("pfx").parquet(base)
+
+        # driver-side prefix of the probe token — no data read
+        pfx = hashlib.md5(token.encode()).hexdigest()[:1]
+        idx = spark.read.parquet(base).filter(
+            (F.col("pfx") == pfx) & (F.col("tok") == token)
+        )
+        plan = idx._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "pfx" in plan, (
+            "index scan must prune on the pfx directory partition"
+        )
+        hits = docs.select("doc_id", "lang", "n_chars").join(
+            F.broadcast(idx.select("doc_id")), "doc_id", "left_semi"
+        )
+        return hits.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("sum_key"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
