@@ -1673,3 +1673,74 @@ def kv_inverted_index(spark, sf_dir):
         ).localCheckpoint()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "graph_common_neighbors",
+    oracle=f"""
+    WITH nodes AS (SELECT doc_id AS v FROM documents WHERE doc_id < {_BFS_N}),
+    e AS (
+      SELECT v AS src, (v * 2 + 1) % {_BFS_N} AS dst FROM nodes
+      UNION ALL SELECT v, (v * 3 + 7) % {_BFS_N} FROM nodes),
+    sym AS (SELECT DISTINCT src, dst FROM (
+              SELECT src, dst FROM e WHERE src <> dst
+              UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
+    wedges AS (
+      SELECT a.src AS u, b.src AS v, count(*) AS cn
+      FROM sym a JOIN sym b ON a.dst = b.dst AND a.src < b.src
+      GROUP BY a.src, b.src),
+    nonedge AS (
+      SELECT w.u, w.v, w.cn FROM wedges w
+      WHERE NOT EXISTS (SELECT 1 FROM sym s WHERE s.src = w.u AND s.dst = w.v))
+    SELECT u, v, CAST(cn AS BIGINT) AS common_neighbors
+    FROM nonedge ORDER BY cn DESC, u, v LIMIT 25
+    """,
+)
+def graph_common_neighbors(spark, sf_dir):
+    """Link prediction by common-neighbor count: the top unconnected node
+    pairs sharing the most neighbors — the classic "people you may know"
+    score, over the same deterministic digraph as graph_bfs_distance
+    (symmetrized).
+
+    Wedge enumeration is ONE self-equi-join on the shared neighbor (the
+    same shuffle shape as triangle counting): pair cardinality tracks
+    Σ deg(w)² over hub nodes, never |V|² — the standard scale bound for
+    common-neighbor scoring (cap per-node neighbor lists at a hub
+    threshold when degree skew demands it).  Existing edges drop via one
+    anti-join; the top-25 ranks on exact integer counts with pair-id
+    tiebreaks."""
+    nodes = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _BFS_N)
+        .select(F.col("doc_id").alias("v"))
+    )
+    e = nodes.select(
+        F.col("v").alias("src"), ((F.col("v") * 2 + 1) % _BFS_N).alias("dst")
+    ).unionByName(
+        nodes.select(
+            F.col("v").alias("src"), ((F.col("v") * 3 + 7) % _BFS_N).alias("dst")
+        )
+    ).filter(F.col("src") != F.col("dst"))
+    sym = (
+        e.select("src", "dst")
+        .unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    a = sym.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    b = sym.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    wedges = (
+        a.join(b, "w")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("cn"))
+    )
+    nonedge = wedges.join(
+        sym.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    return (
+        nonedge.select("u", "v", F.col("cn").alias("common_neighbors"))
+        .orderBy(F.col("common_neighbors").desc(), "u", "v")
+        .limit(25)
+    )
