@@ -651,3 +651,99 @@ def mm_image_histogram(spark, sf_dir):
         F.col("st.b2").alias("b2"),
         F.col("st.b3").alias("b3"),
     )
+
+
+@register(
+    "mm_audio_spectrum",
+    oracle="""
+    WITH probe AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+    terms AS (
+      SELECT p.doc_id, t.t, k.k,
+             CAST(((p.doc_id * 31 + t.t) * 2654435761) % 65536 - 32768
+                  AS DOUBLE) AS x,
+             2 * pi() * k.k * t.t / 64 AS th
+      FROM probe p, range(64) t(t), (VALUES (1), (3)) k(k)),
+    r AS (
+      SELECT doc_id, k,
+             CAST(sum(CAST(sign(x * cos(th)) *
+                  floor(abs(x * cos(th)) * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS c_e3,
+             CAST(sum(CAST(sign(x * sin(th)) *
+                  floor(abs(x * sin(th)) * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS s_e3
+      FROM terms GROUP BY doc_id, k)
+    SELECT doc_id,
+           max(CASE WHEN k = 1 THEN c_e3 END) AS c1_e3,
+           max(CASE WHEN k = 1 THEN s_e3 END) AS s1_e3,
+           max(CASE WHEN k = 3 THEN c_e3 END) AS c3_e3,
+           max(CASE WHEN k = 3 THEN s_e3 END) AS s3_e3
+    FROM r GROUP BY doc_id
+    """,
+)
+def mm_audio_spectrum(spark, sf_dir):
+    """REAL spectral analysis on the audio path: synthesize deterministic
+    int16 PCM, encode to actual RIFF/WAVE bytes, decode back through the
+    container parser, and compute DFT coefficients (k = 1, 3) from the
+    decoded samples — the feature-extraction step under voice-activity
+    detection, music fingerprinting, and band-energy filters.
+
+    Determinism across engines is engineered, not hoped for: each DFT
+    term x_t·cos(θ)/x_t·sin(θ) is rounded to integer milli-units with an
+    explicit half-away rule (sign·floor(|v|·1000 + 0.5) — numpy's
+    half-even and SQL's round() disagree, floor does not) BEFORE the sum,
+    so the accumulation is exact integer arithmetic in any order on any
+    partitioning.  The oracle reconstructs the same signal arithmetically
+    — a container-offset or byte-order bug in the WAV path shifts every
+    coefficient.  Kernel shape: Arrow-batched pandas_udf, 1:1 rows,
+    payload bytes in one binary column."""
+    import math
+
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    from biggie_spark.multimodal import encode_wav, wav_samples
+
+    @pandas_udf("binary")
+    def encode_udf(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_id:
+            t = np.arange(64, dtype=np.int64)
+            x = ((int(d) * 31 + t) * 2654435761) % 65536 - 32768
+            out.append(encode_wav(x.astype("<i2")))
+        return pd.Series(out)
+
+    @pandas_udf("struct<c1_e3 bigint, s1_e3 bigint, c3_e3 bigint, s3_e3 bigint>")
+    def dft_udf(payload: pd.Series) -> pd.DataFrame:
+        def half_away(v: float) -> int:
+            return int(math.copysign(math.floor(abs(v) * 1000 + 0.5), v))
+
+        rows = []
+        for b in payload:
+            x = wav_samples(bytes(b)).astype(np.float64)
+            vals = []
+            for k in (1, 3):
+                c = s = 0
+                for t in range(64):
+                    th = 2 * math.pi * k * t / 64
+                    c += half_away(x[t] * math.cos(th))
+                    s += half_away(x[t] * math.sin(th))
+                vals += [c, s]
+            rows.append(tuple(vals))
+        return pd.DataFrame(rows, columns=["c1_e3", "s1_e3", "c3_e3", "s3_e3"])
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 64)
+        .select("doc_id")
+    )
+    out = d.withColumn("payload", encode_udf("doc_id")).withColumn(
+        "st", dft_udf("payload")
+    )
+    return out.select(
+        "doc_id",
+        F.col("st.c1_e3").alias("c1_e3"),
+        F.col("st.s1_e3").alias("s1_e3"),
+        F.col("st.c3_e3").alias("c3_e3"),
+        F.col("st.s3_e3").alias("s3_e3"),
+    )
