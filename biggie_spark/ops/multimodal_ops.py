@@ -747,3 +747,106 @@ def mm_audio_spectrum(spark, sf_dir):
         F.col("st.c3_e3").alias("c3_e3"),
         F.col("st.s3_e3").alias("s3_e3"),
     )
+
+
+@register(
+    "mm_image_conv_sobel",
+    oracle="""
+    WITH probe AS (SELECT doc_id, 16 + doc_id % 8 AS w, 8 AS h,
+                          (doc_id * 5) % 100 AS base
+                   FROM documents WHERE doc_id < 64),
+    px AS (
+      SELECT doc_id, w, h, x.v AS x, y.v AS y,
+             base + 3 * x.v + 7 * y.v + (x.v * y.v) % 11 AS p
+      FROM probe, range(24) x(v), range(8) y(v)
+      WHERE x.v < w AND y.v < h),
+    gx AS (
+      SELECT c.doc_id, c.x, c.y,
+             (r1.p + 2 * r2.p + r3.p) - (l1.p + 2 * l2.p + l3.p) AS gxv,
+             (d1.p + 2 * d2.p + d3.p) - (u1.p + 2 * u2.p + u3.p) AS gyv
+      FROM px c
+      JOIN px l1 ON l1.doc_id = c.doc_id AND l1.x = c.x - 1 AND l1.y = c.y - 1
+      JOIN px l2 ON l2.doc_id = c.doc_id AND l2.x = c.x - 1 AND l2.y = c.y
+      JOIN px l3 ON l3.doc_id = c.doc_id AND l3.x = c.x - 1 AND l3.y = c.y + 1
+      JOIN px r1 ON r1.doc_id = c.doc_id AND r1.x = c.x + 1 AND r1.y = c.y - 1
+      JOIN px r2 ON r2.doc_id = c.doc_id AND r2.x = c.x + 1 AND r2.y = c.y
+      JOIN px r3 ON r3.doc_id = c.doc_id AND r3.x = c.x + 1 AND r3.y = c.y + 1
+      JOIN px u1 ON u1.doc_id = c.doc_id AND u1.x = c.x - 1 AND u1.y = c.y - 1
+      JOIN px u2 ON u2.doc_id = c.doc_id AND u2.x = c.x AND u2.y = c.y - 1
+      JOIN px u3 ON u3.doc_id = c.doc_id AND u3.x = c.x + 1 AND u3.y = c.y - 1
+      JOIN px d1 ON d1.doc_id = c.doc_id AND d1.x = c.x - 1 AND d1.y = c.y + 1
+      JOIN px d2 ON d2.doc_id = c.doc_id AND d2.x = c.x AND d2.y = c.y + 1
+      JOIN px d3 ON d3.doc_id = c.doc_id AND d3.x = c.x + 1 AND d3.y = c.y + 1)
+    SELECT doc_id,
+           CAST(sum(abs(gxv)) AS BIGINT) AS edge_gx,
+           CAST(sum(abs(gyv)) AS BIGINT) AS edge_gy,
+           CAST(count(*) AS BIGINT) AS n_interior
+    FROM gx GROUP BY doc_id
+    """,
+)
+def mm_image_conv_sobel(spark, sf_dir):
+    """REAL 3x3 convolution on the image path: Sobel edge energy over
+    decoded PPM rasters — the kernel under blur detection, edge-density
+    quality filters, and saliency crops.
+
+    Images carry a non-separable pattern (p = base + 3x + 7y + xy mod 11,
+    all < 256) so the gradients are position-dependent; the numpy kernel
+    computes Gx/Gy with explicit slice arithmetic over interior pixels
+    (no scipy dependency), all in int64 — convolution of integer pixels
+    with a +/-1/+/-2 kernel is exact, so the per-image edge sums are
+    integers and the oracle reconstructs them from the generating grid
+    with 12 self-joins (one per stencil tap).  Any decode stride bug
+    shifts a neighborhood and breaks every sum.  Same Arrow-batched
+    pandas_udf shape as the other codecs."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    from biggie_spark.multimodal import decode_ppm_array, encode_ppm
+
+    @pandas_udf("binary")
+    def encode_udf(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_id:
+            w, h, base = 16 + int(d) % 8, 8, (int(d) * 5) % 100
+            y, x = np.mgrid[0:h, 0:w]
+            p = (base + 3 * x + 7 * y + (x * y) % 11).astype(np.uint8)
+            # encode_ppm writes base+x+y; build bytes directly for the
+            # custom pattern via the same header path
+            header = f"P6\n{w} {h}\n255\n".encode()
+            px = np.repeat(p[:, :, None], 3, axis=2)
+            out.append(header + px.tobytes())
+        return pd.Series(out)
+
+    @pandas_udf("struct<edge_gx bigint, edge_gy bigint, n_interior bigint>")
+    def sobel_udf(payload: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in payload:
+            a = decode_ppm_array(bytes(b))[:, :, 0].astype(np.int64)
+            gx = (
+                (a[:-2, 2:] + 2 * a[1:-1, 2:] + a[2:, 2:])
+                - (a[:-2, :-2] + 2 * a[1:-1, :-2] + a[2:, :-2])
+            )
+            gy = (
+                (a[2:, :-2] + 2 * a[2:, 1:-1] + a[2:, 2:])
+                - (a[:-2, :-2] + 2 * a[:-2, 1:-1] + a[:-2, 2:])
+            )
+            rows.append(
+                (int(np.abs(gx).sum()), int(np.abs(gy).sum()), gx.size)
+            )
+        return pd.DataFrame(rows, columns=["edge_gx", "edge_gy", "n_interior"])
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 64)
+        .select("doc_id")
+    )
+    out = d.withColumn("payload", encode_udf("doc_id")).withColumn(
+        "st", sobel_udf("payload")
+    )
+    return out.select(
+        "doc_id",
+        F.col("st.edge_gx").alias("edge_gx"),
+        F.col("st.edge_gy").alias("edge_gy"),
+        F.col("st.n_interior").alias("n_interior"),
+    )

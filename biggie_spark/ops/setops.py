@@ -155,3 +155,37 @@ def dedup_by_key(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("l_orderkey", "l_partkey", "l_quantity")
     )
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def set_intersect_all(spark, sf_dir):
+    """Bag-semantics INTERSECT ALL (min of per-side multiplicities) — the
+    variant audits need when duplicate cardinality carries meaning;
+    Spark plans it as a counted hash aggregate per side + generate, not
+    a distinct, so multiplicity survives."""
+    return _status_keys(spark, sf_dir, "F").intersectAll(
+        _status_keys(spark, sf_dir, "P")
+    )
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def set_except_all(spark, sf_dir):
+    """Bag-semantics EXCEPT ALL (multiplicity subtraction, floored at 0)
+    — e.g. 'orders left after netting out one-for-one matches'."""
+    return _status_keys(spark, sf_dir, "F").exceptAll(
+        _status_keys(spark, sf_dir, "P")
+    )
