@@ -1967,3 +1967,180 @@ def llm_dedup_incremental(spark, sf_dir):
     return kinds.groupBy("dup_kind").agg(
         F.count("*").alias("n"), F.sum("doc_id").alias("sum_key")
     )
+
+
+@register(
+    "win_drawdown",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+                 AS bal
+      FROM events WHERE user_id < 50),
+    d AS (
+      SELECT user_id, event_id, bal,
+             CAST(max(bal) OVER (PARTITION BY user_id
+                                 ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS peak
+      FROM s)
+    SELECT user_id,
+           CAST(max(peak - bal) AS BIGINT) AS max_drawdown_cents,
+           CAST(max(bal) AS BIGINT) AS peak_balance_cents
+    FROM d GROUP BY user_id
+    """,
+)
+def win_drawdown(spark, sf_dir):
+    """Maximum drawdown per user over the running value balance — the
+    risk metric (worst peak-to-trough drop) that needs TWO stacked
+    windows: a running sum, then a running max over it, then the max gap.
+    All exact integer cents; both windows share one per-user sort, so the
+    plan is a single shuffle on user_id with two window operators in one
+    stage."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+        )
+        .withColumn("bal", F.sum("c").over(w))
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = s.withColumn("peak", F.max("bal").over(wp))
+    return d.groupBy("user_id").agg(
+        F.max(F.col("peak") - F.col("bal")).alias("max_drawdown_cents"),
+        F.max("bal").alias("peak_balance_cents"),
+    )
+
+
+@register(
+    "ts_autocorr",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(round(value * 100, 0) AS BIGINT) AS y,
+             lag(CAST(round(value * 100, 0) AS BIGINT))
+                 OVER (PARTITION BY event_type ORDER BY ts, event_id) AS yp
+      FROM events),
+    p AS (SELECT event_type, y, yp FROM s WHERE yp IS NOT NULL),
+    m AS (SELECT event_type,
+                 CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(y) AS HUGEINT) AS sy,
+                 CAST(sum(yp) AS HUGEINT) AS syp,
+                 CAST(sum(CAST(y AS HUGEINT) * yp) AS HUGEINT) AS syyp,
+                 CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+                 CAST(sum(CAST(yp AS HUGEINT) * yp) AS HUGEINT) AS sypp
+          FROM p GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+           CAST(round(
+             (CAST(n AS DOUBLE) * CAST(syyp AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(syp AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(sypp AS DOUBLE)
+                       - CAST(syp AS DOUBLE) * CAST(syp AS DOUBLE))), 4)
+             AS DOUBLE) AS acf1
+    FROM m
+    """,
+)
+def ts_autocorr(spark, sf_dir):
+    """Lag-1 autocorrelation per series (Pearson r between consecutive
+    values) — the is-this-noise-or-momentum statistic under seasonality
+    detection and model selection.  One lag window pairs each value with
+    its predecessor (ordered by exact event time + id), then the five
+    sufficient statistics accumulate as DECIMAL(38,0)/HUGEINT integers —
+    the same order-independent posture as agg_ols_fit — and the Pearson
+    algebra runs in textually identical double on one row per group."""
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    s = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100, 0).cast("long").alias("y"),
+        )
+        .withColumn("yp", F.lag("y").over(w))
+        .filter(F.col("yp").isNotNull())
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = s.groupBy("event_type").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("yp"))).alias("syp"),
+        F.sum(dec(F.col("y")) * dec(F.col("yp"))).alias("syyp"),
+        F.sum(dec(F.col("y")) * dec(F.col("y"))).alias("syy"),
+        F.sum(dec(F.col("yp")) * dec(F.col("yp"))).alias("sypp"),
+    )
+    n, sy, syp, syyp, syy, sypp = (
+        F.col(c).cast("double") for c in ("n", "sy", "syp", "syyp", "syy", "sypp")
+    )
+    acf = (n * syyp - sy * syp) / (
+        F.sqrt(n * syy - sy * sy) * F.sqrt(n * sypp - syp * syp)
+    )
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_pairs"),
+        r4(acf).alias("acf1"),
+    )
+
+
+@register(
+    "llm_token_zipf",
+    oracle="""
+    WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS w
+                 FROM documents),
+    f AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    r AS (SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rnk
+          FROM f),
+    top AS (SELECT ln(CAST(rnk AS DOUBLE)) AS lx, ln(CAST(c AS DOUBLE)) AS ly
+            FROM r WHERE rnk <= 30),
+    s AS (SELECT count(*) AS n, sum(lx) AS sx, sum(ly) AS sy,
+                 sum(lx * ly) AS sxy, sum(lx * lx) AS sxx
+          FROM top)
+    SELECT CAST(n AS BIGINT) AS n_ranks,
+           CAST(round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS DOUBLE)
+               AS zipf_slope
+    FROM s
+    """,
+)
+def llm_token_zipf(spark, sf_dir):
+    """Zipf-law fit of the corpus token distribution: OLS slope of
+    ln(freq) against ln(rank) over the top 30 ranks — the
+    distribution-health check (natural text ≈ −1; synthetic or templated
+    corpora flatten).  Rank assignment is fully deterministic (count
+    desc, token asc); the 30-row log regression is the only float sum
+    and sits far inside the r4 grain.  The corpus-sized work is one
+    token count — everything after runs on ≤ |vocabulary| rows."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    f = tok.groupBy("w").agg(F.count("*").alias("c"))
+    r = f.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.col("c").desc(), "w"))
+    ).filter(F.col("rnk") <= 30)
+    top = r.select(
+        F.log(F.col("rnk").cast("double")).alias("lx"),
+        F.log(F.col("c").cast("double")).alias("ly"),
+    )
+    s = top.agg(
+        F.count("*").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    return s.select(
+        n.cast("long").alias("n_ranks"),
+        r4((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("zipf_slope"),
+    )
