@@ -114,3 +114,48 @@ def test_wav_samples_roundtrip(samples):
     from biggie_spark.multimodal import wav_samples
 
     assert list(wav_samples(encode_wav(samples))) == samples
+
+
+def test_sobel_constant_image_zero_energy():
+    """Analytic invariant independent of the oracle: a constant raster has
+    zero gradient everywhere, so Sobel energy must be exactly 0."""
+    import numpy as np
+
+    from biggie_spark.multimodal import decode_ppm_array
+
+    w, h = 12, 8
+    header = f"P6\n{w} {h}\n255\n".encode()
+    px = np.full((h, w, 3), 77, dtype=np.uint8)
+    a = decode_ppm_array(header + px.tobytes())[:, :, 0].astype(np.int64)
+    gx = (a[:-2, 2:] + 2 * a[1:-1, 2:] + a[2:, 2:]) - (
+        a[:-2, :-2] + 2 * a[1:-1, :-2] + a[2:, :-2]
+    )
+    gy = (a[2:, :-2] + 2 * a[2:, 1:-1] + a[2:, 2:]) - (
+        a[:-2, :-2] + 2 * a[:-2, 1:-1] + a[:-2, 2:]
+    )
+    assert int(abs(gx).sum()) == 0 and int(abs(gy).sum()) == 0
+
+
+def test_dft_pure_tone_concentrates_at_its_bin():
+    """A pure cosine at bin k=3 must put (almost) all its milli-unit DFT
+    energy at k=3 and essentially none at k=1 — through the full WAV
+    encode/decode path."""
+    import math
+
+    import numpy as np
+
+    from biggie_spark.multimodal import encode_wav, wav_samples
+
+    t = np.arange(64)
+    x = np.round(10000 * np.cos(2 * math.pi * 3 * t / 64)).astype("<i2")
+    back = wav_samples(encode_wav(x)).astype(np.float64)
+
+    def coeff(k):
+        c = s = 0
+        for i in range(64):
+            th = 2 * math.pi * k * i / 64
+            c += int(math.copysign(math.floor(abs(back[i] * math.cos(th)) * 1000 + 0.5), back[i] * math.cos(th)))
+            s += int(math.copysign(math.floor(abs(back[i] * math.sin(th)) * 1000 + 0.5), back[i] * math.sin(th)))
+        return (c * c + s * s) ** 0.5
+
+    assert coeff(3) > 100 * coeff(1)
