@@ -30,3 +30,4 @@ from biggie_spark.ops import pipeline2  # noqa: F401
 from biggie_spark.ops import curation  # noqa: F401
 from biggie_spark.ops import spark4  # noqa: F401
 from biggie_spark.ops import analytics4  # noqa: F401
+from biggie_spark.ops import stats  # noqa: F401

@@ -1,0 +1,413 @@
+"""Distributed hypothesis-testing operators — the A/B-experiment and
+data-drift battery a pipeline runs before/after every curation change
+(did the quality filter shift the value distribution? is a metric
+independent of segment? does a money column look fabricated?).
+
+Scale design (100 TB):
+* Every test reduces the corpus to SUFFICIENT STATISTICS with one hash
+  aggregate of exact integers (cents via the ``round(value*100)``
+  convention) — associative, order-independent partials in
+  BIGINT/DECIMAL(38,0), so the statistic is bit-identical on any cluster
+  layout.  The closed-form test algebra then runs in double on a frame of
+  at most a few dozen rows (event types, contingency cells, digits).
+* The rank tests (KS, Mann-Whitney) avoid the global sort a textbook
+  implementation needs: values are exact cent integers, so the corpus
+  first collapses to per-cent bin counts (domain-bounded — ≤ ~49k bins
+  for this value range NO MATTER HOW MANY ROWS), and the ECDF/rank
+  window runs over the tiny binned frame.  1e12 rows still produce the
+  same ≤49k-row windowed stage; the unpartitioned window is over the
+  bounded bin domain, never over raw rows.
+* Argmax selections (KS location) compare INTEGER cross-products
+  (n2·cum1 − n1·cum2) instead of float ECDF differences, so the peak
+  position can never flip on a last-ulp disagreement between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from biggie_spark.io import load_table
+from biggie_spark.registry import register
+from biggie_spark.util import r4
+
+
+def _cents(col: str = "value") -> F.Column:
+    return F.round(F.col(col) * 100, 0).cast("long")
+
+
+@register(
+    "agg_ttest_welch",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c
+      FROM events),
+    s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS DOUBLE) AS s1,
+             CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE) AS s2
+      FROM m GROUP BY event_type),
+    v AS (
+      SELECT event_type, n, s1 / n AS mu,
+             (s2 - s1 * s1 / n) / (n - 1) AS var
+      FROM s)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.n AS n_a, b.n AS n_b,
+           CAST(round((a.mu - b.mu)
+                / sqrt(a.var / a.n + b.var / b.n), 4) AS DOUBLE) AS t_stat,
+           CAST(round(pow(a.var / a.n + b.var / b.n, 2)
+                / (pow(a.var / a.n, 2) / (a.n - 1)
+                   + pow(b.var / b.n, 2) / (b.n - 1)), 4) AS DOUBLE) AS dof
+    FROM v a JOIN v b ON a.event_type < b.event_type
+    """,
+)
+def agg_ttest_welch(spark, sf_dir):
+    """Welch's unequal-variance t-test for every pair of event types — the
+    default two-sample mean comparison (experiment readouts, before/after
+    filter drift) because it never assumes equal variances.
+
+    One corpus scan folds each type to (n, Σc, Σc²) in exact integers
+    (Σc² in DECIMAL(38,0)/HUGEINT — cents² ≈ 2.4e9 per row overflows
+    BIGINT past ~4e9 rows); the t statistic and Welch–Satterthwaite dof
+    run in textually identical double algebra on the ~5-row moment frame,
+    self-joined pairwise (a 5×5 broadcast triangle, never a data-side
+    cross product)."""
+    s = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", _cents().alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("c").cast("double").alias("s1"),
+            F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("s2"),
+        )
+    )
+    v = s.select(
+        "event_type",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mu"),
+        ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)).alias(
+            "var"
+        ),
+    )
+    a = v.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("n_a"),
+        F.col("mu").alias("mu_a"),
+        F.col("var").alias("var_a"),
+    )
+    b = v.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("n_b"),
+        F.col("mu").alias("mu_b"),
+        F.col("var").alias("var_b"),
+    )
+    se_a = F.col("var_a") / F.col("n_a")
+    se_b = F.col("var_b") / F.col("n_b")
+    return (
+        a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            r4((F.col("mu_a") - F.col("mu_b")) / F.sqrt(se_a + se_b)).alias("t_stat"),
+            r4(
+                F.pow(se_a + se_b, 2)
+                / (
+                    F.pow(se_a, 2) / (F.col("n_a") - 1)
+                    + F.pow(se_b, 2) / (F.col("n_b") - 1)
+                )
+            ).alias("dof"),
+        )
+    )
+
+
+@register(
+    "agg_chi2_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT o_orderpriority AS r, o_orderstatus AS col, count(*) AS o
+      FROM orders GROUP BY r, col),
+    rm AS (SELECT r, sum(o) AS rt FROM obs GROUP BY r),
+    cm AS (SELECT col, sum(o) AS ct FROM obs GROUP BY col),
+    tot AS (SELECT sum(o) AS n FROM obs),
+    cells AS (
+      SELECT obs.r, obs.col, obs.o,
+             CAST(rm.rt AS DOUBLE) * cm.ct / tot.n AS e
+      FROM obs JOIN rm USING (r) JOIN cm USING (col) CROSS JOIN tot)
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(round(sum((o - e) * (o - e) / e), 4) AS DOUBLE) AS chi2,
+           CAST((SELECT count(*) FROM rm) - 1 AS BIGINT)
+             * CAST((SELECT count(*) FROM cm) - 1 AS BIGINT) AS dof
+    FROM cells
+    """,
+)
+def agg_chi2_independence(spark, sf_dir):
+    """Pearson chi-square test of independence between order priority and
+    order status — the categorical-drift / segment-dependence check.
+
+    The contingency table is ONE hash aggregate of the fact table (exact
+    integer counts); marginals derive from the tiny cell frame itself
+    (15 rows here, never a rescan), join back as broadcasts, and the
+    χ² = Σ(o−e)²/e fold plus (r−1)(c−1) dof run on that cell frame.  The
+    only corpus-sized work is the first groupBy — everything after is
+    O(cells)."""
+    obs = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("r"), F.col("o_orderstatus").alias("col")
+        )
+        .agg(F.count("*").alias("o"))
+    )
+    obs = obs.localCheckpoint()  # tiny cell frame feeds 4 branches
+    rm = obs.groupBy("r").agg(F.sum("o").alias("rt"))
+    cm = obs.groupBy("col").agg(F.sum("o").alias("ct"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    n_r = rm.agg(F.count("*").alias("nr"))
+    n_c = cm.agg(F.count("*").alias("nc"))
+    cells = (
+        obs.join(F.broadcast(rm), "r")
+        .join(F.broadcast(cm), "col")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o",
+            (F.col("rt").cast("double") * F.col("ct") / F.col("n")).alias("e"),
+        )
+    )
+    chi = cells.agg(
+        F.count("*").alias("n_cells"),
+        r4(F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"))).alias(
+            "chi2"
+        ),
+    )
+    return (
+        chi.crossJoin(F.broadcast(n_r))
+        .crossJoin(F.broadcast(n_c))
+        .select(
+            "n_cells",
+            "chi2",
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+        )
+    )
+
+
+@register(
+    "agg_ks_twosample",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(round(value * 100, 0) AS BIGINT) AS c,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS s1,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS s2
+      FROM events WHERE event_type IN ('click', 'view')),
+    bins AS (
+      SELECT c, sum(s1) AS a, sum(s2) AS b FROM m GROUP BY c),
+    tot AS (SELECT sum(a) AS n1, sum(b) AS n2 FROM bins),
+    ecdf AS (
+      SELECT c,
+             sum(a) OVER (ORDER BY c) AS ca,
+             sum(b) OVER (ORDER BY c) AS cb
+      FROM bins),
+    dev AS (
+      SELECT c, abs(tot.n2 * ca - tot.n1 * cb) AS d_scaled, tot.n1, tot.n2
+      FROM ecdf CROSS JOIN tot),
+    peak AS (
+      SELECT c, d_scaled, n1, n2,
+             row_number() OVER (ORDER BY d_scaled DESC, c) AS rn
+      FROM dev)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(round(CAST(d_scaled AS DOUBLE) / (n1 * n2), 4) AS DOUBLE)
+             AS ks_d,
+           CAST(round(c / 100.0, 4) AS DOUBLE) AS ks_at_value
+    FROM peak WHERE rn = 1
+    """,
+)
+def agg_ks_twosample(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov statistic (click vs view values) with
+    its location — the standard distribution-drift detector.
+
+    No global row sort: values are exact cents, so the corpus collapses
+    to per-cent bin counts first (domain-bounded at ~49k bins for this
+    value range REGARDLESS of row count — 1e12 rows yield the same binned
+    frame), and the ECDF cumsum windows over that tiny frame.  The max
+    deviation compares the integer cross-product |n2·cum1 − n1·cum2|, so
+    the argmax (tie-break: smallest value) is exact; the float D = that
+    integer / (n1·n2) is a single deterministic division under r4."""
+    m = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            _cents().alias("c"),
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("s1"),
+            F.when(F.col("event_type") == "view", 1).otherwise(0).alias("s2"),
+        )
+    )
+    bins = m.groupBy("c").agg(F.sum("s1").alias("a"), F.sum("s2").alias("b"))
+    bins = bins.localCheckpoint()  # bounded-domain frame feeds ecdf + totals
+    tot = bins.agg(F.sum("a").alias("n1"), F.sum("b").alias("n2"))
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ecdf = bins.select(
+        "c", F.sum("a").over(w).alias("ca"), F.sum("b").over(w).alias("cb")
+    )
+    dev = ecdf.crossJoin(F.broadcast(tot)).select(
+        "c",
+        F.abs(F.col("n2") * F.col("ca") - F.col("n1") * F.col("cb")).alias("d_scaled"),
+        "n1",
+        "n2",
+    )
+    rw = Window.orderBy(F.col("d_scaled").desc(), "c")
+    return (
+        dev.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") == 1)
+        .select(
+            "n1",
+            "n2",
+            r4(F.col("d_scaled").cast("double") / (F.col("n1") * F.col("n2"))).alias(
+                "ks_d"
+            ),
+            r4(F.col("c") / 100.0).alias("ks_at_value"),
+        )
+    )
+
+
+@register(
+    "agg_mann_whitney",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(round(value * 100, 0) AS BIGINT) AS c,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS s1,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS s2
+      FROM events WHERE event_type IN ('click', 'view')),
+    bins AS (SELECT c, sum(s1) AS a, sum(s2) AS b FROM m GROUP BY c),
+    tot AS (SELECT sum(a) AS n1, sum(b) AS n2 FROM bins),
+    pre AS (
+      SELECT c, a, b,
+             coalesce(sum(a + b) OVER (ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM bins),
+    ranks AS (
+      /* doubled rank-sum of sample 1: ties share the average rank of
+         their bin's occupied positions -> 2*avg = 2*cum_before + (a+b) + 1 */
+      SELECT sum(a * (2 * cum_before + a + b + 1)) AS r1_x2,
+             sum(CAST(a + b AS HUGEINT) * (a + b) * (a + b) - (a + b)) AS tie_term
+      FROM pre)
+    SELECT CAST(tot.n1 AS BIGINT) AS n1, CAST(tot.n2 AS BIGINT) AS n2,
+           CAST(ranks.r1_x2 - tot.n1 * (tot.n1 + 1) AS BIGINT) AS u1_x2,
+           CAST(round(
+             (CAST(ranks.r1_x2 - tot.n1 * (tot.n1 + 1) AS DOUBLE) / 2
+              - CAST(tot.n1 AS DOUBLE) * tot.n2 / 2)
+             / sqrt(CAST(tot.n1 AS DOUBLE) * tot.n2 / 12
+                    * ((tot.n1 + tot.n2 + 1)
+                       - CAST(ranks.tie_term AS DOUBLE)
+                         / ((tot.n1 + tot.n2) * (tot.n1 + tot.n2 - 1)))),
+             4) AS DOUBLE) AS z
+    FROM ranks CROSS JOIN tot
+    """,
+)
+def agg_mann_whitney(spark, sf_dir):
+    """Mann–Whitney U (Wilcoxon rank-sum) test, click vs view — the
+    nonparametric location test that survives the heavy-tailed metric
+    distributions where a t-test misleads.
+
+    The textbook version ranks the pooled sample (a global sort).  Here
+    ranks come from the SAME bounded cent-bin frame as the KS op: a bin
+    holding (a, b) occurrences occupies positions cum_before+1 …
+    cum_before+a+b, so its shared average rank is (2·cum_before+a+b+1)/2
+    — kept DOUBLED so the rank-sum R1 and U1 stay exact integers.  The
+    tie-corrected normal z-score runs in double on the 1-row reduction.
+    The corpus-sized work is one hash aggregate; the window is over ≤49k
+    bins at any data scale."""
+    m = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            _cents().alias("c"),
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("s1"),
+            F.when(F.col("event_type") == "view", 1).otherwise(0).alias("s2"),
+        )
+    )
+    bins = m.groupBy("c").agg(F.sum("s1").alias("a"), F.sum("s2").alias("b"))
+    bins = bins.localCheckpoint()
+    tot = bins.agg(F.sum("a").alias("n1"), F.sum("b").alias("n2"))
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    pre = bins.select(
+        "a",
+        "b",
+        F.coalesce(F.sum(F.col("a") + F.col("b")).over(w), F.lit(0)).alias(
+            "cum_before"
+        ),
+    )
+    t = F.col("a") + F.col("b")
+    ranks = pre.agg(
+        F.sum(F.col("a") * (2 * F.col("cum_before") + t + 1)).alias("r1_x2"),
+        F.sum(t.cast("decimal(38,0)") * t * t - t).alias("tie_term"),
+    )
+    j = ranks.crossJoin(F.broadcast(tot))
+    u1_x2 = F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    var = (
+        n1d
+        * n2d
+        / 12
+        * (
+            (F.col("n1") + F.col("n2") + 1)
+            - F.col("tie_term").cast("double")
+            / ((F.col("n1") + F.col("n2")) * (F.col("n1") + F.col("n2") - 1))
+        )
+    )
+    return j.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        u1_x2.cast("long").alias("u1_x2"),
+        r4((u1_x2.cast("double") / 2 - n1d * n2d / 2) / F.sqrt(var)).alias("z"),
+    )
+
+
+@register(
+    "agg_benford_digits",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM orders),
+    obs AS (SELECT digit, count(*) AS o FROM d GROUP BY digit),
+    tot AS (SELECT sum(o) AS n FROM obs)
+    SELECT digit, CAST(o AS BIGINT) AS obs,
+           CAST(round(tot.n * log10(1 + 1.0 / digit), 4) AS DOUBLE)
+             AS expected,
+           CAST(round(pow(o - tot.n * log10(1 + 1.0 / digit), 2)
+                / (tot.n * log10(1 + 1.0 / digit)), 4) AS DOUBLE)
+             AS chi2_part
+    FROM obs CROSS JOIN tot
+    """,
+)
+def agg_benford_digits(spark, sf_dir):
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-data / corrupted-ingest smell test for money columns.
+
+    The first significant digit is extracted from the STRING form of the
+    exact cent integer (cents ≥ 1, so the leading character IS the first
+    significant digit) — no float log10 of the value, whose boundary
+    behavior (99.999…) differs between engines.  Digit counts are one
+    exact hash aggregate; expected Benford mass n·log10(1+1/d) and the
+    per-digit χ² contribution run on the 9-row frame against the 1-row
+    total broadcast."""
+    d = load_table(spark, sf_dir, "orders").select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count("*").alias("o"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    exp = F.col("n") * F.log10(1 + 1.0 / F.col("digit"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("o").cast("long").alias("obs"),
+        r4(exp).alias("expected"),
+        r4(F.pow(F.col("o") - exp, 2) / exp).alias("chi2_part"),
+    )
