@@ -32,3 +32,4 @@ from biggie_spark.ops import spark4  # noqa: F401
 from biggie_spark.ops import analytics4  # noqa: F401
 from biggie_spark.ops import stats  # noqa: F401
 from biggie_spark.ops import textprep  # noqa: F401
+from biggie_spark.ops import sketches  # noqa: F401
