@@ -850,3 +850,87 @@ def mm_image_conv_sobel(spark, sf_dir):
         F.col("st.edge_gy").alias("edge_gy"),
         F.col("st.n_interior").alias("n_interior"),
     )
+
+
+@register(
+    "mm_image_phash_dedup",
+    oracle="""
+    WITH px AS (
+      SELECT g.v AS g, y.v AS y, x.v AS x,
+             (7 + (g.v + 1) * (x.v + 1) * (y.v + 1)) % 101 AS p
+      FROM range(32) g(v), range(8) y(v), range(8) x(v)),
+    s AS (SELECT g, sum(p) AS psum FROM px GROUP BY g),
+    bits AS (
+      SELECT px.g,
+             string_agg(CASE WHEN px.p > s.psum // 64 THEN '1' ELSE '0' END,
+                        '' ORDER BY px.y, px.x) AS ahash
+      FROM px JOIN s ON s.g = px.g GROUP BY px.g),
+    docs AS (SELECT doc_id, doc_id % 32 AS g FROM documents WHERE doc_id < 256)
+    SELECT b.ahash,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(d.doc_id) AS BIGINT) AS canonical_id,
+           CAST(count(DISTINCT d.g) AS BIGINT) AS n_groups
+    FROM docs d JOIN bits b ON b.g = d.g
+    GROUP BY b.ahash
+    """,
+)
+def mm_image_phash_dedup(spark, sf_dir):
+    """Perceptual-hash image dedup over DECODED rasters: every probe doc
+    carries an 8x8 P6 PPM whose pixel pattern depends only on doc_id mod
+    32, so exact byte-level dup groups exist by construction; the op
+    computes each image's 64-bit average-hash (bit = pixel > integer mean)
+    from the decoded pixels and groups by the hash -- the standard
+    near-dup pipeline for image corpora (aHash/pHash bucket -> verify),
+    here with the bucketing stage made fully oracle-checkable.
+
+    The mean threshold is integer (`pixel_sum div 64`), so the bit pattern
+    is exact arithmetic end-to-end; the oracle re-derives every pixel,
+    threshold, and bit from the generating formula -- a stride, header, or
+    channel bug in the real PPM decode (`decode_ppm_array`) flips bits and
+    breaks the hash.  Scale shape: encode/decode are Arrow-batched 1:1
+    pandas_udfs over the isolated binary column; the dedup is one hash
+    aggregate on the 64-char hash string -- the shuffle key -- exactly the
+    exact-dedup shape (`llm_dedup_exact`) with a perceptual key, and at
+    100 TB Hamming-near matching adds band-of-bits equi-joins (the
+    `llm_neardup_cosine` table trick), never a cross product."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    from biggie_spark.multimodal import decode_ppm_array
+
+    @pandas_udf("binary")
+    def encode_udf(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_id:
+            g = int(d) % 32
+            y = np.arange(8, dtype=np.int64)[:, None]
+            x = np.arange(8, dtype=np.int64)[None, :]
+            val = (7 + (g + 1) * (x + 1) * (y + 1)) % 101
+            px = np.repeat(val[:, :, None], 3, axis=2).astype(np.uint8)
+            header = b"P6\n# phash probe\n8 8\n255\n"
+            out.append(header + px.tobytes())
+        return pd.Series(out)
+
+    @pandas_udf("string")
+    def ahash_udf(payload: pd.Series) -> pd.Series:
+        out = []
+        for b in payload:
+            r = decode_ppm_array(bytes(b))[:, :, 0].astype(np.int64)
+            thr = int(r.sum()) // 64
+            out.append("".join("1" if v > thr else "0" for v in r.ravel()))
+        return pd.Series(out)
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 256)
+        .select("doc_id", (F.col("doc_id") % 32).alias("g"))
+    )
+    hashed = d.withColumn("payload", encode_udf("doc_id")).withColumn(
+        "ahash", ahash_udf("payload")
+    )
+    return hashed.groupBy("ahash").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("canonical_id"),
+        F.countDistinct("g").alias("n_groups"),
+    )
