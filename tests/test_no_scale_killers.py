@@ -78,6 +78,17 @@ ALLOWED_BNLJ = {
     "ts_resample_interp",
     "kv_version_travel",  # 2-row version-tag frame (layer <= v non-equi)
     "win_gap_fill_locf",  # 1-row bounds frame -> dense grid (ts_gapfill twin)
+    # round-4 additions — every broadcast side is a scalar/moment frame or
+    # a literal-bounded constructor, independent of corpus size:
+    "agg_ttest_welch",  # ≤|event types| moment frame, pairwise triangle
+    "agg_chi2_independence",  # 1-row total + marginal frames onto cell frame
+    "agg_ks_twosample",  # 1-row (n1, n2) totals onto the bounded bin frame
+    "agg_mann_whitney",  # 1-row totals × 1-row rank-sum reduction
+    "agg_benford_digits",  # 1-row total onto the 9-digit frame
+    "fn_bloom_probe",  # 1-row count frames assembling the summary row
+    "llm_embed_outlier",  # 1-row centroid-array + 1-row moments frames
+    "llm_embed_project",  # 8×64 literal range×range matrix constructor
+    "sql_values_inline",  # 3-row literal VALUES dimension (LocalRelation)
 }
 
 
