@@ -521,3 +521,150 @@ def llm_curation_pipeline(spark, sf_dir):
             F.coalesce(F.sum("n_uniq"), F.lit(0)).alias("n_uniq_segs"),
         )
     )
+
+
+@register(
+    "llm_gopher_quality",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(tk) AS n_tok,
+             list_aggregate(list_transform(tk, x -> length(x)), 'sum')
+               * 100 // len(tk) AS mean_len_c,
+             len(list_filter(tk, x -> regexp_full_match(x, '[a-z]+')))
+               * 10000 // len(tk) AS alpha_bp,
+             len(list_filter(tk, x -> x IN ('the', 'a', 'of', 'to', 'and', 'in')))
+               * 10000 // len(tk) AS stop_bp
+      FROM t)
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(mean_len_c AS BIGINT) AS mean_len_c,
+           CAST(alpha_bp AS BIGINT) AS alpha_bp,
+           CAST(stop_bp AS BIGINT) AS stop_bp,
+           CASE
+             WHEN n_tok < 10 OR n_tok > 1000 THEN 'len'
+             WHEN mean_len_c < 300 OR mean_len_c > 1000 THEN 'word_len'
+             WHEN alpha_bp < 7000 THEN 'alpha'
+             WHEN stop_bp < 200 THEN 'stopword'
+             ELSE 'keep'
+           END AS verdict
+    FROM m
+    """,
+)
+def llm_gopher_quality(spark, sf_dir):
+    """Gopher-style rule-card quality filter: the named heuristic battery
+    (token count bounds, mean word length 3-10, >=70% alphabetic words,
+    a minimum stopword presence) that large-corpus curation applies
+    before any model-based scoring -- with the FIRST failing rule
+    reported as the verdict, which is what a curation dashboard needs
+    (drop *reasons*, not just drops).
+
+    Every metric is integer arithmetic (centi-chars / basis points via
+    integer division) so thresholds can never flip on float rounding;
+    one projection per doc, zero shuffles -- the scan is the plan.  The
+    rule cascade is a CASE expression, textually mirrored in the oracle,
+    so both engines agree on which rule fires first."""
+    tk = tokens("text")
+    n_tok = F.size(tk)
+    mean_len_c = F.expr(
+        "aggregate(split(lower(text), ' '), 0, (a, x) -> a + length(x)) * 100"
+        " div size(split(lower(text), ' '))"
+    )
+    alpha_bp = F.expr(
+        "size(filter(split(lower(text), ' '), x -> x rlike '^[a-z]+$')) * 10000"
+        " div size(split(lower(text), ' '))"
+    )
+    stop_bp = F.expr(
+        "size(filter(split(lower(text), ' '),"
+        " x -> x IN ('the', 'a', 'of', 'to', 'and', 'in'))) * 10000"
+        " div size(split(lower(text), ' '))"
+    )
+    verdict = (
+        F.when((F.col("n_tok") < 10) | (F.col("n_tok") > 1000), "len")
+        .when((F.col("mean_len_c") < 300) | (F.col("mean_len_c") > 1000), "word_len")
+        .when(F.col("alpha_bp") < 7000, "alpha")
+        .when(F.col("stop_bp") < 200, "stopword")
+        .otherwise("keep")
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            n_tok.cast("long").alias("n_tok"),
+            mean_len_c.cast("long").alias("mean_len_c"),
+            alpha_bp.cast("long").alias("alpha_bp"),
+            stop_bp.cast("long").alias("stop_bp"),
+        )
+        .withColumn("verdict", verdict)
+    )
+
+
+@register(
+    "llm_url_canonical_dedup",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'HTTP://WWW.Example-' || CAST(doc_id % 7 AS VARCHAR)
+               || '.COM/page/' || CAST(doc_id % 50 AS VARCHAR)
+               || CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=x&ref=y'
+                       WHEN doc_id % 3 = 1 THEN '/'
+                       ELSE '' END AS url
+      FROM documents),
+    c AS (
+      SELECT doc_id, url,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(lower(url), '\\?.*$', ''),
+                 '^([a-z]+://)www\\.', '\\1'),
+               '/$', '') AS canon
+      FROM u)
+    SELECT canon,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
+           CAST(min(doc_id) AS BIGINT) AS canonical_doc
+    FROM c GROUP BY canon
+    """,
+)
+def llm_url_canonical_dedup(spark, sf_dir):
+    """URL canonicalization dedup -- the crawl-frontier staple: the same
+    page arrives as HTTP://WWW.Host.COM/page/3/?utm_source=x, with and
+    without tracking params, trailing slash, www, and case variance.
+    Canonicalization (lowercase, strip query string, strip www, strip
+    trailing slash) folds the synthesized variants onto one key; the
+    group-by reports how many raw spellings and distinct variants each
+    canonical URL absorbed, with the smallest doc_id as the survivor.
+
+    Three regexp_replace kernels per row (RE2/Java-compatible patterns,
+    backreference \\1 preserved for the scheme) + one hash aggregate on
+    the canonical key -- the exact-dedup shuffle shape with a derived
+    key, linear at any scale."""
+    url = F.concat(
+        F.lit("HTTP://WWW.Example-"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM/page/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, "/?utm_source=x&ref=y")
+        .when(F.col("doc_id") % 3 == 1, "/")
+        .otherwise(""),
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("url")), r"\?.*$", ""),
+            r"^([a-z]+://)www\.",
+            "$1",
+        ),
+        "/$",
+        "",
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", url.alias("url"))
+        .withColumn("canon", canon)
+        .groupBy("canon")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("url").alias("n_variants"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+    )

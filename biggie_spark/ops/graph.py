@@ -276,3 +276,104 @@ def graph_triangles(spark, sf_dir):
         .union(tri.select("c"))
     )
     return verts.groupBy("doc_id").agg(F.count("*").alias("n_tri"))
+
+
+_KC_N = 400  # node universe for the k-core probe graph
+_KC_K = 3  # core threshold
+_KC_ROUNDS = 4  # fixed peeling rounds — unrolled verbatim in the oracle
+
+
+def _kcore_round_sql(prev_edges: str, out_nodes: str, out_edges: str) -> str:
+    """One unrolled k-core peeling round in DuckDB SQL: degrees over the
+    surviving edge set, keep nodes with degree >= k, induce the subgraph."""
+    return f"""
+    {out_nodes} AS (
+        SELECT v FROM (
+            SELECT src AS v, count(*) AS d FROM {prev_edges} GROUP BY src)
+        WHERE d >= {_KC_K}),
+    {out_edges} AS (
+        SELECT e.src, e.dst FROM {prev_edges} e
+        JOIN {out_nodes} a ON a.v = e.src
+        JOIN {out_nodes} b ON b.v = e.dst)"""
+
+
+@register(
+    "graph_kcore",
+    oracle=f"""
+    WITH nodes AS (SELECT doc_id AS v FROM documents WHERE doc_id < {_KC_N}),
+    raw AS (
+      SELECT v AS a, (v * 2 + 1) % {_KC_N} AS b FROM nodes
+      UNION ALL SELECT v, (v * 3 + 7) % {_KC_N} FROM nodes
+      UNION ALL SELECT v, (v * 5 + 11) % {_KC_N} FROM nodes),
+    e0 AS (
+      /* undirected simple graph: both directions, no self-loops, dedup */
+      SELECT DISTINCT src, dst FROM (
+        SELECT a AS src, b AS dst FROM raw WHERE a <> b
+        UNION ALL
+        SELECT b, a FROM raw WHERE a <> b)),
+    {_kcore_round_sql("e0", "n1", "e1")},
+    {_kcore_round_sql("e1", "n2", "e2")},
+    {_kcore_round_sql("e2", "n3", "e3")},
+    {_kcore_round_sql("e3", "n4", "e4")}
+    SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+    FROM e4 GROUP BY src
+    """,
+)
+def graph_kcore(spark, sf_dir):
+    """Bounded k-core decomposition (k = 3, four peeling rounds) over a
+    deterministic synthetic undirected graph on the doc_id < 400 node set
+    -- the dense-subgraph extractor behind spam-cluster mining and
+    community seeding (a node is in the k-core iff it keeps >= k
+    neighbors after everyone below k is recursively removed).
+
+    Each round is degree-count -> filter -> induced-subgraph: one groupBy
+    on src + two semi-joins on the survivor set, all equi-keyed on vertex
+    id, with localCheckpoint() per round to keep lineage linear (the
+    Pregel-state rule, same as graph_bfs_distance).  The round count is
+    FIXED and unrolled verbatim in the oracle, so both engines compute
+    the identical (possibly not-yet-converged) fourth iterate -- on this
+    graph the peel stabilizes within the budget, and at 100 TB the same
+    static K-stage DAG shape applies with K ~ log(peel depth)."""
+    from biggie_spark.io import load_table
+
+    nodes = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _KC_N)
+        .select(F.col("doc_id").alias("v"))
+    )
+    raw = (
+        nodes.select(F.col("v").alias("a"), ((F.col("v") * 2 + 1) % _KC_N).alias("b"))
+        .unionByName(
+            nodes.select(
+                F.col("v").alias("a"), ((F.col("v") * 3 + 7) % _KC_N).alias("b")
+            )
+        )
+        .unionByName(
+            nodes.select(
+                F.col("v").alias("a"), ((F.col("v") * 5 + 11) % _KC_N).alias("b")
+            )
+        )
+        .filter(F.col("a") != F.col("b"))
+    )
+    edges = (
+        raw.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(raw.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(_KC_ROUNDS):
+        keep = (
+            edges.groupBy("src")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= _KC_K)
+            .select(F.col("src").alias("v"))
+        )
+        edges = (
+            edges.join(keep.select(F.col("v").alias("src")), "src")
+            .join(keep.select(F.col("v").alias("dst")), "dst")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+    return edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("degree")
+    )

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from biggie_spark.io import load_table
 from biggie_spark.registry import register
-from biggie_spark.util import epoch_us
+from biggie_spark.util import epoch_us, r4
 
 _EPOCH0 = "1992-01-01"  # day-number origin for bin computation (pre-corpus)
 
@@ -528,4 +528,79 @@ def ts_resample_interp(spark, sf_dir):
             F.expr("us div 1000000").alias("t_s"),
             F.round(interp, 4).cast("double").alias("v"),
         )
+    )
+
+
+@register(
+    "ts_rolling_corr",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, event_id, epoch_us(ts) AS us,
+             CAST(round(value * 100, 0) AS BIGINT) AS y
+      FROM events),
+    l AS (
+      SELECT event_type, event_id, us, y,
+             lag(y) OVER (PARTITION BY event_type ORDER BY us, event_id) AS x
+      FROM e),
+    f AS (SELECT * FROM l WHERE x IS NOT NULL),
+    s AS (
+      SELECT event_type, event_id,
+             count(*) OVER w AS n,
+             sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+             sum(x * y) OVER w AS sxy,
+             sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy
+      FROM f
+      WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id
+                   ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)),
+    r AS (
+      SELECT event_type, event_id, n,
+             CAST(n * sxy - sx * sy AS DOUBLE) AS cov,
+             CAST(n * sxx - sx * sx AS DOUBLE) AS vx,
+             CAST(n * syy - sy * sy AS DOUBLE) AS vy
+      FROM s WHERE n = 30)
+    SELECT event_type, event_id,
+           CAST(round(cov / sqrt(vx * vy), 4) AS DOUBLE) AS corr30
+    FROM r WHERE vx > 0 AND vy > 0
+    """,
+)
+def ts_rolling_corr(spark, sf_dir):
+    """Rolling Pearson correlation between each value and its lag-1
+    predecessor over a trailing 30-event frame per event type -- the
+    local-persistence monitor (is the series momentum-driven RIGHT NOW?)
+    that complements the global lag-1 autocorrelation op (ts_autocorr).
+
+    Correlation from five windowed sufficient sums (Σx, Σy, Σxy, Σx²,
+    Σy²) of exact integer cents -- the frame is 30 rows so every sum fits
+    BIGINT (30·1e8 ≈ 3e9 for Σx²·, far under 2^63), and cross-multiplied
+    covariance/variance keep the algebra integer until ONE final double
+    division under r4 (same discipline as agg_ols_fit).  Plan: one lag
+    window + one multi-sum frame window, both on the same event_type
+    shuffle key; full-frame rows (n = 30) only, so edge partials never
+    enter the scored output."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("y"),
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("us", "event_id")
+    l = e.withColumn("x", F.lag("y").over(w_ord)).filter(F.col("x").isNotNull())
+    w = w_ord.rowsBetween(-29, Window.currentRow)
+    s = l.select(
+        "event_type",
+        "event_id",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+    ).filter(F.col("n") == 30)
+    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return (
+        s.withColumn("corr30", r4(cov / F.sqrt(vx * vy)))
+        .filter((vx > 0) & (vy > 0))
+        .select("event_type", "event_id", "corr30")
     )

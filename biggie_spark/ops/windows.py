@@ -268,3 +268,60 @@ def win_ntile(spark, sf_dir):
         F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"), "o_orderkey"
     )
     return o.select("o_orderkey", F.ntile(8).over(w).alias("octile"))
+
+
+@register(
+    "win_reset_cumsum",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, ts,
+             CAST(round(value * 100, 0) AS BIGINT) AS c,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS flag
+      FROM events WHERE user_id < 200),
+    seg AS (
+      SELECT event_id, user_id, c, flag,
+             sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seg_id
+      FROM e)
+    SELECT event_id, CAST(seg_id AS BIGINT) AS seg_id,
+           CAST(sum(CASE WHEN flag = 1 THEN 0 ELSE c END)
+                OVER (PARTITION BY user_id, seg_id
+                      ORDER BY event_id) AS BIGINT) AS run_cents
+    FROM seg
+    """,
+)
+def win_reset_cumsum(spark, sf_dir):
+    """Conditional running sum with RESET: per user, accumulate value
+    cents until a 'purchase' event zeroes the accumulator -- the
+    basket-total / usage-since-last-invoice pattern that plain cumulative
+    windows cannot express directly.
+
+    The classic two-window rewrite: a cumulative count of reset flags
+    assigns each row a segment id (resets start new segments), then the
+    running sum re-windows on (user, segment).  Both windows shuffle on
+    the SAME user key -- Spark plans them in one exchange, the second
+    sort is partition-local.  Exact integer cents; deterministic
+    ordering (ts, event_id) per the determinism conventions.  Within a
+    segment the inner ORDER BY event_id alone is already total (ids are
+    unique), keeping the frame spec minimal."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 200)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("flag"),
+        )
+    )
+    w_seg = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = e.withColumn("seg_id", F.sum("flag").over(w_seg))
+    w_run = Window.partitionBy("user_id", "seg_id").orderBy("event_id")
+    return seg.select(
+        "event_id",
+        F.col("seg_id").cast("long").alias("seg_id"),
+        F.sum(F.when(F.col("flag") == 1, 0).otherwise(F.col("c")))
+        .over(w_run)
+        .cast("long")
+        .alias("run_cents"),
+    )
