@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from biggie_spark.io import load_table
 from biggie_spark.registry import register
-from biggie_spark.util import tokens
+from biggie_spark.util import r4, tokens
 
 _CMS_D = 4  # hash rows
 _CMS_W = 512  # buckets per row
@@ -226,4 +226,129 @@ def fn_bloom_probe(spark, sf_dir):
             (F.col("n_claimed") - F.col("n_true")).cast("long").alias("n_false_pos"),
             "n_bits_set",
         )
+    )
+
+
+_HLL_M = 64  # 2^6 registers
+_HLL_ALPHA = 0.709  # alpha_64 (classic HLL constant for m = 64)
+
+
+@register(
+    "agg_hll_portable",
+    oracle=f"""
+    WITH h AS (
+      SELECT o_orderpriority AS grp, o_custkey AS k,
+             CAST(('0x' || substr(md5('hll:' || CAST(o_custkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS hv
+      FROM orders),
+    parts AS (
+      SELECT grp, k, hv % {_HLL_M} AS bucket, hv // {_HLL_M} AS w FROM h),
+    regs AS (
+      /* rho = leading-zero count in the 26-bit word + 1, via exact integer
+         bit-length: len(bin(w)) = floor(log2 w)+1, no float log */
+      SELECT grp, bucket,
+             max(CASE WHEN w = 0 THEN 27
+                      ELSE 27 - length(printf('%b', w)) END) AS rho
+      FROM parts GROUP BY grp, bucket),
+    full_regs AS (
+      SELECT g.grp, b.v AS bucket, coalesce(r.rho, 0) AS rho
+      FROM (SELECT DISTINCT grp FROM h) g
+      CROSS JOIN range({_HLL_M}) b(v)
+      LEFT JOIN regs r ON r.grp = g.grp AND r.bucket = b.v),
+    acc AS (
+      /* harmonic denominator as an EXACT integer: sum 2^(27-rho) = 2^27 *
+         sum 2^-rho, so the float division happens once per group */
+      SELECT grp,
+             sum(CAST(pow(2, 27 - rho) AS BIGINT)) AS num,
+             sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS zeros
+      FROM full_regs GROUP BY grp),
+    est AS (
+      SELECT grp, zeros,
+             {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} * pow(2, 27) / num AS e_raw
+      FROM acc),
+    corrected AS (
+      SELECT grp,
+             CASE WHEN e_raw < 2.5 * {_HLL_M} AND zeros > 0
+                  THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE) / zeros)
+                  ELSE e_raw END AS e
+      FROM est),
+    truth AS (SELECT o_orderpriority AS grp, count(DISTINCT o_custkey) AS nd
+              FROM orders GROUP BY grp)
+    SELECT t.grp, CAST(t.nd AS BIGINT) AS true_nd,
+           CAST(round(c.e, 4) AS DOUBLE) AS hll_est,
+           CAST(round((c.e - t.nd) * 10000 / t.nd, 4) AS DOUBLE) AS err_bp
+    FROM truth t JOIN corrected c ON c.grp = t.grp
+    """,
+)
+def agg_hll_portable(spark, sf_dir):
+    """A HyperLogLog built AS DATA with a fully exact oracle -- unlike the
+    engine-native sketches (`agg_approx_distinct`, `agg_hll_sketch_union`,
+    both rows-only/approx by contract), this HLL's every register, the
+    harmonic accumulator, and the final estimate are hash-checked
+    bit-for-bit across engines, because the whole construction rides the
+    portable md5 idiom and integer arithmetic:
+
+    * register index = h mod 64, word = h div 64 (26 bits);
+    * rho = leading-zero count + 1 via exact integer bit-length
+      (`length(conv(w, 10, 2))` / `length(printf('%b', w))`) -- no float
+      log anywhere near a boundary;
+    * the harmonic denominator Σ2^(-rho) scales to the exact integer
+      Σ2^(27-rho) (each term a power of two, the 64-term sum < 2^33), so
+      ONE double division per group produces the estimate; the standard
+      small-range linear-counting correction applies below 2.5m.
+
+    Scale: registers are a (groups × 64)-row hash aggregate with map-side
+    max-combine -- the shuffle carries registers, not rows, and register
+    frames from different shards/days MERGE by the same max, which is the
+    property that makes HLL columns storable in rollup tables.  The op
+    scores estimate vs exact truth per group (err in basis points) -- the
+    accuracy audit a team runs before trusting a sketch column."""
+    h = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_custkey").alias("k"),
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("hll:"), F.col("o_custkey").cast("string"))), 1, 8),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hv"),
+    )
+    parts = h.select(
+        "grp", (F.col("hv") % _HLL_M).alias("bucket"), (F.col("hv") / _HLL_M).cast("long").alias("w")
+    )
+    regs = parts.groupBy("grp", "bucket").agg(
+        F.max(
+            F.when(F.col("w") == 0, 27).otherwise(
+                27 - F.length(F.conv(F.col("w").cast("string"), 10, 2))
+            )
+        ).alias("rho")
+    )
+    groups = h.select("grp").distinct()
+    buckets = spark.range(_HLL_M).select(F.col("id").cast("long").alias("bucket"))
+    full = (
+        groups.crossJoin(F.broadcast(buckets))
+        .join(regs, ["grp", "bucket"], "left")
+        .select("grp", "bucket", F.coalesce("rho", F.lit(0)).alias("rho"))
+    )
+    acc = full.groupBy("grp").agg(
+        F.sum(F.pow(F.lit(2), 27 - F.col("rho")).cast("long")).alias("num"),
+        F.sum(F.when(F.col("rho") == 0, 1).otherwise(0)).alias("zeros"),
+    )
+    e_raw = F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M * F.pow(F.lit(2), 27) / F.col("num")
+    e = F.when(
+        (e_raw < 2.5 * _HLL_M) & (F.col("zeros") > 0),
+        F.lit(_HLL_M) * F.log(F.lit(float(_HLL_M)) / F.col("zeros")),
+    ).otherwise(e_raw)
+    truth = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("grp"))
+        .agg(F.countDistinct("o_custkey").alias("true_nd"))
+    )
+    est = acc.select("grp", e.alias("e"))
+    return truth.join(F.broadcast(est), "grp").select(
+        "grp",
+        "true_nd",
+        r4(F.col("e")).alias("hll_est"),
+        r4((F.col("e") - F.col("true_nd")) * 10000 / F.col("true_nd")).alias("err_bp"),
     )

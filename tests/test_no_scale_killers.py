@@ -89,6 +89,7 @@ ALLOWED_BNLJ = {
     "llm_embed_outlier",  # 1-row centroid-array + 1-row moments frames
     "llm_embed_project",  # 8×64 literal range×range matrix constructor
     "sql_values_inline",  # 3-row literal VALUES dimension (LocalRelation)
+    "agg_hll_portable",  # groups × 64-register literal grid constructor
 }
 
 
