@@ -411,3 +411,135 @@ def agg_benford_digits(spark, sf_dir):
         r4(exp).alias("expected"),
         r4(F.pow(F.col("o") - exp, 2) / exp).alias("chi2_part"),
     )
+
+
+_BS_B = 32  # bootstrap replicas
+# Poisson(1) pmf quantized to u ~ Uniform{0..999}: cumulative cut points for
+# w = 0,1,2,3,4,5 (the >=5 tail folds into 5; total mass error < 0.4%)
+_BS_CUTS = (368, 736, 920, 981, 996)
+
+
+def _bs_w_sql(u: str) -> str:
+    c = _BS_CUTS
+    return (
+        f"CASE WHEN {u} < {c[0]} THEN 0 WHEN {u} < {c[1]} THEN 1 "
+        f"WHEN {u} < {c[2]} THEN 2 WHEN {u} < {c[3]} THEN 3 "
+        f"WHEN {u} < {c[4]} THEN 4 ELSE 5 END"
+    )
+
+
+@register(
+    "agg_bootstrap_ci",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, CAST(round(value * 100, 0) AS BIGINT) AS c
+      FROM events WHERE event_type = 'purchase'),
+    rep AS (
+      SELECT b.v AS b, e.event_id, e.c,
+             {_bs_w_sql("CAST(('0x' || substr(md5('bs:' || CAST(b.v AS VARCHAR) "
+                        "|| ':' || CAST(e.event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000")}
+               AS w
+      FROM e, range({_BS_B}) b(v)),
+    means AS (
+      SELECT b, CAST(sum(w * c) AS DOUBLE) / sum(w) AS m
+      FROM rep GROUP BY b),
+    ranked AS (
+      SELECT m, row_number() OVER (ORDER BY m, b) AS rn FROM means),
+    point AS (SELECT CAST(sum(c) AS DOUBLE) / count(*) AS pm,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM e)
+    SELECT CAST(point.n AS BIGINT) AS n,
+           CAST(round(point.pm / 100, 4) AS DOUBLE) AS mean_value,
+           CAST(round((SELECT m FROM ranked WHERE rn = 2) / 100, 4) AS DOUBLE)
+             AS ci_lo,
+           CAST(round((SELECT m FROM ranked WHERE rn = {_BS_B - 1}) / 100, 4)
+                AS DOUBLE) AS ci_hi
+    FROM point
+    """,
+)
+def agg_bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap confidence interval for the mean purchase value —
+    THE distributed error-bar technique: classic bootstrap resampling
+    needs n draws per replica from the full dataset (impossible without
+    a global index), but for large n the per-row multiplicity in a
+    resample is ~Poisson(1), so each row independently assigns itself a
+    weight per replica in ONE streaming pass — no sampling coordination,
+    no second scan.
+
+    Determinism: the Poisson draw is the portable md5 idiom quantized
+    through a fixed 1000-cell inverse-CDF table (cut points 368/736/920/
+    981/996 — the Poisson(1) pmf to 3 digits, >=5 tail folded), so both
+    engines draw the IDENTICAL weights and every replica mean matches
+    exactly.  Replica means use exact integer (Σw·c, Σw) pairs; the 95%
+    interval takes the 2nd/31st order statistic of the 32 replica means
+    (rank over the 32-row frame, b tie-break).  Scale: the ×32 replica
+    fan-out is map-side (explode + hash agg with partial combine —
+    shuffle carries 32 partial pairs per partition, not rows); at 100 TB
+    the cost is 32 extra integer multiplies per row."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", _cents().alias("c"))
+    )
+    e = e.localCheckpoint()  # feeds point estimate + replica fan-out
+    reps = e.select(
+        "event_id",
+        "c",
+        F.explode(F.array(*[F.lit(i) for i in range(_BS_B)])).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("bs:"),
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("event_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    c0, c1, c2, c3, c4 = _BS_CUTS
+    w = (
+        F.when(u < c0, 0)
+        .when(u < c1, 1)
+        .when(u < c2, 2)
+        .when(u < c3, 3)
+        .when(u < c4, 4)
+        .otherwise(5)
+    )
+    means = (
+        reps.withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            (F.sum(F.col("w") * F.col("c")).cast("double") / F.sum("w")).alias("m")
+        )
+    )
+    from pyspark.sql import Window
+
+    ranked = means.withColumn(
+        "rn", F.row_number().over(Window.orderBy("m", "b"))
+    )
+    lo = ranked.filter(F.col("rn") == 2).select(F.col("m").alias("lo"))
+    hi = ranked.filter(F.col("rn") == _BS_B - 1).select(F.col("m").alias("hi"))
+    point = e.agg(
+        F.count("*").alias("n"),
+        (F.sum("c").cast("double") / F.count("*")).alias("pm"),
+    )
+    return (
+        point.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n",
+            r4(F.col("pm") / 100).alias("mean_value"),
+            r4(F.col("lo") / 100).alias("ci_lo"),
+            r4(F.col("hi") / 100).alias("ci_hi"),
+        )
+    )

@@ -90,6 +90,7 @@ ALLOWED_BNLJ = {
     "llm_embed_project",  # 8×64 literal range×range matrix constructor
     "sql_values_inline",  # 3-row literal VALUES dimension (LocalRelation)
     "agg_hll_portable",  # groups × 64-register literal grid constructor
+    "agg_bootstrap_ci",  # 1-row point/lo/hi frames assembling the summary
 }
 
 
