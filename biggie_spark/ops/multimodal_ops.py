@@ -934,3 +934,99 @@ def mm_image_phash_dedup(spark, sf_dir):
         F.min("doc_id").alias("canonical_id"),
         F.countDistinct("g").alias("n_groups"),
     )
+
+
+@register(
+    "mm_audio_vad",
+    oracle="""
+    WITH probe AS (SELECT doc_id, 100 + doc_id % 50 AS n, doc_id % 30 AS amp
+                   FROM documents WHERE doc_id < 64),
+    sm AS (
+      /* the generating waveform: 25-sample talk/silence bursts with a
+         small dither, s(i) = ((i div 25) mod 2)*(50+amp) + (i mod 3) */
+      SELECT doc_id, i.v AS i,
+             ((i.v // 25) % 2) * (50 + amp) + (i.v % 3) AS s
+      FROM probe, range(150) i(v) WHERE i.v < n),
+    act AS (
+      SELECT doc_id, i, CASE WHEN s >= 10 THEN 1 ELSE 0 END AS a FROM sm),
+    isl AS (
+      SELECT doc_id, i, a,
+             i - row_number() OVER (PARTITION BY doc_id, a ORDER BY i) AS grp
+      FROM act),
+    segs AS (
+      SELECT doc_id, count(*) AS seg_len
+      FROM isl WHERE a = 1 GROUP BY doc_id, grp)
+    SELECT doc_id,
+           CAST(coalesce(count(seg_len), 0) AS BIGINT) AS n_segments,
+           CAST(coalesce(max(seg_len), 0) AS BIGINT) AS longest,
+           CAST(coalesce(sum(seg_len), 0) AS BIGINT) AS n_active
+    FROM (SELECT doc_id FROM probe) p
+    LEFT JOIN segs USING (doc_id)
+    GROUP BY doc_id
+    """,
+)
+def mm_audio_vad(spark, sf_dir):
+    """Voice-activity detection over DECODED audio: synthetic burst
+    waveforms (25-sample talk/silence alternation plus dither) round-trip
+    through the real RIFF/WAVE codec, then an energy gate (|s| >= 10)
+    segments each clip into activity runs -- count, longest, and total
+    active samples per clip.  This is the trim/segment primitive an
+    audio-training pipeline runs before feature extraction (drop silence,
+    split long takes).
+
+    The run-length step happens INSIDE the Arrow batch with numpy (diff
+    over the boolean gate -- each clip is one row's payload, so
+    per-clip segmentation is embarrassingly row-parallel and never
+    shuffles); the oracle recomputes the identical segmentation
+    relationally (gaps-and-islands over the generating formula), so a
+    codec offset bug OR a run-boundary bug breaks the hash.  Plan shape:
+    two Arrow-batched 1:1 pandas_udfs on the isolated binary column, no
+    exchange."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    from biggie_spark.multimodal import encode_wav, wav_samples
+
+    @pandas_udf("binary")
+    def encode_udf(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_id:
+            n, amp = 100 + int(d) % 50, int(d) % 30
+            i = np.arange(n, dtype=np.int64)
+            s = ((i // 25) % 2) * (50 + amp) + (i % 3)
+            out.append(encode_wav(s))
+        return pd.Series(out)
+
+    @pandas_udf("struct<n_segments bigint, longest bigint, n_active bigint>")
+    def vad_udf(payload: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in payload:
+            s = np.abs(wav_samples(bytes(b)))
+            a = (s >= 10).astype(np.int8)
+            edges = np.diff(np.concatenate(([0], a, [0])))
+            starts, ends = np.where(edges == 1)[0], np.where(edges == -1)[0]
+            lens = ends - starts
+            rows.append(
+                (
+                    int(len(lens)),
+                    int(lens.max(initial=0)),
+                    int(lens.sum()),
+                )
+            )
+        return pd.DataFrame(rows, columns=["n_segments", "longest", "n_active"])
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 64)
+        .select("doc_id")
+    )
+    out = d.withColumn("payload", encode_udf("doc_id")).withColumn(
+        "st", vad_udf("payload")
+    )
+    return out.select(
+        "doc_id",
+        F.col("st.n_segments").alias("n_segments"),
+        F.col("st.longest").alias("longest"),
+        F.col("st.n_active").alias("n_active"),
+    )
