@@ -75,6 +75,25 @@ CONTENT_KEYED = {
 }
 SRC_SMALL = "/root/testdata/sf0.01"
 
+# Round-4b additions (stats battery, sketches, text prep, perceptual dedup):
+# measured over the natural sf0.01 -> sf0.1 step for the same reason as the
+# content-keyed family (the text-prep and perceptual ops key on CONTENT, and
+# the stats ops reduce to fixed-size frames whose natural-step ratio is the
+# honest read).  Expected shape: the sketch/stat ops are ~flat (domain- or
+# sketch-bounded reduction states); the text/dedup ops grow ~linearly.
+ROUND4B = {
+    "q_ks_twosample": "agg_ks_twosample",
+    "q_mann_whitney": "agg_mann_whitney",
+    "q_bootstrap_ci": "agg_bootstrap_ci",
+    "q_cms_topk": "agg_cms_topk",
+    "q_hll_portable": "agg_hll_portable",
+    "q_editdist_dedup": "llm_dedup_editdist",
+    "q_url_dedup": "llm_url_canonical_dedup",
+    "q_gopher_quality": "llm_gopher_quality",
+    "q_phash_dedup": "mm_image_phash_dedup",
+    "q_embed_outlier": "llm_embed_outlier",
+}
+
 # Round-4 analytics, also measured over the natural sf0.01 → sf0.1 step:
 # the interval join overlaps on DATES (shared by key-shifted replicas, so
 # replication would make the true answer quadratic — same artifact as the
@@ -132,6 +151,15 @@ def main() -> None:
     load_all_ops()
     spark = get_spark(app_name="biggie-scale-probe", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
+    if "--round4b-only" in sys.argv:
+        small = time_queries(spark, SRC_SMALL, ROUND4B)
+        nat = time_queries(spark, SRC, ROUND4B)
+        print("\n| round-4b op | sf0.01 | sf0.1 (10x rows) | ratio (ideal <= 10) |")
+        print("|---|---|---|---|")
+        for q in ROUND4B:
+            r = nat[q] / small[q]
+            print(f"| {q} | {small[q]:.3f}s | {nat[q]:.3f}s | {r:.1f}x |")
+        return
     if "--round4-only" in sys.argv:
         small = time_queries(spark, SRC_SMALL, ROUND4)
         nat = time_queries(spark, SRC, ROUND4)
