@@ -375,3 +375,105 @@ def join_asof_forward(spark, sf_dir):
             F.col("next_eid").alias("next_purchase_eid"),
         )
     )
+
+
+_GEO_BOX = 100000  # coordinate space [0, 1e5)^2, integer micro-units
+_GEO_R = 1500  # neighbor radius; cell size = R so 3x3 cells cover the disk
+
+
+@register(
+    "join_spatial_grid",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey AS k,
+             CAST(('0x' || substr(md5('x' || CAST(c_custkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {_GEO_BOX} AS x,
+             CAST(('0x' || substr(md5('y' || CAST(c_custkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {_GEO_BOX} AS y
+      FROM customer),
+    probe AS (SELECT * FROM pts WHERE k % 37 = 0),
+    hits AS (
+      SELECT p.k, q.k AS nk,
+             (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) AS d2
+      FROM probe p JOIN pts q
+        ON q.x // {_GEO_R} BETWEEN p.x // {_GEO_R} - 1 AND p.x // {_GEO_R} + 1
+       AND q.y // {_GEO_R} BETWEEN p.y // {_GEO_R} - 1 AND p.y // {_GEO_R} + 1
+       AND q.k <> p.k
+      WHERE (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)
+            <= {_GEO_R} * {_GEO_R})
+    SELECT p.k AS probe_key,
+           CAST(count(h.nk) AS BIGINT) AS n_neighbors,
+           CAST(min(h.d2) AS BIGINT) AS nearest_d2
+    FROM probe p LEFT JOIN hits h ON h.k = p.k
+    GROUP BY p.k
+    """,
+)
+def join_spatial_grid(spark, sf_dir):
+    """Fixed-radius spatial neighbor join on a uniform grid -- the
+    geo/embedding-2d primitive (points within R of each probe).  A naive
+    radius join is a cross product; gridding makes it an EQUI-join:
+    every point maps to its R-sized cell, each probe explodes to the 3x3
+    cell block covering its disk, the join runs hash-wise on the cell
+    key, and the exact integer distance (dx^2 + dy^2 <= R^2, coordinates
+    are integer micro-units from the portable hash, so zero float
+    anywhere) survives as a residual filter.
+
+    Plan shape: probe side x9 map-side explode, one shuffle on the cell
+    key, per-cell candidate products track true point density (uniform
+    here, ~1 neighbor per probe) -- the same owner-cell family as
+    join_interval_overlap, in 2 dimensions.  At 100 TB with skewed point
+    density the cell key is exactly the salt-able shuffle key."""
+    def coord(axis: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(axis), F.col("c_custkey").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _GEO_BOX
+        )
+
+    pts = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), coord("x").alias("x"), coord("y").alias("y")
+    )
+    pts = pts.localCheckpoint()  # feeds corpus + probe branches
+    corpus = pts.select(
+        F.col("k").alias("nk"),
+        F.col("x").alias("qx"),
+        F.col("y").alias("qy"),
+        (F.col("x") / _GEO_R).cast("long").alias("cx"),
+        (F.col("y") / _GEO_R).cast("long").alias("cy"),
+    )
+    probe = (
+        pts.filter(F.col("k") % 37 == 0)
+        .withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            "k",
+            "x",
+            "y",
+            ((F.col("x") / _GEO_R).cast("long") + F.col("dx")).alias("cx"),
+            ((F.col("y") / _GEO_R).cast("long") + F.col("dy")).alias("cy"),
+        )
+    )
+    d2 = (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx")) + (
+        F.col("y") - F.col("qy")
+    ) * (F.col("y") - F.col("qy"))
+    hits = (
+        probe.join(corpus, ["cx", "cy"])
+        .filter((F.col("nk") != F.col("k")) & (d2 <= _GEO_R * _GEO_R))
+        .select("k", d2.alias("d2"))
+    )
+    base = pts.filter(F.col("k") % 37 == 0).select(F.col("k").alias("probe_key"))
+    agg = hits.groupBy(F.col("k").alias("probe_key")).agg(
+        F.count("*").alias("n_neighbors"), F.min("d2").alias("nearest_d2")
+    )
+    return base.join(agg, "probe_key", "left").select(
+        "probe_key",
+        F.coalesce("n_neighbors", F.lit(0)).alias("n_neighbors"),
+        F.col("nearest_d2"),
+    )

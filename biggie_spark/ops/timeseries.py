@@ -604,3 +604,127 @@ def ts_rolling_corr(spark, sf_dir):
         .filter((vx > 0) & (vy > 0))
         .select("event_type", "event_id", "corr30")
     )
+
+
+@register(
+    "ts_markov_transitions",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, ts, event_id FROM events),
+    l AS (
+      SELECT user_id, event_type AS nxt,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM e),
+    t AS (SELECT prev, nxt, count(*) AS c FROM l WHERE prev IS NOT NULL
+          GROUP BY prev, nxt),
+    m AS (SELECT prev, sum(c) AS row_tot FROM t GROUP BY prev)
+    SELECT t.prev, t.nxt, CAST(t.c AS BIGINT) AS c,
+           CAST(t.c * 10000 // m.row_tot AS BIGINT) AS p_bp
+    FROM t JOIN m ON m.prev = t.prev
+    """,
+)
+def ts_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event sequences
+    (view -> click -> purchase ...) -- the user-journey model behind
+    next-action prediction, anomaly scoring, and channel attribution.
+
+    One lag window per user (shuffle on user_id), one hash aggregate on
+    the (prev, next) pair -- the transition matrix is |event types|^2
+    rows regardless of corpus size, so the row-total join for the
+    conditional probabilities is a broadcast of a ~25-row frame.
+    Probabilities are integer basis points (c*10000 div row_total) --
+    exact, per convention (b)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    l = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.col("event_type").alias("nxt"),
+            "ts",
+            "event_id",
+        )
+        .withColumn("prev", F.lag("nxt").over(w))
+        .filter(F.col("prev").isNotNull())
+    )
+    t = l.groupBy("prev", "nxt").agg(F.count("*").alias("c"))
+    m = t.groupBy("prev").agg(F.sum("c").alias("row_tot"))
+    return t.join(F.broadcast(m), "prev").select(
+        "prev",
+        "nxt",
+        "c",
+        F.expr("c * 10000 div row_tot").alias("p_bp"),
+    )
+
+
+@register(
+    "ts_rfm_segments",
+    oracle="""
+    WITH anchor AS (SELECT max(ts) AS t0 FROM events WHERE event_type = 'purchase'),
+    per_user AS (
+      SELECT user_id,
+             (epoch_us((SELECT t0 FROM anchor)) - epoch_us(max(ts)))
+               // 86400000000 AS recency_days,
+             count(*) AS frequency,
+             sum(CAST(round(value * 100, 0) AS BIGINT)) AS monetary_cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id),
+    scored AS (
+      SELECT user_id, recency_days, frequency, monetary_cents,
+             ntile(4) OVER (ORDER BY recency_days, user_id) AS r_q,
+             ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_q,
+             ntile(4) OVER (ORDER BY monetary_cents DESC, user_id) AS m_q
+      FROM per_user)
+    SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency,
+           CAST(monetary_cents AS BIGINT) AS monetary_cents,
+           CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS rfm_code
+    FROM scored
+    """,
+)
+def ts_rfm_segments(spark, sf_dir):
+    """RFM (recency / frequency / monetary) customer segmentation -- the
+    marketing-analytics staple: quartile-score each purchasing user on
+    days-since-last-purchase, purchase count, and spend, and pack the
+    three quartiles into a 3-digit segment code (111 = best, 444 =
+    churned).
+
+    One hash aggregate folds the corpus to per-user triples (recency via
+    exact integer microseconds against the corpus-max anchor, spend in
+    cents); the three ntile windows run over the USER frame, not raw
+    events, with user_id tie-breaks so quartile boundaries are
+    deterministic.  The global anchor is a 1-row broadcast.  At 100 TB
+    the user frame is the |users| reduction -- the windows order by
+    already-aggregated values, the standard two-stage segmentation
+    shape."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    anchor = ev.agg(F.max(F.unix_micros("ts")).alias("t0us"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.unix_micros("ts")).alias("last_us"),
+            F.count("*").alias("frequency"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "monetary_cents"
+            ),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.expr("(t0us - last_us) div 86400000000").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    r_q = F.ntile(4).over(Window.orderBy("recency_days", "user_id"))
+    f_q = F.ntile(4).over(Window.orderBy(F.col("frequency").desc(), "user_id"))
+    m_q = F.ntile(4).over(Window.orderBy(F.col("monetary_cents").desc(), "user_id"))
+    return per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        (r_q * 100 + f_q * 10 + m_q).cast("long").alias("rfm_code"),
+    )

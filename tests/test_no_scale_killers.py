@@ -91,6 +91,7 @@ ALLOWED_BNLJ = {
     "sql_values_inline",  # 3-row literal VALUES dimension (LocalRelation)
     "agg_hll_portable",  # groups × 64-register literal grid constructor
     "agg_bootstrap_ci",  # 1-row point/lo/hi frames assembling the summary
+    "ts_rfm_segments",  # 1-row corpus-max anchor onto the per-user frame
 }
 
 
