@@ -728,3 +728,109 @@ def ts_rfm_segments(spark, sf_dir):
         "monetary_cents",
         (r_q * 100 + f_q * 10 + m_q).cast("long").alias("rfm_code"),
     )
+
+
+@register(
+    "ts_stl_lite",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             sum(CAST(round(value * 100, 0) AS BIGINT)) AS c
+      FROM events GROUP BY event_type, h),
+    tr AS (
+      SELECT event_type, h, c,
+             sum(c) OVER w // count(*) OVER w AS trend_c
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+    res AS (
+      SELECT event_type, h, CAST(hour(h) AS INTEGER) AS hod,
+             c - trend_c AS resid_c
+      FROM tr),
+    seas AS (
+      SELECT event_type, hod,
+             sum(resid_c) // count(*) AS seasonal_c,
+             count(*) AS n
+      FROM res GROUP BY event_type, hod),
+    rem AS (
+      SELECT r.event_type, r.resid_c,
+             r.resid_c - s.seasonal_c AS rem_c
+      FROM res r JOIN seas s
+        ON s.event_type = r.event_type AND s.hod = r.hod),
+    varr AS (
+      SELECT event_type,
+             CAST(sum(CAST(resid_c AS HUGEINT) * resid_c) AS DOUBLE) AS ss_resid,
+             CAST(sum(CAST(rem_c AS HUGEINT) * rem_c) AS DOUBLE) AS ss_rem
+      FROM rem GROUP BY event_type)
+    SELECT s.event_type, s.hod,
+           CAST(s.seasonal_c AS BIGINT) AS seasonal_cents,
+           CAST(s.n AS BIGINT) AS n_hours,
+           CAST(round((1 - v.ss_rem / v.ss_resid) * 10000, 4) AS DOUBLE)
+             AS seasonal_strength_bp
+    FROM seas s JOIN varr v ON v.event_type = s.event_type
+    """,
+)
+def ts_stl_lite(spark, sf_dir):
+    """STL-style seasonal decomposition (trend / seasonal / remainder) of
+    the hourly revenue series per event type: a centered 25-hour rolling
+    mean removes the trend, the hour-of-day mean of the residual is the
+    seasonal component, and the variance the seasonal step removes
+    (seasonal strength, in basis points) quantifies how periodic each
+    series actually is -- the forecasting-readiness diagnostic.
+
+    Integer end to end: the hourly rollup is exact cents, the rolling
+    trend is frame-sum DIV frame-count (integer floor both engines,
+    edge frames clip identically), residual and seasonal components stay
+    integer cents, and only the final strength ratio touches doubles
+    (HUGEINT/DECIMAL sums of squares, one division, r4).  Plan: one
+    corpus hash aggregate -> bounded (type x hour) series, then all
+    windows/joins run on that tiny frame partitioned by type."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("c"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-12, 12)
+    )
+    tr = hourly.withColumn(
+        "trend_c",
+        F.expr("sum(c) OVER (PARTITION BY event_type ORDER BY h "
+               "ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) div "
+               "count(*) OVER (PARTITION BY event_type ORDER BY h "
+               "ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)"),
+    )
+    res = tr.select(
+        "event_type",
+        F.hour("h").cast("int").alias("hod"),
+        (F.col("c") - F.col("trend_c")).alias("resid_c"),
+    )
+    res = res.localCheckpoint()  # bounded frame feeds seasonal + variance
+    seas = res.groupBy("event_type", "hod").agg(
+        F.expr("sum(resid_c) div count(*)").alias("seasonal_c"),
+        F.count("*").alias("n"),
+    )
+    rem = res.join(F.broadcast(seas), ["event_type", "hod"]).select(
+        "event_type",
+        "resid_c",
+        (F.col("resid_c") - F.col("seasonal_c")).alias("rem_c"),
+    )
+    varr = rem.groupBy("event_type").agg(
+        F.sum((F.col("resid_c") * F.col("resid_c")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("ss_resid"),
+        F.sum((F.col("rem_c") * F.col("rem_c")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("ss_rem"),
+    )
+    return seas.join(F.broadcast(varr), "event_type").select(
+        "event_type",
+        "hod",
+        F.col("seasonal_c").cast("long").alias("seasonal_cents"),
+        F.col("n").cast("long").alias("n_hours"),
+        r4((1 - F.col("ss_rem") / F.col("ss_resid")) * 10000).alias(
+            "seasonal_strength_bp"
+        ),
+    )
