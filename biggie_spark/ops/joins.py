@@ -477,3 +477,85 @@ def join_spatial_grid(spark, sf_dir):
         F.coalesce("n_neighbors", F.lit(0)).alias("n_neighbors"),
         F.col("nearest_d2"),
     )
+
+
+_QK_LEVEL = 8  # quadkey depth; 2^8 x 2^8 leaf grid over the point box
+
+
+def _qk_digit_sql(gx: str, gy: str, i: int) -> str:
+    """Quadkey digit i (1-based from the MSB) without bit operators:
+    2*bit_y + bit_x extracted via integer div/mod powers of two."""
+    sh = _QK_LEVEL - i
+    return f"(2 * (({gy} // {1 << sh}) % 2) + (({gx} // {1 << sh}) % 2))"
+
+
+@register(
+    "fn_quadkey_rollup",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey AS k,
+             CAST(('0x' || substr(md5('x' || CAST(c_custkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {_GEO_BOX} AS x,
+             CAST(('0x' || substr(md5('y' || CAST(c_custkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {_GEO_BOX} AS y
+      FROM customer),
+    g AS (
+      SELECT k, x * 256 // {_GEO_BOX} AS gx, y * 256 // {_GEO_BOX} AS gy
+      FROM pts),
+    qk AS (
+      SELECT k,
+             {" || ".join(f"CAST({_qk_digit_sql('gx', 'gy', i)} AS VARCHAR)" for i in range(1, _QK_LEVEL + 1))}
+               AS qk8
+      FROM g)
+    SELECT substr(qk8, 1, 4) AS qk4,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(count(DISTINCT qk8) AS BIGINT) AS n_cells8
+    FROM qk GROUP BY qk4
+    """,
+)
+def fn_quadkey_rollup(spark, sf_dir):
+    """Hierarchical spatial indexing via quadkeys (the Bing-tile / S2 /
+    H3 cell-id family): every point encodes to a level-8 quadkey by
+    bit-interleaving its grid coordinates, and because a quadkey's
+    PREFIX is its ancestor cell, zoom-out rollups are plain string
+    prefix aggregations -- no geometry at query time.
+
+    The bit interleave uses only integer div/mod by powers of two
+    (portable -- no engine bit-operator quirks), coordinates come from
+    the hash idiom, and the output counts points and occupied leaf cells
+    per level-4 ancestor.  At 100 TB the quadkey is the storage sort /
+    partition key: a viewport or region query becomes a prefix range
+    scan, and every zoom level aggregates by truncating the same key --
+    the property this op certifies across engines."""
+    def coord(axis: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(axis), F.col("c_custkey").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _GEO_BOX
+        )
+
+    g = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        (coord("x") * 256 / _GEO_BOX).cast("long").alias("gx"),
+        (coord("y") * 256 / _GEO_BOX).cast("long").alias("gy"),
+    )
+    digits = []
+    for i in range(1, _QK_LEVEL + 1):
+        sh = 1 << (_QK_LEVEL - i)
+        d = (
+            2 * ((F.col("gy") / sh).cast("long") % 2)
+            + ((F.col("gx") / sh).cast("long") % 2)
+        ).cast("string")
+        digits.append(d)
+    qk = g.select("k", F.concat(*digits).alias("qk8"))
+    return qk.groupBy(F.substring("qk8", 1, 4).alias("qk4")).agg(
+        F.count("*").alias("n_points"),
+        F.countDistinct("qk8").alias("n_cells8"),
+    )
