@@ -313,3 +313,80 @@ def snk_partition_prune_read(spark, sf_dir):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "src_scan_binary_files",
+    oracle="""
+    WITH probe AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+    dims AS (
+      SELECT doc_id, 4 + doc_id % 4 AS w, 3 AS h,
+             doc_id % 100 AS rb, (doc_id * 7) % 100 AS gb, (doc_id * 13) % 100 AS bb
+      FROM probe)
+    SELECT 'img_' || lpad(CAST(doc_id AS VARCHAR), 4, '0') || '.ppm' AS fname,
+           /* P6\\n# biggie synthetic\\n{w} {h}\\n255\\n is 30 bytes for
+              single-digit dims (w in 4..7, h = 3), plus 3*w*h samples */
+           CAST(30 + 3 * w * h AS BIGINT) AS n_bytes,
+           CAST(w*h*(rb+gb+bb) + 3*(h*(w*(w-1)//2) + w*(h*(h-1)//2)) AS BIGINT)
+             AS px_sum
+    FROM dims
+    """,
+)
+def src_scan_binary_files(spark, sf_dir):
+    """Binary-corpus ingestion through Spark's `binaryFile` source -- the
+    format an image/audio training corpus actually arrives in (a
+    directory of opaque files), read as (path, length, content) rows with
+    the payload isolated in one binary column.
+
+    A deterministic PPM per probe doc (the mm_codec_ppm raster) is
+    written to a scratch directory as REAL files; `format("binaryFile")`
+    lists and reads them back; the content column round-trips through the
+    actual netpbm decoder and the oracle pins file name, EXACT on-disk
+    byte length (header grammar + 3wh samples -- a container bug shifts
+    it), and the decoded pixel sum.  Scale: binaryFile parallelizes by
+    file (maxPartitionBytes-packed bins); the length/path metadata
+    columns never touch content (column pruning on the file source), the
+    same metadata/payload split as the mm_* family."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from biggie_spark.multimodal import decode_ppm, encode_ppm
+
+    ids = [
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id")
+        .collect()  # 40-row probe id list; file writing is driver-side
+    ]
+    tmp = tempfile.mkdtemp(prefix="biggie_src_binary_")
+    try:
+        for doc_id in ids:
+            payload = encode_ppm(
+                4 + doc_id % 4,
+                3,
+                (doc_id % 100, (doc_id * 7) % 100, (doc_id * 13) % 100),
+            )
+            with open(f"{tmp}/img_{doc_id:04d}.ppm", "wb") as fh:
+                fh.write(payload)
+
+        # function form, no type hints: `from __future__ import
+        # annotations` stringifies hints, which pandas_udf cannot resolve
+        def _px_sum_kernel(content):
+            out = []
+            for b in content:
+                _w, _h, _n, sr, sg, sb = decode_ppm(bytes(b))
+                out.append(sr + sg + sb)
+            return pd.Series(out)
+
+        px_sum_udf = pandas_udf(_px_sum_kernel, "bigint")
+
+        files = spark.read.format("binaryFile").load(tmp)
+        out = files.select(
+            F.element_at(F.split("path", "/"), -1).alias("fname"),
+            F.col("length").cast("long").alias("n_bytes"),
+            px_sum_udf("content").alias("px_sum"),
+        ).localCheckpoint()
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
