@@ -668,3 +668,117 @@ def llm_url_canonical_dedup(spark, sf_dir):
             F.min("doc_id").alias("canonical_doc"),
         )
     )
+
+
+@register(
+    "llm_split_leakage",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      /* re-crawl shard: every 10th doc re-arrives byte-identical under a
+         new id, so exact duplicates provably exist in the corpus */
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+    d AS (
+      SELECT doc_id, md5(lower(trim(text))) AS digest FROM base),
+    modes AS (
+      SELECT 'by_id' AS split_mode, doc_id, digest,
+             CASE WHEN CAST(('0x' || substr(md5('sp' || CAST(doc_id AS VARCHAR)),
+                             1, 8)) AS BIGINT) % 10 < 8
+                  THEN 'train' ELSE 'test' END AS split
+      FROM d
+      UNION ALL
+      SELECT 'by_content', doc_id, digest,
+             CASE WHEN CAST(('0x' || substr(md5('sp' || digest), 1, 8))
+                       AS BIGINT) % 10 < 8
+                  THEN 'train' ELSE 'test' END
+      FROM d),
+    sides AS (
+      SELECT split_mode, digest,
+             count(DISTINCT split) AS n_sides,
+             count(*) AS n_copies
+      FROM modes GROUP BY split_mode, digest),
+    tot AS (
+      SELECT split_mode,
+             sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+             sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test
+      FROM modes GROUP BY split_mode)
+    SELECT t.split_mode, CAST(t.n_train AS BIGINT) AS n_train,
+           CAST(t.n_test AS BIGINT) AS n_test,
+           CAST(coalesce(sum(CASE WHEN s.n_sides = 2 THEN 1 END), 0) AS BIGINT)
+             AS n_leaked_digests,
+           CAST(coalesce(sum(CASE WHEN s.n_copies > 1 THEN 1 END), 0) AS BIGINT)
+             AS n_dup_digests
+    FROM tot t JOIN sides s ON s.split_mode = t.split_mode
+    GROUP BY t.split_mode, t.n_train, t.n_test
+    """,
+)
+def llm_split_leakage(spark, sf_dir):
+    """Train/test split with a LEAKAGE AUDIT -- the evaluation-integrity
+    check every dataset release needs: an id-keyed hash split scatters
+    exact-duplicate documents across both sides (the eval set then
+    contains training copies), while a CONTENT-keyed split provably
+    cannot (same digest => same side, by construction).  A synthetic
+    re-crawl shard (every 10th doc again, new id) guarantees duplicates
+    exist, so the by_id leak count is non-zero by construction and the
+    audit cannot pass vacuously.  The op runs both
+    split modes and scores, per mode, the split sizes, the number of
+    duplicated digests, and the number of digests that leak across the
+    boundary -- by_content must always show zero.
+
+    Shapes: one scan derives (id, digest); the split assignment is a
+    per-row hash expression; the leak count is one hash aggregate on
+    (mode, digest) counting distinct sides.  All shuffle keys are the
+    digest -- the exact-dedup shuffle shape again, so the audit costs one
+    dedup pass at any scale."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    d = base.select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("digest")
+    )
+
+    def bucket(expr):
+        return (
+            F.conv(F.substring(F.md5(F.concat(F.lit("sp"), expr)), 1, 8), 16, 10)
+            .cast("long")
+            % 10
+        )
+
+    by_id = d.select(
+        F.lit("by_id").alias("split_mode"),
+        "digest",
+        F.when(bucket(F.col("doc_id").cast("string")) < 8, "train")
+        .otherwise("test")
+        .alias("split"),
+    )
+    by_content = d.select(
+        F.lit("by_content").alias("split_mode"),
+        "digest",
+        F.when(bucket(F.col("digest")) < 8, "train").otherwise("test").alias("split"),
+    )
+    modes = by_id.unionByName(by_content)
+    modes = modes.localCheckpoint()  # feeds totals + per-digest sides
+    sides = modes.groupBy("split_mode", "digest").agg(
+        F.countDistinct("split").alias("n_sides"),
+        F.count("*").alias("n_copies"),
+    )
+    tot = modes.groupBy("split_mode").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("n_train"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("n_test"),
+    )
+    return (
+        tot.join(sides, "split_mode")
+        .groupBy("split_mode", "n_train", "n_test")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("n_sides") == 2, 1)), F.lit(0)
+            ).alias("n_leaked_digests"),
+            F.coalesce(
+                F.sum(F.when(F.col("n_copies") > 1, 1)), F.lit(0)
+            ).alias("n_dup_digests"),
+        )
+    )
