@@ -321,3 +321,123 @@ def join_fuzzy_name(spark, sf_dir):
         .filter(F.col("dist") <= 3)
         .select("name_a", "name_b", "dist")
     )
+
+
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+
+@register(
+    "diag_profile_table",
+    oracle=f"""
+    {" UNION ALL ".join(
+        f'''SELECT '{c}' AS col,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(min(CAST({c} AS VARCHAR)) AS VARCHAR) AS min_s,
+               CAST(max(CAST({c} AS VARCHAR)) AS VARCHAR) AS max_s
+        FROM orders''' for c in _PROFILE_COLS)}
+    """,
+)
+def diag_profile_table(spark, sf_dir):
+    """One-pass table profile (null count, distinct count, lexical
+    min/max per column) -- the df.describe()/data-catalog stats block,
+    scored long-format so every number is oracle-checked.
+
+    All four columns profile in ONE aggregate job over one scan: the
+    per-column stats are independent aggregate expressions in a single
+    groupBy().agg() (Spark fuses them into one partial+final hash
+    aggregate), then the wide 1-row result unpivots to long format
+    driver-free via stack().  min/max compare the STRING form on both
+    engines so one output schema covers numeric and varchar columns
+    alike.  At 100 TB this is the stats-collection pass a catalog runs
+    after ingest; count(DISTINCT) over multiple columns expands to one
+    extra shuffle per column (Spark's expand operator) -- acceptable for
+    a profiling pass, and the exact-bitmap variant (agg_bitmap_distinct)
+    is the cheaper alternative when only cardinalities matter."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count("*").alias(f"{c}__rows"),
+            (F.count("*") - F.count(c)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', {c}__rows, {c}__null, {c}__nd, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_expr}) AS "
+        "(col, n_rows, n_null, n_distinct, min_s, max_s)"
+    )
+
+
+@register(
+    "fn_table_checksum",
+    oracle="""
+    WITH rh AS (
+      SELECT CAST(('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(o_custkey AS VARCHAR) || '|' ||
+               o_orderstatus || '|' ||
+               CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR)),
+             1, 12)) AS BIGINT) AS h
+      FROM orders)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(h) AS BIGINT) AS checksum,
+           CAST(min(h) AS BIGINT) AS h_min,
+           CAST(max(h) AS BIGINT) AS h_max
+    FROM rh
+    """,
+)
+def fn_table_checksum(spark, sf_dir):
+    """Order-insensitive table checksum -- THE migration-parity
+    primitive: hash every row to a 48-bit integer (md5 over a canonical
+    '|'-joined rendering with money in exact cents) and SUM the hashes.
+    Addition is commutative, so the checksum is independent of row
+    order, partitioning, and engine -- two systems holding the same rows
+    produce the same (count, sum, min, max) quadruple, and a single
+    changed row flips the sum with probability 1 - 2^-48.
+
+    This is exactly how cross-engine backfills and replication checks
+    are validated at 100 TB: one map-side hash per row, one associative
+    aggregate, no sort, no collect.  48-bit (not 63) hash slices keep
+    the BIGINT sum overflow-free to ~3e13 rows; past that the sum
+    upgrades to DECIMAL(38,0) -- the same switch point dsum documents."""
+    row_h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("o_custkey").cast("string"),
+                        F.col("o_orderstatus"),
+                        F.round(F.col("o_totalprice") * 100, 0)
+                        .cast("long")
+                        .cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h")
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(row_h)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("h").alias("checksum"),
+            F.min("h").alias("h_min"),
+            F.max("h").alias("h_max"),
+        )
+    )
