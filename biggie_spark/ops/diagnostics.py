@@ -441,3 +441,49 @@ def fn_table_checksum(spark, sf_dir):
             F.max("h").alias("h_max"),
         )
     )
+
+
+@register(
+    "agg_histogram_equidepth",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents, o_orderkey
+      FROM orders),
+    b AS (
+      SELECT cents,
+             ntile(8) OVER (ORDER BY cents, o_orderkey) AS bucket
+      FROM c)
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(cents) AS BIGINT) AS lo_cents,
+           CAST(max(cents) AS BIGINT) AS hi_cents
+    FROM b GROUP BY bucket
+    """,
+)
+def agg_histogram_equidepth(spark, sf_dir):
+    """Equi-DEPTH histogram of order totals (8 buckets of equal row
+    count with per-bucket value bounds) -- the statistics structure a
+    cost-based optimizer actually stores: unlike the fixed-width twin
+    (`agg_histogram`), bucket boundaries adapt to the distribution, so
+    selectivity estimates stay accurate under skew.
+
+    Depth assignment is ntile over (cents, orderkey) -- the integer-cent
+    + unique-key order makes every bucket boundary deterministic even at
+    value ties, the same discipline as ts_rfm_segments.  The global-order
+    window IS the cost (one range-partition-style sort); that is inherent
+    to exact equi-depth and is why engines build these on a SAMPLE at
+    100 TB -- the deterministic hash-sample op (`fn_sample_hash`)
+    composes directly in front of this one for that path."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    b = c.withColumn(
+        "bucket", F.ntile(8).over(Window.orderBy("cents", "o_orderkey"))
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.min("cents").alias("lo_cents"),
+        F.max("cents").alias("hi_cents"),
+    )
