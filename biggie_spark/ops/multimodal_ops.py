@@ -1030,3 +1030,84 @@ def mm_audio_vad(spark, sf_dir):
         F.col("st.longest").alias("longest"),
         F.col("st.n_active").alias("n_active"),
     )
+
+
+@register(
+    "mm_image_patches",
+    oracle="""
+    WITH probe AS (SELECT doc_id, doc_id % 50 AS base
+                   FROM documents WHERE doc_id < 48),
+    px AS (
+      /* 8x8 raster, gradient base + x + y (the encode_ppm kernel) */
+      SELECT doc_id, y.v AS y, x.v AS x, base + x.v + y.v AS p
+      FROM probe, range(8) y(v), range(8) x(v)),
+    patches AS (
+      SELECT doc_id, y // 4 AS py, x // 4 AS px_,
+             sum(p) AS psum, count(*) AS n
+      FROM px GROUP BY doc_id, py, px_)
+    SELECT doc_id, CAST(py AS INTEGER) AS py, CAST(px_ AS INTEGER) AS px,
+           CAST(psum AS BIGINT) AS patch_sum,
+           CAST(psum // n AS BIGINT) AS patch_mean_floor
+    FROM patches
+    """,
+)
+def mm_image_patches(spark, sf_dir):
+    """ViT-style patchify over decoded rasters: each 8x8 image splits
+    into a 2x2 grid of 4x4 patches, and every patch reduces to exact
+    integer statistics -- the patch-embedding front end of a vision
+    transformer (images become patch sequences BEFORE any learned
+    projection; the projection itself is llm_embed_project's shape).
+
+    The patch split happens on the DECODED numpy array inside the Arrow
+    batch (reshape to (2, 4, 2, 4) + axis sums -- real stride math, so a
+    row-major/column-major bug flips patch assignment and breaks the
+    oracle, which re-derives every pixel from the generating gradient).
+    Patch means use integer floor division.  Plan: the standard mm shape
+    -- encode/decode as 1:1 Arrow UDFs, a 4-rows-per-image explode, no
+    shuffle until the (already tiny) output."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    from biggie_spark.multimodal import decode_ppm_array, encode_ppm
+
+    @pandas_udf("binary")
+    def encode_udf(doc_id: pd.Series) -> pd.Series:
+        return pd.Series(
+            [encode_ppm(8, 8, (int(d) % 50, int(d) % 50, int(d) % 50)) for d in doc_id]
+        )
+
+    @pandas_udf("array<struct<py int, px int, patch_sum bigint>>")
+    def patch_udf(payload: pd.Series) -> pd.Series:
+        out = []
+        for b in payload:
+            r = decode_ppm_array(bytes(b))[:, :, 0].astype(np.int64)
+            # (8, 8) -> (2, 4, 2, 4): axis 0/2 index the patch grid
+            sums = r.reshape(2, 4, 2, 4).sum(axis=(1, 3))
+            out.append(
+                [
+                    {"py": int(py), "px": int(px), "patch_sum": int(sums[py, px])}
+                    for py in range(2)
+                    for px in range(2)
+                ]
+            )
+        return pd.Series(out)
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 48)
+        .select("doc_id")
+    )
+    patched = (
+        d.withColumn("payload", encode_udf("doc_id"))
+        .withColumn("patch", F.explode(patch_udf("payload")))
+        .select(
+            "doc_id",
+            F.col("patch.py").alias("py"),
+            F.col("patch.px").alias("px"),
+            F.col("patch.patch_sum").alias("patch_sum"),
+        )
+    )
+    return patched.withColumn(
+        "patch_mean_floor", F.expr("patch_sum div 16")
+    )

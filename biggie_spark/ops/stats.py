@@ -543,3 +543,137 @@ def agg_bootstrap_ci(spark, sf_dir):
             r4(F.col("hi") / 100).alias("ci_hi"),
         )
     )
+
+
+@register(
+    "agg_survival_km",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(epoch_us(ts)) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    p AS (
+      SELECT e.user_id,
+             min(epoch_us(e.ts)) FILTER (
+               WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= v.t_view)
+               AS t_buy
+      FROM events e JOIN v USING (user_id) GROUP BY e.user_id),
+    horizon AS (SELECT max(epoch_us(ts)) AS t_end FROM events),
+    subj AS (
+      SELECT v.user_id,
+             CASE WHEN p.t_buy IS NULL
+                  THEN ((SELECT t_end FROM horizon) - v.t_view) // 3600000000
+                  ELSE (p.t_buy - v.t_view) // 3600000000 END AS t_h,
+             CASE WHEN p.t_buy IS NULL THEN 0 ELSE 1 END AS ev
+      FROM v JOIN p USING (user_id)),
+    risk AS (
+      SELECT t_h, sum(ev) AS d,
+             (SELECT count(*) FROM subj) 
+               - coalesce(sum(count(*)) OVER (ORDER BY t_h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+      FROM subj GROUP BY t_h),
+    km AS (
+      /* d = n empties the risk set: the factor is 0 and survival is 0
+         from there on; the ln-fold skips it via a neutral 1.0 and a
+         cumulative zero flag applies the hard zero */
+      SELECT t_h, d, n,
+             CASE WHEN max(CASE WHEN d = n THEN 1 ELSE 0 END)
+                       OVER (ORDER BY t_h) = 1
+                  THEN 0.0
+                  ELSE exp(sum(ln(CASE WHEN d = n THEN 1.0
+                                       ELSE 1.0 - CAST(d AS DOUBLE) / n END))
+                           OVER (ORDER BY t_h)) END AS s
+      FROM risk WHERE d > 0)
+    SELECT CAST(t_h AS BIGINT) AS t_hours, CAST(d AS BIGINT) AS n_events,
+           CAST(n AS BIGINT) AS n_at_risk,
+           CAST(round(s, 4) AS DOUBLE) AS survival
+    FROM km
+    """,
+)
+def agg_survival_km(spark, sf_dir):
+    """Kaplan-Meier survival curve for time-to-purchase after first view,
+    with right-censoring at the corpus horizon -- the product-limit
+    estimator behind churn, conversion-lag, and reliability analysis
+    (users who never purchase are CENSORED at t_end, not dropped: naive
+    'average time to buy' over converters only is biased).
+
+    Event times quantize to whole hours (exact integer microseconds
+    div 3600000000), so the risk-set table is domain-bounded like the
+    KS/Mann-Whitney bins; the at-risk count n(t) derives from one
+    cumulative window over the grouped frame (no per-subject window),
+    and the survival product folds as exp(Σ ln(1 - d/n)) -- a SEQUENTIAL
+    cumulative window in ascending t on both engines, so the float fold
+    order is pinned and r4 agrees.  Plan: two groupBy(user) passes
+    (first-view, first-purchase -- both shuffle on user_id), a 1-row
+    horizon broadcast, then everything runs on the bounded hour frame."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    ev = ev.localCheckpoint()  # feeds views + purchases + horizon
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_view"))
+    )
+    p = (
+        ev.join(v, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("us") >= F.col("t_view")),
+                    F.col("us"),
+                )
+            ).alias("t_buy")
+        )
+    )
+    horizon = ev.agg(F.max("us").alias("t_end"))
+    subj = (
+        v.join(p, "user_id")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("t_buy").isNull(),
+                F.expr("(t_end - t_view) div 3600000000"),
+            )
+            .otherwise(F.expr("(t_buy - t_view) div 3600000000"))
+            .alias("t_h"),
+            F.when(F.col("t_buy").isNull(), 0).otherwise(1).alias("ev"),
+        )
+    )
+    subj = subj.localCheckpoint()  # bounded frame feeds total + risk sets
+    n_total = subj.agg(F.count("*").alias("n_subj"))
+    from pyspark.sql import Window
+
+    w_before = Window.orderBy("t_h").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        subj.groupBy("t_h")
+        .agg(F.sum("ev").alias("d"), F.count("*").alias("c"))
+        .crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "n",
+            F.col("n_subj") - F.coalesce(F.sum("c").over(w_before), F.lit(0)),
+        )
+    )
+    w_cum = Window.orderBy("t_h").rowsBetween(Window.unboundedPreceding, 0)
+    factor = F.when(F.col("d") == F.col("n"), F.lit(1.0)).otherwise(
+        1.0 - F.col("d").cast("double") / F.col("n")
+    )
+    zeroed = F.max(F.when(F.col("d") == F.col("n"), 1).otherwise(0)).over(w_cum)
+    km = (
+        risk.filter(F.col("d") > 0)
+        # d = n (risk set empties) -> hard zero survival from that point;
+        # the ln fold sees a neutral 1.0 so it never takes log(0)
+        .withColumn(
+            "s",
+            F.when(zeroed == 1, F.lit(0.0)).otherwise(
+                F.exp(F.sum(F.log(factor)).over(w_cum))
+            ),
+        )
+    )
+    return km.select(
+        F.col("t_h").cast("long").alias("t_hours"),
+        F.col("d").cast("long").alias("n_events"),
+        F.col("n").cast("long").alias("n_at_risk"),
+        r4(F.col("s")).alias("survival"),
+    )
