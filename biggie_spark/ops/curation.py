@@ -782,3 +782,62 @@ def llm_split_leakage(spark, sf_dir):
             ).alias("n_dup_digests"),
         )
     )
+
+
+@register(
+    "llm_dp_count",
+    oracle="""
+    WITH c AS (
+      SELECT source, count(*) AS true_n FROM documents GROUP BY source),
+    u AS (
+      /* uniform u in (0,1) from the portable hash: (h+0.5)/2^32 */
+      SELECT source, true_n,
+             (CAST(('0x' || substr(md5('dp:' || source), 1, 8)) AS BIGINT)
+              + 0.5) / 4294967296.0 AS uu
+      FROM c),
+    n AS (
+      /* inverse-CDF Laplace(b = 1/eps), eps = 0.5 -> b = 2 */
+      SELECT source, true_n,
+             CASE WHEN uu < 0.5 THEN 2.0 * ln(2.0 * uu)
+                  ELSE -2.0 * ln(2.0 * (1.0 - uu)) END AS noise
+      FROM u)
+    SELECT source,
+           CAST(greatest(0, CAST(round(true_n + noise, 0) AS BIGINT))
+                AS BIGINT) AS dp_n,
+           CAST(round(noise, 4) AS DOUBLE) AS noise_drawn
+    FROM n
+    """,
+)
+def llm_dp_count(spark, sf_dir):
+    """Differentially-private count release (Laplace mechanism, ε = 0.5,
+    sensitivity 1) for per-source document counts — the aggregation shape
+    a privacy-preserving data card uses: exact counts never leave the
+    engine; each group's released value is count + Laplace(1/ε) noise,
+    clamped at zero and integer-rounded.
+
+    The noise draw is DETERMINISTIC here by design — the inverse-CDF
+    transform of a hash-derived uniform — which makes the mechanism's
+    plumbing (per-group draw, two-sided exponential shape, post-
+    processing clamp) fully oracle-checkable.  A production deployment
+    swaps the hash for a real CSPRNG — that one-line change is the
+    privacy boundary, and the docstring says so rather than pretending
+    hash noise is private.  Plan: one hash aggregate, then per-row
+    expressions on the tiny group frame."""
+    c = load_table(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count("*").alias("true_n")
+    )
+    uu = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("dp:"), F.col("source"))), 1, 8), 16, 10)
+        .cast("double")
+        + 0.5
+    ) / 4294967296.0
+    noise = F.when(uu < 0.5, 2.0 * F.log(2.0 * uu)).otherwise(
+        -2.0 * F.log(2.0 * (1.0 - uu))
+    )
+    return c.select(
+        "source",
+        F.greatest(
+            F.lit(0), F.round(F.col("true_n") + noise, 0).cast("long")
+        ).alias("dp_n"),
+        F.round(noise, 4).cast("double").alias("noise_drawn"),
+    )

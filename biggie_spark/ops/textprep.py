@@ -367,3 +367,109 @@ def llm_jaro_winkler_match(spark, sf_dir):
         .filter(F.col("jw") >= 0.85)
         .select("name_a", "name_b", F.col("jw").cast("double").alias("jw"))
     )
+
+
+@register(
+    "fn_luhn_pii",
+    oracle="""
+    WITH cand AS (
+      /* synthetic 16-digit runs: half constructed to PASS Luhn (the
+         check digit is computed), half with the check digit off by one */
+      SELECT doc_id,
+             CAST(doc_id * 7919 % 100000000 AS VARCHAR)
+               || CAST(doc_id * 104729 % 10000000 AS VARCHAR) AS body
+      FROM documents WHERE doc_id < 200),
+    pad AS (SELECT doc_id, lpad(body, 15, '4') AS b15 FROM cand),
+    dsum AS (
+      SELECT doc_id, b15,
+             list_aggregate(list_transform(range(1, 16), i ->
+               CASE WHEN (15 - i) % 2 = 0
+                    THEN CASE WHEN CAST(b15[i] AS INTEGER) * 2 > 9
+                              THEN CAST(b15[i] AS INTEGER) * 2 - 9
+                              ELSE CAST(b15[i] AS INTEGER) * 2 END
+                    ELSE CAST(b15[i] AS INTEGER) END), 'sum') AS s
+      FROM pad),
+    full16 AS (
+      SELECT doc_id,
+             b15 || CAST((10 - s % 10) % 10 AS VARCHAR) AS good,
+             b15 || CAST(((10 - s % 10) % 10 + 1) % 10 AS VARCHAR) AS bad
+      FROM dsum),
+    verify AS (
+      SELECT doc_id, num, expect_valid,
+             list_aggregate(list_transform(range(1, 17), i ->
+               CASE WHEN (16 - i) % 2 = 1
+                    THEN CASE WHEN CAST(num[i] AS INTEGER) * 2 > 9
+                              THEN CAST(num[i] AS INTEGER) * 2 - 9
+                              ELSE CAST(num[i] AS INTEGER) * 2 END
+                    ELSE CAST(num[i] AS INTEGER) END), 'sum') % 10 = 0
+               AS luhn_ok
+      FROM (SELECT doc_id, good AS num, TRUE AS expect_valid FROM full16
+            UNION ALL
+            SELECT doc_id, bad, FALSE FROM full16))
+    SELECT doc_id, num, expect_valid, luhn_ok
+    FROM verify
+    """,
+)
+def fn_luhn_pii(spark, sf_dir):
+    """Luhn checksum validation — the filter that separates REAL payment
+    card numbers from random 16-digit runs in a PII scan (a digit-run
+    regex alone massively over-redacts; Luhn-valid runs are the
+    high-confidence hits).  Synthetic numbers are built in matched pairs
+    — one with the correct Luhn check digit, one off by exactly one — and
+    the validator must accept precisely the constructed-valid half.
+
+    The double-every-second-digit-from-the-right fold is a higher-order
+    array expression over the digit string in BOTH engines (transform +
+    aggregate in Spark, list_transform + list_aggregate in DuckDB) — all
+    integer, zero UDFs, codegen-resident.  The self-verifying pair
+    construction means a parity or direction bug in either fold breaks
+    the hash."""
+    cand = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.lpad(
+                F.concat(
+                    (F.col("doc_id") * 7919 % 100000000).cast("string"),
+                    (F.col("doc_id") * 104729 % 10000000).cast("string"),
+                ),
+                15,
+                "4",
+            ).alias("b15"),
+        )
+    )
+
+    def luhn_sum(col_name: str, n: int, double_parity: int) -> F.Column:
+        # digit i (1-based); double when (n - i) % 2 == double_parity
+        return F.expr(
+            f"aggregate(transform(sequence(1, {n}), i -> "
+            f"CASE WHEN ({n} - i) % 2 = {double_parity} THEN "
+            f"  CASE WHEN CAST(substring({col_name}, i, 1) AS INT) * 2 > 9 "
+            f"       THEN CAST(substring({col_name}, i, 1) AS INT) * 2 - 9 "
+            f"       ELSE CAST(substring({col_name}, i, 1) AS INT) * 2 END "
+            f"ELSE CAST(substring({col_name}, i, 1) AS INT) END), 0, "
+            f"(a, x) -> a + x)"
+        )
+
+    with_sum = cand.withColumn("s", luhn_sum("b15", 15, 0))
+    full16 = with_sum.select(
+        "doc_id",
+        F.concat(
+            F.col("b15"), (((10 - F.col("s") % 10) % 10)).cast("string")
+        ).alias("good"),
+        F.concat(
+            F.col("b15"),
+            ((((10 - F.col("s") % 10) % 10) + 1) % 10).cast("string"),
+        ).alias("bad"),
+    )
+    pairs = full16.select(
+        "doc_id", F.col("good").alias("num"), F.lit(True).alias("expect_valid")
+    ).unionByName(
+        full16.select(
+            "doc_id", F.col("bad").alias("num"), F.lit(False).alias("expect_valid")
+        )
+    )
+    return pairs.withColumn(
+        "luhn_ok", (luhn_sum("num", 16, 1) % 10) == 0
+    )

@@ -325,3 +325,55 @@ def win_reset_cumsum(spark, sf_dir):
         .cast("long")
         .alias("run_cents"),
     )
+
+
+@register(
+    "win_cumprod_growth",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(round(value * 100, 0) AS BIGINT) AS c
+      FROM events WHERE user_id < 40),
+    f AS (
+      SELECT user_id, event_id, c,
+             first_value(c) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS c0,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) AS rn
+      FROM e)
+    SELECT user_id, event_id,
+           CAST(c * 10000 // c0 AS BIGINT) AS growth_bp
+    FROM f WHERE rn > 1
+    """,
+)
+def win_cumprod_growth(spark, sf_dir):
+    """Cumulative growth factor per user — the compound-return window
+    Π value_i / value_{i-1} from each user's first event.
+
+    The general rewrite for running products is the exp(Σ ln(ratio))
+    log-fold (used where factors do NOT cancel — agg_survival_km), but
+    for CONSECUTIVE ratios the product telescopes to value_now /
+    value_first, so the exact-integer form wins on both determinism and
+    cost: growth in basis points is c·10000 div c0, pure BIGINT — a
+    per-prefix float fold over 60+ events was measured to straddle the
+    r4 rounding grain between engines at sf0.01, which is exactly the
+    failure mode the telescoped form removes.  One shuffle on user_id
+    shared by the first_value and row_number windows."""
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 40)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("us"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+        )
+        .withColumn("c0", F.first("c").over(w))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return e.filter(F.col("rn") > 1).select(
+        "user_id",
+        "event_id",
+        F.expr("c * 10000 div c0").alias("growth_bp"),
+    )
