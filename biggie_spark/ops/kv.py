@@ -384,3 +384,130 @@ def kv_snapshot_diff(spark, sf_dir):
         F.count("*").alias("n"),
         F.sum("doc_id").alias("sum_key"),
     )
+
+
+@register(
+    "kv_tensor_slice",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             5 AS n_rows, 4 + doc_id % 3 AS n_cols, doc_id % 50 AS base
+      FROM documents WHERE doc_id < 100)
+    SELECT doc_id,
+           /* rows 2..3 (0-based), all cols: elem(i,j) = base + 2i + 3j */
+           CAST(2 * n_cols * base
+                + 2 * n_cols * (2 + 3) /* 2*(i=2) + 2*(i=3) summed = 2*5 */
+                + 2 * 3 * (n_cols - 1) * n_cols // 2 AS BIGINT) AS slice_sum,
+           CAST(2 * n_cols AS BIGINT) AS slice_len,
+           CAST(base + 2 * 3 + 3 * (n_cols - 1) AS BIGINT) AS slice_max
+    FROM t
+    """,
+)
+def kv_tensor_slice(spark, sf_dir):
+    """Row-range slicing of a stored rank-2 tensor — the reference's
+    bread-and-butter access pattern (grab frames t0..t1 of a feature
+    matrix) on the flat row-major layout: ``slice(data, i0*cols + 1,
+    (i1 - i0 + 1)*cols)`` is ONE JVM array kernel — no explode, no UDF,
+    no per-element rows — and the slice never materializes the rest of
+    the tensor.
+
+    Here rows 2..3 of a 5×cols tensor; the oracle states the slice sum,
+    length, and max in closed form over the generating formula
+    (elem = base + 2i + 3j), so an off-by-one in the flat-index
+    arithmetic — THE classic bug in strided layouts — breaks the hash.
+    Shape metadata rides in the struct; a shape-only probe prunes the
+    data column as usual."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    rows = F.lit(5)
+    cols = (F.lit(4) + F.col("doc_id") % 3).cast("int")
+    base = (F.col("doc_id") % 50).cast("int")
+    data = F.transform(
+        F.sequence(F.lit(0), rows * cols - 1),
+        lambda k: (base + 2 * (k / cols).cast("int") + 3 * (k % cols)).cast(
+            "float"
+        ),
+    )
+    t = d.select(
+        "doc_id",
+        F.struct(F.array(rows, cols).alias("shape"), data.alias("data")).alias(
+            "tensor"
+        ),
+    )
+    n_cols = F.element_at(F.col("tensor.shape"), 2)
+    i0, i1 = F.lit(2), F.lit(3)
+    sl = F.slice(
+        F.col("tensor.data"), i0 * n_cols + 1, (i1 - i0 + 1) * n_cols
+    )
+    fsum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    return t.select(
+        "doc_id",
+        fsum(sl).cast("bigint").alias("slice_sum"),
+        F.size(sl).cast("bigint").alias("slice_len"),
+        F.array_max(sl).cast("bigint").alias("slice_max"),
+    )
+
+
+@register(
+    "kv_tensor_reduce_axis",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             3 AS n_rows, 4 + doc_id % 3 AS n_cols, doc_id % 50 AS base
+      FROM documents WHERE doc_id < 100),
+    cols AS (
+      SELECT doc_id, n_rows, n_cols, base, j.v AS j
+      FROM t, range(8) j(v) WHERE j.v < n_cols)
+    SELECT doc_id, CAST(j AS INTEGER) AS col,
+           /* axis-0 sum: sum over i of base + 2i + 3j, i in 0..2 */
+           CAST(n_rows * base + 2 * (n_rows - 1) * n_rows // 2
+                + n_rows * 3 * j AS BIGINT) AS col_sum
+    FROM cols
+    """,
+)
+def kv_tensor_reduce_axis(spark, sf_dir):
+    """Axis-0 reduction of a stored rank-2 tensor (per-column sums of a
+    time×feature matrix — the 'mean chroma vector' query class in the
+    reference's domain): on the flat row-major layout, column j is the
+    strided subsequence data[j], data[j+cols], …, folded per column with
+    a transform-over-columns × aggregate-over-rows nest — ALL inside one
+    JVM expression, emitting one array per tensor, exploded only for the
+    scored long format.
+
+    The nested higher-order form is the point: axis reductions on flat
+    layouts need index arithmetic (k = i·cols + j), not reshapes, and
+    the closed-form oracle pins every (doc, column) sum so a stride bug
+    in either index term fails loudly."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    rows = F.lit(3)
+    cols = (F.lit(4) + F.col("doc_id") % 3).cast("int")
+    base = (F.col("doc_id") % 50).cast("int")
+    data = F.transform(
+        F.sequence(F.lit(0), rows * cols - 1),
+        lambda k: (base + 2 * (k / cols).cast("int") + 3 * (k % cols)).cast(
+            "float"
+        ),
+    )
+    t = d.select(
+        "doc_id",
+        F.struct(F.array(rows, cols).alias("shape"), data.alias("data")).alias(
+            "tensor"
+        ),
+    )
+    n_rows = F.element_at(F.col("tensor.shape"), 1)
+    n_cols = F.element_at(F.col("tensor.shape"), 2)
+    flat = F.col("tensor.data")
+    col_sums = F.transform(
+        F.sequence(F.lit(0), n_cols - 1),
+        lambda j: F.aggregate(
+            F.sequence(F.lit(0), n_rows - 1),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.element_at(flat, (i * n_cols + j + 1).cast("int")).cast("double"),
+        ),
+    )
+    return (
+        t.select("doc_id", F.posexplode(col_sums).alias("col", "s"))
+        .select("doc_id", "col", F.col("s").cast("bigint").alias("col_sum"))
+    )
