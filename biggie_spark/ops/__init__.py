@@ -35,3 +35,4 @@ from biggie_spark.ops import textprep  # noqa: F401
 from biggie_spark.ops import sketches  # noqa: F401
 from biggie_spark.ops import sql_surface  # noqa: F401
 from biggie_spark.ops import embeddings2  # noqa: F401
+from biggie_spark.ops import mleval  # noqa: F401
