@@ -189,3 +189,82 @@ def set_except_all(spark, sf_dir):
     return _status_keys(spark, sf_dir, "F").exceptAll(
         _status_keys(spark, sf_dir, "P")
     )
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text || ' zq' FROM documents WHERE doc_id % 4 = 0),
+    keyed AS (
+      SELECT doc_id, text,
+             substr(text, 1, 20) || lpad(CAST(length(text) AS VARCHAR), 5, '0')
+               AS sortkey
+      FROM corpus),
+    ordered AS (
+      SELECT doc_id, text, sortkey,
+             row_number() OVER (ORDER BY sortkey, doc_id) AS rn
+      FROM keyed),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             levenshtein(a.text, b.text) AS dist
+      FROM ordered a JOIN ordered b
+        ON b.rn BETWEEN a.rn + 1 AND a.rn + 3)
+    SELECT id_a, id_b, CAST(dist AS BIGINT) AS dist
+    FROM pairs WHERE dist <= 4
+    """,
+)
+def dedup_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood dedup -- the THIRD classic near-dup strategy
+    alongside key blocking (llm_dedup_editdist) and LSH banding
+    (llm_neardup_pairs): sort the corpus by a fuzzy key (text prefix +
+    zero-padded length), then compare each record only against its next
+    w = 3 neighbors in sort order.  Candidate volume is exactly w·n --
+    LINEAR by construction, no block-size skew at all -- at the cost of
+    missing pairs whose sort keys diverge (why production systems run
+    multiple passes with different keys).
+
+    The window join is `b.rn BETWEEN a.rn+1 AND a.rn+3` -- a range
+    self-join on consecutive ranks.  On a cluster the rank assignment is
+    the one global-sort stage (range partitioning), and the neighbor
+    join co-locates by rank ranges; here the exact Levenshtein <= 4
+    verify confirms the mutated twin corpus (every 4th doc + ' zq')
+    surfaces through pure sort adjacency -- no blocking key was ever
+    declared."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 4 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat("text", F.lit(" zq")).alias("text"),
+        )
+    )
+    keyed = corpus.withColumn(
+        "sortkey",
+        F.concat(
+            F.substring("text", 1, 20),
+            F.lpad(F.length("text").cast("string"), 5, "0"),
+        ),
+    )
+    from pyspark.sql import Window
+
+    ordered = keyed.withColumn(
+        "rn", F.row_number().over(Window.orderBy("sortkey", "doc_id"))
+    )
+    ordered = ordered.localCheckpoint()  # rank frame feeds both join sides
+    a = ordered.select(
+        F.col("doc_id").alias("id_a"), F.col("text").alias("ta"), F.col("rn").alias("ra")
+    )
+    b = ordered.select(
+        F.col("doc_id").alias("id_b"), F.col("text").alias("tb"), F.col("rn").alias("rb")
+    )
+    # consecutive-rank neighbor join: equi-join on the neighbor OFFSET
+    # (explode a.ra -> ra+1..ra+3) keeps it hash-joinable, not a range join
+    ax = a.withColumn("rb", F.explode(F.expr("sequence(ra + 1, ra + 3)")))
+    pairs = ax.join(b, "rb").withColumn(
+        "dist", F.expr("levenshtein(ta, tb, 5)").cast("long")
+    )
+    return pairs.filter((F.col("dist") >= 0) & (F.col("dist") <= 4)).select(
+        "id_a", "id_b", "dist"
+    )

@@ -242,3 +242,79 @@ def udtf_polymorphic(spark, sf_dir):
         FROM _udtf_poly_docs d, LATERAL ngrams_poly(d.text, 3) s
         """
     )
+
+
+@register(
+    "udf_cogroup_pandas",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS k, count(*) AS n_orders,
+             sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS spend_cents
+      FROM orders GROUP BY o_custkey),
+    c AS (
+      SELECT c_custkey AS k,
+             CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+      FROM customer)
+    SELECT c.k AS custkey,
+           CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(coalesce(o.spend_cents, 0) AS BIGINT) AS spend_cents,
+           CAST(c.bal_cents AS BIGINT) AS bal_cents,
+           CAST(coalesce(o.spend_cents, 0) - c.bal_cents AS BIGINT)
+             AS overdraft_cents
+    FROM c LEFT JOIN o ON o.k = c.k
+    """,
+)
+def udf_cogroup_pandas(spark, sf_dir):
+    """The COGROUP Pandas API surface (`groupBy().cogroup().
+    applyInPandas`) -- the two-sided custom kernel: each custkey's
+    orders-batch AND customer-batch arrive together as two pandas frames
+    in one Python call.  This is the escape hatch for per-key logic that
+    genuinely needs both relations at once (custom reconciliation,
+    per-entity model scoring against history) -- anything expressible as
+    join + agg should stay relational, and the oracle proves this
+    kernel's arithmetic IS the relational answer.
+
+    Scale shape: cogroup shuffles BOTH sides on the key (same exchange
+    pattern as a shuffle join), then Arrow-ships each key's pair of
+    batches to one Python worker call -- per-key state is bounded by that
+    key's rows, and skewed keys salt exactly like a skewed join."""
+    import pandas as pd
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal_cents"),
+    )
+
+    def recon(key, orders_pdf, cust_pdf):
+        if cust_pdf.empty:  # orders with no customer row: out of scope
+            return pd.DataFrame(
+                columns=["custkey", "n_orders", "spend_cents", "bal_cents",
+                         "overdraft_cents"]
+            )
+        spend = int(orders_pdf["cents"].sum()) if len(orders_pdf) else 0
+        bal = int(cust_pdf["bal_cents"].iloc[0])
+        return pd.DataFrame(
+            [
+                {
+                    "custkey": int(key[0]),
+                    "n_orders": len(orders_pdf),
+                    "spend_cents": spend,
+                    "bal_cents": bal,
+                    "overdraft_cents": spend - bal,
+                }
+            ]
+        )
+
+    return (
+        o.groupBy("k")
+        .cogroup(c.groupBy("k"))
+        .applyInPandas(
+            recon,
+            "custkey bigint, n_orders bigint, spend_cents bigint, "
+            "bal_cents bigint, overdraft_cents bigint",
+        )
+    )
