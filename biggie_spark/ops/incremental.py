@@ -137,3 +137,73 @@ def scd2_priority_history(spark, sf_dir):
         F.max("d").alias("valid_to"),
         F.count("*").alias("n_orders"),
     )
+
+
+@register(
+    "mv_retract_refresh",
+    oracle="""
+    WITH corrected AS (
+      /* the post-correction fact stream: late corrections RETRACT the
+         original rows (event_id % 97 = 0) and re-insert them with value
+         doubled; the final state is what a full recompute sees */
+      SELECT ts, event_type,
+             CASE WHEN event_id % 97 = 0 THEN value * 2 ELSE value END AS value
+      FROM events)
+    SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+           event_type, count(*) AS n,
+           CAST(sum(CAST(round(round(value, 2) * 100, 0) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM corrected GROUP BY 1, 2
+    """,
+)
+def mv_retract_refresh(spark, sf_dir):
+    """Retraction-aware incremental MV refresh -- the changelog pattern
+    (Flink retract streams / Delta CDF): a correction batch arrives as
+    (-1, old_row) + (+1, new_row) DELTA rows, and the stored MV updates
+    by aggregating SIGNED partials -- count adds sign, sum adds
+    sign·cents -- with no recompute of the base.
+
+    Here every 97th event is 'corrected' to double its value: the MV
+    first materializes from the original stream (localCheckpoint = the
+    stored partition), then merges a retract+insert delta for the
+    affected rows only.  The oracle aggregates the corrected stream from
+    scratch -- equality proves signed-partial merging is lossless,
+    INCLUDING exact cancellation of the retracted cents.  Additive
+    signed partials are the only merge form that supports corrections
+    without rereading the base at 100 TB; min/max MVs cannot retract,
+    which is why production MVs store sum/count and derive avg."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    cents = F.round(F.round(F.col("value"), 2) * 100, 0).cast("long")
+
+    def partial(df, sign: int, cents_col):
+        return df.select(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            "event_type",
+            F.lit(sign).alias("dn"),
+            (F.lit(sign) * cents_col).alias("dcents"),
+        )
+
+    mv_stored = (
+        partial(ev, 1, cents)
+        .groupBy("hour_epoch", "event_type")
+        .agg(F.sum("dn").alias("n"), F.sum("dcents").alias("cents"))
+        .localCheckpoint()
+    )
+    corrected_rows = ev.filter(F.col("event_id") % 97 == 0)
+    retract = partial(corrected_rows, -1, cents)
+    reinsert = partial(
+        corrected_rows, 1, F.round(F.round(F.col("value") * 2, 2) * 100, 0).cast("long")
+    )
+    delta = (
+        retract.unionByName(reinsert)
+        .groupBy("hour_epoch", "event_type")
+        .agg(F.sum("dn").alias("n"), F.sum("dcents").alias("cents"))
+    )
+    return (
+        mv_stored.unionByName(delta)
+        .groupBy("hour_epoch", "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("cents").alias("sum_cents"))
+        .filter(F.col("n") > 0)
+    )
