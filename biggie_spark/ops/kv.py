@@ -511,3 +511,171 @@ def kv_tensor_reduce_axis(spark, sf_dir):
         t.select("doc_id", F.posexplode(col_sums).alias("col", "s"))
         .select("doc_id", "col", F.col("s").cast("bigint").alias("col_sum"))
     )
+
+
+@register(
+    "kv_tensor_segment_agg",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             6 AS n_rows, 4 + doc_id % 3 AS n_cols, doc_id % 50 AS base,
+             2 + doc_id % 2 AS boundary
+      FROM documents WHERE doc_id < 100),
+    segs AS (
+      SELECT doc_id, n_cols, base, boundary, s.v AS seg,
+             CASE WHEN s.v = 0 THEN 0 ELSE boundary END AS r0,
+             CASE WHEN s.v = 0 THEN boundary ELSE 6 END AS r1
+      FROM t, range(2) s(v)),
+    px AS (
+      SELECT doc_id, seg, r0, r1, n_cols,
+             base + 2 * i.v + 3 * j.v AS p
+      FROM segs, range(6) i(v), range(8) j(v)
+      WHERE i.v >= r0 AND i.v < r1 AND j.v < n_cols)
+    SELECT doc_id, CAST(seg AS INTEGER) AS seg,
+           CAST(count(*) AS BIGINT) AS n_elems,
+           CAST(sum(p) AS BIGINT) AS seg_sum,
+           CAST(sum(p) // count(*) AS BIGINT) AS seg_mean_floor
+    FROM px GROUP BY doc_id, seg, r0, r1
+    """,
+)
+def kv_tensor_segment_agg(spark, sf_dir):
+    """Segment-synchronous tensor aggregation -- the reference domain's
+    'beat-synchronous features' op: a stored time x feature matrix
+    collapses to per-segment statistics along VARIABLE row boundaries
+    (each entity's boundary differs -- here row 2 + doc_id mod 2,
+    modeling per-track beat grids).
+
+    Implementation composes the flat-layout primitives: per segment,
+    ``slice(data, r0*cols + 1, (r1 - r0)*cols)`` extracts the row span
+    and an aggregate fold reduces it -- both JVM higher-order kernels;
+    segments explode only the tiny (entity x segment) frame, never the
+    elements.  The closed-form oracle re-derives every element from the
+    generating formula, so boundary arithmetic errors (the classic
+    off-by-one at segment edges) break the hash."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    rows = F.lit(6)
+    cols = (F.lit(4) + F.col("doc_id") % 3).cast("int")
+    base = (F.col("doc_id") % 50).cast("int")
+    boundary = (F.lit(2) + F.col("doc_id") % 2).cast("int")
+    data = F.transform(
+        F.sequence(F.lit(0), rows * cols - 1),
+        lambda k: (base + 2 * (k / cols).cast("int") + 3 * (k % cols)).cast(
+            "float"
+        ),
+    )
+    t = d.select(
+        "doc_id",
+        F.struct(F.array(rows, cols).alias("shape"), data.alias("data")).alias(
+            "tensor"
+        ),
+        boundary.alias("boundary"),
+    )
+    n_cols = F.element_at(F.col("tensor.shape"), 2)
+    n_rows = F.element_at(F.col("tensor.shape"), 1)
+    seg = t.select(
+        "doc_id",
+        "tensor",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("seg"),
+        "boundary",
+    ).select(
+        "doc_id",
+        "seg",
+        F.when(F.col("seg") == 0, F.lit(0)).otherwise(F.col("boundary")).alias("r0"),
+        F.when(F.col("seg") == 0, F.col("boundary")).otherwise(n_rows).alias("r1"),
+        F.col("tensor.data").alias("flat"),
+        n_cols.alias("nc"),
+    )
+    span = F.slice(
+        F.col("flat"),
+        F.col("r0") * F.col("nc") + 1,
+        (F.col("r1") - F.col("r0")) * F.col("nc"),
+    )
+    fsum = F.aggregate(span, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+    return seg.select(
+        "doc_id",
+        "seg",
+        F.size(span).cast("long").alias("n_elems"),
+        fsum.cast("bigint").alias("seg_sum"),
+        F.expr(
+            "cast(aggregate(slice(flat, r0 * nc + 1, (r1 - r0) * nc), "
+            "cast(0.0 as double), (a, x) -> a + cast(x as double)) as bigint) div "
+            "size(slice(flat, r0 * nc + 1, (r1 - r0) * nc))"
+        ).alias("seg_mean_floor"),
+    )
+
+
+@register(
+    "kv_batch_assemble",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             3 * (4 + doc_id % 3) AS n_elems,
+             CAST(('0x' || substr(md5('b' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h
+      FROM documents WHERE doc_id < 256),
+    ordered AS (
+      SELECT doc_id, n_elems,
+             (row_number() OVER (ORDER BY h, doc_id) - 1) // 8 AS batch_id
+      FROM keyed)
+    SELECT CAST(batch_id AS BIGINT) AS batch_id,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(n_elems) AS BIGINT) AS total_elems,
+           CAST(sum(doc_id) AS BIGINT) AS key_sum,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+             AS batch_md5
+    FROM ordered GROUP BY batch_id
+    """,
+)
+def kv_batch_assemble(spark, sf_dir):
+    """Deterministic minibatch assembly over the stash -- the reference
+    ecosystem's training-feed pattern (sample entities, group into
+    fixed-size batches, ship each batch's tensors together): entities
+    shuffle by the portable hash (a REPRODUCIBLE epoch permutation --
+    rerunning the epoch yields identical batches, unlike RNG shuffles),
+    rank into batches of 8, and each batch reports its item count, total
+    tensor elements (3 x cols per entity here), key sum, and an
+    order-insensitive membership fingerprint.
+
+    At 100 TB the hash-rank IS the shuffle: one global rank (range
+    partitioning by hash), then batch_id = rank div B keeps whole
+    batches within partitions -- the property a downstream mapPartitions
+    feeder needs (no cross-partition batch stitching).  The md5-over-
+    sorted-keys fingerprint pins exact batch membership, so any drift in
+    the permutation or the ranking breaks the hash."""
+    from pyspark.sql import Window
+
+    keyed = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 256)
+        .select(
+            "doc_id",
+            (3 * (F.lit(4) + F.col("doc_id") % 3)).cast("long").alias("n_elems"),
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("b"), F.col("doc_id").cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    ordered = keyed.withColumn(
+        "batch_id",
+        F.expr("(row_number() OVER (ORDER BY h, doc_id) - 1) div 8"),
+    )
+    return ordered.groupBy("batch_id").agg(
+        F.count("*").alias("n_items"),
+        F.sum("n_elems").alias("total_elems"),
+        F.sum("doc_id").alias("key_sum"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.col("doc_id"))),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+        ).alias("batch_md5"),
+    )
