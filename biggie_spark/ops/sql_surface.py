@@ -161,3 +161,79 @@ def sql_distinct_on(spark, sf_dir):
             F.round(F.col("c_acctbal"), 4).cast("double").alias("bal"),
         )
     )
+
+
+@register(
+    "sql_lateral_alias",
+    oracle=f"""
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) // 100000 AS bucket,
+           (CAST(round(o_totalprice * 100, 0) AS BIGINT) // 100000) * 2
+             AS bucket_x2
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def sql_lateral_alias(spark, sf_dir):
+    """Lateral column aliases — referencing a select-list alias from a
+    LATER item in the same SELECT (``cents`` feeds ``bucket`` feeds
+    ``bucket_x2``), the ergonomic surface that otherwise forces nested
+    subqueries or repeated expressions.  Spark resolves the chain at
+    analysis time into one projection (the repeated expression is
+    computed once per distinct alias under codegen CSE), so the feature
+    is free at any scale; DuckDB has no lateral aliases, so the oracle
+    states the expanded form — certifying the EXPANSION is what a
+    porting user needs."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_la")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+               cents div 100000 AS bucket,
+               bucket * 2 AS bucket_x2
+        FROM orders_la WHERE o_orderkey <= 2000
+        """
+    )
+
+
+@register(
+    "fn_observe_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(count(CASE WHEN o_totalprice > 400000 THEN 1 END) AS BIGINT)
+             AS n_jumbo
+    FROM orders
+    """,
+)
+def fn_observe_metrics(spark, sf_dir):
+    """The Observation API (``df.observe``) — Spark's built-in pipeline
+    telemetry: named aggregate metrics piggyback on an EXISTING action's
+    pass over the data (zero extra scans, collected driver-side by a
+    query listener), which is how a production job reports row counts
+    and quality tallies without a second job.
+
+    The op attaches three metrics to a pass over orders, drives one
+    action, and returns the observed values as a 1-row frame — the
+    oracle recomputes them relationally, proving the listener-delivered
+    numbers equal the ground truth.  At 100 TB this is the difference
+    between monitoring-for-free and doubling the read bill."""
+    from pyspark.sql import Observation
+
+    o = load_table(spark, sf_dir, "orders")
+    obs = Observation("orders_metrics")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "total_cents"
+        ),
+        F.count(F.when(F.col("o_totalprice") > 400000, 1)).alias("n_jumbo"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the host action
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["total_cents"], m["n_jumbo"])],
+        "n_rows bigint, total_cents bigint, n_jumbo bigint",
+    )
