@@ -677,3 +677,87 @@ def agg_survival_km(spark, sf_dir):
         F.col("n").cast("long").alias("n_at_risk"),
         r4(F.col("s")).alias("survival"),
     )
+
+
+@register(
+    "agg_outlier_iqr",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents,
+             event_id
+      FROM events),
+    r AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cents, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM c),
+    q AS (
+      /* discrete quartiles via rank positions (the engine-portable
+         formulation from agg_percentile_disc) */
+      SELECT event_type,
+             max(CASE WHEN rn * 4 <= n THEN cents END) AS q1,
+             max(CASE WHEN rn * 4 <= 3 * n THEN cents END) AS q3
+      FROM r GROUP BY event_type),
+    flagged AS (
+      /* Tukey fences at 1.5 IQR, cross-multiplied by 2 to stay integer:
+         outlier iff 2c < 2q1 - 3(q3 - q1) or 2c > 2q3 + 3(q3 - q1) */
+      SELECT c.event_type, c.cents, q.q1, q.q3,
+             CASE WHEN 2 * c.cents < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                    OR 2 * c.cents > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                  THEN 1 ELSE 0 END AS is_out
+      FROM c JOIN q ON q.event_type = c.event_type)
+    SELECT event_type,
+           CAST(any_value(q1) AS BIGINT) AS q1_cents,
+           CAST(any_value(q3) AS BIGINT) AS q3_cents,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(is_out) AS BIGINT) AS n_outliers,
+           CAST(max(CASE WHEN is_out = 1 THEN cents END) AS BIGINT)
+             AS worst_cents
+    FROM flagged GROUP BY event_type
+    """,
+)
+def agg_outlier_iqr(spark, sf_dir):
+    """Tukey-fence (boxplot) outlier detection per event type — the
+    robust univariate screen (1.5×IQR beyond the quartiles) that data
+    validation runs before z-scores, because quartiles shrug off the
+    very outliers being hunted.
+
+    Quartiles are DISCRETE rank positions over exact cents (the
+    portable formulation — no interpolation, no float percentile), and
+    the fences cross-multiply by 2 so the outlier predicate is pure
+    BIGINT: a value on the fence classifies identically in both engines,
+    which a float 1.5×IQR cannot promise.  Plan: one ranking window per
+    type for the quartiles (bounded output), broadcast back onto the
+    corpus scan for the flag-and-count pass — two reads or one window,
+    both linear; the broadcast form shown here keeps the second pass
+    scan-shaped for 100 TB."""
+    c = load_table(spark, sf_dir, "events").select(
+        "event_type", _cents().alias("cents"), "event_id"
+    )
+    c = c.localCheckpoint()  # feeds quartile + flag passes
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = c.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    q = r.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") * 4 <= F.col("n"), F.col("cents"))).alias("q1"),
+        F.max(F.when(F.col("rn") * 4 <= 3 * F.col("n"), F.col("cents"))).alias("q3"),
+    )
+    iqr3 = 3 * (F.col("q3") - F.col("q1"))
+    is_out = (
+        (2 * F.col("cents") < 2 * F.col("q1") - iqr3)
+        | (2 * F.col("cents") > 2 * F.col("q3") + iqr3)
+    ).cast("int")
+    flagged = c.join(F.broadcast(q), "event_type").withColumn("is_out", is_out)
+    return flagged.groupBy("event_type").agg(
+        F.first("q1").alias("q1_cents"),
+        F.first("q3").alias("q3_cents"),
+        F.count("*").alias("n"),
+        F.sum("is_out").alias("n_outliers"),
+        F.max(F.when(F.col("is_out") == 1, F.col("cents"))).alias("worst_cents"),
+    )
