@@ -287,3 +287,54 @@ def demo_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeMode="None",
     )
     return _drain(out, "update")
+
+
+def demo_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING source on the Spark 4 Python DataSource API
+    (`SimpleDataSourceStreamReader`): the reader drains
+    offset-ranged batches from a synthetic sequence — the contract a queue/REST
+    poller implements (initialOffset → read(start) → commit).  Batch
+    rows are closed-form in the offset, so the drained result is exactly
+    the offset range the engine committed; the matching test asserts the
+    drained rows reproduce the formula (the rows-only determinism
+    streaming allows, SURVEY.md §2.H).
+
+    Scale note: a simple stream reader executes on the DRIVER (it is the
+    single-offset-log variant for low-volume control streams); the
+    partition-planned `DataSourceStreamReader` form adds executor
+    parallelism with the same offset contract — the batch twin
+    (src_python_datasource) demonstrates that partition planning."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class SeqStreamReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"i": 0}
+
+        def read(self, start):
+            # each call drains everything currently available (120 rows);
+            # Trigger.AvailableNow issues one read and stops once the
+            # offset stops advancing
+            lo = start["i"]
+            hi = 120
+            rows = [(i, (i * 7) % 100) for i in range(lo, hi)]
+            return iter(rows), {"i": hi}
+
+        def readBetweenOffsets(self, start, end):
+            return iter(
+                [(i, (i * 7) % 100) for i in range(start["i"], end["i"])]
+            )
+
+    class SeqStreamSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "biggie_seq_stream"
+
+        def schema(self):
+            return "id bigint, score int"
+
+        def simpleStreamReader(self, schema):
+            return SeqStreamReader()
+
+    spark.dataSource.register(SeqStreamSource)
+    df = spark.readStream.format("biggie_seq_stream").load()
+    return _drain(df.filter(F.col("id") < 120), "append")

@@ -259,3 +259,16 @@ def test_streaming_rocksdb_state_store_matches_default(spark, sf_dir, tmp_path):
 
     assert results["default"] == results["rocksdb"]
     assert results["rocksdb"] == expected
+
+
+def test_python_stream_source_offsets(spark, sf_dir):
+    """The streaming Python data source must deliver exactly the
+    committed offset range with closed-form values — no dropped or
+    duplicated micro-batches."""
+    from biggie_spark.streaming_demo import demo_python_stream_source
+
+    rows = sorted(
+        (r.id, r.score)
+        for r in demo_python_stream_source(spark, sf_dir).collect()
+    )
+    assert rows == [(i, (i * 7) % 100) for i in range(120)]
