@@ -559,3 +559,85 @@ def fn_quadkey_rollup(spark, sf_dir):
         F.count("*").alias("n_points"),
         F.countDistinct("qk8").alias("n_cells8"),
     )
+
+
+@register(
+    "join_pit_scd2",
+    oracle="""
+    WITH hist AS (
+      /* 3-version SCD2 history per customer: segment changes at two
+         deterministic dates; validity windows tile [0, inf) */
+      SELECT c_custkey AS k, v.v AS version,
+             CASE v.v WHEN 0 THEN DATE '1990-01-01'
+                      WHEN 1 THEN DATE '1994-01-01' + CAST(c_custkey % 365 AS INTEGER)
+                      ELSE DATE '1996-01-01' + CAST(c_custkey % 365 AS INTEGER) END AS valid_from,
+             CASE v.v WHEN 0 THEN DATE '1994-01-01' + CAST(c_custkey % 365 AS INTEGER)
+                      WHEN 1 THEN DATE '1996-01-01' + CAST(c_custkey % 365 AS INTEGER)
+                      ELSE DATE '9999-12-31' END AS valid_to,
+             'SEG_' || CAST((c_custkey + v.v) % 5 AS VARCHAR) AS segment
+      FROM customer, range(3) v(v)),
+    j AS (
+      SELECT o.o_orderkey, h.version, h.segment
+      FROM orders o JOIN hist h
+        ON h.k = o.o_custkey
+       AND CAST(o.o_orderdate AS DATE) >= h.valid_from
+       AND CAST(o.o_orderdate AS DATE) < h.valid_to)
+    SELECT segment, version,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM j JOIN orders USING (o_orderkey)
+    GROUP BY segment, version
+    """,
+)
+def join_pit_scd2(spark, sf_dir):
+    """Point-in-time join against SCD2 dimension history — every fact row
+    must see the dimension VERSION that was valid at its event date (the
+    correctness rule behind 'which segment was this customer in when
+    they ordered'; joining current attributes silently rewrites
+    history).  A deterministic 3-version history tiles each customer's
+    timeline; facts equi-join on the customer key and the validity
+    interval survives as a residual predicate.
+
+    Why this is NOT a scale problem despite the interval predicate: the
+    join key is the CUSTOMER KEY, so the hash join is exact on the
+    equi part and each probe meets only that key's ≤3 versions — cost is
+    |facts|·versions_per_key, linear, no binning needed (contrast
+    join_range_binned, where no equi key exists at all).  Every fact
+    matches EXACTLY one version (windows tile), which the oracle's
+    totals verify — a boundary bug (>= vs >) double-counts or drops
+    boundary-date orders and breaks the hash."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    v = spark.range(3).select(F.col("id").cast("int").alias("version"))
+    shift = (F.col("k") % 365).cast("int")
+    d94 = F.date_add(F.lit("1994-01-01").cast("date"), shift)
+    d96 = F.date_add(F.lit("1996-01-01").cast("date"), shift)
+    hist = (
+        c.crossJoin(F.broadcast(v))
+        .select(
+            "k",
+            "version",
+            F.when(F.col("version") == 0, F.lit("1990-01-01").cast("date"))
+            .when(F.col("version") == 1, d94)
+            .otherwise(d96)
+            .alias("valid_from"),
+            F.when(F.col("version") == 0, d94)
+            .when(F.col("version") == 1, d96)
+            .otherwise(F.lit("9999-12-31").cast("date"))
+            .alias("valid_to"),
+            F.concat(
+                F.lit("SEG_"), ((F.col("k") + F.col("version")) % 5).cast("string")
+            ).alias("segment"),
+        )
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").cast("date").alias("od"),
+    )
+    j = o.join(hist, "k").filter(
+        (F.col("od") >= F.col("valid_from")) & (F.col("od") < F.col("valid_to"))
+    )
+    return j.groupBy("segment", "version").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
