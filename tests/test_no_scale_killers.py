@@ -93,6 +93,7 @@ ALLOWED_BNLJ = {
     "agg_bootstrap_ci",  # 1-row point/lo/hi frames assembling the summary
     "ts_rfm_segments",  # 1-row corpus-max anchor onto the per-user frame
     "agg_survival_km",  # 1-row horizon + subject-count frames (KM risk sets)
+    "join_pit_scd2",  # 3-row literal version frame tiling the history
 }
 
 
