@@ -2144,3 +2144,91 @@ def llm_token_zipf(spark, sf_dir):
         n.cast("long").alias("n_ranks"),
         r4((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("zipf_slope"),
     )
+
+
+@register(
+    "agg_basket_rules",
+    oracle="""
+    WITH items AS (
+      /* one basket per order; item = the part-name noun (category) */
+      SELECT DISTINCT l.l_orderkey AS bid,
+             string_split(p.p_name, ' ')[2] AS item
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    n_b AS (SELECT count(DISTINCT bid) AS n FROM items),
+    supp AS (SELECT item, count(*) AS c FROM items GROUP BY item),
+    pairs AS (
+      SELECT a.item AS ante, b.item AS cons, count(*) AS c_ab
+      FROM items a JOIN items b
+        ON b.bid = a.bid AND a.item < b.item
+      GROUP BY a.item, b.item),
+    rules AS (
+      SELECT p.ante, p.cons, p.c_ab, sa.c AS c_a, sb.c AS c_b,
+             p.c_ab * 10000 // sa.c AS confidence_bp,
+             p.c_ab * (SELECT n FROM n_b) * 10000 // (sa.c * sb.c) AS lift_bp
+      FROM pairs p
+      JOIN supp sa ON sa.item = p.ante
+      JOIN supp sb ON sb.item = p.cons
+      WHERE p.c_ab >= 20)
+    SELECT ante, cons, CAST(c_ab AS BIGINT) AS c_ab,
+           CAST(confidence_bp AS BIGINT) AS confidence_bp,
+           CAST(lift_bp AS BIGINT) AS lift_bp
+    FROM rules
+    ORDER BY lift_bp DESC, ante, cons LIMIT 20
+    """,
+)
+def agg_basket_rules(spark, sf_dir):
+    """Market-basket association rules (support / confidence / lift) over
+    order baskets — the co-occurrence mining classic: which part
+    categories appear in the same order more often than independence
+    predicts.  One pass builds distinct (basket, item) pairs; the pair
+    join is WITHIN-basket only (equi-join on the basket key, so the
+    quadratic blow-up is bounded by items-per-basket², ~25 here — the
+    same bounded-block shape as every dedup verify), and the rule
+    metrics are integer basis points with the basket count riding as a
+    1-row broadcast.  Top-20 by lift under integer tie-breaks (rule
+    order can never flip on float rounding).  This is exactly the
+    FP-growth preprocessing pass at 100 TB: baskets shuffle once by
+    basket id, items-per-basket is the only quadratic dimension."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .join(
+            load_table(spark, sf_dir, "part").select(
+                "p_partkey", F.element_at(F.split("p_name", " "), 2).alias("item")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(F.col("l_orderkey").alias("bid"), "item")
+        .distinct()
+    )
+    items = items.localCheckpoint()  # feeds supports + pairs + basket count
+    n_b = items.agg(F.countDistinct("bid").alias("n"))
+    supp = items.groupBy("item").agg(F.count("*").alias("c"))
+    a = items.select(F.col("bid"), F.col("item").alias("ante"))
+    b = items.select(F.col("bid"), F.col("item").alias("cons"))
+    pairs = (
+        a.join(b, "bid")
+        .filter(F.col("ante") < F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    rules = (
+        pairs.filter(F.col("c_ab") >= 20)
+        .join(
+            F.broadcast(supp.select(F.col("item").alias("ante"), F.col("c").alias("c_a"))),
+            "ante",
+        )
+        .join(
+            F.broadcast(supp.select(F.col("item").alias("cons"), F.col("c").alias("c_b"))),
+            "cons",
+        )
+        .crossJoin(F.broadcast(n_b))
+        .select(
+            "ante",
+            "cons",
+            "c_ab",
+            F.expr("c_ab * 10000 div c_a").alias("confidence_bp"),
+            F.expr("c_ab * n * 10000 div (c_a * c_b)").alias("lift_bp"),
+        )
+    )
+    return rules.orderBy(F.col("lift_bp").desc(), "ante", "cons").limit(20)

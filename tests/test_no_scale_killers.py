@@ -94,6 +94,7 @@ ALLOWED_BNLJ = {
     "ts_rfm_segments",  # 1-row corpus-max anchor onto the per-user frame
     "agg_survival_km",  # 1-row horizon + subject-count frames (KM risk sets)
     "join_pit_scd2",  # 3-row literal version frame tiling the history
+    "agg_basket_rules",  # 1-row basket-count frame onto the rule frame
 }
 
 
