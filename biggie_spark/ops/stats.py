@@ -761,3 +761,100 @@ def agg_outlier_iqr(spark, sf_dir):
         F.sum("is_out").alias("n_outliers"),
         F.max(F.when(F.col("is_out") == 1, F.col("cents"))).alias("worst_cents"),
     )
+
+
+@register(
+    "agg_cuped",
+    oracle="""
+    WITH span AS (
+      SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM events),
+    u AS (
+      SELECT user_id,
+             sum(CASE WHEN epoch_us(ts) < (SELECT (t0 + t1) / 2 FROM span)
+                      THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
+               AS pre,
+             sum(CASE WHEN epoch_us(ts) >= (SELECT (t0 + t1) / 2 FROM span)
+                      THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
+               AS post
+      FROM events GROUP BY user_id),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pre) AS DOUBLE) AS sx,
+             CAST(sum(post) AS DOUBLE) AS sy,
+             CAST(sum(CAST(pre AS HUGEINT) * post) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(pre AS HUGEINT) * pre) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(post AS HUGEINT) * post) AS DOUBLE) AS syy
+      FROM u),
+    d AS (
+      SELECT n,
+             (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta,
+             (syy - sy * sy / n) / n AS var_post,
+             pow(sxy - sx * sy / n, 2)
+               / ((sxx - sx * sx / n) * (syy - sy * sy / n)) AS rho2
+      FROM s)
+    SELECT n,
+           CAST(round(theta, 4) AS DOUBLE) AS theta,
+           CAST(round(var_post / 10000, 4) AS DOUBLE) AS var_post_dollars2,
+           CAST(round(var_post * (1 - rho2) / 10000, 4) AS DOUBLE)
+             AS var_cuped_dollars2,
+           CAST(round(rho2 * 10000, 4) AS DOUBLE) AS var_reduction_bp
+    FROM d
+    """,
+)
+def agg_cuped(spark, sf_dir):
+    """CUPED variance reduction — the experimentation-platform standard
+    (Deng et al.): adjust each user's experiment-period metric by their
+    PRE-period value, Y' = Y − θ(X − X̄) with θ = cov(X,Y)/var(X), and
+    the metric's variance drops by exactly the squared correlation ρ² —
+    here measured on the corpus split at its temporal midpoint (first
+    half = covariate, second half = metric).
+
+    All five sufficient statistics accumulate as exact integers
+    (HUGEINT/DECIMAL(38,0) cross-products of per-user cent totals — the
+    agg_ols_fit discipline), so θ, the raw and CUPED-adjusted variances,
+    and the variance-reduction share are one textually-identical double
+    expression on a 1-row frame under r4.  One groupBy(user) pass plus a
+    1-row span broadcast — the cheap pre-analysis that tells an
+    experiment team how much sample size CUPED will buy BEFORE they run
+    the experiment."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), _cents().alias("c")
+    )
+    ev = ev.localCheckpoint()  # feeds span + per-user split
+    span = ev.agg(F.min("us").alias("t0"), F.max("us").alias("t1"))
+    u = (
+        ev.crossJoin(F.broadcast(span))
+        .withColumn("mid", (F.col("t0") + F.col("t1")) / 2)
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("us") < F.col("mid"), F.col("c")).otherwise(0)).alias(
+                "pre"
+            ),
+            F.sum(
+                F.when(F.col("us") >= F.col("mid"), F.col("c")).otherwise(0)
+            ).alias("post"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = u.agg(
+        F.count("*").alias("n"),
+        F.sum("pre").cast("double").alias("sx"),
+        F.sum("post").cast("double").alias("sy"),
+        F.sum(dec(F.col("pre")) * dec(F.col("post"))).cast("double").alias("sxy"),
+        F.sum(dec(F.col("pre")) * dec(F.col("pre"))).cast("double").alias("sxx"),
+        F.sum(dec(F.col("post")) * dec(F.col("post"))).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    cxy = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    cxx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    theta = cxy / cxx
+    var_post = cyy / n
+    rho2 = F.pow(cxy, 2) / (cxx * cyy)
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        r4(theta).alias("theta"),
+        r4(var_post / 10000).alias("var_post_dollars2"),
+        r4(var_post * (1 - rho2) / 10000).alias("var_cuped_dollars2"),
+        r4(rho2 * 10000).alias("var_reduction_bp"),
+    )

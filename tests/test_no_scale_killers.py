@@ -95,6 +95,7 @@ ALLOWED_BNLJ = {
     "agg_survival_km",  # 1-row horizon + subject-count frames (KM risk sets)
     "join_pit_scd2",  # 3-row literal version frame tiling the history
     "agg_basket_rules",  # 1-row basket-count frame onto the rule frame
+    "agg_cuped",  # 1-row temporal-span frame onto the event scan
 }
 
 
