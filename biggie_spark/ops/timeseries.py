@@ -834,3 +834,56 @@ def ts_stl_lite(spark, sf_dir):
             "seasonal_strength_bp"
         ),
     )
+
+
+@register(
+    "ts_backtest_naive",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             sum(CAST(round(value * 100, 0) AS BIGINT)) AS c
+      FROM events GROUP BY event_type, h),
+    fc AS (
+      SELECT event_type, h, c,
+             lag(c) OVER (PARTITION BY event_type ORDER BY h) AS yhat
+      FROM hourly),
+    e AS (SELECT event_type, c, yhat, abs(c - yhat) AS ae
+          FROM fc WHERE yhat IS NOT NULL)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(ae) * 10000 // sum(abs(c)) AS BIGINT) AS wape_bp,
+           CAST(sum(ae * 20000 // (abs(c) + abs(yhat))) // count(*) AS BIGINT)
+             AS smape_bp
+    FROM e GROUP BY event_type
+    """,
+)
+def ts_backtest_naive(spark, sf_dir):
+    """Forecast-accuracy backtest of the naive (persistence) baseline —
+    the number every forecasting effort must beat, and the permanent
+    denominator of model-skill reports: predict each hour's revenue with
+    the PREVIOUS hour's, then score WAPE (Σ|err| / Σ|actual|) and sMAPE
+    per series, both as integer basis points.
+
+    Integer discipline: absolute errors are exact cents; WAPE is one
+    integer division of two exact sums, and sMAPE's per-row ratio uses
+    integer floor division before the mean (documented bias of at most
+    1bp per row — the cross-engine-stable choice, same rationale as
+    convention (b)).  One corpus rollup to the bounded hourly frame,
+    one lag window, one aggregate."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    fc = hourly.withColumn("yhat", F.lag("c").over(w)).filter(
+        F.col("yhat").isNotNull()
+    )
+    e = fc.withColumn("ae", F.abs(F.col("c") - F.col("yhat")))
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        F.expr("sum(ae) * 10000 div sum(abs(c))").alias("wape_bp"),
+        F.expr("sum(ae * 20000 div (abs(c) + abs(yhat))) div count(*)").alias(
+            "smape_bp"
+        ),
+    )
