@@ -237,3 +237,50 @@ def fn_observe_metrics(spark, sf_dir):
         [(m["n_rows"], m["total_cents"], m["n_jumbo"])],
         "n_rows bigint, total_cents bigint, n_jumbo bigint",
     )
+
+
+@register(
+    "sql_exists_any_all",
+    oracle="""
+    SELECT c_custkey,
+           EXISTS (SELECT 1 FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_totalprice > 300000) AS has_big,
+           c_acctbal > ALL (SELECT o_totalprice / 100 FROM orders o
+                            WHERE o.o_custkey = c.c_custkey) AS beats_all,
+           c_acctbal < ANY (SELECT o_totalprice / 100 FROM orders o
+                            WHERE o.o_custkey = c.c_custkey) AS under_some
+    FROM customer c WHERE c_custkey <= 800
+    """,
+)
+def sql_exists_any_all(spark, sf_dir):
+    """The quantified-subquery surfaces — EXISTS plus the ALL / ANY
+    comparators — with their famously subtle empty-set semantics
+    (x > ALL(empty) is TRUE, x < ANY(empty) is FALSE).  Spark's parser
+    has no quantified comparators, so this op certifies the canonical
+    PORTING REWRITE (the same contract role as sql_distinct_on): DuckDB
+    runs native ALL/ANY, Spark runs the decorrelated form every engine
+    compiles them to anyway — x > ALL(S) ⇔ x > max(S) OR S empty;
+    x < ANY(S) ⇔ x < max(S) — as ONE per-key aggregate left-joined back,
+    plus an EXISTS via Spark's native correlated predicate.  One join on
+    the correlation key, no per-row re-execution, usable at 100 TB."""
+    from biggie_spark.io import register_views
+
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        """
+        WITH per_cust AS (
+          SELECT o_custkey, max(o_totalprice / 100) AS mx
+          FROM orders GROUP BY o_custkey)
+        SELECT c_custkey,
+               EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 300000) AS has_big,
+               CASE WHEN p.mx IS NULL THEN TRUE
+                    ELSE c_acctbal > p.mx END AS beats_all,
+               CASE WHEN p.mx IS NULL THEN FALSE
+                    ELSE c_acctbal < p.mx END AS under_some
+        FROM customer c LEFT JOIN per_cust p ON p.o_custkey = c.c_custkey
+        WHERE c_custkey <= 800
+        """
+    )

@@ -858,3 +858,147 @@ def agg_cuped(spark, sf_dir):
         r4(var_post * (1 - rho2) / 10000).alias("var_cuped_dollars2"),
         r4(rho2 * 10000).alias("var_reduction_bp"),
     )
+
+
+@register(
+    "agg_power_analysis",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c
+      FROM events),
+    s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS DOUBLE) AS s1,
+             CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE) AS s2
+      FROM m GROUP BY event_type),
+    v AS (
+      SELECT event_type, n, s1 / n AS mu,
+             (s2 - s1 * s1 / n) / (n - 1) AS var
+      FROM s)
+    SELECT event_type, n AS n_current,
+           CAST(round(mu / 100, 4) AS DOUBLE) AS mean_value,
+           /* n per arm = 2 (z_{0.975} + z_{0.80})^2 sigma^2 / delta^2,
+              delta = 5% of the mean; z constants fixed to 6 decimals */
+           CAST(CAST(ceil(2.0 * pow(1.959964 + 0.841621, 2) * var
+                          / pow(0.05 * mu, 2)) AS BIGINT) AS BIGINT)
+             AS n_per_arm_5pct
+    FROM v
+    """,
+)
+def agg_power_analysis(spark, sf_dir):
+    """A/B-test power analysis from live data — the planning step before
+    any experiment: with each event type's CURRENT variance, how many
+    samples per arm detect a 5% lift in the mean at alpha = 0.05 / power
+    = 0.80?  n = 2(z_{0.975}+z_{0.80})^2 * sigma^2 / delta^2, with the z
+    constants pinned as 6-decimal literals (both engines evaluate the
+    identical expression; no quantile function at runtime).
+
+    Pairs with agg_cuped (whose variance-reduction share divides
+    straight into this n) and agg_ttest_welch (the readout once the
+    experiment runs).  Sufficient statistics accumulate as exact
+    integers, same as the rest of the family; one pass, five rows out."""
+    s = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", _cents().alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("c").cast("double").alias("s1"),
+            F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("s2"),
+        )
+    )
+    mu = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    z = (1.959964 + 0.841621) ** 2
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_current"),
+        r4(mu / 100).alias("mean_value"),
+        F.ceil(2.0 * F.lit(z) * var / F.pow(0.05 * mu, 2))
+        .cast("long")
+        .alias("n_per_arm_5pct"),
+    )
+
+
+@register(
+    "llm_winsorize",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, event_id,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events),
+    r AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cents, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM c),
+    b AS (
+      SELECT event_type,
+             max(CASE WHEN rn * 100 <= 5 * n THEN cents END) AS p05,
+             max(CASE WHEN rn * 100 <= 95 * n THEN cents END) AS p95
+      FROM r GROUP BY event_type),
+    w AS (
+      SELECT c.event_type,
+             CASE WHEN c.cents < b.p05 THEN b.p05
+                  WHEN c.cents > b.p95 THEN b.p95
+                  ELSE c.cents END AS wc,
+             CASE WHEN c.cents < b.p05 OR c.cents > b.p95 THEN 1 ELSE 0 END
+               AS clipped
+      FROM c JOIN b ON b.event_type = c.event_type)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(clipped) AS BIGINT) AS n_clipped,
+           CAST(sum(wc) AS BIGINT) AS winsorized_sum_cents
+    FROM w GROUP BY event_type
+    """,
+)
+def llm_winsorize(spark, sf_dir):
+    """Winsorization at the 5th/95th percentiles per event type — the
+    robust-metric preprocessing every heavy-tailed KPI needs (a single
+    whale order otherwise owns the mean): values CLAMP to the percentile
+    bounds rather than dropping (trimming loses mass; clamping keeps n).
+
+    Bounds are discrete rank-position percentiles over exact cents (the
+    agg_percentile_disc / agg_outlier_iqr formulation — no interpolation,
+    so the clamp threshold is a real data value and classifies
+    identically in both engines), broadcast back onto the scan for the
+    clamp-and-sum pass.  All outputs exact integers."""
+    c = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", _cents().alias("cents")
+    )
+    c = c.localCheckpoint()  # feeds bounds + clamp passes
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = c.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    b = r.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") * 100 <= 5 * F.col("n"), F.col("cents"))).alias(
+            "p05"
+        ),
+        F.max(F.when(F.col("rn") * 100 <= 95 * F.col("n"), F.col("cents"))).alias(
+            "p95"
+        ),
+    )
+    j = c.join(F.broadcast(b), "event_type")
+    wc = (
+        F.when(F.col("cents") < F.col("p05"), F.col("p05"))
+        .when(F.col("cents") > F.col("p95"), F.col("p95"))
+        .otherwise(F.col("cents"))
+    )
+    clipped = (
+        (F.col("cents") < F.col("p05")) | (F.col("cents") > F.col("p95"))
+    ).cast("int")
+    return j.select("event_type", wc.alias("wc"), clipped.alias("clipped")).groupBy(
+        "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("clipped").alias("n_clipped"),
+        F.sum("wc").alias("winsorized_sum_cents"),
+    )
