@@ -377,3 +377,72 @@ def graph_kcore(spark, sf_dir):
     return edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("degree")
     )
+
+
+@register(
+    "graph_reciprocity",
+    oracle=f"""
+    WITH nodes AS (SELECT doc_id AS v FROM documents WHERE doc_id < 400),
+    edges AS (
+      SELECT DISTINCT v AS src, (v * 2 + 1) % 400 AS dst FROM nodes
+      UNION
+      SELECT v, (v * 3 + 7) % 400 FROM nodes
+      UNION
+      /* deliberate reverse edges for half the first family */
+      SELECT (v * 2 + 1) % 400, v FROM nodes WHERE v % 2 = 0),
+    e AS (SELECT src, dst FROM edges WHERE src <> dst),
+    recip AS (
+      SELECT count(*) AS n_recip
+      FROM e a JOIN e b ON b.src = a.dst AND b.dst = a.src)
+    SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT n_recip FROM recip) AS BIGINT) AS n_reciprocal,
+           CAST((SELECT n_recip FROM recip) * 10000
+                // (SELECT count(*) FROM e) AS BIGINT) AS reciprocity_bp
+    FROM (SELECT 1)
+    """,
+)
+def graph_reciprocity(spark, sf_dir):
+    """Directed-graph reciprocity — the fraction of edges whose reverse
+    edge also exists (the follower-graph health metric separating
+    broadcast networks from mutual ones).  The synthetic digraph plants
+    reverse edges for half of one edge family, so the ratio is
+    meaningfully between 0 and 1 and fully closed-form.
+
+    Reciprocal detection is ONE self equi-join on the swapped key pair
+    (b.src = a.dst AND b.dst = a.src — a hash join on the composite key,
+    never a per-edge lookup loop), counting each mutual pair twice by
+    convention (both directions count as reciprocated).  Edge dedup
+    happens once up front; the ratio is integer basis points."""
+    from biggie_spark.io import load_table
+
+    nodes = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select(F.col("doc_id").alias("v"))
+    )
+    fam1 = nodes.select(F.col("v").alias("src"), ((F.col("v") * 2 + 1) % 400).alias("dst"))
+    fam2 = nodes.select(F.col("v").alias("src"), ((F.col("v") * 3 + 7) % 400).alias("dst"))
+    rev = (
+        nodes.filter(F.col("v") % 2 == 0)
+        .select(((F.col("v") * 2 + 1) % 400).alias("src"), F.col("v").alias("dst"))
+    )
+    e = (
+        fam1.unionByName(fam2)
+        .unionByName(rev)
+        .distinct()
+        .filter(F.col("src") != F.col("dst"))
+        .localCheckpoint()  # feeds both sides of the swap join + the count
+    )
+    b = e.select(F.col("src").alias("bsrc"), F.col("dst").alias("bdst"))
+    recip = e.join(
+        b, (F.col("bsrc") == F.col("dst")) & (F.col("bdst") == F.col("src"))
+    ).agg(F.count("*").alias("n_recip"))
+    tot = e.agg(F.count("*").alias("n_edges"))
+    return (
+        tot.crossJoin(F.broadcast(recip))
+        .select(
+            "n_edges",
+            F.col("n_recip").alias("n_reciprocal"),
+            F.expr("n_recip * 10000 div n_edges").alias("reciprocity_bp"),
+        )
+    )

@@ -370,3 +370,91 @@ def fn_sample(spark, sf_dir):
     RNG stream is not portable across engines, hence no oracle."""
     ev = load_table(spark, sf_dir, "events")
     return ev.sample(fraction=0.1, seed=42).select("event_id", "event_type")
+
+
+@register(
+    "fn_ip_subnet",
+    oracle="""
+    WITH ips AS (
+      SELECT event_id,
+             CAST(('0x' || substr(md5('ip' || CAST(event_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 4294967296 AS ip32
+      FROM events WHERE event_id < 4000),
+    parts AS (
+      SELECT event_id, ip32,
+             ip32 // 16777216 AS o1,
+             (ip32 // 65536) % 256 AS o2,
+             (ip32 // 256) % 256 AS o3,
+             ip32 % 256 AS o4
+      FROM ips),
+    tagged AS (
+      SELECT CAST(o1 AS VARCHAR) || '.' || CAST(o2 AS VARCHAR) || '.0.0/16'
+               AS subnet16,
+             CASE WHEN o1 = 10
+                    OR (o1 = 172 AND o2 BETWEEN 16 AND 31)
+                    OR (o1 = 192 AND o2 = 168)
+                  THEN 1 ELSE 0 END AS is_private,
+             ip32
+      FROM parts)
+    SELECT subnet16,
+           CAST(count(*) AS BIGINT) AS n_ips,
+           CAST(max(is_private) AS BIGINT) AS is_private,
+           CAST(min(ip32) AS BIGINT) AS lo_ip32,
+           CAST(max(ip32) AS BIGINT) AS hi_ip32
+    FROM tagged GROUP BY subnet16
+    HAVING count(*) >= 2
+    """,
+)
+def fn_ip_subnet(spark, sf_dir):
+    """IPv4 parsing + CIDR /16 rollup with RFC-1918 private-range
+    tagging — the log-analytics address kernel (abuse clustering, NAT
+    detection, geo prefix joins all start by bucketing addresses into
+    prefixes).  Synthetic 32-bit addresses derive from the portable
+    hash; octet extraction is pure integer div/mod (no string parsing of
+    dotted quads — the integer form is both the storage-efficient
+    representation at 100 TB and the only one range predicates push down
+    on), and the /16 prefix key is a plain projection, so the rollup is
+    the standard hash-aggregate shuffle on the prefix."""
+    ips = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 4000)
+        .select(
+            "event_id",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("ip"), F.col("event_id").cast("string"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 4294967296
+            ).alias("ip32"),
+        )
+    )
+    o1 = F.expr("ip32 div 16777216")
+    o2 = F.expr("(ip32 div 65536) % 256")
+    subnet16 = F.concat(
+        o1.cast("string"), F.lit("."), o2.cast("string"), F.lit(".0.0/16")
+    )
+    is_private = (
+        F.when(
+            (o1 == 10)
+            | ((o1 == 172) & o2.between(16, 31))
+            | ((o1 == 192) & (o2 == 168)),
+            1,
+        ).otherwise(0)
+    )
+    return (
+        ips.select(subnet16.alias("subnet16"), is_private.alias("is_private"), "ip32")
+        .groupBy("subnet16")
+        .agg(
+            F.count("*").alias("n_ips"),
+            F.max("is_private").alias("is_private"),
+            F.min("ip32").alias("lo_ip32"),
+            F.max("ip32").alias("hi_ip32"),
+        )
+        .filter(F.col("n_ips") >= 2)
+    )

@@ -96,6 +96,7 @@ ALLOWED_BNLJ = {
     "join_pit_scd2",  # 3-row literal version frame tiling the history
     "agg_basket_rules",  # 1-row basket-count frame onto the rule frame
     "agg_cuped",  # 1-row temporal-span frame onto the event scan
+    "graph_reciprocity",  # 1-row reciprocal-count frame onto the 1-row total
 }
 
 
