@@ -89,6 +89,61 @@ def _probe_codes(code_col) -> F.Column:
     return F.array(code_col, *[code_col.bitwiseXOR(F.lit(m)) for m in flips])
 
 
+def _sql_signs(table: int, bit: int) -> str:
+    """The (table, bit) hyperplane as a DuckDB DOUBLE[] literal — the SAME
+    md5-derived signs :func:`_signs` gives the Spark side, inlined at
+    registration time so both engines project onto identical planes."""
+    return (
+        "[" + ",".join("1" if s > 0 else "-1" for s in _signs(table, bit)) + "]::DOUBLE[]"
+    )
+
+
+def _sql_table_code(table: int) -> str:
+    """DuckDB twin of :func:`table_code`: each bit's projection is a
+    sequential list-sum of elementwise products — the same left-to-right
+    double fold Spark's F.aggregate runs, so the sign test (proj > 0)
+    sees the bit-identical value on both engines."""
+    terms = []
+    for b in range(N_BITS):
+        proj = (
+            f"list_aggregate(list_transform(list_zip(a, {_sql_signs(table, b)}),"
+            " s -> s[1] * s[2]), 'sum')"
+        )
+        terms.append(f"CASE WHEN {proj} > 0 THEN {1 << b} ELSE 0 END")
+    return "CAST(" + " + ".join(terms) + f" AS INTEGER) AS code{table}"
+
+
+_SIMHASH_CODES_ORACLE = (
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings) "
+    "SELECT vec_id, "
+    + ", ".join(_sql_table_code(t) for t in range(N_TABLES))
+    + " FROM e"
+)
+
+
+@register("ann_simhash_codes", oracle=_SIMHASH_CODES_ORACLE)
+def ann_simhash_codes(spark, sf_dir) -> DataFrame:
+    """Stage 1 of the LSH index as a first-class op: every vector's 8-bit
+    SimHash code under each of the 4 hash tables.  Unlike the end-to-end
+    ANN search (approximate by design, rows-only check), the codes are
+    DETERMINISTIC — md5-derived hyperplanes, sequential double-fold
+    projections — so this substage carries a full DuckDB oracle and gives
+    the ANN family a real cross-engine driver row (VERDICT r4 item 3).
+
+    Map-only plan: one projection per (vector, table, bit) inside JVM
+    higher-order functions, no shuffle at all — at 100 TB this is the
+    embarrassingly parallel indexing pass that feeds the (table, code)
+    bucket layout."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return e.select(
+        "vec_id",
+        *[
+            table_code(F.col("embedding"), t).cast("int").alias(f"code{t}")
+            for t in range(N_TABLES)
+        ],
+    )
+
+
 @register("llm_knn_ann")  # approximate -> rows-only check; recall gated in CI
 def llm_knn_ann(spark, sf_dir, k: int = 5, n_probes: int = 10) -> DataFrame:
     """Default ANN entry point — routes to the IVF index (recall@5 = 0.92

@@ -430,11 +430,13 @@ def sql_recursive_cte(spark, sf_dir):
     "fn_trig",
     oracle="""
     SELECT p_partkey,
-           round(sin(radians(p_partkey % 360)), 4) AS sin_v,
-           round(cos(radians(p_partkey % 360)), 4) AS cos_v,
-           round(atan2(CAST(p_size AS DOUBLE), 10.0), 4) AS atan2_v,
-           round(asin(p_size / 100.0), 4) AS asin_v,
-           round(degrees(atan(1.0)), 4) AS deg45
+           /* + 0 normalizes -0.0 (cos near 90/270 deg rounds to a signed
+              zero); the driver hash distinguishes signed zeros */
+           round(sin(radians(p_partkey % 360)), 4) + 0 AS sin_v,
+           round(cos(radians(p_partkey % 360)), 4) + 0 AS cos_v,
+           round(atan2(CAST(p_size AS DOUBLE), 10.0), 4) + 0 AS atan2_v,
+           round(asin(p_size / 100.0), 4) + 0 AS asin_v,
+           round(degrees(atan(1.0)), 4) + 0 AS deg45
     FROM part
     """,
 )

@@ -485,7 +485,9 @@ def llm_embed_norm(spark, sf_dir):
     "llm_centroid",
     oracle="""
     SELECT label, i AS pos,
-           round(avg(CAST(embedding[i + 1] AS DOUBLE)), 4) AS centroid,
+           /* + 0 normalizes -0.0 (a tiny negative mean rounds to a signed
+              zero); the driver hash distinguishes signed zeros */
+           round(avg(CAST(embedding[i + 1] AS DOUBLE)), 4) + 0 AS centroid,
            count(*) AS n
     FROM embeddings, range(64) t(i)
     GROUP BY label, i

@@ -878,8 +878,11 @@ def agg_cuped(spark, sf_dir):
     SELECT event_type, n AS n_current,
            CAST(round(mu / 100, 4) AS DOUBLE) AS mean_value,
            /* n per arm = 2 (z_{0.975} + z_{0.80})^2 sigma^2 / delta^2,
-              delta = 5% of the mean; z constants fixed to 6 decimals */
-           CAST(CAST(ceil(2.0 * pow(1.959964 + 0.841621, 2) * var
+              delta = 5% of the mean.  (z_{0.975}+z_{0.80})^2 is pinned as
+              the fully-evaluated 17-digit double literal on BOTH sides —
+              a 1-ulp pow() divergence between engines could flip ceil()
+              to n±1 (ADVICE r4) */
+           CAST(CAST(ceil(2.0 * 7.848878512225001 * var
                           / pow(0.05 * mu, 2)) AS BIGINT) AS BIGINT)
              AS n_per_arm_5pct
     FROM v
@@ -911,7 +914,10 @@ def agg_power_analysis(spark, sf_dir):
     )
     mu = F.col("s1") / F.col("n")
     var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
-    z = (1.959964 + 0.841621) ** 2
+    # (z_{0.975}+z_{0.80})^2 pinned as the same fully-evaluated double
+    # literal the oracle uses — never recomputed via pow() (ADVICE r4:
+    # a 1-ulp pow divergence can flip the ceil() below to n±1).
+    z = 7.848878512225001
     return s.select(
         "event_type",
         F.col("n").alias("n_current"),

@@ -559,7 +559,9 @@ def ts_resample_interp(spark, sf_dir):
              CAST(n * syy - sy * sy AS DOUBLE) AS vy
       FROM s WHERE n = 30)
     SELECT event_type, event_id,
-           CAST(round(cov / sqrt(vx * vy), 4) AS DOUBLE) AS corr30
+           /* + 0 normalizes -0.0 (negative covariance that rounds to zero);
+              the driver hash distinguishes signed zeros (r4 postmortem) */
+           CAST(round(cov / sqrt(vx * vy), 4) + 0 AS DOUBLE) AS corr30
     FROM r WHERE vx > 0 AND vy > 0
     """,
 )

@@ -89,6 +89,16 @@ ROUND4_PRIORITY = (
     "agg_basket_rules",
 )
 
+# Round-5 verdict list (VERDICT r4 item 3): deterministic ANN-family
+# substages with full oracles, replacing the three no-oracle end-to-end ANN
+# ops that burned window slots in r4 (driver recorded `err: no_oracle` with
+# no rows fallback — they are now ledger-`rows_only_scored` so they never
+# re-enter the window).
+ROUND5_PRIORITY = (
+    "ann_simhash_codes",
+    "ivf_assign",
+)
+
 # Extension families a real user hits most often — float these ahead of the
 # remaining unscored extensions so they earn driver CORRECTNESS rows first
 # (VERDICT r2 item 3).  Prefix match on the op name.
@@ -133,25 +143,30 @@ def ordered_queries() -> dict[str, QueryFn]:
 
     verdict_rank = {n: i for i, n in enumerate(VERDICT_PRIORITY)}
     r4_rank = {n: i for i, n in enumerate(ROUND4_PRIORITY)}
+    r5_rank = {n: i for i, n in enumerate(ROUND5_PRIORITY)}
 
     def tier(n: str) -> int:
         if n in green:
-            return 5
+            return 6
         if n in sec2:
             return 0
         if n in verdict_rank:
             return 1
         if n in r4_rank:
             return 2
-        return 3 if _priority(n) else 4
+        if n in r5_rank:
+            return 3
+        return 4 if _priority(n) else 5
 
     out: dict[str, QueryFn] = {}
-    for t in (0, 1, 2, 3, 4, 5):
+    for t in (0, 1, 2, 3, 4, 5, 6):
         names = [n for n in QUERIES if tier(n) == t]
         if t == 1:
             names.sort(key=verdict_rank.__getitem__)
         elif t == 2:
             names.sort(key=r4_rank.__getitem__)
+        elif t == 3:
+            names.sort(key=r5_rank.__getitem__)
         out.update({n: QUERIES[n] for n in names})
     return out
 

@@ -12,9 +12,24 @@ from pyspark.sql import functions as F
 
 def r4(col: Column | str) -> Column:
     """The binding float convention: round(double, 4) on every float output
-    (summation order differs between engines; SURVEY.md §2 convention 1)."""
+    (summation order differs between engines; SURVEY.md §2 convention 1).
+
+    The trailing ``+ 0.0`` is ALSO binding (round-4 postmortem,
+    ts_rolling_corr): a negative value that rounds to zero yields IEEE
+    ``-0.0``, and the driver's value hash distinguishes ``-0.0`` from
+    ``+0.0``.  Spark and DuckDB can disagree on the sign of a rounded zero
+    (different summation order flips the sign of a ~1e-17 covariance), so
+    both sides normalize: this helper appends ``+ 0.0`` (IEEE: -0.0 + 0 =
+    +0.0), and every oracle whose rounded float is signed must append
+    ``+ 0`` after its round() — use :func:`sql_r4` for the exact twin."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(c.cast("double"), 4)
+    return F.round(c.cast("double"), 4) + F.lit(0.0)
+
+
+def sql_r4(expr: str) -> str:
+    """DuckDB twin of :func:`r4` for oracle SQL strings: rounds to 4
+    decimals and normalizes ``-0.0`` to ``+0.0``."""
+    return f"CAST(round({expr}, 4) + 0 AS DOUBLE)"
 
 
 def dsum(col: Column | str, scale: int = 2) -> Column:

@@ -31,8 +31,10 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == 0.0:
-            v = 0.0  # collapse -0.0
+        # NO -0.0 collapse: the driver's value hash distinguishes -0.0 from
+        # +0.0 (round-4 postmortem: ts_rolling_corr passed locally because
+        # this mirror collapsed the sign, then failed the driver).  Ops must
+        # normalize on both sides (util.r4 / util.sql_r4).
         # floats and ints never compare equal: the driver's value hash
         # distinguishes 6 from 6.0 (that WAS round 1's failure mode)
         return ("f", repr(v))
