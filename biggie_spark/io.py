@@ -55,13 +55,37 @@ def normalize_events(df: DataFrame) -> DataFrame:
     return df
 
 
+# Per-session cache of resolved table plans.  ``spark.read.parquet`` costs
+# ~100 ms per call in local mode (file listing + footer/schema fetch over
+# Py4J) — q_join_agg alone loads six tables, so re-resolving per query was
+# ~40% of its warm wall-clock at sf0.1.  A DataFrame is an immutable logical
+# plan, so reuse within a session is exactly what a catalog does; the corpus
+# directories are read-only (TESTDATA.md), so the resolved schema/file list
+# can never go stale.  Ops that write-then-read their own output use
+# spark.read directly and are unaffected.
+_TABLE_CACHE = None  # lazy weakref.WeakKeyDictionary[SparkSession, dict]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one corpus table (``events.ts`` normalized, see
-    :func:`normalize_events`)."""
+    :func:`normalize_events`).  Cached per (session, sf_dir, table) — see
+    note above."""
+    global _TABLE_CACHE
     apply_runtime_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        df = normalize_events(df)
+    if _TABLE_CACHE is None:
+        import weakref
+
+        _TABLE_CACHE = weakref.WeakKeyDictionary()
+    cache = _TABLE_CACHE.get(spark)
+    if cache is None:
+        cache = _TABLE_CACHE[spark] = {}
+    key = (os.path.abspath(sf_dir), name)
+    df = cache.get(key)
+    if df is None:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if name == "events":
+            df = normalize_events(df)
+        cache[key] = df
     return df
 
 
