@@ -146,15 +146,39 @@ def llm_dedup_exact(spark, sf_dir):
     )
 
 
-def _minhash_sig(text_col):
-    """k=16 MinHash signature: sig[i] = min over tokens of md5(token ':' i).
-    md5-based so DuckDB reproduces it byte-for-byte (SURVEY.md §7.4.8);
-    Spark's xxhash64/MinHashLSH are deliberately avoided (not portable)."""
-    tk = tokens(text_col)
+def _minhash_of(arr):
+    """k=16 MinHash signature of an array<string> column:
+    sig[i] = min over elements of md5(elem ':' i).  md5-based so DuckDB
+    reproduces it byte-for-byte (SURVEY.md §7.4.8); Spark's
+    xxhash64/MinHashLSH are deliberately avoided (not portable)."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(15)),
         lambda i: F.array_min(
-            F.transform(tk, lambda t: F.md5(F.concat(t, F.lit(":"), i.cast("string"))))
+            F.transform(arr, lambda t: F.md5(F.concat(t, F.lit(":"), i.cast("string"))))
+        ),
+    )
+
+
+def _minhash_sig(text_col):
+    """MinHash over whitespace tokens (the unigram variant — see
+    llm_neardup_shingle for the order-sensitive shingle variant)."""
+    return _minhash_of(tokens(text_col))
+
+
+def _shingles(text_col):
+    """3-gram word shingles: tokens t1..tn -> 't_i t_i+1 t_i+2' for
+    i in 1..n-2.  F.concat (NOT concat_ws) mirrors DuckDB `||` null
+    semantics exactly; callers filter docs with < 3 tokens so no
+    out-of-bounds NULLs arise."""
+    tk = tokens(text_col)
+    return F.transform(
+        F.sequence(F.lit(1), F.size(tk) - 2),
+        lambda i: F.concat(
+            F.element_at(tk, i),
+            F.lit(" "),
+            F.element_at(tk, i + 1),
+            F.lit(" "),
+            F.element_at(tk, i + 2),
         ),
     )
 
@@ -203,9 +227,18 @@ def llm_neardup_pairs(spark, sf_dir, threshold: float = 0.95):
     """Near-duplicate pairs: MinHash -> LSH banding (4 bands x 4 rows) for
     candidate generation, then exact Jaccard >= threshold verification
     (registered/oracled at the 0.95 default).  The
-    banding self-join touches only same-bucket pairs — the O(n^2) -> O(n)
-    trick that makes near-dup feasible at corpus scale; band hashes become
-    the shuffle key so each bucket is verified locally."""
+    banding self-join touches only same-bucket pairs; band hashes become
+    the shuffle key so each bucket is verified locally.
+
+    Candidate-volume honesty (round-5 probe, SCALE.md): token-SET Jaccard
+    is word-order-insensitive, and this corpus's template generator emits
+    many same-multiset docs — the TRUE J>=0.95 answer is itself ~1.5% of
+    all pairs (190,925 at sf0.1), so candidates here track the quadratic
+    output (~30x the verified pairs), not n.  The scale guarantee this op
+    can honestly make is candidates proportional to true-duplicate density;
+    for corpora where near-dups are sparse (the web case), use
+    llm_neardup_shingle — order-sensitive 3-shingles + 8-row bands,
+    measured exactly linear (exponent 1.00) on the same data."""
     d = _docs(spark, sf_dir).select("doc_id", _minhash_sig("text").alias("sig"),
                                     F.array_distinct(tokens("text")).alias("ts"))
     bands = d.select(
@@ -243,6 +276,108 @@ def llm_neardup_pairs(spark, sf_dir, threshold: float = 0.95):
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", r4(F.col("jaccard")).alias("jaccard"))
+    )
+
+
+@register(
+    "llm_neardup_shingle",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+                  FROM documents),
+    ft AS (SELECT doc_id, tk FROM toks WHERE len(tk) >= 3),
+    sh AS (SELECT doc_id,
+                  list_transform(range(1, len(tk) - 1),
+                                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                    AS sg
+           FROM ft),
+    exp AS (SELECT doc_id, unnest(sg) AS s FROM sh),
+    h AS (SELECT doc_id, i, min(md5(s || ':' || CAST(i AS VARCHAR))) AS mh
+          FROM exp, range(16) t(i) GROUP BY doc_id, i),
+    sig AS (SELECT doc_id, list(mh ORDER BY i) AS s FROM h GROUP BY doc_id),
+    bands AS (SELECT doc_id, b,
+                     md5(s[8*b+1] || s[8*b+2] || s[8*b+3] || s[8*b+4] ||
+                         s[8*b+5] || s[8*b+6] || s[8*b+7] || s[8*b+8]) AS bkey
+              FROM sig, range(2) t(b)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey
+                                      AND a.doc_id < b.doc_id),
+    tset AS (SELECT doc_id, list_distinct(sg) AS ts, len(list_distinct(sg)) AS n
+             FROM sh)
+    SELECT c.doc_a, c.doc_b,
+           CAST(round(len(list_intersect(ta.ts, tb.ts)) * 1.0
+                      / (ta.n + tb.n - len(list_intersect(ta.ts, tb.ts))), 4)
+                AS DOUBLE) AS jaccard
+    FROM cand c
+    JOIN tset ta ON ta.doc_id = c.doc_a
+    JOIN tset tb ON tb.doc_id = c.doc_b
+    """,
+)
+def llm_neardup_shingle(spark, sf_dir):
+    """Near-duplicate candidate audit via 3-gram SHINGLE MinHash + selective
+    LSH banding (2 bands x 8 rows) — the web-scale dedup standard, and the
+    measured fix for the token-set variant's candidate explosion.
+
+    Round-5 scale probe (tools/scale_probe.py --ann-exponents, SCALE.md):
+    on this template-vocabulary corpus the background TOKEN-SET Jaccard
+    between random docs averages 0.6 (word multisets collide even when
+    texts differ), so llm_neardup_pairs' 4x4 banding (s-curve threshold
+    ~0.71) admits ~48% of ALL pairs as candidates — measured exponent 1.98,
+    i.e. quadratic, tracking its genuinely quadratic token-level true
+    answer (190,925 J>=0.95 pairs at sf0.1).  Order-sensitive 3-shingles
+    drop background Jaccard to ~0.001, and 8-row bands put the s-curve
+    threshold at (1/2)^(1/8) ~ 0.92: measured candidates are 24 -> 240
+    over the 500 -> 5000-doc step — exponent 1.00, exactly linear, with
+    the true near-dup pairs (the 8 exact duplicates) all retained.
+
+    Output is every banding candidate WITH its exact shingle Jaccard (no
+    threshold filter): the dedup-audit view a curation pipeline thresholds
+    downstream, and a non-vacuous scored result on corpora with no true
+    near-dups.  Plan: map-only shingle+signature pass, equi-join on
+    (band, band-hash) — the shuffle key — then a self-join verify on the
+    bounded candidate set; no cross join anywhere at any scale."""
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.size(tokens("text")) >= 3)
+        .select("doc_id", _shingles("text").alias("sg"))
+        .select(
+            "doc_id",
+            _minhash_of(F.col("sg")).alias("sig"),
+            F.array_distinct("sg").alias("ts"),
+        )
+    )
+    bands = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(1)),
+                lambda b: F.struct(
+                    b.alias("b"),
+                    F.md5(F.concat_ws("", F.slice("sig", b * 8 + 1, 8))).alias("bkey"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.b", "bk.bkey")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ta = d.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
+    tb = d.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
+    jac = F.size(F.array_intersect("ts_a", "ts_b")) / F.size(
+        F.array_union("ts_a", "ts_b")
+    )
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select("doc_a", "doc_b", r4(jac).alias("jaccard"))
     )
 
 

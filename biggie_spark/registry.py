@@ -97,6 +97,7 @@ ROUND4_PRIORITY = (
 ROUND5_PRIORITY = (
     "ann_simhash_codes",
     "ivf_assign",
+    "llm_neardup_shingle",
 )
 
 # Extension families a real user hits most often — float these ahead of the

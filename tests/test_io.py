@@ -81,3 +81,34 @@ def test_epoch_us_accepts_ntz(spark):
     )
     val = df.select(epoch_us("ts").alias("us")).collect()[0]["us"]
     assert val == 1_704_067_200_000_000
+
+
+def test_timezone_repinned_after_mid_session_mutation(spark, sf_dir):
+    """ADVICE r4 item 2: apply_runtime_confs is WeakSet-cached per session,
+    but the session timezone is correctness-critical (NTZ repair + epoch
+    math vs the UTC DuckDB oracle) — a mid-session mutation must be healed
+    on the next load_table, not trusted to the cache."""
+    from biggie_spark.io import load_table
+
+    load_table(spark, sf_dir, "nation")  # ensure the session is cached
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        load_table(spark, sf_dir, "nation")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_kv_put_bucketed_round_trip(spark, sf_dir):
+    """ADVICE r4 item 1: the bucketed upsert reads and overwrites the same
+    tmp path in one job — the localCheckpoint() before the dynamic-partition
+    overwrite makes that defined behavior.  Pin the full round-trip: the op
+    runs, upserts exactly one existing key and appends one new key, and its
+    own internal assertion verifies untouched buckets stay byte-identical."""
+    from biggie_spark.io import load_table
+    from biggie_spark.registry import QUERIES
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    row = QUERIES["kv_put_bucketed"](spark, sf_dir).collect()[0]
+    assert row["n"] == n_docs + 1  # one update in place + one new key
+    assert row["n_updated"] == 1

@@ -147,10 +147,118 @@ def time_queries(spark, sf_dir: str, suite: dict[str, str]) -> dict[str, float]:
     return out
 
 
+def ann_exponents(spark) -> None:
+    """VERDICT r4 item 7: measure the CANDIDATE-SET sizes (not wall-clock)
+    of the two flagship sublinear-dedup claims across the natural corpus
+    steps sf0.001 -> sf0.01 -> sf0.1:
+
+    * llm_neardup_pairs — LSH band-join candidates should grow ~linearly in
+      docs with bands fixed (exponent ~1 on a log-log step; an all-pairs
+      plan would show ~2).
+    * llm_knn_ivf — the share of the corpus a probe scans (candidates /
+      (probes x corpus)) should FALL as the corpus grows past the bucket
+      count (K=16 lists, NPROBE=4 -> asymptotic share ~ NPROBE/K = 0.25
+      on balanced lists).
+    """
+    import math
+
+    from biggie_spark.ops.ivf import NPROBE, _sq_dist, train_ivf
+    from biggie_spark.ops.llm import _minhash_sig
+    from pyspark.sql import Window
+
+    sfs = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", SRC]
+
+    print("\n| sf | docs | LSH band-join candidates | step exponent (ideal ~1) |")
+    print("|---|---|---|---|")
+    prev = None
+    for sf in sfs:
+        d = load_table(spark, sf, "documents").select(
+            "doc_id", _minhash_sig("text").alias("sig")
+        )
+        bands = d.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(3)),
+                    lambda b: F.struct(
+                        b.alias("b"),
+                        F.md5(F.concat_ws("", F.slice("sig", b * 4 + 1, 4))).alias(
+                            "bkey"
+                        ),
+                    ),
+                )
+            ).alias("bk"),
+        ).select("doc_id", "bk.b", "bk.bkey")
+        a, b = bands.alias("a"), bands.alias("b")
+        cands = (
+            a.join(
+                b,
+                (F.col("a.b") == F.col("b.b"))
+                & (F.col("a.bkey") == F.col("b.bkey"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+            .count()
+        )
+        n = d.count()
+        # sf0.001 and sf0.01 ship the SAME 500-doc table (TESTDATA.md), so
+        # the only natural step is 500 -> 5000; skip zero-growth steps.
+        if prev and prev[1] > 0 and cands > 0 and n != prev[0]:
+            exp = math.log(cands / prev[1]) / math.log(n / prev[0])
+            e = f"{exp:.2f}"
+        else:
+            e = "-"
+        print(f"| {sf.rsplit('/', 1)[-1]} | {n} | {cands} | {e} |")
+        prev = (n, cands)
+
+    print("\n| sf | docs | shingle-LSH candidates (llm_neardup_shingle) | step exponent |")
+    print("|---|---|---|---|")
+    prev = None
+    for sf in sfs:
+        n = load_table(spark, sf, "documents").count()
+        cands = QUERIES["llm_neardup_shingle"](spark, sf).count()
+        if prev and prev[1] > 0 and cands > 0 and n != prev[0]:
+            e = f"{math.log(cands / prev[1]) / math.log(n / prev[0]):.2f}"
+        else:
+            e = "-"
+        print(f"| {sf.rsplit('/', 1)[-1]} | {n} | {cands} | {e} |")
+        prev = (n, cands)
+
+    print("\n| sf | corpus | IVF candidates (10 probes) | share of probesxcorpus |")
+    print("|---|---|---|---|")
+    for sf in sfs:
+        assigned, centroids = train_ivf(spark, sf)
+        probes = assigned.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pa")
+        )
+        pc = probes.crossJoin(F.broadcast(centroids)).withColumn(
+            "d", _sq_dist(F.col("pa"), F.col("cvec"))
+        )
+        wp = Window.partitionBy("probe_id").orderBy("d", "cid")
+        probe_lists = (
+            pc.withColumn("rn", F.row_number().over(wp))
+            .filter(F.col("rn") <= NPROBE)
+            .select("probe_id", "cid")
+        )
+        n = assigned.count()
+        cands = (
+            assigned.select(F.col("vec_id").alias("neighbor_id"), "cid")
+            .join(F.broadcast(probe_lists), "cid")
+            .filter(F.col("neighbor_id") != F.col("probe_id"))
+            .count()
+        )
+        share = cands / (10 * n)
+        print(f"| {sf.rsplit('/', 1)[-1]} | {n} | {cands} | {share:.3f} |")
+
+
 def main() -> None:
     load_all_ops()
     spark = get_spark(app_name="biggie-scale-probe", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
+    if "--ann-exponents" in sys.argv:
+        ann_exponents(spark)
+        return
     if "--round4b-only" in sys.argv:
         small = time_queries(spark, SRC_SMALL, ROUND4B)
         nat = time_queries(spark, SRC, ROUND4B)
