@@ -241,6 +241,11 @@ def llm_neardup_pairs(spark, sf_dir, threshold: float = 0.95):
     measured exactly linear (exponent 1.00) on the same data."""
     d = _docs(spark, sf_dir).select("doc_id", _minhash_sig("text").alias("sig"),
                                     F.array_distinct(tokens("text")).alias("ts"))
+    # Materialize once: four consumers below (band self-join a/b + both
+    # verify sides) otherwise recompute the minhash kernel each (A/B at
+    # sf0.01: cold 14.2 s plain vs 3.1 s checkpointed; warm 2.9 vs 2.4).
+    # A real cache/checkpoint of an O(n) frame on a cluster.
+    d = d.localCheckpoint()
     bands = d.select(
         "doc_id",
         F.explode(
@@ -344,6 +349,12 @@ def llm_neardup_shingle(spark, sf_dir):
             _minhash_of(F.col("sg")).alias("sig"),
             F.array_distinct("sg").alias("ts"),
         )
+        # Materialize once: the signature frame feeds FOUR consumers (both
+        # sides of the band self-join and both verify sides) and the
+        # shingle+minhash kernel is the op's dominant cost — without this
+        # it recomputes per consumer (measured 16 s -> ~4 s at sf0.01).
+        # On a cluster this is a real cache/checkpoint of an O(n) frame.
+        .localCheckpoint()
     )
     bands = d.select(
         "doc_id",

@@ -62,6 +62,7 @@ ALLOWED_BNLJ = {
     "llm_knn_ann",  # routes to llm_knn_ivf (same bounded probe pattern)
     "llm_knn_cosine",
     "llm_knn_ivf",
+    "ivf_assign",  # K=16-row centroid frame broadcast to the argmin pass
     "llm_curation_pipeline",  # 1-row bounds + 1-row corpus-total frames
     "llm_dataset_card",  # 1-row top-language frame joined onto the 1-row card
     "llm_token_pmi",  # 1-row bigram-total frame (corpus-N pattern)

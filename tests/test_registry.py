@@ -100,3 +100,18 @@ def test_malformed_contract_warns(tmp_path, monkeypatch):
     monkeypatch.setattr(reg, "SEC2_CONTRACT", Path(bad))
     with pytest.warns(UserWarning, match="sec2_contract"):
         reg.ordered_queries()
+
+
+def test_ledgered_rows_only_ops_leave_the_window():
+    """VERDICT r4 item 3: the driver records `err: no_oracle` with NO rows
+    fallback for no-oracle ops, so once an op is ledger-`rows_only_scored`
+    it must never re-enter the bounded scoring window — each occurrence
+    burns a slot for zero driver signal."""
+    import json
+
+    from biggie_spark.registry import GREEN_LEDGER
+
+    rows_only = set(json.loads(GREEN_LEDGER.read_text())["rows_only_scored"])
+    window = list(ordered_queries())[:50]
+    stuck = [n for n in window if n in rows_only]
+    assert not stuck, f"ledgered rows-only ops burning window slots: {stuck}"

@@ -121,3 +121,22 @@ def test_phash_groups_cover_probe(spark, sf_dir):
     assert sum(r.n_docs for r in rows) == min(256, 500)
     # content groups g = doc_id % 32 produce at most 32 distinct hashes
     assert len(rows) <= 32
+
+
+def test_r4_normalizes_negative_zero(spark):
+    """Round-5 binding convention (util.r4 docstring): a negative value
+    that rounds to zero must emit +0.0, never -0.0 — the driver's value
+    hash distinguishes signed zeros and the engines disagree on the sign
+    of a rounded zero (ts_rolling_corr, r4 postmortem)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from biggie_spark.util import r4
+
+    df = spark.range(1).select(
+        r4(F.lit(-1e-9)).alias("z"), r4(F.lit(-0.12344)).alias("neg")
+    )
+    row = df.collect()[0]
+    assert row["z"] == 0.0 and math.copysign(1.0, row["z"]) > 0
+    assert row["neg"] == -0.1234

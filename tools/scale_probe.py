@@ -67,6 +67,7 @@ HEADLINE = {
 # sf0.01 → sf0.1 (iid content, linear true answer).
 CONTENT_KEYED = {
     "q_neardup_lsh": "llm_neardup_pairs",
+    "q_neardup_shingle": "llm_neardup_shingle",
     "q_dedup_semantic": "llm_dedup_semantic",
     "q_knn_ivf": "llm_knn_ivf",
     "q_segment_dedup": "llm_segment_dedup",
