@@ -393,6 +393,85 @@ def llm_neardup_shingle(spark, sf_dir):
 
 
 @register(
+    "llm_neardup_incremental",
+    oracle="WITH "
+    + _DUCK_SIG.format(flt="")
+    + """,
+    bands AS (SELECT doc_id, b, md5(sg[4*b+1] || sg[4*b+2] || sg[4*b+3] || sg[4*b+4]) AS bkey
+              FROM sig, range(4) t(b)),
+    cand AS (SELECT DISTINCT n.doc_id AS doc_new, i.doc_id AS doc_idx
+             FROM bands n JOIN bands i ON n.b = i.b AND n.bkey = i.bkey
+             WHERE n.doc_id % 10 = 0 AND i.doc_id % 10 <> 0),
+    tset AS (SELECT doc_id, list_distinct(tk) AS ts, len(list_distinct(tk)) AS n FROM toks),
+    ver AS (SELECT c.doc_new, c.doc_idx,
+                   len(list_intersect(ta.ts, tb.ts)) AS i, ta.n AS na, tb.n AS nb
+            FROM cand c
+            JOIN tset ta ON ta.doc_id = c.doc_new
+            JOIN tset tb ON tb.doc_id = c.doc_idx)
+    SELECT doc_new, doc_idx, round(i * 1.0 / (na + nb - i), 4) AS jaccard
+    FROM ver WHERE i * 1.0 / (na + nb - i) >= 0.95
+    """,
+)
+def llm_neardup_incremental(spark, sf_dir):
+    """Incremental near-dup: dedup a NEW ingest batch against the existing
+    corpus index without any corpus-vs-corpus work — the production daily-
+    ingest pattern (a 100 TB corpus is never re-deduped against itself;
+    each increment checks in against the standing LSH index).
+
+    Batch = every 10th doc (deterministic 10% increment), index = the rest.
+    The batch's band hashes BROADCAST (an increment is small by definition)
+    and the index streams through one equi-probe on (band, band-hash) —
+    cost O(index scan + batch x density), zero shuffle of the index side,
+    versus the symmetric self-join that reshuffles the whole corpus per
+    run.  In production the banded index is the persisted artifact
+    (kv_put_bucketed layout keyed by band hash) so the scan prunes to the
+    batch's buckets; here it derives from the scan to stay oracle-exact.
+    Output = (new doc, existing doc, token-Jaccard) for verified duplicate
+    hits >= 0.95 — the rows an ingest pipeline uses to drop or link
+    incoming docs."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        _minhash_sig("text").alias("sig"),
+        F.array_distinct(tokens("text")).alias("ts"),
+    ).localCheckpoint()  # feeds bands + both verify sides (one kernel pass)
+    bands = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda b: F.struct(
+                    b.alias("b"),
+                    F.md5(F.concat_ws("", F.slice("sig", b * 4 + 1, 4))).alias("bkey"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.b", "bk.bkey")
+    new_b = bands.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("doc_new"), "b", "bkey"
+    )
+    idx_b = bands.filter(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("doc_idx"), "b", "bkey"
+    )
+    cand = (
+        idx_b.join(F.broadcast(new_b), ["b", "bkey"])
+        .select("doc_new", "doc_idx")
+        .distinct()
+    )
+    ta = d.select(F.col("doc_id").alias("doc_new"), F.col("ts").alias("ts_a"))
+    tb = d.select(F.col("doc_id").alias("doc_idx"), F.col("ts").alias("ts_b"))
+    jac = F.size(F.array_intersect("ts_a", "ts_b")) / F.size(
+        F.array_union("ts_a", "ts_b")
+    )
+    return (
+        cand.join(ta, "doc_new")
+        .join(tb, "doc_idx")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.95)
+        .select("doc_new", "doc_idx", r4(F.col("jaccard")).alias("jaccard"))
+    )
+
+
+@register(
     "llm_simhash",
     oracle="""
     WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
