@@ -125,6 +125,95 @@ def ivf_assign(spark, sf_dir) -> DataFrame:
     return _assign(e, centroids).select("vec_id", F.col("cid").cast("int").alias("cid"))
 
 
+@register(
+    "ivf_search_incremental",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings),
+    idx AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+    bat AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+    c AS (SELECT vec_id AS cid, a AS cvec FROM idx WHERE vec_id < 18),
+    da AS (
+      SELECT idx.vec_id, c.cid,
+             list_aggregate(list_transform(list_zip(idx.a, c.cvec),
+                            s -> (s[1] - s[2]) * (s[1] - s[2])), 'sum') AS dist
+      FROM idx, c),
+    asg AS (SELECT vec_id, cid FROM (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY dist, cid) AS rn
+              FROM da) WHERE rn = 1),
+    pb AS (
+      SELECT bat.vec_id AS probe_id, bat.a AS pa, c.cid,
+             list_aggregate(list_transform(list_zip(bat.a, c.cvec),
+                            s -> (s[1] - s[2]) * (s[1] - s[2])), 'sum') AS dist
+      FROM bat, c),
+    pl AS (SELECT probe_id, pa, cid FROM (
+             SELECT probe_id, pa, cid,
+                    row_number() OVER (PARTITION BY probe_id
+                                       ORDER BY dist, cid) AS rn
+             FROM pb) WHERE rn <= 4),
+    cand AS (
+      SELECT pl.probe_id, pl.pa, i.vec_id AS neighbor_id, i.a AS na
+      FROM pl JOIN asg ON asg.cid = pl.cid JOIN idx i ON i.vec_id = asg.vec_id),
+    sc AS (
+      SELECT probe_id, neighbor_id,
+             list_aggregate(list_transform(list_zip(pa, na),
+                            s -> s[1] * s[2]), 'sum')
+             / (sqrt(list_aggregate(list_transform(pa, x -> x * x), 'sum'))
+                * sqrt(list_aggregate(list_transform(na, x -> x * x), 'sum')))
+               AS s
+      FROM cand),
+    top AS (SELECT probe_id, neighbor_id, s,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY s DESC, neighbor_id) AS rn
+            FROM sc)
+    SELECT probe_id, neighbor_id,
+           CAST(round(s, 4) + 0 AS DOUBLE) AS sim
+    FROM top WHERE rn <= 5
+    """,
+)
+def ivf_search_incremental(spark, sf_dir) -> DataFrame:
+    """Incremental ANN: search a NEW vector batch against the STANDING IVF
+    index — the semantic twin of llm_neardup_incremental (a 100 TB vector
+    store is never re-searched corpus-vs-corpus; each ingest batch probes
+    the existing inverted lists).
+
+    Batch = every 10th vector; index = the rest; centroids = the 16
+    lowest-id index vectors (deterministic init, no Lloyd iteration — so
+    unlike the end-to-end llm_knn_ivf this is exactly reproducible and
+    carries a FULL DuckDB oracle: same left-to-right double folds for
+    distance/dot/norm, same (dist, cid) and (sim desc, neighbor) tie
+    orders).  Plan: 16-row centroid frame broadcasts to both the index
+    assignment and the probe ranking; candidates come from an equi-join
+    on the inverted-list id with the probe side broadcast — the index is
+    scanned once and never shuffled; probe cost is O(batch x corpus/K x
+    NPROBE)."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx = e.filter(F.col("vec_id") % 10 != 0)
+    bat = e.filter(F.col("vec_id") % 10 == 0)
+    cent = idx.filter(F.col("vec_id") < 18).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    asg = _assign(idx, cent)
+    probes = bat.select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pa")
+    )
+    pc = probes.crossJoin(F.broadcast(cent)).withColumn(
+        "d", _sq_dist(F.col("pa"), F.col("cvec"))
+    )
+    wp = Window.partitionBy("probe_id").orderBy("d", "cid")
+    pl = (
+        pc.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= NPROBE)
+        .select("probe_id", "pa", "cid")
+    )
+    cands = asg.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("na"), "cid"
+    )
+    pairs = cands.join(F.broadcast(pl), "cid")
+    return topk_by_cosine(pairs, 5)
+
+
 @register("llm_knn_ivf")  # approximate + float-iterative -> rows-only check
 def llm_knn_ivf(spark, sf_dir, k: int = 5, n_probes: int = 10) -> DataFrame:
     assigned, centroids = train_ivf(spark, sf_dir)
