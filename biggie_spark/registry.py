@@ -98,6 +98,7 @@ ROUND5_PRIORITY = (
     "ann_simhash_codes",
     "ivf_assign",
     "llm_neardup_shingle",
+    "ivf_search_incremental",
 )
 
 # Extension families a real user hits most often — float these ahead of the
