@@ -45,6 +45,13 @@ def main() -> None:
                 # row (spark_rows > 0): permanently scored
                 if (r.get("spark_rows") or 0) > 0:
                     rows_only.add(name)
+    # Round-4 lesson (VERDICT r4 item 3, observed in CORRECTNESS_r04): for
+    # an op with no oracle_sql() entry the driver records `err: no_oracle`
+    # WITHOUT any rows fallback — a window slot spent on it yields zero
+    # signal, this round and every round.  So every registered no-oracle op
+    # is retired from the window unconditionally; their verification lives
+    # in the internal gates (recall floors in tests/test_ann.py etc.).
+    rows_only |= {n for n in QUERIES if n not in ORACLES}
     rows_only -= green
 
     old = json.load(open(LEDGER))
