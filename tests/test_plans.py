@@ -437,3 +437,29 @@ def test_rolling_corr_single_exchange(spark, sf_dir):
     exchange total."""
     plan = plan_of(QUERIES["ts_rolling_corr"](spark, sf_dir))
     assert plan.count(") Exchange") == 1
+
+
+def test_incremental_neardup_broadcasts_batch_probe(spark, sf_dir):
+    """The ingest batch's band hashes must BROADCAST onto the index scan —
+    the whole point of the incremental op is that the standing corpus is
+    never reshuffled per ingest (round 5)."""
+    plan = plan_of(QUERIES["llm_neardup_incremental"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_incremental_ivf_broadcasts_probe_lists(spark, sf_dir):
+    """Candidates come from an equi-join on the inverted-list id with the
+    probe side broadcast; the only nested-loop join allowed is the bounded
+    16-row centroid frame feeding assignment/ranking (round 5)."""
+    plan = plan_of(QUERIES["ivf_search_incremental"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_shingle_banding_is_equi_join(spark, sf_dir):
+    """llm_neardup_shingle's candidate join must ride the (band, band-hash)
+    equi-key — the measured-linear path must stay an equi-join (round 5)."""
+    plan = plan_of(QUERIES["llm_neardup_shingle"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
