@@ -68,6 +68,8 @@ HEADLINE = {
 CONTENT_KEYED = {
     "q_neardup_lsh": "llm_neardup_pairs",
     "q_neardup_shingle": "llm_neardup_shingle",
+    "q_neardup_incremental": "llm_neardup_incremental",
+    "q_ivf_incremental": "ivf_search_incremental",
     "q_dedup_semantic": "llm_dedup_semantic",
     "q_knn_ivf": "llm_knn_ivf",
     "q_segment_dedup": "llm_segment_dedup",
