@@ -126,6 +126,10 @@ def llm_bpe_train(spark, sf_dir):
             .agg(F.sum("freq").alias("weight"))
             .orderBy(F.col("weight").desc(), "pair")
             .limit(1)
+            # materialize the 1-row winner: without this each appended rule
+            # AND the next iteration's vocab replay the whole aggregate
+            # chain back to the scan (lineage grows per merge step)
+            .localCheckpoint()
         )
         rules.append(
             top1.select(
@@ -148,7 +152,9 @@ def llm_bpe_train(spark, sf_dir):
             )
             for _ in range(N_PASSES):
                 rep = F.replace(rep, pat, rpl)
-            words = merged_words.select(rep.alias("rep"), "freq")
+            # keep the vocab lineage one step deep (same pattern as the IVF
+            # training loop) — the vocab is |V| rows, tiny vs the corpus
+            words = merged_words.select(rep.alias("rep"), "freq").localCheckpoint()
 
     out = rules[0]
     for r in rules[1:]:
@@ -222,6 +228,7 @@ def llm_bpe_apply(spark, sf_dir):
             .agg(F.sum("freq").alias("weight"))
             .orderBy(F.col("weight").desc(), "pair")
             .limit(1)
+            .localCheckpoint()  # 1-row winner; see llm_bpe_train
         )
         merged_words = words.crossJoin(
             F.broadcast(top1.select(F.col("pair").alias("_mp")))
@@ -233,7 +240,7 @@ def llm_bpe_apply(spark, sf_dir):
         )
         for _ in range(N_PASSES):
             rep = F.replace(rep, pat, rpl)
-        words = merged_words.select("w", rep.alias("rep"), "freq")
+        words = merged_words.select("w", rep.alias("rep"), "freq").localCheckpoint()
     seg = F.trim(F.col("rep"))
     return (
         words.select(
