@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from biggie_spark.io import load_table
 from biggie_spark.registry import register
-from biggie_spark.util import r4
+from biggie_spark.util import lineage_cap, r4
 
 # Interval grid: cell width must be >= the max interval length so every
 # interval touches at most 2 cells (bounded explode factor).
@@ -161,7 +161,7 @@ def graph_bfs_distance(spark, sf_dir):
             F.col("v").alias("src"), ((F.col("v") * 3 + 7) % _BFS_N).alias("dst")
         )
     )
-    edges = edges.localCheckpoint()
+    edges = edges.transform(lineage_cap)
     reached = spark.range(1).select(
         F.lit(0).cast("long").alias("node"), F.lit(0).alias("dist")
     )
@@ -180,7 +180,7 @@ def graph_bfs_distance(spark, sf_dir):
             # Fibonacci-exploding — the frontier/label state is O(|V|),
             # which an iterative graph algorithm must persist anyway
             # (same rule as Pregel superstep state).
-            .localCheckpoint()
+            .transform(lineage_cap)
         )
         frontier = merged.join(reached.select("node"), "node", "left_anti")
         reached = merged
@@ -2201,7 +2201,7 @@ def agg_basket_rules(spark, sf_dir):
         .select(F.col("l_orderkey").alias("bid"), "item")
         .distinct()
     )
-    items = items.localCheckpoint()  # feeds supports + pairs + basket count
+    items = items.transform(lineage_cap)  # feeds supports + pairs + basket count
     n_b = items.agg(F.countDistinct("bid").alias("n"))
     supp = items.groupBy("item").agg(F.count("*").alias("c"))
     a = items.select(F.col("bid"), F.col("item").alias("ante"))

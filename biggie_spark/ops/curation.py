@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from biggie_spark.io import load_table
 from biggie_spark.registry import register
-from biggie_spark.util import r4, tokens
+from biggie_spark.util import lineage_cap, r4, tokens
 
 SEG_LEN = 3  # tokens per segment — short enough that the synthetic corpus
 # actually contains cross-document duplicate segments (~19% at sf0.001)
@@ -761,7 +761,7 @@ def llm_split_leakage(spark, sf_dir):
         F.when(bucket(F.col("digest")) < 8, "train").otherwise("test").alias("split"),
     )
     modes = by_id.unionByName(by_content)
-    modes = modes.localCheckpoint()  # feeds totals + per-digest sides
+    modes = modes.transform(lineage_cap)  # feeds totals + per-digest sides
     sides = modes.groupBy("split_mode", "digest").agg(
         F.countDistinct("split").alias("n_sides"),
         F.count("*").alias("n_copies"),

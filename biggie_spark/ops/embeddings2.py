@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from biggie_spark.io import load_table
 from biggie_spark.registry import register
-from biggie_spark.util import r4
+from biggie_spark.util import lineage_cap, r4
 
 _IN_DIM = 64
 _OUT_DIM = 8
@@ -203,7 +203,7 @@ def llm_embed_outlier(spark, sf_dir):
     dq = emb.crossJoin(F.broadcast(cent_arr)).select(
         "vec_id", F.round(d2 * 1000000, 0).cast("long").alias("d2q")
     )
-    dq = dq.localCheckpoint()  # feeds moments + final filter
+    dq = dq.transform(lineage_cap)  # feeds moments + final filter
     s = dq.agg(
         F.count("*").alias("n"),
         F.sum("d2q").cast("double").alias("s1"),

@@ -27,6 +27,7 @@ relabeling), so agreement is strong evidence of correctness.
 """
 
 from __future__ import annotations
+from biggie_spark.util import lineage_cap
 
 from pyspark.sql import functions as F
 
@@ -109,7 +110,7 @@ def graph_pagerank(spark, sf_dir):
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
+        .transform(lineage_cap)
     )
     nodes = (
         edges.select(F.col("src").alias("k"))
@@ -194,7 +195,7 @@ def llm_dedup_clusters(spark, sf_dir):
         edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .unionByName(edges.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
         .distinct()
-        .localCheckpoint()  # materialize the (expensive) LSH pipeline once
+        .transform(lineage_cap)  # materialize the (expensive) LSH pipeline once
     )
     labels = sym.select("u").distinct().withColumn("lbl", F.col("u"))
     for _ in range(_MAX_ROUNDS):
@@ -207,7 +208,7 @@ def llm_dedup_clusters(spark, sf_dir):
         )
         new_labels = labels.join(nbr_min, "u", "left").select(
             "u", F.least("lbl", F.coalesce("nbr", "lbl")).alias("lbl")
-        ).localCheckpoint()
+        ).transform(lineage_cap)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "u")
@@ -254,7 +255,7 @@ def graph_triangles(spark, sf_dir):
     e = (
         llm_neardup_pairs(spark, sf_dir, threshold=0.8)
         .select("doc_a", "doc_b")
-        .localCheckpoint()
+        .transform(lineage_cap)
     )
     tri = (
         e.alias("x")
@@ -359,7 +360,7 @@ def graph_kcore(spark, sf_dir):
         raw.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(raw.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .distinct()
-        .localCheckpoint()
+        .transform(lineage_cap)
     )
     for _ in range(_KC_ROUNDS):
         keep = (
@@ -372,7 +373,7 @@ def graph_kcore(spark, sf_dir):
             edges.join(keep.select(F.col("v").alias("src")), "src")
             .join(keep.select(F.col("v").alias("dst")), "dst")
             .select("src", "dst")
-            .localCheckpoint()
+            .transform(lineage_cap)
         )
     return edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("degree")
@@ -431,7 +432,7 @@ def graph_reciprocity(spark, sf_dir):
         .unionByName(rev)
         .distinct()
         .filter(F.col("src") != F.col("dst"))
-        .localCheckpoint()  # feeds both sides of the swap join + the count
+        .transform(lineage_cap)  # feeds both sides of the swap join + the count
     )
     b = e.select(F.col("src").alias("bsrc"), F.col("dst").alias("bdst"))
     recip = e.join(

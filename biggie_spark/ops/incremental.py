@@ -16,6 +16,7 @@ break this: round(a)+round(b) != round(a+b).  Same discipline as
 """
 
 from __future__ import annotations
+from biggie_spark.util import lineage_cap
 
 from pyspark.sql import functions as F
 
@@ -59,7 +60,7 @@ def mv_incremental_hourly(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
     mv_stored = _hourly_partial(
         ev.filter(F.expr(f"ts < {_CUTOVER}"))
-    ).localCheckpoint()
+    ).transform(lineage_cap)
     delta = _hourly_partial(ev.filter(F.expr(f"ts >= {_CUTOVER}")))
     return (
         mv_stored.unionByName(delta)
@@ -189,7 +190,7 @@ def mv_retract_refresh(spark, sf_dir):
         partial(ev, 1, cents)
         .groupBy("hour_epoch", "event_type")
         .agg(F.sum("dn").alias("n"), F.sum("dcents").alias("cents"))
-        .localCheckpoint()
+        .transform(lineage_cap)
     )
     corrected_rows = ev.filter(F.col("event_id") % 97 == 0)
     retract = partial(corrected_rows, -1, cents)

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from biggie_spark.io import load_table
 from biggie_spark.registry import register
-from biggie_spark.util import topk_by_cosine
+from biggie_spark.util import lineage_cap, topk_by_cosine
 
 K = 16
 ITERS = 3
@@ -84,7 +84,7 @@ def train_ivf(spark, sf_dir) -> tuple[DataFrame, DataFrame]:
             )
         )
         # keep the lineage shallow across iterations (model is tiny)
-        centroids = centroids.localCheckpoint()
+        centroids = centroids.transform(lineage_cap)
     return assigned, centroids
 
 

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from biggie_spark.io import load_table
 from biggie_spark.registry import register
-from biggie_spark.util import dsum, r4, revenue_sum
+from biggie_spark.util import dsum, lineage_cap, r4, revenue_sum
 
 
 @register(
@@ -440,7 +440,7 @@ def join_spatial_grid(spark, sf_dir):
     pts = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("k"), coord("x").alias("x"), coord("y").alias("y")
     )
-    pts = pts.localCheckpoint()  # feeds corpus + probe branches
+    pts = pts.transform(lineage_cap)  # feeds corpus + probe branches
     corpus = pts.select(
         F.col("k").alias("nk"),
         F.col("x").alias("qx"),

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from biggie_spark.io import load_table
 from biggie_spark.registry import register
-from biggie_spark.util import cosine, knn_exact, l2_norm_sq, r4, tokens
+from biggie_spark.util import cosine, knn_exact, l2_norm_sq, lineage_cap, r4, tokens
 
 
 def _docs(spark, sf_dir):
@@ -245,7 +245,7 @@ def llm_neardup_pairs(spark, sf_dir, threshold: float = 0.95):
     # verify sides) otherwise recompute the minhash kernel each (A/B at
     # sf0.01: cold 14.2 s plain vs 3.1 s checkpointed; warm 2.9 vs 2.4).
     # A real cache/checkpoint of an O(n) frame on a cluster.
-    d = d.localCheckpoint()
+    d = d.transform(lineage_cap)
     bands = d.select(
         "doc_id",
         F.explode(
@@ -354,7 +354,7 @@ def llm_neardup_shingle(spark, sf_dir):
         # shingle+minhash kernel is the op's dominant cost — without this
         # it recomputes per consumer (measured 16 s -> ~4 s at sf0.01).
         # On a cluster this is a real cache/checkpoint of an O(n) frame.
-        .localCheckpoint()
+        .transform(lineage_cap)
     )
     bands = d.select(
         "doc_id",
@@ -433,7 +433,7 @@ def llm_neardup_incremental(spark, sf_dir):
         "doc_id",
         _minhash_sig("text").alias("sig"),
         F.array_distinct(tokens("text")).alias("ts"),
-    ).localCheckpoint()  # feeds bands + both verify sides (one kernel pass)
+    ).transform(lineage_cap)  # feeds bands + both verify sides (one kernel pass)
     bands = d.select(
         "doc_id",
         F.explode(

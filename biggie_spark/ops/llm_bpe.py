@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from biggie_spark.io import load_table
 from biggie_spark.registry import register
-from biggie_spark.util import tokens
+from biggie_spark.util import lineage_cap, tokens
 
 N_MERGES = 3
 N_PASSES = 4  # replace passes per merge; fixpoint for words <= 32 symbols
@@ -129,7 +129,7 @@ def llm_bpe_train(spark, sf_dir):
             # materialize the 1-row winner: without this each appended rule
             # AND the next iteration's vocab replay the whole aggregate
             # chain back to the scan (lineage grows per merge step)
-            .localCheckpoint()
+            .transform(lineage_cap)
         )
         rules.append(
             top1.select(
@@ -154,7 +154,7 @@ def llm_bpe_train(spark, sf_dir):
                 rep = F.replace(rep, pat, rpl)
             # keep the vocab lineage one step deep (same pattern as the IVF
             # training loop) — the vocab is |V| rows, tiny vs the corpus
-            words = merged_words.select(rep.alias("rep"), "freq").localCheckpoint()
+            words = merged_words.select(rep.alias("rep"), "freq").transform(lineage_cap)
 
     out = rules[0]
     for r in rules[1:]:
@@ -228,7 +228,7 @@ def llm_bpe_apply(spark, sf_dir):
             .agg(F.sum("freq").alias("weight"))
             .orderBy(F.col("weight").desc(), "pair")
             .limit(1)
-            .localCheckpoint()  # 1-row winner; see llm_bpe_train
+            .transform(lineage_cap)  # 1-row winner; see llm_bpe_train
         )
         merged_words = words.crossJoin(
             F.broadcast(top1.select(F.col("pair").alias("_mp")))
@@ -240,7 +240,7 @@ def llm_bpe_apply(spark, sf_dir):
         )
         for _ in range(N_PASSES):
             rep = F.replace(rep, pat, rpl)
-        words = merged_words.select("w", rep.alias("rep"), "freq").localCheckpoint()
+        words = merged_words.select("w", rep.alias("rep"), "freq").transform(lineage_cap)
     seg = F.trim(F.col("rep"))
     return (
         words.select(

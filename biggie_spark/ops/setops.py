@@ -7,6 +7,7 @@ which — unlike dropDuplicates — is deterministic (SURVEY.md §2.G).
 """
 
 from __future__ import annotations
+from biggie_spark.util import lineage_cap
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -252,7 +253,7 @@ def dedup_sorted_neighborhood(spark, sf_dir):
     ordered = keyed.withColumn(
         "rn", F.row_number().over(Window.orderBy("sortkey", "doc_id"))
     )
-    ordered = ordered.localCheckpoint()  # rank frame feeds both join sides
+    ordered = ordered.transform(lineage_cap)  # rank frame feeds both join sides
     a = ordered.select(
         F.col("doc_id").alias("id_a"), F.col("text").alias("ta"), F.col("rn").alias("ra")
     )

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from biggie_spark.io import load_table
 from biggie_spark.registry import register
-from biggie_spark.util import r4, tokens
+from biggie_spark.util import lineage_cap, r4, tokens
 
 _CMS_D = 4  # hash rows
 _CMS_W = 512  # buckets per row
@@ -82,7 +82,7 @@ def agg_cms_topk(spark, sf_dir):
     tk = load_table(spark, sf_dir, "documents").select(
         F.explode(tokens("text")).alias("tok")
     )
-    tk = tk.localCheckpoint()  # feeds truth + counters
+    tk = tk.transform(lineage_cap)  # feeds truth + counters
     truth = tk.groupBy("tok").agg(F.count("*").alias("true_c"))
     probes = truth.orderBy(F.col("true_c").desc(), "tok").limit(20)
     rows = F.array(*[F.lit(i) for i in range(_CMS_D)])
@@ -189,7 +189,7 @@ def fn_bloom_probe(spark, sf_dir):
         .select(F.col("o_custkey").alias("k"))
         .distinct()
     )
-    members = members.localCheckpoint()  # feeds bits + truth join
+    members = members.transform(lineage_cap)  # feeds bits + truth join
     bits = (
         members.select(F.explode(seeds).alias("s"), "k")
         .select(pos(F.col("s"), F.col("k")).alias("pos"))

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from biggie_spark.io import load_table
 from biggie_spark.registry import register
-from biggie_spark.util import r4
+from biggie_spark.util import lineage_cap, r4
 
 
 def _cents(col: str = "value") -> F.Column:
@@ -162,7 +162,7 @@ def agg_chi2_independence(spark, sf_dir):
         )
         .agg(F.count("*").alias("o"))
     )
-    obs = obs.localCheckpoint()  # tiny cell frame feeds 4 branches
+    obs = obs.transform(lineage_cap)  # tiny cell frame feeds 4 branches
     rm = obs.groupBy("r").agg(F.sum("o").alias("rt"))
     cm = obs.groupBy("col").agg(F.sum("o").alias("ct"))
     tot = obs.agg(F.sum("o").alias("n"))
@@ -245,7 +245,7 @@ def agg_ks_twosample(spark, sf_dir):
         )
     )
     bins = m.groupBy("c").agg(F.sum("s1").alias("a"), F.sum("s2").alias("b"))
-    bins = bins.localCheckpoint()  # bounded-domain frame feeds ecdf + totals
+    bins = bins.transform(lineage_cap)  # bounded-domain frame feeds ecdf + totals
     tot = bins.agg(F.sum("a").alias("n1"), F.sum("b").alias("n2"))
     w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ecdf = bins.select(
@@ -329,7 +329,7 @@ def agg_mann_whitney(spark, sf_dir):
         )
     )
     bins = m.groupBy("c").agg(F.sum("s1").alias("a"), F.sum("s2").alias("b"))
-    bins = bins.localCheckpoint()
+    bins = bins.transform(lineage_cap)
     tot = bins.agg(F.sum("a").alias("n1"), F.sum("b").alias("n2"))
     w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
     pre = bins.select(
@@ -481,7 +481,7 @@ def agg_bootstrap_ci(spark, sf_dir):
         .filter(F.col("event_type") == "purchase")
         .select("event_id", _cents().alias("c"))
     )
-    e = e.localCheckpoint()  # feeds point estimate + replica fan-out
+    e = e.transform(lineage_cap)  # feeds point estimate + replica fan-out
     reps = e.select(
         "event_id",
         "c",
@@ -608,7 +608,7 @@ def agg_survival_km(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_micros("ts").alias("us")
     )
-    ev = ev.localCheckpoint()  # feeds views + purchases + horizon
+    ev = ev.transform(lineage_cap)  # feeds views + purchases + horizon
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
@@ -641,7 +641,7 @@ def agg_survival_km(spark, sf_dir):
             F.when(F.col("t_buy").isNull(), 0).otherwise(1).alias("ev"),
         )
     )
-    subj = subj.localCheckpoint()  # bounded frame feeds total + risk sets
+    subj = subj.transform(lineage_cap)  # bounded frame feeds total + risk sets
     n_total = subj.agg(F.count("*").alias("n_subj"))
     from pyspark.sql import Window
 
@@ -735,7 +735,7 @@ def agg_outlier_iqr(spark, sf_dir):
     c = load_table(spark, sf_dir, "events").select(
         "event_type", _cents().alias("cents"), "event_id"
     )
-    c = c.localCheckpoint()  # feeds quartile + flag passes
+    c = c.transform(lineage_cap)  # feeds quartile + flag passes
     w = Window.partitionBy("event_type").orderBy("cents", "event_id")
     wn = Window.partitionBy("event_type")
     r = c.select(
@@ -820,7 +820,7 @@ def agg_cuped(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.unix_micros("ts").alias("us"), _cents().alias("c")
     )
-    ev = ev.localCheckpoint()  # feeds span + per-user split
+    ev = ev.transform(lineage_cap)  # feeds span + per-user split
     span = ev.agg(F.min("us").alias("t0"), F.max("us").alias("t1"))
     u = (
         ev.crossJoin(F.broadcast(span))
@@ -975,7 +975,7 @@ def llm_winsorize(spark, sf_dir):
     c = load_table(spark, sf_dir, "events").select(
         "event_type", "event_id", _cents().alias("cents")
     )
-    c = c.localCheckpoint()  # feeds bounds + clamp passes
+    c = c.transform(lineage_cap)  # feeds bounds + clamp passes
     w = Window.partitionBy("event_type").orderBy("cents", "event_id")
     wn = Window.partitionBy("event_type")
     r = c.select(

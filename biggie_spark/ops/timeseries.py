@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from biggie_spark.io import load_table
 from biggie_spark.registry import register
-from biggie_spark.util import epoch_us, r4
+from biggie_spark.util import epoch_us, lineage_cap, r4
 
 _EPOCH0 = "1992-01-01"  # day-number origin for bin computation (pre-corpus)
 
@@ -809,7 +809,7 @@ def ts_stl_lite(spark, sf_dir):
         F.hour("h").cast("int").alias("hod"),
         (F.col("c") - F.col("trend_c")).alias("resid_c"),
     )
-    res = res.localCheckpoint()  # bounded frame feeds seasonal + variance
+    res = res.transform(lineage_cap)  # bounded frame feeds seasonal + variance
     seas = res.groupBy("event_type", "hod").agg(
         F.expr("sum(resid_c) div count(*)").alias("seasonal_c"),
         F.count("*").alias("n"),

@@ -10,6 +10,14 @@ Determinism conventions (SURVEY.md §2, binding):
 2. top-k / LIMIT outputs are tie-broken by key columns;
 3. ``events.ts`` is only emitted through date_trunc / date / epoch-seconds;
 4. no rand(), no unseeded sampling, no non-windowed first().
+
+Laziness: ``QUERIES[name](spark, sf_dir)`` normally only CONSTRUCTS a plan
+(lineage caps go through ``util.lineage_cap``, which is eager=False).  The
+exceptions run Spark jobs at construction time by necessity: write-path
+demos that materialize before their temp dir vanishes (ops/sources.py,
+ops/bucketing.py, ops/spark4.py, two analytics4 index demos), and
+self-overwrite sinks that must read before they replace their own input
+(ops/kv.py, ops/streaming.py foreachBatch demo, stash.put to its own path).
 """
 
 from __future__ import annotations
