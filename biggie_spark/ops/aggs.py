@@ -152,7 +152,7 @@ def agg_approx_distinct(spark, sf_dir):
     SELECT l_returnflag,
            round(stddev_samp(l_quantity), 4) AS sd_qty,
            round(var_samp(l_discount), 4) AS var_disc,
-           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+           round(corr(l_quantity, l_extendedprice), 4) + 0 AS corr_qty_price
     FROM lineitem GROUP BY l_returnflag
     """,
 )

@@ -296,8 +296,8 @@ def win_rolling_median(spark, sf_dir):
       FROM s)
     SELECT event_type, CAST(n AS BIGINT) AS n,
            CAST(round(mu / 100, 4) AS DOUBLE) AS mean,
-           CAST(round(m3 / pow(v, 1.5), 4) AS DOUBLE) AS skewness,
-           CAST(round(m4 / (v * v) - 3, 4) AS DOUBLE) AS excess_kurtosis
+           CAST(round(m3 / pow(v, 1.5), 4) + 0 AS DOUBLE) AS skewness,
+           CAST(round(m4 / (v * v) - 3, 4) + 0 AS DOUBLE) AS excess_kurtosis
     FROM mo
     """,
 )
@@ -835,7 +835,7 @@ def llm_dataset_card(spark, sf_dir):
              c_ab * (SELECT n FROM tot) * 1000000
                  // (a.c * b.c) AS ratio_ppm,
              round(ln(CAST(c_ab AS DOUBLE) * (SELECT n FROM tot)
-                      / (CAST(a.c AS DOUBLE) * b.c)), 4) AS pmi
+                      / (CAST(a.c AS DOUBLE) * b.c)), 4) + 0 AS pmi
       FROM pc JOIN uc_full a ON a.w = pc.w1
               JOIN uc_full b ON b.w = pc.w2
       WHERE c_ab >= 5)
@@ -1119,8 +1119,8 @@ def kv_version_travel(spark, sf_dir):
                  CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
           FROM s)
     SELECT event_type, CAST(n AS BIGINT) AS n,
-           CAST(round(cxy / cxx, 4) AS DOUBLE) AS slope_cents_per_h,
-           CAST(round((syd - (cxy / cxx) * sxd) / CAST(n AS DOUBLE), 4)
+           CAST(round(cxy / cxx, 4) + 0 AS DOUBLE) AS slope_cents_per_h,
+           CAST(round((syd - (cxy / cxx) * sxd) / CAST(n AS DOUBLE), 4) + 0
                 AS DOUBLE) AS intercept_cents,
            CAST(round(cxy * cxy / (cxx * cyy), 4) AS DOUBLE) AS r2
     FROM d
@@ -2048,7 +2048,7 @@ def win_drawdown(spark, sf_dir):
                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
                 * sqrt(CAST(n AS DOUBLE) * CAST(sypp AS DOUBLE)
                        - CAST(syp AS DOUBLE) * CAST(syp AS DOUBLE))), 4)
-             AS DOUBLE) AS acf1
+             + 0 AS DOUBLE) AS acf1
     FROM m
     """,
 )
@@ -2108,7 +2108,7 @@ def ts_autocorr(spark, sf_dir):
                  sum(lx * ly) AS sxy, sum(lx * lx) AS sxx
           FROM top)
     SELECT CAST(n AS BIGINT) AS n_ranks,
-           CAST(round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS DOUBLE)
+           CAST(round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) + 0 AS DOUBLE)
                AS zipf_slope
     FROM s
     """,

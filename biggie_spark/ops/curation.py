@@ -131,7 +131,7 @@ def llm_prefix_dup(spark, sf_dir):
     cnt AS (SELECT doc_id, ch, count(*) AS c
             FROM ch0 WHERE ch <> '' GROUP BY 1, 2)
     SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars_counted,
-           round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy_nats,
+           round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) + 0 AS entropy_nats,
            (ln(sum(c)) - sum(c * ln(c)) / sum(c)) < 2.85 AS low_entropy
     FROM cnt GROUP BY doc_id
     """,

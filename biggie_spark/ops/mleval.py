@@ -231,7 +231,7 @@ def agg_confusion_prf(spark, sf_dir):
              / (CAST(n AS DOUBLE) * n
                 - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
                    + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))),
-             4) AS DOUBLE) AS kappa
+             4) + 0 AS DOUBLE) AS kappa
     FROM cm
     """,
 )

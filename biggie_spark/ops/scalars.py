@@ -147,13 +147,13 @@ def fn_math(spark, sf_dir):
     SELECT vec_id,
            len(a) AS n,
            {sql_arr_str("list_transform(a[1:8], x -> round(x, 4))", "%.4f")} AS first8,
-           round(CAST(list_aggregate(a, 'sum') AS DOUBLE), 4) AS s_sum,
-           round(CAST(list_aggregate(a, 'max') AS DOUBLE), 4) AS mx,
-           round(CAST(list_aggregate(a, 'min') AS DOUBLE), 4) AS mn,
+           round(CAST(list_aggregate(a, 'sum') AS DOUBLE), 4) + 0 AS s_sum,
+           round(CAST(list_aggregate(a, 'max') AS DOUBLE), 4) + 0 AS mx,
+           round(CAST(list_aggregate(a, 'min') AS DOUBLE), 4) + 0 AS mn,
            {sql_arr_str("list_sort(list_transform(a[1:8], x -> round(x, 4)))", "%.4f")} AS sorted8,
            {sql_arr_str("list_transform(flatten([a[1:2], a[3:4]]), x -> round(x, 4))", "%.4f")} AS flat4,
            {sql_arr_str("list_sort(list_distinct(list_transform(a[1:8], x -> round(x, 2))))", "%.4f")} AS dist8,
-           round(CAST(list_aggregate(list_transform(a, x -> x * 2), 'sum') AS DOUBLE), 4) AS zsum,
+           round(CAST(list_aggregate(list_transform(a, x -> x * 2), 'sum') AS DOUBLE), 4) + 0 AS zsum,
            list_contains(list_transform(a[1:8], x -> round(x, 4)), round(a[1], 4)) AS has_first
     FROM e
     """,
@@ -262,7 +262,7 @@ def fn_json(spark, sf_dir):
     oracle="""
     SELECT coalesce(nullif(event_type, 'error'), 'none') AS filled,
            count(*) AS n,
-           round(sum(CASE WHEN value > 300 THEN -1.0 ELSE value END), 4) AS sum_val,
+           round(sum(CASE WHEN value > 300 THEN -1.0 ELSE value END), 4) + 0 AS sum_val,
            CAST(sum(CASE WHEN nullif(event_type, 'error') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_was_null
     FROM events GROUP BY 1
     """,

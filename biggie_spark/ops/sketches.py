@@ -276,7 +276,7 @@ _HLL_ALPHA = 0.709  # alpha_64 (classic HLL constant for m = 64)
               FROM orders GROUP BY grp)
     SELECT t.grp, CAST(t.nd AS BIGINT) AS true_nd,
            CAST(round(c.e, 4) AS DOUBLE) AS hll_est,
-           CAST(round((c.e - t.nd) * 10000 / t.nd, 4) AS DOUBLE) AS err_bp
+           CAST(round((c.e - t.nd) * 10000 / t.nd, 4) + 0 AS DOUBLE) AS err_bp
     FROM truth t JOIN corrected c ON c.grp = t.grp
     """,
 )

@@ -54,7 +54,7 @@ def _cents(col: str = "value") -> F.Column:
     SELECT a.event_type AS type_a, b.event_type AS type_b,
            a.n AS n_a, b.n AS n_b,
            CAST(round((a.mu - b.mu)
-                / sqrt(a.var / a.n + b.var / b.n), 4) AS DOUBLE) AS t_stat,
+                / sqrt(a.var / a.n + b.var / b.n), 4) + 0 AS DOUBLE) AS t_stat,
            CAST(round(pow(a.var / a.n + b.var / b.n, 2)
                 / (pow(a.var / a.n, 2) / (a.n - 1)
                    + pow(b.var / b.n, 2) / (b.n - 1)), 4) AS DOUBLE) AS dof
@@ -302,7 +302,7 @@ def agg_ks_twosample(spark, sf_dir):
                     * ((tot.n1 + tot.n2 + 1)
                        - CAST(ranks.tie_term AS DOUBLE)
                          / ((tot.n1 + tot.n2) * (tot.n1 + tot.n2 - 1)))),
-             4) AS DOUBLE) AS z
+             4) + 0 AS DOUBLE) AS z
     FROM ranks CROSS JOIN tot
     """,
 )
@@ -793,7 +793,7 @@ def agg_outlier_iqr(spark, sf_dir):
                / ((sxx - sx * sx / n) * (syy - sy * sy / n)) AS rho2
       FROM s)
     SELECT n,
-           CAST(round(theta, 4) AS DOUBLE) AS theta,
+           CAST(round(theta, 4) + 0 AS DOUBLE) AS theta,
            CAST(round(var_post / 10000, 4) AS DOUBLE) AS var_post_dollars2,
            CAST(round(var_post * (1 - rho2) / 10000, 4) AS DOUBLE)
              AS var_cuped_dollars2,

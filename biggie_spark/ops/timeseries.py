@@ -767,7 +767,7 @@ def ts_rfm_segments(spark, sf_dir):
     SELECT s.event_type, s.hod,
            CAST(s.seasonal_c AS BIGINT) AS seasonal_cents,
            CAST(s.n AS BIGINT) AS n_hours,
-           CAST(round((1 - v.ss_rem / v.ss_resid) * 10000, 4) AS DOUBLE)
+           CAST(round((1 - v.ss_rem / v.ss_resid) * 10000, 4) + 0 AS DOUBLE)
              AS seasonal_strength_bp
     FROM seas s JOIN varr v ON v.event_type = s.event_type
     """,

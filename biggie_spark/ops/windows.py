@@ -49,7 +49,7 @@ def win_ranking(spark, sf_dir):
     SELECT o_orderkey, o_custkey,
            round(lag(o_totalprice)  OVER w, 4) AS prev_price,
            round(lead(o_totalprice) OVER w, 4) AS next_price,
-           round(o_totalprice - coalesce(lag(o_totalprice) OVER w, 0.0), 4) AS delta
+           round(o_totalprice - coalesce(lag(o_totalprice) OVER w, 0.0), 4) + 0 AS delta
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,

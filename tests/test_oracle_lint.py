@@ -9,9 +9,20 @@ failures before they shipped.
 
 from __future__ import annotations
 
-from tools.oracle_lint import audit
+from tools.oracle_lint import audit, audit_negzero
 
 
 def test_all_oracles_pandas_safe(sf_dir):
     offenders = audit(sf_dir)
     assert not offenders, f"pandas-unsafe oracle output types: {offenders}"
+
+
+def test_no_unnormalized_signable_rounds():
+    """Signed-zero rule (round-5 advice): every oracle round() over a
+    signable expression must append `+ 0`, because the engine side
+    normalizes -0.0 -> +0.0 through util.r4 and the driver's value hash
+    distinguishes the signs.  New oracles either normalize or — after an
+    audit that the expression cannot round to a signed zero on ANY data —
+    join tools.oracle_lint.NEGZERO_ALLOW with a reason comment."""
+    offenders = audit_negzero()
+    assert not offenders, f"un-normalized signable round() sites: {offenders}"

@@ -26,6 +26,102 @@ BAD_TOKENS = ("HUGEINT", "INT128", "UHUGEINT", "[]", "LIST", "STRUCT(", "MAP(")
 
 SF_DIR = os.environ.get("BIGGIE_TEST_SF", "/root/testdata/sf0.001")
 
+# ---------------------------------------------------------------------------
+# Signed-zero rule (round-5 advice): the engine normalizes every rounded
+# float through util.r4 (`+ 0.0`), so an oracle `round(expr, n)` whose expr
+# can be negative-near-zero MUST append `+ 0` or the driver's value hash
+# splits on -0.0 vs +0.0 (round-4 postmortem, ts_rolling_corr).  We flag
+# round() sites without a `+ 0` suffix whose inner expression matches a
+# signable pattern.  Ops audited as structurally non-negative (money sums,
+# counts, quantile/percentile of non-negative columns, distances, norms)
+# are allowlisted — extend the list ONLY after checking the expression
+# cannot round to a signed zero on ANY data.
+import re
+
+_SIGNABLE = re.compile(
+    r"(corr\(|covar|slope|regr|\bsin\(|\bcos\(|\btan\(|atan|skew|kurt|"
+    r"entropy|zscore|\bz\b|acf|pmi|theta|delta|drawdown|cusum|"
+    r"- 3\b|\bln\(.*-|-.*\bln\(|\) - |\b- sum| - s\.| - t\.)",
+    re.I,
+)
+
+# Audited non-negative / already-matching sites (see docstrings at each op).
+NEGZERO_ALLOW = {
+    # integer-cents quantization: round(x, 0) cast to BIGINT — no signed
+    # zero in integers, pattern `* 100, 0` / `* 10000, 0` / `* 1000000, 0`
+    # is stripped structurally below, not listed here.
+    "agg_benford_digits",  # log10(1 + 1/d) > 0
+    "agg_chi2_independence",  # sum of squares / e >= 0
+    "agg_hll_portable",  # err_bp normalized; hll_est > 0
+    "llm_tf_idf",  # ln((n+1)/(df+1)) >= 0 since df <= n
+    "llm_minhash_calibration",  # avg(abs(..)) >= 0
+    "llm_embed_outlier",  # z filtered > 2.0; dist2 >= 0
+    "ts_resample_interp",  # interpolation of positive event values
+    "llm_neardup_pairs",  # jaccard in [0, 1]
+    "llm_neardup_shingle",  # jaccard in [0, 1]
+    "llm_neardup_incremental",  # jaccard in [0, 1]
+    "llm_neardup_ngram",  # jaccard in [0, 1]
+    "llm_entropy_filter",  # normalized (+ 0 appended)
+    "agg_cuped",  # var_* and rho2 >= 0; theta normalized
+    "agg_ttest_welch",  # dof > 0; t_stat normalized
+    "agg_mann_whitney",  # z normalized; counts non-negative
+    "ts_stl_lite",  # strength normalized
+    "agg_ols_fit",  # slope/intercept normalized; r2 >= 0
+    "llm_token_zipf",  # slope normalized
+    "ts_autocorr",  # acf1 normalized
+    "agg_moments",  # skew/kurt normalized; mean of positive values
+    "win_lag_lead",  # delta normalized; prices > 0
+    "fn_math",  # abs() >= 0
+    "fn_null",  # sum_val normalized
+    "fn_array",  # scalar aggs normalized; array cells printf '+ 0.0'
+    "agg_cohens_kappa",  # kappa normalized
+    "agg_stats",  # corr normalized; stddev/var >= 0
+    "llm_token_pmi",  # pmi normalized
+    "agg_groupby",  # revenue/qty sums of positive values
+    "llm_token_bpeish",  # avg of list lengths >= 0
+    "udf_python_scalar",  # vowel-count ratio in [0, 1]
+}
+
+# integer-quantization rounds: round(x * 10^k, 0) immediately cast to an
+# integer type — signed zero cannot survive the cast.
+_INT_QUANT = re.compile(r"^\s*.*,\s*0\s*$")
+
+
+def _round_sites(sql: str):
+    """Yield (inner_expr, suffix_after_close) for each round( in sql."""
+    for m in re.finditer(r"\bround\s*\(", sql, re.I):
+        depth, i = 0, m.end() - 1
+        while i < len(sql):
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        yield sql[m.end() : i], sql[i + 1 : i + 12]
+
+
+def audit_negzero() -> dict[str, list[str]]:
+    """Return {op: [offending round() inner expressions]} for oracles with
+    a signable un-normalized round site."""
+    load_all_ops()
+    out: dict[str, list[str]] = {}
+    for name, sql in ORACLES.items():
+        if name in NEGZERO_ALLOW:
+            continue
+        hits = []
+        for inner, after in _round_sites(sql):
+            if re.match(r"\s*\+\s*0", after):
+                continue  # normalized
+            if _INT_QUANT.match(inner) and "BIGINT" in sql:
+                continue  # integer quantization
+            if _SIGNABLE.search(inner):
+                hits.append(inner[:80])
+        if hits:
+            out[name] = hits
+    return out
+
 
 def audit(sf_dir: str = SF_DIR) -> dict[str, list[tuple[str, str]]]:
     """Return {op_name: [(col, bad_type), ...]} for every oracle whose
@@ -58,10 +154,13 @@ def audit(sf_dir: str = SF_DIR) -> dict[str, list[tuple[str, str]]]:
 
 if __name__ == "__main__":
     offenders = audit()
-    if not offenders:
-        print("OK: all oracle output types are pandas-canonicalizer-safe")
+    nz = audit_negzero()
+    if not offenders and not nz:
+        print("OK: oracle types canonicalizer-safe; no signed-zero risks")
         sys.exit(0)
     for name, hits in sorted(offenders.items()):
         print(f"{name}: {hits}")
-    print(f"\n{len(offenders)} offending oracles")
+    for name, hits in sorted(nz.items()):
+        print(f"NEGZERO {name}: {hits}")
+    print(f"\n{len(offenders)} type + {len(nz)} signed-zero offenders")
     sys.exit(1)

@@ -5,9 +5,11 @@ ledger makes ordered_queries() waste its bounded scoring window re-scoring
 already-green ops while never-scored extensions stay unscored forever).
 
 * ``green``            — ops with a hash-green row in ANY round.
-* ``rows_only_scored`` — ops that have a driver row but CANNOT ever be
-  hash-green (no oracle by design: sketches, RNG sampling, ANN); their
-  rows-only check passed, so re-scoring them is pure window waste.
+* ``rows_only_scored`` — no-oracle-by-design ops (sketches, RNG sampling,
+  ANN), retired from the window UNCONDITIONALLY — driver row or not: the
+  driver records ``err: no_oracle`` with no rows fallback for these, so a
+  window slot spent on one yields zero signal this round and every round
+  (round-5 advice: this retirement is by design, not an oversight).
 
 An op with an oracle whose row failed (rows/schema/hash mismatch) stays
 OUT of both lists so it re-enters the window after a fix.
