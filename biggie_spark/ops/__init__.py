@@ -36,3 +36,8 @@ from biggie_spark.ops import sketches  # noqa: F401
 from biggie_spark.ops import sql_surface  # noqa: F401
 from biggie_spark.ops import embeddings2  # noqa: F401
 from biggie_spark.ops import mleval  # noqa: F401
+
+# round-6 additions import LAST: within an ordered_queries() tier the window
+# order is registration order, so late registration keeps the not-yet-scored
+# extension backlog (r5 verdict item 1) ahead of anything new.
+from biggie_spark.ops import dedup_index  # noqa: E402,F401
