@@ -255,12 +255,147 @@ def ann_exponents(spark) -> None:
         print(f"| {sf.rsplit('/', 1)[-1]} | {n} | {cands} | {share:.3f} |")
 
 
+def incremental_exponents(spark) -> None:
+    """VERDICT r5 item 6: the incremental ops claim cost O(|batch|) at a
+    FIXED standing index.  Prove it with the candidate-count log-ratio
+    method (same as ann_exponents): hold the index side constant, step the
+    batch 5x, and report exponent = log(c2/c1)/log(5) — ~1.0 means the
+    probe work grows linearly in the batch and is independent of corpus
+    re-scans; ~2 would mean the op secretly re-joins the corpus with
+    itself.  Also measures llm_neardup_index_persisted's directory
+    pruning: batch-touched partitions / total partitions on disk."""
+    import math
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from biggie_spark.ops.ivf import NPROBE, _assign, _sq_dist
+    from biggie_spark.ops.llm import _minhash_sig
+
+    sf = SRC  # 5000 docs / 2000 vectors
+
+    # ---- llm_neardup_incremental: fixed 4500-doc index, 100 vs 500 batch
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", _minhash_sig("text").alias("sig")
+    )
+    bands = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda b: F.struct(
+                    b.alias("b"),
+                    F.md5(F.concat_ws("", F.slice("sig", b * 4 + 1, 4))).alias("bkey"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.b", "bk.bkey")
+    idx_b = bands.filter(F.col("doc_id") % 10 != 0)
+    print("\n| op | index size | batch | candidates | exponent in |batch| (ideal ~1) |")
+    print("|---|---|---|---|---|")
+    prev = None
+    n_idx = idx_b.select("doc_id").distinct().count()
+    for cap in (1000, 5000):
+        new_b = bands.filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") < cap))
+        nb = new_b.select("doc_id").distinct().count()
+        c = (
+            idx_b.join(F.broadcast(new_b.select("b", "bkey", F.col("doc_id").alias("doc_new"))), ["b", "bkey"])
+            .select("doc_new", "doc_id")
+            .distinct()
+            .count()
+        )
+        e = (
+            f"{math.log(c / prev[1]) / math.log(nb / prev[0]):.2f}"
+            if prev and prev[1] > 0
+            else "-"
+        )
+        print(f"| llm_neardup_incremental | {n_idx} | {nb} | {c} | {e} |")
+        prev = (nb, c)
+
+    # ---- ivf_search_incremental: fixed 1800-vector index, 40 vs 200 batch
+    ev = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    idx = ev.filter(F.col("vec_id") % 10 != 0)
+    cent = idx.filter(F.col("vec_id") < 18).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    asg = _assign(idx, cent).select(F.col("vec_id").alias("neighbor_id"), "cid")
+    n_idx = idx.count()
+    prev = None
+    for cap in (400, 2000):
+        probes = ev.filter((F.col("vec_id") % 10 == 0) & (F.col("vec_id") < cap)).select(
+            F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pa")
+        )
+        pc = probes.crossJoin(F.broadcast(cent)).withColumn(
+            "d", _sq_dist(F.col("pa"), F.col("cvec"))
+        )
+        wp = Window.partitionBy("probe_id").orderBy("d", "cid")
+        pl = (
+            pc.withColumn("rn", F.row_number().over(wp))
+            .filter(F.col("rn") <= NPROBE)
+            .select("probe_id", "cid")
+        )
+        nb = probes.count()
+        c = asg.join(F.broadcast(pl), "cid").count()
+        e = (
+            f"{math.log(c / prev[1]) / math.log(nb / prev[0]):.2f}"
+            if prev and prev[1] > 0
+            else "-"
+        )
+        print(f"| ivf_search_incremental | {n_idx} | {nb} | {c} | {e} |")
+        prev = (nb, c)
+
+    # ---- llm_neardup_index_persisted: directory pruning measured
+    print("\n| sf | batch docs | dirs touched | dirs total | pruned |")
+    print("|---|---|---|---|---|")
+    for sfd in ("/root/testdata/sf0.01", SRC):
+        dd = load_table(spark, sfd, "documents").select(
+            "doc_id", _minhash_sig("text").alias("sig")
+        )
+        bb = dd.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(3)),
+                    lambda b: F.struct(
+                        b.alias("b"),
+                        F.md5(F.concat_ws("", F.slice("sig", b * 4 + 1, 4))).alias(
+                            "bkey"
+                        ),
+                    ),
+                )
+            ).alias("bk"),
+        ).select("doc_id", "bk.b", "bk.bkey")
+        base = tempfile.mkdtemp(prefix="biggie_prune_probe_")
+        try:
+            (
+                bb.filter(F.col("doc_id") % 25 != 0)
+                .withColumn("bp", F.substring("bkey", 1, 2))
+                .write.mode("overwrite")
+                .partitionBy("bp")
+                .parquet(base)
+            )
+            batch = bb.filter(F.col("doc_id") % 25 == 0)
+            nb = batch.select("doc_id").distinct().count()
+            bps = batch.select(F.substring("bkey", 1, 2).alias("bp")).distinct().count()
+            n_dirs = sum(1 for x in os.listdir(base) if x.startswith("bp="))
+            print(
+                f"| {sfd.rsplit('/', 1)[-1]} | {nb} | {bps} | {n_dirs} "
+                f"| {1 - bps / n_dirs:.0%} |"
+            )
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     load_all_ops()
     spark = get_spark(app_name="biggie-scale-probe", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
     if "--ann-exponents" in sys.argv:
         ann_exponents(spark)
+        return
+    if "--incremental" in sys.argv:
+        incremental_exponents(spark)
         return
     if "--round4b-only" in sys.argv:
         small = time_queries(spark, SRC_SMALL, ROUND4B)
