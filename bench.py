@@ -35,6 +35,23 @@ HEADLINE = {
     "q_dedup_minhash_proxy": "llm_dedup_exact",
 }
 
+# Per-query wall-clock caps from BASELINE.md (engine target <= 2x the
+# raw-PySpark row, sf0.1 warm).  `bench.py --assert-budget` exits nonzero
+# if any query exceeds its cap — wired into the round exit checklist
+# (README) so an r4-style warm-path regression can't ship silently.
+BUDGET_SEC = {
+    "q_pricing_summary": 1.74,
+    "q_join_agg": 4.26,
+    "q_topk": 1.60,
+    "q_window": 0.93,
+    "q_events_hourly": 0.65,
+    "q_text_tokens": 0.40,
+    "q_knn_self": 1.67,
+    "q_json_extract": 0.84,
+    "q_dedup_minhash_proxy": 0.33,
+}
+BUDGET_TOTAL_SEC = 12.42
+
 # Import ONLY the modules that register the nine headline ops (VERDICT r4
 # item 4: the full 360-op load_all_ops() import measurably bleeds into warm
 # query timings via Python-object/GC pressure — ~0.5 s across the suite).
@@ -93,6 +110,28 @@ def main() -> None:
             }
         )
     )
+
+    if "--assert-budget" in sys.argv:
+        # Caps are sf0.1-specific (BASELINE.md was measured there).
+        if sf != 0.1:
+            print(f"assert-budget: caps are sf0.1; got sf={sf}", file=sys.stderr)
+            sys.exit(2)
+        over = {
+            q: (t, BUDGET_SEC[q])
+            for q, t in timings.items()
+            if t > BUDGET_SEC[q]
+        }
+        total = sum(timings.values())
+        if total > BUDGET_TOTAL_SEC:
+            over["TOTAL"] = (round(total, 3), BUDGET_TOTAL_SEC)
+        if over:
+            print(f"BUDGET EXCEEDED: {over}", file=sys.stderr)
+            sys.exit(1)
+        print(
+            f"assert-budget: all 9 queries + total within BASELINE.md caps "
+            f"({round(total, 3)}s <= {BUDGET_TOTAL_SEC}s)",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":
