@@ -64,6 +64,7 @@ ALLOWED_BNLJ = {
     "llm_knn_ivf",
     "ivf_assign",  # K=16-row centroid frame broadcast to the argmin pass
     "ivf_search_incremental",  # same 16-row centroid broadcast, both passes
+    "ivf_index_persisted",  # 16-row centroid broadcast + 1-row probe vector
     "llm_curation_pipeline",  # 1-row bounds + 1-row corpus-total frames
     "llm_dataset_card",  # 1-row top-language frame joined onto the 1-row card
     "llm_token_pmi",  # 1-row bigram-total frame (corpus-N pattern)
