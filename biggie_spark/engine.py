@@ -142,9 +142,20 @@ class Engine:
 
         return llm_pipeline_e2e(self.spark, self.sf_dir)
 
+    def neardup(self, strategy: str = "auto") -> DataFrame:
+        """Near-duplicate detection — the default ('auto') is the
+        scale-safe shingle strategy (candidate volume measured linear in
+        corpus size, SCALE.md round-5/6); pass strategy='token' for
+        word-order-insensitive token-set semantics (candidate volume
+        tracks true-duplicate density — quadratic on dup-dense corpora)."""
+        from biggie_spark.ops.dedup_index import llm_neardup
+
+        return llm_neardup(self.spark, self.sf_dir, strategy=strategy)
+
     def dedup_candidates(self, threshold: float = 0.95) -> DataFrame:
         """MinHash/LSH near-duplicate pairs over documents at the given
-        Jaccard threshold."""
+        Jaccard threshold (token-set semantics; see `neardup()` for the
+        default scale-safe entry point)."""
         from biggie_spark.ops.llm import llm_neardup_pairs
 
         return llm_neardup_pairs(self.spark, self.sf_dir, threshold=threshold)

@@ -55,6 +55,7 @@ def test_engine_facade_analytics_surface(spark, sf_dir):
         "vwap",
         "gaps",
         "pattern_match",
+        "neardup",
         "segment_dedup",
         "prefix_clusters",
         "entropy_filter",
