@@ -92,6 +92,14 @@ class Engine:
 
         return llm_knn_ann(self.spark, self.sf_dir, k=k, n_probes=n_probes)
 
+    def knn_quantized(self) -> DataFrame:
+        """Two-stage similarity search: SQ8 integer coarse scan + exact
+        cosine rerank — deterministic approximation with a full oracle
+        (see llm_knn_quantized_rerank)."""
+        from biggie_spark.ops.dedup_index import llm_knn_quantized_rerank
+
+        return llm_knn_quantized_rerank(self.spark, self.sf_dir)
+
     def sample(self, pct: int = 10) -> DataFrame:
         """Deterministic content-hash sampling (the blessed sampling path,
         `fn_sample_hash` semantics): stable across engines, reruns and

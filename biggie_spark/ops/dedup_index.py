@@ -311,3 +311,141 @@ def ivf_index_persisted(spark, sf_dir):
         return topk_by_cosine(pairs, 5).localCheckpoint()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "llm_knn_quantized_rerank",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings),
+    dims AS (SELECT unnest(range(1, 65)) AS d),
+    stats AS (
+      SELECT list(lo ORDER BY d) AS lo, list(hi ORDER BY d) AS hi FROM (
+        SELECT d, min(a[d]) AS lo, max(a[d]) AS hi FROM e, dims GROUP BY d)),
+    codes AS (
+      SELECT vec_id, a,
+             list_transform(range(1, 65),
+                k -> CAST(round((a[k] - s.lo[k]) * 255.0
+                                / (s.hi[k] - s.lo[k]), 0) AS BIGINT)) AS c
+      FROM e CROSS JOIN stats s),
+    probes AS (SELECT vec_id AS probe_id, a AS pa, c AS pc
+               FROM codes WHERE vec_id < 10),
+    coarse AS (
+      SELECT p.probe_id, p.pa, n.vec_id AS neighbor_id, n.a AS na,
+             list_aggregate(list_transform(range(1, 65),
+                            k -> p.pc[k] * n.c[k]), 'sum') AS idot
+      FROM codes n CROSS JOIN probes p
+      WHERE n.vec_id <> p.probe_id),
+    top20 AS (
+      SELECT probe_id, pa, neighbor_id, na FROM (
+        SELECT probe_id, pa, neighbor_id, na,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY idot DESC, neighbor_id) AS rn
+        FROM coarse) WHERE rn <= 20),
+    sc AS (
+      SELECT probe_id, neighbor_id,
+             list_aggregate(list_transform(list_zip(pa, na),
+                            s -> s[1] * s[2]), 'sum')
+             / (sqrt(list_aggregate(list_transform(pa, x -> x * x), 'sum'))
+                * sqrt(list_aggregate(list_transform(na, x -> x * x), 'sum')))
+               AS s
+      FROM top20),
+    top AS (SELECT probe_id, neighbor_id, s,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY s DESC, neighbor_id) AS rn
+            FROM sc)
+    SELECT probe_id, neighbor_id,
+           CAST(round(s, 4) + 0 AS DOUBLE) AS sim
+    FROM top WHERE rn <= 5
+    """,
+)
+def llm_knn_quantized_rerank(spark, sf_dir):
+    """Two-stage similarity search — SQ8-quantized coarse scan + exact
+    rerank, the standard production pattern for ANN over a corpus whose
+    float vectors don't fit the scan budget (FAISS's SQ8/rerank shape,
+    re-expressed as pure DataFrame ops):
+
+    1. calibrate per-dimension (lo, hi) over the corpus — one 64-value
+       pass collapsed to a 1-row frame (broadcast, scalar-bounded);
+    2. code every vector to uint8: round(255·(x−lo)/(hi−lo)) — exact
+       integers, same affine convention as `llm_embed_quantize`;
+    3. COARSE: integer dot product probe-codes × corpus-codes (BIGINT —
+       exact, order-independent, 4× less bandwidth than float32 and
+       whole-stage-codegen friendly), top-20 per probe tie-broken by
+       neighbor_id;
+    4. RERANK: exact double-fold cosine on the float vectors of the 20
+       survivors only, top-5.
+
+    Because the quantizer, the integer coarse order, and the rerank fold
+    are all deterministic, the WHOLE two-stage pipeline carries a full
+    DuckDB oracle — unlike recall-gated ANN, this is exact-reproducible
+    approximation: same candidates, same ranks, every engine, every run.
+
+    Scale shape: the only corpus-wide stages are the 64-row calibration
+    aggregate and the coded scan against the 10-probe broadcast (the
+    bounded-probe pattern of `llm_knn_cosine`); rerank touches
+    20·|probes| float vectors via the per-probe candidate list — the
+    float corpus is never scanned.  At 100 TB the coded scan is the 4×
+    cheaper replacement for the float scan, and composes with the IVF
+    directory layout (`ivf_index_persisted`) for sub-linear reads."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dims = e.select(F.posexplode("embedding").alias("d", "x")).select(
+        "d", F.col("x").cast("double").alias("x")
+    )
+    stats = (
+        dims.groupBy("d")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "lo"))), lambda s: s["lo"]
+            ).alias("lo"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "hi"))), lambda s: s["hi"]
+            ).alias("hi"),
+        )
+    )
+    idx1 = F.sequence(F.lit(1), F.lit(64))
+    codes = e.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        F.col("embedding").alias("a"),
+        F.transform(
+            idx1,
+            lambda k: F.round(
+                (F.element_at("embedding", k).cast("double") - F.element_at("lo", k))
+                * 255.0
+                / (F.element_at("hi", k) - F.element_at("lo", k)),
+                0,
+            ).cast("long"),
+        ).alias("c"),
+    )
+    probes = codes.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("a").alias("pa"),
+        F.col("c").alias("pc"),
+    )
+    idot = F.aggregate(
+        F.zip_with("pc", "c", lambda x, y: x * y), F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    coarse = (
+        codes.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "pa",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("a").alias("na"),
+            idot.alias("idot"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w20 = Window.partitionBy("probe_id").orderBy(F.col("idot").desc(), "neighbor_id")
+    top20 = (
+        coarse.withColumn("rn", F.row_number().over(w20))
+        .filter(F.col("rn") <= 20)
+        .select("probe_id", "pa", "neighbor_id", "na")
+    )
+    from biggie_spark.util import topk_by_cosine
+
+    return topk_by_cosine(top20, 5)

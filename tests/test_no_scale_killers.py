@@ -61,6 +61,7 @@ ALLOWED_BNLJ = {
     "llm_embed_norm",
     "llm_knn_ann",  # routes to llm_knn_ivf (same bounded probe pattern)
     "llm_knn_cosine",
+    "llm_knn_quantized_rerank",  # 1-row calibration frame + 10-probe broadcast
     "llm_knn_ivf",
     "ivf_assign",  # K=16-row centroid frame broadcast to the argmin pass
     "ivf_search_incremental",  # same 16-row centroid broadcast, both passes
