@@ -388,7 +388,7 @@ def diag_profile_table(spark, sf_dir):
              1, 12)) AS BIGINT) AS h
       FROM orders)
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(h) AS BIGINT) AS checksum,
+           CAST(sum(h) AS VARCHAR) AS checksum,
            CAST(min(h) AS BIGINT) AS h_min,
            CAST(max(h) AS BIGINT) AS h_max
     FROM rh
@@ -405,9 +405,15 @@ def fn_table_checksum(spark, sf_dir):
 
     This is exactly how cross-engine backfills and replication checks
     are validated at 100 TB: one map-side hash per row, one associative
-    aggregate, no sort, no collect.  48-bit (not 63) hash slices keep
-    the BIGINT sum overflow-free to ~3e13 rows; past that the sum
-    upgrades to DECIMAL(38,0) -- the same switch point dsum documents."""
+    aggregate, no sort, no collect.  The sum accumulates in
+    DECIMAL(38,0) and is emitted as a STRING: a 48-bit hash sum blows
+    through BIGINT at just ~2^15 rows (caught live by the round-6 sf0.1
+    sweep -- ANSI mode raised ARITHMETIC_OVERFLOW at 150 k orders; an
+    earlier draft of this docstring got that bound wrong by nine orders
+    of magnitude), while DECIMAL(38,0) holds to ~3.6e23 rows; the string
+    rendering is digits-exact in both engines (DuckDB HUGEINT and Spark
+    DECIMAL both print plain integers), dodging the HUGEINT->float64
+    mangle in the driver's pandas canonicalizer."""
     row_h = (
         F.conv(
             F.substring(
@@ -436,7 +442,7 @@ def fn_table_checksum(spark, sf_dir):
         .select(row_h)
         .agg(
             F.count("*").alias("n_rows"),
-            F.sum("h").alias("checksum"),
+            F.sum(F.col("h").cast("decimal(38,0)")).cast("string").alias("checksum"),
             F.min("h").alias("h_min"),
             F.max("h").alias("h_max"),
         )

@@ -56,6 +56,7 @@ def test_engine_facade_analytics_surface(spark, sf_dir):
         "gaps",
         "pattern_match",
         "neardup",
+        "knn_quantized",
         "segment_dedup",
         "prefix_clusters",
         "entropy_filter",
