@@ -2,7 +2,7 @@
 pair graph.
 
 After MinHash/LSH candidate generation + Jaccard verification
-(`llm_neardup_pairs`), a production training-data pipeline does not stop at
+(`neardup_edges_shingle`), a production training-data pipeline does not stop at
 pairs — it groups transitively connected near-duplicates into CLUSTERS and
 keeps one canonical document per cluster.  Pairs (a,b), (b,c) must collapse
 to one cluster {a,b,c} even though (a,c) was never compared.
@@ -31,7 +31,7 @@ from biggie_spark.util import lineage_cap
 
 from pyspark.sql import functions as F
 
-from biggie_spark.ops.llm import _DUCK_SIG, llm_neardup_pairs
+from biggie_spark.ops.llm import DUCK_SHINGLE_EDGES, neardup_edges_shingle
 from biggie_spark.registry import register
 
 _MAX_ROUNDS = 25  # >> diameter of any near-dup cluster graph
@@ -149,25 +149,16 @@ def graph_pagerank(spark, sf_dir):
     return ranks.select(F.col("k").alias("nationkey"), F.col("r").alias("rank_e12"))
 
 
-# Shared near-dup edge derivation (MinHash -> LSH bands -> exact-Jaccard
-# verify at tau=0.8), MATERIALIZED so downstream iterative/multi-reference
-# CTEs evaluate it once instead of re-inlining the whole chain.
-_NEARDUP_EDGES_SQL = (
-    _DUCK_SIG.format(flt="")
-    + """,
-    bands AS (SELECT doc_id, b, md5(sg[4*b+1] || sg[4*b+2] || sg[4*b+3] || sg[4*b+4]) AS bkey
-              FROM sig, range(4) t(b)),
-    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-             FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey
-                                      AND a.doc_id < b.doc_id),
-    tset AS MATERIALIZED (SELECT doc_id, list_distinct(tk) AS ts, len(list_distinct(tk)) AS n FROM toks),
-    edges AS MATERIALIZED (SELECT c.doc_a, c.doc_b
-              FROM cand c
-              JOIN tset ta ON ta.doc_id = c.doc_a
-              JOIN tset tb ON tb.doc_id = c.doc_b
-              WHERE len(list_intersect(ta.ts, tb.ts)) * 1.0
-                    / (ta.n + tb.n - len(list_intersect(ta.ts, tb.ts))) >= 0.8)"""
-)
+# Shared near-dup edge derivation: the SHINGLE-banding path (3-gram
+# shingle MinHash -> 2x8 bands -> exact shingle-Jaccard >= 0.8 verify),
+# MATERIALIZED so downstream iterative/multi-reference CTEs evaluate it
+# once.  Round 6 switched this from the token-set path: token-LSH
+# candidates are measured quadratic on this dup-dense corpus (exponent
+# 1.98 — an sf0.1 sweep wedged inside the verify stage), shingle-LSH is
+# measured linear (exponent 1.00), so the graph ops built on these edges
+# now inherit a 100 TB-viable edge source (240 edges at sf0.1 vs the token
+# path's 190,925 verified pairs).
+_NEARDUP_EDGES_SQL = DUCK_SHINGLE_EDGES
 
 
 @register(
@@ -186,11 +177,13 @@ _NEARDUP_EDGES_SQL = (
     """,
 )
 def llm_dedup_clusters(spark, sf_dir):
-    """Connected components over verified near-dup pairs (Jaccard >= 0.8):
-    each document that appears in at least one near-dup pair is labeled with
-    its cluster id = the minimum doc_id reachable through near-dup edges
-    (which is also the canonical "keep" document of the cluster)."""
-    edges = llm_neardup_pairs(spark, sf_dir, threshold=0.8).select("doc_a", "doc_b")
+    """Connected components over verified near-dup pairs (shingle-Jaccard
+    >= 0.8): each document that appears in at least one near-dup pair is
+    labeled with its cluster id = the minimum doc_id reachable through
+    near-dup edges (which is also the canonical "keep" document of the
+    cluster).  Edge source = neardup_edges_shingle (linear candidates;
+    see _NEARDUP_EDGES_SQL note for the round-6 switch rationale)."""
+    edges = neardup_edges_shingle(spark, sf_dir)
     sym = (
         edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .unionByName(edges.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
@@ -250,13 +243,10 @@ def graph_triangles(spark, sf_dir):
     scale the two joins are plain shuffle-hash joins on the edge list; the
     canonical orientation bounds the candidate two-paths by out-degree
     (the degree-ordering trick that keeps the hub vertices from exploding
-    the join).  The edge list is localCheckpoint'ed: the expensive
-    MinHash/LSH lineage runs once, not three times."""
-    e = (
-        llm_neardup_pairs(spark, sf_dir, threshold=0.8)
-        .select("doc_a", "doc_b")
-        .transform(lineage_cap)
-    )
+    the join).  Edge source = neardup_edges_shingle (linear candidates —
+    the round-6 switch, see _NEARDUP_EDGES_SQL note); the edge list is
+    lineage-capped so the MinHash/LSH chain runs once, not three times."""
+    e = neardup_edges_shingle(spark, sf_dir).transform(lineage_cap)
     tri = (
         e.alias("x")
         .join(e.alias("y"), F.col("y.doc_a") == F.col("x.doc_b"))

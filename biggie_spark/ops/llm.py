@@ -340,7 +340,26 @@ def llm_neardup_shingle(spark, sf_dir):
     near-dups.  Plan: map-only shingle+signature pass, equi-join on
     (band, band-hash) — the shuffle key — then a self-join verify on the
     bounded candidate set; no cross join anywhere at any scale."""
-    d = (
+    cand, d = _shingle_candidates(spark, sf_dir)
+    ta = d.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
+    tb = d.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
+    jac = F.size(F.array_intersect("ts_a", "ts_b")) / F.size(
+        F.array_union("ts_a", "ts_b")
+    )
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select("doc_a", "doc_b", r4(jac).alias("jaccard"))
+    )
+
+
+def _shingle_sig_frame(spark, sf_dir):
+    """(doc_id, sig, ts) for every >=3-token document: 16-slot MinHash over
+    3-gram word shingles plus the distinct shingle set for exact verify.
+    Materialized once (lineage_cap): the frame feeds four consumers (both
+    band self-join sides + both verify sides) and the shingle+minhash
+    kernel is the dominant cost (measured 16 s -> ~4 s at sf0.01)."""
+    return (
         _docs(spark, sf_dir)
         .filter(F.size(tokens("text")) >= 3)
         .select("doc_id", _shingles("text").alias("sg"))
@@ -349,13 +368,18 @@ def llm_neardup_shingle(spark, sf_dir):
             _minhash_of(F.col("sg")).alias("sig"),
             F.array_distinct("sg").alias("ts"),
         )
-        # Materialize once: the signature frame feeds FOUR consumers (both
-        # sides of the band self-join and both verify sides) and the
-        # shingle+minhash kernel is the op's dominant cost — without this
-        # it recomputes per consumer (measured 16 s -> ~4 s at sf0.01).
-        # On a cluster this is a real cache/checkpoint of an O(n) frame.
         .transform(lineage_cap)
     )
+
+
+def _shingle_candidates(spark, sf_dir):
+    """Shingle-banding candidate pairs (2 bands x 8 rows): returns
+    (cand, sig_frame) where cand = distinct (doc_a < doc_b) same-bucket
+    pairs.  The band hash is the equi-join/shuffle key — candidate volume
+    is measured LINEAR in corpus size on this corpus (exponent 1.00,
+    SCALE.md round-5), the property that makes this the edge source every
+    downstream graph op can safely build on."""
+    d = _shingle_sig_frame(spark, sf_dir)
     bands = d.select(
         "doc_id",
         F.explode(
@@ -380,16 +404,69 @@ def llm_neardup_shingle(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    return cand, d
+
+
+def neardup_edges_shingle(spark, sf_dir, num: int = 4, den: int = 5):
+    """Scale-safe near-dup EDGE source for the graph family: shingle-banding
+    candidates verified at shingle-Jaccard >= num/den via the integer
+    cross-multiplied compare (|i| * den >= |union| * num — exact and
+    engine-portable, SURVEY.md §8 convention c; no float threshold).
+
+    This replaced ``llm_neardup_pairs(threshold=0.8)`` as the edge source
+    for llm_dedup_clusters / graph_triangles in round 6: the token-set
+    path's candidates are measured quadratic on this dup-dense corpus
+    (exponent 1.98 — an sf0.1 full-registry sweep wedged >40 min inside its
+    verify stage), while the shingle path is measured linear (exponent
+    1.00; 240 edges at sf0.1 vs the token path's 190,925 verified pairs).
+    Returns distinct (doc_a < doc_b) verified edges."""
+    cand, d = _shingle_candidates(spark, sf_dir)
     ta = d.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
     tb = d.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
-    jac = F.size(F.array_intersect("ts_a", "ts_b")) / F.size(
-        F.array_union("ts_a", "ts_b")
-    )
+    i = F.size(F.array_intersect("ts_a", "ts_b"))
+    u = F.size(F.array_union("ts_a", "ts_b"))
     return (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
-        .select("doc_a", "doc_b", r4(jac).alias("jaccard"))
+        .filter(i * den >= u * num)
+        .select("doc_a", "doc_b")
     )
+
+
+# DuckDB twin of neardup_edges_shingle: shingle sig -> 2x8 banding ->
+# integer-ratio verify, ending in an `edges` CTE (MATERIALIZED so the
+# iterative/multi-reference graph oracles evaluate the chain once).
+DUCK_SHINGLE_EDGES = """
+    toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+             FROM documents),
+    ft AS (SELECT doc_id, tk FROM toks WHERE len(tk) >= 3),
+    sh AS (SELECT doc_id,
+                  list_transform(range(1, len(tk) - 1),
+                                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                    AS sg
+           FROM ft),
+    exp AS (SELECT doc_id, unnest(sg) AS s FROM sh),
+    h AS (SELECT doc_id, i, min(md5(s || ':' || CAST(i AS VARCHAR))) AS mh
+          FROM exp, range(16) t(i) GROUP BY doc_id, i),
+    sig AS (SELECT doc_id, list(mh ORDER BY i) AS s FROM h GROUP BY doc_id),
+    bands AS (SELECT doc_id, b,
+                     md5(s[8*b+1] || s[8*b+2] || s[8*b+3] || s[8*b+4] ||
+                         s[8*b+5] || s[8*b+6] || s[8*b+7] || s[8*b+8]) AS bkey
+              FROM sig, range(2) t(b)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey
+                                      AND a.doc_id < b.doc_id),
+    tset AS MATERIALIZED (SELECT doc_id, list_distinct(sg) AS ts,
+                                 len(list_distinct(sg)) AS n
+                          FROM sh),
+    edges AS MATERIALIZED (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN tset ta ON ta.doc_id = c.doc_a
+        JOIN tset tb ON tb.doc_id = c.doc_b
+        WHERE len(list_intersect(ta.ts, tb.ts)) * 5
+              >= (ta.n + tb.n - len(list_intersect(ta.ts, tb.ts))) * 4)
+"""
 
 
 @register(
