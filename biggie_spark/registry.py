@@ -109,6 +109,18 @@ ROUND5_PRIORITY = (
     "ivf_search_incremental",
 )
 
+# Round-6 verdict deliverables (VERDICT r5 items 2-3 + the two-stage ANN
+# extension): the persisted-index artifacts, the near-dup dispatcher, and
+# the quantized-rerank search must earn driver rows this round — they
+# registered after the 120-op backlog, so without this float they would
+# wait 3 rounds behind it (4 slots; the other 46 go to the backlog).
+ROUND6_PRIORITY = (
+    "llm_neardup_index_persisted",
+    "ivf_index_persisted",
+    "llm_neardup",
+    "llm_knn_quantized_rerank",
+)
+
 # Extension families a real user hits most often — float these ahead of the
 # remaining unscored extensions so they earn driver CORRECTNESS rows first
 # (VERDICT r2 item 3).  Prefix match on the op name.
@@ -154,10 +166,11 @@ def ordered_queries() -> dict[str, QueryFn]:
     verdict_rank = {n: i for i, n in enumerate(VERDICT_PRIORITY)}
     r4_rank = {n: i for i, n in enumerate(ROUND4_PRIORITY)}
     r5_rank = {n: i for i, n in enumerate(ROUND5_PRIORITY)}
+    r6_rank = {n: i for i, n in enumerate(ROUND6_PRIORITY)}
 
     def tier(n: str) -> int:
         if n in green:
-            return 6
+            return 7
         if n in sec2:
             return 0
         if n in verdict_rank:
@@ -166,10 +179,12 @@ def ordered_queries() -> dict[str, QueryFn]:
             return 2
         if n in r5_rank:
             return 3
-        return 4 if _priority(n) else 5
+        if n in r6_rank:
+            return 4
+        return 5 if _priority(n) else 6
 
     out: dict[str, QueryFn] = {}
-    for t in (0, 1, 2, 3, 4, 5, 6):
+    for t in (0, 1, 2, 3, 4, 5, 6, 7):
         names = [n for n in QUERIES if tier(n) == t]
         if t == 1:
             names.sort(key=verdict_rank.__getitem__)
@@ -177,6 +192,8 @@ def ordered_queries() -> dict[str, QueryFn]:
             names.sort(key=r4_rank.__getitem__)
         elif t == 3:
             names.sort(key=r5_rank.__getitem__)
+        elif t == 4:
+            names.sort(key=r6_rank.__getitem__)
         out.update({n: QUERIES[n] for n in names})
     return out
 
