@@ -15,9 +15,13 @@ Laziness: ``QUERIES[name](spark, sf_dir)`` normally only CONSTRUCTS a plan
 (lineage caps go through ``util.lineage_cap``, which is eager=False).  The
 exceptions run Spark jobs at construction time by necessity: write-path
 demos that materialize before their temp dir vanishes (ops/sources.py,
-ops/bucketing.py, ops/spark4.py, two analytics4 index demos), and
+ops/bucketing.py, ops/spark4.py, two analytics4 index demos),
 self-overwrite sinks that must read before they replace their own input
-(ops/kv.py, ops/streaming.py foreachBatch demo, stash.put to its own path).
+(ops/kv.py, ops/streaming.py foreachBatch demo, stash.put to its own path),
+and iterative ops whose loop exits on a CONVERGENCE count rather than a
+fixed iteration bound (llm_dedup_clusters' label-propagation: the per-round
+changed-label count is an action; fixed-iteration loops like graph_pagerank
+and the BPE merges stay lazy).
 """
 
 from __future__ import annotations
