@@ -123,6 +123,13 @@ ROUND6_PRIORITY = (
     "ivf_index_persisted",
     "llm_neardup",
     "llm_knn_quantized_rerank",
+    # Output-changing round-6 fixes to previously-green ops: their r4
+    # driver rows describe the OLD semantics (token-LSH edges / BIGINT
+    # checksum), so the ledger un-greened them and they re-score here
+    # under the new behavior rather than riding a stale green row.
+    "llm_dedup_clusters",
+    "graph_triangles",
+    "fn_table_checksum",
 )
 
 # Extension families a real user hits most often — float these ahead of the
