@@ -463,3 +463,22 @@ def test_shingle_banding_is_equi_join(spark, sf_dir):
     plan = plan_of(QUERIES["llm_neardup_shingle"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_resample_interp_no_unbounded_following_frame(spark, sf_dir):
+    """ts_resample_interp's nearest-following lookup must use the REVERSED
+    running frame: a [1 FOLLOWING, UNBOUNDED FOLLOWING] frame makes
+    WindowExec re-aggregate to partition end per row — O(n^2) over the
+    ~126k-row event-type partitions, measured 43 s at sf0.1 vs ~2 s for
+    the reversed [UNBOUNDED PRECEDING, 1 PRECEDING] form (round 6)."""
+    plan = plan_of(QUERIES["ts_resample_interp"](spark, sf_dir))
+    assert "unboundedfollowing" not in plan.lower().replace(" ", "")
+
+
+def test_graph_edges_ride_shingle_banding(spark, sf_dir):
+    """The graph family's near-dup edges must come from the linear shingle
+    path: equi-joins only, and the token-set MinHash kernel (':' || i over
+    unigrams) must not appear anywhere in the triangle plan (round 6)."""
+    plan = plan_of(QUERIES["graph_triangles"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
