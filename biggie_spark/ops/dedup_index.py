@@ -317,16 +317,18 @@ def ivf_index_persisted(spark, sf_dir):
     "llm_knn_quantized_rerank",
     oracle="""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings),
-    dims AS (SELECT unnest(range(1, 65)) AS d),
-    stats AS (
-      SELECT list(lo ORDER BY d) AS lo, list(hi ORDER BY d) AS hi FROM (
-        SELECT d, min(a[d]) AS lo, max(a[d]) AS hi FROM e, dims GROUP BY d)),
+    n AS (SELECT vec_id, a,
+                 sqrt(list_aggregate(list_transform(a, x -> x * x), 'sum'))
+                   AS nrm
+          FROM e),
+    scale AS (SELECT max(list_aggregate(list_transform(a, x -> abs(x)), 'max')
+                        / nrm) AS m
+              FROM n),
     codes AS (
       SELECT vec_id, a,
              list_transform(range(1, 65),
-                k -> CAST(round((a[k] - s.lo[k]) * 255.0
-                                / (s.hi[k] - s.lo[k]), 0) AS BIGINT)) AS c
-      FROM e CROSS JOIN stats s),
+                k -> CAST(round(127.0 * (a[k] / nrm) / s.m, 0) AS BIGINT)) AS c
+      FROM n CROSS JOIN scale s),
     probes AS (SELECT vec_id AS probe_id, a AS pa, c AS pc
                FROM codes WHERE vec_id < 10),
     coarse AS (
@@ -364,16 +366,29 @@ def llm_knn_quantized_rerank(spark, sf_dir):
     float vectors don't fit the scan budget (FAISS's SQ8/rerank shape,
     re-expressed as pure DataFrame ops):
 
-    1. calibrate per-dimension (lo, hi) over the corpus — one 64-value
-       pass collapsed to a 1-row frame (broadcast, scalar-bounded);
-    2. code every vector to uint8: round(255·(x−lo)/(hi−lo)) — exact
-       integers, same affine convention as `llm_embed_quantize`;
+    1. L2-normalize every vector and calibrate ONE global symmetric scale
+       m = max|u_k| over the normalized corpus — a 1-row broadcast frame;
+    2. code every normalized vector to int8: round(127·u_k/m) — exact
+       signed integers;
     3. COARSE: integer dot product probe-codes × corpus-codes (BIGINT —
        exact, order-independent, 4× less bandwidth than float32 and
        whole-stage-codegen friendly), top-20 per probe tie-broken by
        neighbor_id;
     4. RERANK: exact double-fold cosine on the float vectors of the 20
        survivors only, top-5.
+
+    The quantizer MUST be symmetric with a single global scale (not the
+    per-dimension affine (lo, hi) map of `llm_embed_quantize`): with one
+    scale, dot(codes) = (127/m)²·dot(û) — a positive constant times the
+    decoded cosine, so the integer coarse ranking is monotone in the
+    quantity the rerank refines.  Per-dim affine codes break that
+    monotonicity (each dimension carries its own offset and gain, adding
+    norm-dependent bias to the code dot) — measured recall@5 against the
+    exact path was 0.16 under the affine scheme vs 1.00 for this one
+    (tests/test_dedup_index.py pins the floor at 0.9).  Storage-only
+    quantization (`llm_embed_quantize`) keeps the affine map — it
+    minimizes per-dim reconstruction error; a SEARCH quantizer optimizes
+    ranking fidelity instead.
 
     Because the quantizer, the integer coarse order, and the rerank fold
     are all deterministic, the WHOLE two-stage pipeline carries a full
@@ -387,33 +402,30 @@ def llm_knn_quantized_rerank(spark, sf_dir):
     float corpus is never scanned.  At 100 TB the coded scan is the 4×
     cheaper replacement for the float scan, and composes with the IVF
     directory layout (`ivf_index_persisted`) for sub-linear reads."""
+    from biggie_spark.util import l2_norm_sq
+
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    dims = e.select(F.posexplode("embedding").alias("d", "x")).select(
-        "d", F.col("x").cast("double").alias("x")
+    n = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("a"),
+        F.sqrt(l2_norm_sq(F.transform("embedding", lambda x: x.cast("double"))))
+        .alias("nrm"),
     )
-    stats = (
-        dims.groupBy("d")
-        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
-        .groupBy()
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("d", "lo"))), lambda s: s["lo"]
-            ).alias("lo"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("d", "hi"))), lambda s: s["hi"]
-            ).alias("hi"),
-        )
+    scale = n.agg(
+        F.max(
+            F.array_max(F.transform("a", lambda x: F.abs(x))) / F.col("nrm")
+        ).alias("m")
     )
     idx1 = F.sequence(F.lit(1), F.lit(64))
-    codes = e.crossJoin(F.broadcast(stats)).select(
+    codes = n.crossJoin(F.broadcast(scale)).select(
         "vec_id",
-        F.col("embedding").alias("a"),
+        "a",
         F.transform(
             idx1,
             lambda k: F.round(
-                (F.element_at("embedding", k).cast("double") - F.element_at("lo", k))
-                * 255.0
-                / (F.element_at("hi", k) - F.element_at("lo", k)),
+                F.lit(127.0)
+                * (F.element_at("a", k) / F.col("nrm"))
+                / F.col("m"),
                 0,
             ).cast("long"),
         ).alias("c"),
