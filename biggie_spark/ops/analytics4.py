@@ -1823,12 +1823,12 @@ def kv_cache_scan(spark, sf_dir):
 @register(
     "llm_dedup_incremental",
     oracle="""
-    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+    WITH toks AS MATERIALIZED (SELECT doc_id, string_split(lower(text), ' ') AS tk
                   FROM documents),
     exp AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
     h AS (SELECT doc_id, i, min(md5(tok || ':' || CAST(i AS VARCHAR))) AS mh
           FROM exp, range(16) t(i) GROUP BY doc_id, i),
-    sig AS (SELECT doc_id, list(mh ORDER BY i) AS sg FROM h GROUP BY doc_id),
+    sig AS MATERIALIZED (SELECT doc_id, list(mh ORDER BY i) AS sg FROM h GROUP BY doc_id),
     bands AS (SELECT doc_id, b,
                      md5(sg[4*b+1] || sg[4*b+2] || sg[4*b+3] || sg[4*b+4]) AS bkey
               FROM sig, range(4) t(b)),
@@ -1844,7 +1844,7 @@ def kv_cache_scan(spark, sf_dir):
       FROM bands nb JOIN bands ob ON nb.b = ob.b AND nb.bkey = ob.bkey
       JOIN batch ON batch.doc_id = nb.doc_id
       JOIN base ON base.doc_id = ob.doc_id),
-    tset AS (SELECT doc_id, list_distinct(tk) AS ts,
+    tset AS MATERIALIZED (SELECT doc_id, list_distinct(tk) AS ts,
                     len(list_distinct(tk)) AS n FROM toks),
     near AS (
       SELECT DISTINCT c.new_id AS doc_id

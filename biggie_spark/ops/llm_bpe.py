@@ -171,7 +171,7 @@ def _bpe_apply_oracle() -> str:
           SELECT tok AS w, count(*) AS freq
           FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
           WHERE tok <> '' GROUP BY tok)""",
-        """r0 AS (
+        """r0 AS MATERIALIZED (
           SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS rep, freq FROM w)""",
     ]
     for k in range(N_MERGES):
@@ -180,7 +180,7 @@ def _bpe_apply_oracle() -> str:
             f"t{k} AS (SELECT pr, weight FROM p{k} ORDER BY weight DESC, pr LIMIT 1)"
         )
         ctes.append(
-            f"r{k + 1} AS (SELECT w, {_sql_rep_merge('rep', k)} AS rep, freq FROM r{k})"
+            f"r{k + 1} AS MATERIALIZED (SELECT w, {_sql_rep_merge('rep', k)} AS rep, freq FROM r{k})"
         )
     return (
         "WITH "
