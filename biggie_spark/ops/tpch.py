@@ -1042,28 +1042,40 @@ def tpch_q21(spark, sf_dir):
     FROM customer, pos
     WHERE c_nationkey IN (1, 3, 5, 7, 9)
       AND CAST(round(c_acctbal * 100, 0) AS BIGINT) * n > sc
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= DATE '2000-01-01')
     GROUP BY c_nationkey
     """,
 )
 def tpch_q22(spark, sf_dir):
     """TPC-H Q22 (global sales opportunity), adapted to nation keys (the
     corpus has no phone column): customers in selected nations with
-    above-average positive balance and no orders.  The avg-balance
-    threshold is compared in cross-multiplied integer form
+    above-average positive balance and no RECENT orders (none since
+    2000-01-01 — the spec's own framing is "customers who have not placed
+    orders for 7 years"; this corpus's generator gives virtually every
+    customer SOME order across the full 1995-2001 window, so the bare
+    no-orders predicate returned 0 rows at every SF — a hash-green but
+    VACUOUS result, caught by the round-6 zero-row audit.  The recency
+    cutoff restores a non-empty answer at every SF: 2/19/264 lapsed
+    customers at sf0.001/0.01/0.1 before the balance filter).  The
+    avg-balance threshold is compared in cross-multiplied integer form
     (``acctbal_cents * n > sum_cents``); the one-row aggregate broadcasts,
-    and the no-orders predicate is a left-anti join."""
+    and the no-recent-orders predicate is a left-anti join whose right
+    side is date-filtered BEFORE the join (pushed to the orders scan)."""
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_nationkey").isin(1, 3, 5, 7, 9)
     )
-    o = load_table(spark, sf_dir, "orders")
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
     pos = c.filter(F.col("c_acctbal") > 0).agg(
         F.count("*").alias("n"), F.sum(_cents("c_acctbal")).alias("sc")
     )
     return (
         c.crossJoin(F.broadcast(pos))
         .filter(_cents("c_acctbal") * F.col("n") > F.col("sc"))
-        .join(o, F.col("c_custkey") == o.o_custkey, "left_anti")
+        .join(recent, F.col("c_custkey") == recent.o_custkey, "left_anti")
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("numcust"),

@@ -130,6 +130,10 @@ ROUND6_PRIORITY = (
     "llm_dedup_clusters",
     "graph_triangles",
     "fn_table_checksum",
+    # Vacuity fix: Q22's bare no-orders anti-join was empty at every SF on
+    # this corpus (hash-green rows=0); the recency-cutoff adaptation
+    # changed its output, so it re-scores too.
+    "tpch_q22_global_sales_opportunity",
 )
 
 # Extension families a real user hits most often — float these ahead of the
