@@ -50,7 +50,13 @@ BUDGET_SEC = {
     "q_json_extract": 0.84,
     "q_dedup_minhash_proxy": 0.33,
 }
-BUDGET_TOTAL_SEC = 12.42
+# Aggregate tripwire BELOW sum(per-query caps): at the sum (12.42) the
+# total gate could only fire after some per-query cap already had, i.e.
+# it guarded nothing (round-6 review finding).  8.0 s = ~1.3x the
+# raw-PySpark baseline total (6.21 s) and ~35% above the worst healthy
+# measurement on a busy box (5.92 s judge re-run, r5) — it catches the
+# suite-wide creep of nine queries each sitting just under cap.
+BUDGET_TOTAL_SEC = 8.0
 
 # Import ONLY the modules that register the nine headline ops (VERDICT r4
 # item 4: the full 360-op load_all_ops() import measurably bleeds into warm

@@ -248,7 +248,6 @@ def llm_minhash_calibration(spark, sf_dir):
     doc_id; one lineage-capped kernel pass feeds all four consumers;
     final output is a <=17-row aggregate."""
     from biggie_spark.ops.llm import _minhash_sig
-    from biggie_spark.util import lineage_cap
 
     d = (
         load_table(spark, sf_dir, "documents")
@@ -259,20 +258,11 @@ def llm_minhash_calibration(spark, sf_dir):
         )
         .transform(lineage_cap)  # one kernel pass for bands + both lookups
     )
-    bands = d.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda b: F.struct(
-                    b.alias("b"),
-                    F.md5(F.concat_ws("", F.slice("sig", b * 4 + 1, 4))).alias(
-                        "bkey"
-                    ),
-                ),
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.b", "bk.bkey")
+    from biggie_spark.ops.llm import band_struct
+
+    bands = d.select("doc_id", band_struct("sig", 4, 4)).select(
+        "doc_id", "bk.b", "bk.bkey"
+    )
     cand = (
         bands.alias("a")
         .join(

@@ -22,6 +22,11 @@ Closes the two round-5 verdict items on the dedup family:
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from biggie_spark.io import load_table
@@ -29,6 +34,7 @@ from biggie_spark.ops.llm import (
     _DUCK_SIG,
     _docs,
     _minhash_sig,
+    band_struct,
     llm_neardup_pairs,
     llm_neardup_shingle,
 )
@@ -82,9 +88,6 @@ def llm_neardup_index_persisted(spark, sf_dir):
     layout keyed by more prefix chars keeps per-batch reads constant-ish
     in corpus size (bucket count scales with the corpus, batch touches
     only its own buckets)."""
-    import shutil
-    import tempfile
-
     d = (
         _docs(spark, sf_dir)
         .select(
@@ -94,18 +97,9 @@ def llm_neardup_index_persisted(spark, sf_dir):
         )
         .transform(lineage_cap)  # feeds bands + both verify sides
     )
-    bands = d.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda b: F.struct(
-                    b.alias("b"),
-                    F.md5(F.concat_ws("", F.slice("sig", b * 4 + 1, 4))).alias("bkey"),
-                ),
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.b", "bk.bkey")
+    bands = d.select("doc_id", band_struct("sig", 4, 4)).select(
+        "doc_id", "bk.b", "bk.bkey"
+    )
     base = tempfile.mkdtemp(prefix="biggie_neardup_idx_")
     try:
         # ---- build: persist the index side partitioned by bkey prefix
@@ -133,13 +127,25 @@ def llm_neardup_index_persisted(spark, sf_dir):
         assert "PartitionFilters" in plan and "bp" in plan, (
             "index scan must prune on the bp directory partition"
         )
-        import os
-
         n_dirs = sum(1 for e in os.listdir(base) if e.startswith("bp="))
-        if n_dirs > 8:
-            assert len(bps) < n_dirs, (
-                f"probe touched every directory ({len(bps)}/{n_dirs}) — "
-                "pruning is vacuous"
+        # Pruning ratio is DATA-dependent: a big enough batch legitimately
+        # touches every 2-hex directory (SCALE.md measures coverage rising
+        # 45/171 -> 130/255 from sf0.01 to sf0.1), so full coverage is the
+        # cue to widen the prefix, NOT an op failure — a hard assert here
+        # would crash the op on larger corpora while behaving exactly as
+        # designed (round-6 review finding).  The structural guarantee
+        # (the scan PRUNES on bp) is the PartitionFilters assert above;
+        # the ratio check only fires where sparsity is guaranteed by
+        # construction: a batch with fewer distinct prefixes than
+        # directories cannot touch them all.
+        if n_dirs > 8 and len(bps) >= n_dirs:
+            import warnings
+
+            warnings.warn(
+                f"batch prefixes cover all {n_dirs} index directories — "
+                "widen the bp prefix (substring width) for this corpus "
+                "size so per-batch reads stay a strict index slice",
+                stacklevel=2,
             )
         cand = (
             idx.join(F.broadcast(new_b), ["b", "bkey"])
@@ -260,11 +266,6 @@ def ivf_index_persisted(spark, sf_dir):
     index is never shuffled — the probe side broadcasts into the pruned
     scan.  Deterministic init (no Lloyd iteration) keeps the FULL DuckDB
     oracle, same convention as `ivf_search_incremental`."""
-    import shutil
-    import tempfile
-
-    from pyspark.sql import Window
-
     from biggie_spark.ops.ivf import NPROBE, _assign, _sq_dist
     from biggie_spark.util import topk_by_cosine
 
@@ -298,8 +299,6 @@ def ivf_index_persisted(spark, sf_dir):
         assert "PartitionFilters" in plan and "cid" in plan, (
             "inverted-list scan must prune on the cid directory partition"
         )
-        import os
-
         n_dirs = sum(1 for x in os.listdir(base) if x.startswith("cid="))
         assert len(set(cids)) == NPROBE < n_dirs, (
             f"probe must touch exactly NPROBE={NPROBE} of {n_dirs} lists"
@@ -450,8 +449,6 @@ def llm_knn_quantized_rerank(spark, sf_dir):
             idot.alias("idot"),
         )
     )
-    from pyspark.sql import Window
-
     w20 = Window.partitionBy("probe_id").orderBy(F.col("idot").desc(), "neighbor_id")
     top20 = (
         coarse.withColumn("rn", F.row_number().over(w20))

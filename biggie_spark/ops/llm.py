@@ -183,6 +183,29 @@ def _shingles(text_col):
     )
 
 
+def band_struct(sig_col, n_bands: int, rows: int):
+    """The LSH banding exploder every banded consumer shares: emit one
+    (b, bkey) struct per band, bkey = md5 of ``rows`` consecutive
+    signature slots.  SINGLE POINT OF TRUTH (round-6 review finding: this
+    expression was copy-pasted at five sites; each must stay
+    byte-equivalent to the DuckDB twin
+    ``md5(sg[rows*b+1] || ... || sg[rows*b+rows])`` or the engine and its
+    oracle silently band differently).  Callers:
+    ``df.select("doc_id", band_struct("sig", 4, 4)).select("doc_id",
+    "bk.b", "bk.bkey")``."""
+    return F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda b: F.struct(
+                b.alias("b"),
+                F.md5(
+                    F.concat_ws("", F.slice(sig_col, b * rows + 1, rows))
+                ).alias("bkey"),
+            ),
+        )
+    ).alias("bk")
+
+
 _DUCK_SIG = """
     toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents{flt}),
     exp AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
@@ -246,18 +269,9 @@ def llm_neardup_pairs(spark, sf_dir, threshold: float = 0.95):
     # sf0.01: cold 14.2 s plain vs 3.1 s checkpointed; warm 2.9 vs 2.4).
     # A real cache/checkpoint of an O(n) frame on a cluster.
     d = d.transform(lineage_cap)
-    bands = d.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda b: F.struct(
-                    b.alias("b"),
-                    F.md5(F.concat_ws("", F.slice("sig", b * 4 + 1, 4))).alias("bkey"),
-                ),
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.b", "bk.bkey")
+    bands = d.select("doc_id", band_struct("sig", 4, 4)).select(
+        "doc_id", "bk.b", "bk.bkey"
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -380,18 +394,9 @@ def _shingle_candidates(spark, sf_dir):
     SCALE.md round-5), the property that makes this the edge source every
     downstream graph op can safely build on."""
     d = _shingle_sig_frame(spark, sf_dir)
-    bands = d.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(1)),
-                lambda b: F.struct(
-                    b.alias("b"),
-                    F.md5(F.concat_ws("", F.slice("sig", b * 8 + 1, 8))).alias("bkey"),
-                ),
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.b", "bk.bkey")
+    bands = d.select("doc_id", band_struct("sig", 2, 8)).select(
+        "doc_id", "bk.b", "bk.bkey"
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -511,18 +516,9 @@ def llm_neardup_incremental(spark, sf_dir):
         _minhash_sig("text").alias("sig"),
         F.array_distinct(tokens("text")).alias("ts"),
     ).transform(lineage_cap)  # feeds bands + both verify sides (one kernel pass)
-    bands = d.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda b: F.struct(
-                    b.alias("b"),
-                    F.md5(F.concat_ws("", F.slice("sig", b * 4 + 1, 4))).alias("bkey"),
-                ),
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.b", "bk.bkey")
+    bands = d.select("doc_id", band_struct("sig", 4, 4)).select(
+        "doc_id", "bk.b", "bk.bkey"
+    )
     new_b = bands.filter(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("doc_new"), "b", "bkey"
     )

@@ -36,6 +36,8 @@ def lineage_cap(df: DataFrame) -> DataFrame:
     vanished files.
     """
     if os.environ.get("SPARK_GRAFT_CHECKPOINT", "local") == "reliable":
+        from pyspark import StorageLevel
+
         sc = df.sparkSession.sparkContext
         if sc._jsc.sc().getCheckpointDir().isEmpty():
             sc.setCheckpointDir(
@@ -43,7 +45,13 @@ def lineage_cap(df: DataFrame) -> DataFrame:
                     "SPARK_GRAFT_CHECKPOINT_DIR", "spark-warehouse/_checkpoints"
                 )
             )
-        return df.checkpoint(eager=False)
+        # Spark's documented reliable-checkpoint caveat: without a persist,
+        # the checkpoint job RECOMPUTES the whole lineage a second time
+        # after the triggering action (round-6 review finding) — persist
+        # first so the checkpoint writer reads cached partitions.  Set
+        # spark.cleaner.referenceTracking.cleanCheckpoints=true on real
+        # clusters so out-of-scope checkpoint files are reclaimed.
+        return df.persist(StorageLevel.MEMORY_AND_DISK).checkpoint(eager=False)
     return df.localCheckpoint(eager=False)
 
 

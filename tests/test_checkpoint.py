@@ -28,8 +28,12 @@ def test_reliable_checkpoint_mode(spark, duck, sf_dir, tmp_path, monkeypatch):
         compare(QUERIES[name](spark, sf_dir), duck, ORACLES[name])
     found = any(files for _, _, files in os.walk(ckdir))
     assert found, f"reliable mode wrote no checkpoint files under {ckdir}"
-    # Restore: later tests must not inherit the reliable dir implicitly.
-    spark.sparkContext.setCheckpointDir(ckdir)
+    # The SparkContext checkpoint dir has no unset API, and pointing it at
+    # this test's tmp_path would leave later reliable-mode caps writing
+    # into a pytest-pruned directory (lineage_cap only sets the dir when
+    # none is set).  Park it on the DEFAULT reliable location instead, so
+    # any later reliable use in this session writes somewhere durable.
+    spark.sparkContext.setCheckpointDir("spark-warehouse/_checkpoints")
 
 
 def test_lineage_cap_is_lazy(spark, sf_dir):

@@ -477,8 +477,28 @@ def test_resample_interp_no_unbounded_following_frame(spark, sf_dir):
 
 def test_graph_edges_ride_shingle_banding(spark, sf_dir):
     """The graph family's near-dup edges must come from the linear shingle
-    path: equi-joins only, and the token-set MinHash kernel (':' || i over
-    unigrams) must not appear anywhere in the triangle plan (round 6)."""
-    plan = plan_of(QUERIES["graph_triangles"](spark, sf_dir))
+    path.  graph_triangles itself lineage-caps the edge frame (its plan
+    truncates to an RDD scan, hiding the edge pipeline — asserting on it
+    would green-light any edge source, round-6 review finding), so this
+    test plans the SHARED EDGE HELPER the graph ops call: the banding
+    self-join must slice 8 signature slots per band (the 2x8 shingle
+    scheme; the quadratic token path slices 4) and stay equi-join."""
+    import re
+
+    from biggie_spark.ops.llm import neardup_edges_shingle
+
+    plan = plan_of(neardup_edges_shingle(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"slice\(sig#\d+, \(\(lambda [^)]* \* 8\)", plan), (
+        "edge banding must be the 2x8 shingle scheme (slice of 8 sig "
+        "slots); a 4x4 slice means the token-set path crept back in"
+    )
+    # and the graph ops must actually CALL the helper (source-level pin,
+    # since their own plans are lineage-cap-truncated)
+    import inspect
+
+    from biggie_spark.ops import graph
+
+    for fn in (graph.graph_triangles, graph.llm_dedup_clusters):
+        assert "neardup_edges_shingle" in inspect.getsource(fn)

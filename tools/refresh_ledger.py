@@ -33,13 +33,24 @@ LEDGER = "/root/repo/tools/driver_green.json"
 
 def main() -> None:
     load_all_ops()
+    old = json.load(open(LEDGER))
+    # Rows scored BEFORE an op's semantics changed must never re-green it:
+    # stale_before[op] = first round whose CORRECTNESS rows describe the
+    # CURRENT output (round-6 reworks: shingle graph edges, DECIMAL
+    # checksum, Q22 recency predicate).  Without this, folding "any past
+    # round" would silently revert a deliberate un-greening and the op
+    # would ride a stale green row forever (round-6 review finding).
+    stale_before: dict[str, int] = old.get("stale_before", {})
     green: set[str] = set()
     rows_only: set[str] = set()
     for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
         rows = json.load(open(path))
         for name, r in rows.items():
             if name not in QUERIES:
                 continue  # renamed/removed op; let the window re-resolve it
+            if rnd < stale_before.get(name, 0):
+                continue  # row predates the op's current semantics
             if r.get("hash_match"):
                 green.add(name)
             elif name not in ORACLES and r.get("rows_match") is not False:
@@ -56,12 +67,14 @@ def main() -> None:
     rows_only |= {n for n in QUERIES if n not in ORACLES}
     rows_only -= green
 
-    old = json.load(open(LEDGER))
     new = {
         "_": old["_"],
         "green": sorted(green),
         "rows_only_scored": sorted(rows_only),
     }
+    if stale_before:
+        new["_stale"] = old.get("_stale", "")
+        new["stale_before"] = stale_before
     added_g = green - set(old.get("green", []))
     added_r = rows_only - set(old.get("rows_only_scored", []))
     print(

@@ -166,7 +166,7 @@ def ann_exponents(spark) -> None:
     import math
 
     from biggie_spark.ops.ivf import NPROBE, _sq_dist, train_ivf
-    from biggie_spark.ops.llm import _minhash_sig
+    from biggie_spark.ops.llm import _minhash_sig, band_struct
     from pyspark.sql import Window
 
     sfs = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", SRC]
@@ -178,20 +178,9 @@ def ann_exponents(spark) -> None:
         d = load_table(spark, sf, "documents").select(
             "doc_id", _minhash_sig("text").alias("sig")
         )
-        bands = d.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(3)),
-                    lambda b: F.struct(
-                        b.alias("b"),
-                        F.md5(F.concat_ws("", F.slice("sig", b * 4 + 1, 4))).alias(
-                            "bkey"
-                        ),
-                    ),
-                )
-            ).alias("bk"),
-        ).select("doc_id", "bk.b", "bk.bkey")
+        bands = d.select("doc_id", band_struct("sig", 4, 4)).select(
+            "doc_id", "bk.b", "bk.bkey"
+        )
         a, b = bands.alias("a"), bands.alias("b")
         cands = (
             a.join(
@@ -271,7 +260,7 @@ def incremental_exponents(spark) -> None:
     from pyspark.sql import Window
 
     from biggie_spark.ops.ivf import NPROBE, _assign, _sq_dist
-    from biggie_spark.ops.llm import _minhash_sig
+    from biggie_spark.ops.llm import _minhash_sig, band_struct
 
     sf = SRC  # 5000 docs / 2000 vectors
 
@@ -279,18 +268,9 @@ def incremental_exponents(spark) -> None:
     d = load_table(spark, sf, "documents").select(
         "doc_id", _minhash_sig("text").alias("sig")
     )
-    bands = d.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda b: F.struct(
-                    b.alias("b"),
-                    F.md5(F.concat_ws("", F.slice("sig", b * 4 + 1, 4))).alias("bkey"),
-                ),
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.b", "bk.bkey")
+    bands = d.select("doc_id", band_struct("sig", 4, 4)).select(
+        "doc_id", "bk.b", "bk.bkey"
+    )
     idx_b = bands.filter(F.col("doc_id") % 10 != 0)
     print("\n| op | index size | batch | candidates | exponent in |batch| (ideal ~1) |")
     print("|---|---|---|---|---|")
@@ -352,20 +332,9 @@ def incremental_exponents(spark) -> None:
         dd = load_table(spark, sfd, "documents").select(
             "doc_id", _minhash_sig("text").alias("sig")
         )
-        bb = dd.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(3)),
-                    lambda b: F.struct(
-                        b.alias("b"),
-                        F.md5(F.concat_ws("", F.slice("sig", b * 4 + 1, 4))).alias(
-                            "bkey"
-                        ),
-                    ),
-                )
-            ).alias("bk"),
-        ).select("doc_id", "bk.b", "bk.bkey")
+        bb = dd.select("doc_id", band_struct("sig", 4, 4)).select(
+            "doc_id", "bk.b", "bk.bkey"
+        )
         base = tempfile.mkdtemp(prefix="biggie_prune_probe_")
         try:
             (
