@@ -1,0 +1,80 @@
+"""Vacuity audit: a hash-green row proves Spark and DuckDB AGREE — not
+that the query exercised anything.  This tool catches the two degenerate
+shapes agreement can hide (it found tpch_q22 returning 0 rows at every SF
+in round 6 — the no-orders anti-join was unsatisfiable on this corpus):
+
+1. EMPTY results — an op whose oracle returns 0 rows is vacuously green;
+2. CONSTANT label columns — a non-numeric column stuck at one value over
+   many rows often marks a CASE/filter branch that never fires.
+
+Both are REPORTS, not failures, because some are by design (scalar
+aggregates, uniform metadata demos); the allowlist below records each
+adjudicated case with its reason so re-runs only surface NEW findings.
+
+Run:  python tools/vacuity_audit.py [sf_dir]   # exit 1 on unadjudicated hits
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from biggie_spark.io import TABLES  # noqa: E402
+from biggie_spark.registry import ORACLES, load_all_ops  # noqa: E402
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+# Adjudicated constants/empties — each entry is (op, column-or-None) with
+# the reason it is by design.  Extend ONLY after reading the op.
+ALLOW: dict[tuple[str, str | None], str] = {
+    ("fn_map", "keys_sorted"): "every row carries the same map schema — the op demos map fns",
+    ("fn_redact", "redacted"): "uniform input json => uniform redaction template, by design",
+    ("fn_redact", "redacted_md5"): "md5 of the constant redaction above",
+    ("mm_binary_meta", "kind"): "metadata-plumbing demo; kind is literally hardcoded (the real classifier is mm_decode_dispatch)",
+}
+
+
+def audit(sf_dir: str = SF_DIR):
+    load_all_ops()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    findings: list[tuple[str, str | None, str]] = []
+    for name, sql in sorted(ORACLES.items()):
+        try:
+            cur = con.execute(sql)
+            cols = [d[0] for d in cur.description]
+            rows = cur.fetchall()
+        except Exception as e:  # noqa: BLE001
+            findings.append((name, None, f"oracle error: {str(e)[:80]}"))
+            continue
+        if not rows:
+            if (name, None) not in ALLOW:
+                findings.append((name, None, "EMPTY result — vacuously green"))
+            continue
+        if len(rows) < 4:
+            continue  # tiny outputs are judged case-by-case
+        for i, c in enumerate(cols):
+            vals = {r[i] for r in rows}
+            if len(vals) == 1 and not isinstance(next(iter(vals)), (int, float)):
+                if (name, c) not in ALLOW:
+                    findings.append(
+                        (name, c, f"constant {next(iter(vals))!r} over {len(rows)} rows")
+                    )
+    con.close()
+    return findings
+
+
+if __name__ == "__main__":
+    hits = audit()
+    if not hits:
+        print("OK: no unadjudicated empty results or constant label columns")
+        sys.exit(0)
+    for name, col, why in hits:
+        print(f"{name}{'.' + col if col else ''}: {why}")
+    print(f"\n{len(hits)} unadjudicated findings — fix the op or allowlist with a reason")
+    sys.exit(1)
