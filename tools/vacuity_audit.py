@@ -12,6 +12,11 @@ aggregates, uniform metadata demos); the allowlist below records each
 adjudicated case with its reason so re-runs only surface NEW findings.
 
 Run:  python tools/vacuity_audit.py [sf_dir]   # exit 1 on unadjudicated hits
+
+Run it at the DRIVER'S scoring SF (0.01, the default).  sf0.001 shows
+known sparsity artifacts that are not op bugs (q07 joins too sparse to
+match, one retention cohort, no spatial neighbor within radius at 150
+points) — all three are non-degenerate at sf0.01 and above.
 """
 
 from __future__ import annotations
