@@ -40,6 +40,7 @@ ALLOW: dict[tuple[str, str | None], str] = {
     ("fn_redact", "redacted"): "uniform input json => uniform redaction template, by design",
     ("fn_redact", "redacted_md5"): "md5 of the constant redaction above",
     ("mm_binary_meta", "kind"): "metadata-plumbing demo; kind is literally hardcoded (the real classifier is mm_decode_dispatch)",
+    ("ts_gap_detect", None): "gap threshold (2h) is density-relative: 45 gaps at the scoring SF (0.01); a 10x denser corpus legitimately has no 2h silences (sf0.1 empty is the CORRECT monitoring answer, not a dead branch)",
 }
 
 
