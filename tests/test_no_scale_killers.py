@@ -64,6 +64,7 @@ ALLOWED_BNLJ = {
     "llm_knn_quantized_rerank",  # 1-row calibration frame + 10-probe broadcast
     "llm_knn_ivf",
     "ivf_assign",  # K=16-row centroid frame broadcast to the argmin pass
+    "ivf_train_lloyd",  # same 16-row centroid broadcast, once per Lloyd round
     "ivf_search_incremental",  # same 16-row centroid broadcast, both passes
     "ivf_index_persisted",  # 16-row centroid broadcast + 1-row probe vector
     "llm_curation_pipeline",  # 1-row bounds + 1-row corpus-total frames
