@@ -270,25 +270,29 @@ def _int_mean_centroids(asg: DataFrame) -> DataFrame:
 _LLOYD_UPDATES = 2  # centroid updates between the three assignments
 
 
-def _lloyd_iter_sql(prev_asg: str, prev_c: str, out_c: str, out_asg: str) -> str:
+def _lloyd_iter_sql(
+    prev_asg: str, prev_c: str, out_c: str, out_asg: str, etab: str = "e"
+) -> str:
     """One unrolled integer-Lloyd round in DuckDB SQL: integer-mean update
-    from ``prev_asg`` -> ``out_c``, then re-assignment -> ``out_asg``."""
+    from ``prev_asg`` -> ``out_c``, then re-assignment -> ``out_asg``.
+    ``etab`` names the vector CTE (full table for ivf_train_lloyd, the
+    index subset for the persisted-index build)."""
     return f"""
     {out_c} AS (
       SELECT cid, list(m ORDER BY pos) AS cvec FROM (
         SELECT {prev_asg}.cid, t.pos,
-               CAST(sum(CAST(round(e.a[t.pos] * 1000000, 0) AS BIGINT))
+               CAST(sum(CAST(round({etab}.a[t.pos] * 1000000, 0) AS BIGINT))
                     AS DOUBLE) / count(*) / 1000000.0 AS m
-        FROM {prev_asg} JOIN e USING (vec_id), range(1, 65) t(pos)
+        FROM {prev_asg} JOIN {etab} USING (vec_id), range(1, 65) t(pos)
         GROUP BY {prev_asg}.cid, t.pos)
       GROUP BY cid),
     {out_asg} AS (SELECT vec_id, cid FROM (
-        SELECT e.vec_id, c.cid,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_aggregate(list_transform(list_zip(e.a, c.cvec),
+        SELECT {etab}.vec_id, c.cid,
+               row_number() OVER (PARTITION BY {etab}.vec_id ORDER BY
+                 list_aggregate(list_transform(list_zip({etab}.a, c.cvec),
                                 s -> (s[1] - s[2]) * (s[1] - s[2])), 'sum'),
                  c.cid) AS rn
-        FROM e CROSS JOIN {out_c} c) WHERE rn = 1)"""
+        FROM {etab} CROSS JOIN {out_c} c) WHERE rn = 1)"""
 
 
 @register(
