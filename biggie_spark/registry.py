@@ -134,6 +134,10 @@ ROUND6_PRIORITY = (
     # this corpus (hash-green rows=0); the recency-cutoff adaptation
     # changed its output, so it re-scores too.
     "tpch_q22_global_sales_opportunity",
+    # Round-6 capability proof: Lloyd TRAINING itself under a full oracle
+    # (integer-exact centroid means) — the op the trained persisted index
+    # builds on.
+    "ivf_train_lloyd",
 )
 
 # Extension families a real user hits most often — float these ahead of the
