@@ -140,6 +140,16 @@ ROUND6_PRIORITY = (
     "ivf_train_lloyd",
 )
 
+# Round-7 verdict deliverables (VERDICT r6 item 2): the LLM-pipeline
+# composites a real user hits first.  Most already sit inside the r7
+# window by registration order; these three would otherwise wait for r8
+# behind ~29 older backlog ops, so float them in now.
+ROUND7_PRIORITY = (
+    "llm_dedup_incremental",
+    "llm_containment_dup",
+    "llm_embedding_pipeline",
+)
+
 # Extension families a real user hits most often — float these ahead of the
 # remaining unscored extensions so they earn driver CORRECTNESS rows first
 # (VERDICT r2 item 3).  Prefix match on the op name.
@@ -186,10 +196,11 @@ def ordered_queries() -> dict[str, QueryFn]:
     r4_rank = {n: i for i, n in enumerate(ROUND4_PRIORITY)}
     r5_rank = {n: i for i, n in enumerate(ROUND5_PRIORITY)}
     r6_rank = {n: i for i, n in enumerate(ROUND6_PRIORITY)}
+    r7_rank = {n: i for i, n in enumerate(ROUND7_PRIORITY)}
 
     def tier(n: str) -> int:
         if n in green:
-            return 7
+            return 8
         if n in sec2:
             return 0
         if n in verdict_rank:
@@ -200,10 +211,12 @@ def ordered_queries() -> dict[str, QueryFn]:
             return 3
         if n in r6_rank:
             return 4
-        return 5 if _priority(n) else 6
+        if n in r7_rank:
+            return 5
+        return 6 if _priority(n) else 7
 
     out: dict[str, QueryFn] = {}
-    for t in (0, 1, 2, 3, 4, 5, 6, 7):
+    for t in (0, 1, 2, 3, 4, 5, 6, 7, 8):
         names = [n for n in QUERIES if tier(n) == t]
         if t == 1:
             names.sort(key=verdict_rank.__getitem__)
@@ -213,6 +226,8 @@ def ordered_queries() -> dict[str, QueryFn]:
             names.sort(key=r5_rank.__getitem__)
         elif t == 4:
             names.sort(key=r6_rank.__getitem__)
+        elif t == 5:
+            names.sort(key=r7_rank.__getitem__)
         out.update({n: QUERIES[n] for n in names})
     return out
 
