@@ -104,13 +104,10 @@ def llm_neardup_index_persisted(spark, sf_dir):
     base = tempfile.mkdtemp(prefix="biggie_neardup_idx_")
     try:
         # ---- build: persist the index side partitioned by bkey prefix
-        (
-            bands.filter(F.col("doc_id") % 25 != 0)
-            .withColumn("bp", F.substring("bkey", 1, 2))
-            .write.mode("overwrite")
-            .partitionBy("bp")
-            .parquet(base)
+        wr = bands.filter(F.col("doc_id") % 25 != 0).withColumn(
+            "bp", F.substring("bkey", 1, 2)
         )
+        wr.write.mode("overwrite").partitionBy("bp").parquet(base)
         # ---- probe: batch prefixes -> partition-pruned index read
         new_b = bands.filter(F.col("doc_id") % 25 == 0).select(
             F.col("doc_id").alias("doc_new"), "b", "bkey"
@@ -123,11 +120,24 @@ def llm_neardup_index_persisted(spark, sf_dir):
                 F.substring("bkey", 1, 2).alias("bp")
             ).distinct().collect()
         ]
-        idx = spark.read.parquet(base).filter(F.col("bp").isin(bps))
-        plan = idx._jdf.queryExecution().executedPlan().toString()
-        assert "PartitionFilters" in plan and "bp" in plan, (
-            "index scan must prune on the bp directory partition"
+        # Explicit schema on the read-back: `bp` is a 2-hex-char STRING, but
+        # Spark's partition-column type inference would coerce it numerically
+        # on a (small) corpus where every prefix happens to parse as a number
+        # — '1e1' and '10' then collapse to the same partition value and the
+        # directory-count diagnostics below lie (results would stay correct
+        # since the join re-checks bkey, but the coverage warning wouldn't).
+        idx = (
+            spark.read.schema(wr.schema)
+            .parquet(base)
+            .filter(F.col("bp").isin(bps))
         )
+        plan = idx._jdf.queryExecution().executedPlan().toString()
+        # RuntimeError, not assert: this is the op's structural guarantee
+        # and must survive `python -O` (round-6 advice).
+        if "PartitionFilters" not in plan or "bp" not in plan:
+            raise RuntimeError(
+                "index scan must prune on the bp directory partition"
+            )
         n_dirs = sum(1 for e in os.listdir(base) if e.startswith("bp="))
         # Pruning ratio is DATA-dependent: a big enough batch legitimately
         # touches every 2-hex directory (SCALE.md measures coverage rising
@@ -323,15 +333,41 @@ def ivf_index_persisted(spark, sf_dir):
             .select("cid")
             .collect()
         ]
-        lists = spark.read.parquet(base).filter(F.col("cid").isin(cids))
+        # Explicit schema (the written frame's own) so the partition column
+        # keeps its declared type regardless of directory-value inference —
+        # same hygiene as the bp read above.
+        lists = (
+            spark.read.schema(asg.schema)
+            .parquet(base)
+            .filter(F.col("cid").isin(cids))
+        )
         plan = lists._jdf.queryExecution().executedPlan().toString()
-        assert "PartitionFilters" in plan and "cid" in plan, (
-            "inverted-list scan must prune on the cid directory partition"
-        )
+        # RuntimeError, not assert: structural guarantees must survive
+        # `python -O` (round-6 advice).
+        if "PartitionFilters" not in plan or "cid" not in plan:
+            raise RuntimeError(
+                "inverted-list scan must prune on the cid directory partition"
+            )
+        if len(set(cids)) != NPROBE:
+            raise RuntimeError(
+                f"centroid ranking must yield exactly NPROBE={NPROBE} "
+                f"distinct list ids, got {sorted(set(cids))}"
+            )
         n_dirs = sum(1 for x in os.listdir(base) if x.startswith("cid="))
-        assert len(set(cids)) == NPROBE < n_dirs, (
-            f"probe must touch exactly NPROBE={NPROBE} of {n_dirs} lists"
-        )
+        # DATA-dependent, so a warning not a crash (mirrors the sibling
+        # near-dup op's coverage check): Lloyd can legitimately leave
+        # <= NPROBE non-empty inverted lists on another corpus/SF — the op
+        # then behaves as designed (the probe reads every list) and the
+        # cue is to lower nprobe or K, not to fail the query.
+        if n_dirs <= NPROBE:
+            import warnings
+
+            warnings.warn(
+                f"only {n_dirs} non-empty inverted lists for NPROBE={NPROBE} "
+                "— the probe reads the whole index; lower nprobe or retrain "
+                "with fewer centroids for this corpus size",
+                stacklevel=2,
+            )
         pairs = lists.select(
             F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("na")
         ).crossJoin(F.broadcast(probe))

@@ -11,6 +11,10 @@ import os
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Reliable-mode lineage_cap pins (persist-before-checkpoint); newest only —
+# see the release note inside lineage_cap.
+_RELIABLE_PINNED: list[DataFrame] = []
+
 
 def lineage_cap(df: DataFrame) -> DataFrame:
     """Cut plan lineage / pin a frame that feeds multiple consumers.
@@ -51,7 +55,20 @@ def lineage_cap(df: DataFrame) -> DataFrame:
         # first so the checkpoint writer reads cached partitions.  Set
         # spark.cleaner.referenceTracking.cleanCheckpoints=true on real
         # clusters so out-of-scope checkpoint files are reclaimed.
-        return df.persist(StorageLevel.MEMORY_AND_DISK).checkpoint(eager=False)
+        cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+        out = cached.checkpoint(eager=False)
+        # Release earlier pins: iterative ops cap once per round (up to 25
+        # rounds in llm_dedup_clusters / graph_kcore), and a round's cache
+        # is redundant once its checkpoint files exist — without this the
+        # session accumulates pinned RDD blocks for its whole lifetime
+        # (round-7 advice).  Only the newest frame stays pinned; an older
+        # frame unpersisted before its checkpoint writes merely falls back
+        # to the documented recompute path (bounded: its lineage is already
+        # truncated at the previous checkpoint), never to a wrong answer.
+        _RELIABLE_PINNED.append(cached)
+        while len(_RELIABLE_PINNED) > 1:
+            _RELIABLE_PINNED.pop(0).unpersist(blocking=False)
+        return out
     return df.localCheckpoint(eager=False)
 
 

@@ -117,3 +117,37 @@ def test_no_unbounded_cartesian(spark, sf_dir, name):
             f"{name} plan contains BroadcastNestedLoopJoin but is not in the "
             "audited scalar/bounded-broadcast allowlist"
         )
+
+
+# --- driver-side collect() allowlist -----------------------------------------
+# SCALE.md's posture is "no UNBOUNDED collect inside any operator".  Three
+# audited sites exist, each an O(1)-bounded driver list that exists to drive
+# partition pruning or driver-side demo-file writing — NOT to move data:
+#   dedup_index.py  — ≤256 two-hex band prefixes (partitionBy pruning probe)
+#   dedup_index.py  — NPROBE=6 centroid ids (IVF inverted-list pruning)
+#   sources.py      — 40 probe doc ids (binaryFile demo writes tiny files)
+# A fourth collect() in engine code must be audited here before it ships.
+_COLLECT_ALLOWLIST = {
+    "ops/dedup_index.py": 2,
+    "ops/sources.py": 1,
+}
+
+
+def test_collect_allowlist():
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent / "biggie_spark"
+    found: dict[str, int] = {}
+    for py in sorted(pkg.rglob("*.py")):
+        n = 0
+        for line in py.read_text().splitlines():
+            code = line.split("#", 1)[0]
+            n += len(re.findall(r"\.collect\(\)", code))
+        if n:
+            found[str(py.relative_to(pkg))] = n
+    assert found == _COLLECT_ALLOWLIST, (
+        f"driver-side collect() sites changed: {found} != {_COLLECT_ALLOWLIST}. "
+        "If the new site is O(1)-bounded and justified, audit it in SCALE.md "
+        "and extend this allowlist; otherwise remove the collect."
+    )

@@ -83,8 +83,12 @@ NEGZERO_ALLOW = {
 }
 
 # integer-quantization rounds: round(x * 10^k, 0) immediately cast to an
-# integer type — signed zero cannot survive the cast.
+# integer type — signed zero cannot survive the cast.  The cast must be AT
+# THE SITE (`... AS BIGINT` / `::BIGINT` right after the close paren): a
+# whole-query `"BIGINT" in sql` test exempted every round(x, 0) in any
+# oracle that merely mentioned BIGINT somewhere (round-7 advice).
 _INT_QUANT = re.compile(r"^\s*.*,\s*0\s*$")
+_INT_CAST_AFTER = re.compile(r"^\s*(AS\s+(BIG)?INT(EGER)?\b|::\s*(BIG)?INT)", re.I)
 
 
 def _round_sites(sql: str):
@@ -114,8 +118,8 @@ def audit_negzero() -> dict[str, list[str]]:
         for inner, after in _round_sites(sql):
             if re.match(r"\s*\+\s*0", after):
                 continue  # normalized
-            if _INT_QUANT.match(inner) and "BIGINT" in sql:
-                continue  # integer quantization
+            if _INT_QUANT.match(inner) and _INT_CAST_AFTER.match(after):
+                continue  # integer quantization cast at the site
             if _SIGNABLE.search(inner):
                 hits.append(inner[:80])
         if hits:
