@@ -47,12 +47,25 @@ def test_ann_default_recall_sf001(spark):
     assert recall >= 0.9, f"default ANN recall@5 below bar at sf0.01: {recall:.2f}"
 
 
+@pytest.mark.slow
+def test_lsh_recall_sf001(spark):
+    """LSH floor at the driver's correctness scale too — measured 0.88 at
+    sf0.01 (VERDICT r6 item 5)."""
+    sf = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf):
+        pytest.skip("sf0.01 corpus not present")
+    recall = _recall_at_5(spark, sf, llm_knn_lsh)
+    assert recall >= 0.75, f"LSH recall@5 below bar at sf0.01: {recall:.2f}"
+
+
 def test_lsh_recall_and_pruning(spark, sf_dir):
     recall = _recall_at_5(spark, sf_dir, llm_knn_lsh)
-    # Hamming<=2 multi-probe measures 0.82 on this corpus (vs 0.34-0.38
-    # single-bucket — see ops/ann.py docstring); floor set below the
-    # measured value to catch collapses, not noise (ADVICE r3)
-    assert recall >= 0.6, f"LSH recall@5 collapsed: {recall:.2f}"
+    # Hamming<=2 multi-probe measures 0.82 on this corpus at the fixture SF
+    # and 0.88 at sf0.01 (vs 0.34-0.38 single-bucket — see ops/ann.py
+    # docstring); floor pinned just under the measured value so silent
+    # quality rot in this rows-only op can't hide behind a loose bar
+    # (VERDICT r6 item 5 — same idiom as the 0.9 quantized-rerank floor).
+    assert recall >= 0.75, f"LSH recall@5 collapsed: {recall:.2f}"
 
     # pruning: candidate pairs considered << full cross product
     e = load_table(spark, sf_dir, "embeddings")
