@@ -851,3 +851,102 @@ def llm_dp_count(spark, sf_dir):
         ).alias("dp_n"),
         F.round(noise, 4).cast("double").alias("noise_drawn"),
     )
+
+
+SPAN_W = 5  # rolling-window width in tokens — wide enough to be rarer than
+# SEG_LEN=3 segments, narrow enough that this synthetic corpus still has
+# cross-document duplicated spans at every SF (57/71/2064 docs flagged at
+# sf0.001/0.01/0.1; measured while designing the op)
+
+
+@register(
+    "llm_span_dup_coverage",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+                  FROM documents),
+    win AS (SELECT doc_id, unnest(range(1, len(tk)-{SPAN_W}+2)) AS p, tk
+            FROM toks WHERE len(tk) >= {SPAN_W}),
+    w2 AS (SELECT doc_id, p,
+                  md5(array_to_string(tk[p:p+{SPAN_W}-1], ' ')) AS wh
+           FROM win),
+    cnt AS (SELECT wh, count(*) AS c FROM w2 GROUP BY wh),
+    dup AS (SELECT doc_id, p FROM w2 JOIN cnt USING (wh) WHERE c >= 2),
+    cov AS (SELECT doc_id, p,
+                   lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS np
+            FROM dup),
+    agg AS (SELECT doc_id,
+                   sum(CASE WHEN np IS NULL THEN {SPAN_W}
+                            ELSE least(np - p, {SPAN_W}) END) AS dt
+            FROM cov GROUP BY doc_id)
+    SELECT t.doc_id, len(t.tk) AS n_tokens,
+           CAST(coalesce(a.dt, 0) AS BIGINT) AS dup_tokens,
+           CAST(round(coalesce(a.dt, 0) * 1.0 / len(t.tk), 4) + 0 AS DOUBLE)
+             AS dup_frac
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def llm_span_dup_coverage(spark, sf_dir):
+    """Duplicated-SPAN coverage per document — the overlapping-window
+    complement to `llm_segment_dedup`'s fixed segments: every SPAN_W-token
+    sliding window (stride 1) is hashed; a window whose hash occurs >= 2
+    times anywhere in the corpus marks its token range as duplicated, and
+    the per-document output is the union length of those ranges.  This is
+    the per-doc statistic ExactSubstr dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better") thresholds on — their
+    suffix-array span finder re-expressed as rolling-hash postings, the
+    form that distributes.
+
+    Plan shape (the part that matters at 100 TB): windows explode linearly
+    in corpus token count; ONE corpus-wide hash agg on the window hash;
+    the count joins back on the same key (no pairwise anything); the
+    interval-union is a per-doc sort bounded by document length — classic
+    sweep: each duplicated start contributes min(gap-to-next, W) tokens,
+    the last contributes W.  Memory per task is O(doc length), shuffle
+    volume is O(total tokens) — the same linear budget C4 segment dedup
+    pays, with stride-1 sensitivity instead of alignment-dependent
+    segments (a copied paragraph shifted by one token defeats fixed
+    segments but not sliding windows)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens(F.col("text")).alias("tk")).transform(
+        lineage_cap  # feeds both the window explode and the final left join
+    )
+    wins = (
+        t.filter(F.size("tk") >= SPAN_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("tk") - SPAN_W + 1)
+            ).alias("p"),
+            "tk",
+        )
+        .select(
+            "doc_id",
+            "p",
+            F.md5(F.array_join(F.slice("tk", F.col("p"), SPAN_W), " ")).alias("wh"),
+        )
+    )
+    cnt = wins.groupBy("wh").agg(F.count("*").alias("c"))
+    dup = wins.join(cnt.filter(F.col("c") >= 2), "wh").select("doc_id", "p")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("p")
+    cov = dup.withColumn("np", F.lead("p").over(w))
+    agg = cov.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("np").isNull(), F.lit(SPAN_W)).otherwise(
+                F.least(F.col("np") - F.col("p"), F.lit(SPAN_W))
+            )
+        ).alias("dt")
+    )
+    return (
+        t.select("doc_id", F.size("tk").alias("n_tokens"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("dt"), F.lit(0)).cast("long").alias("dup_tokens"),
+            r4(F.coalesce(F.col("dt"), F.lit(0)) / F.col("n_tokens")).alias(
+                "dup_frac"
+            ),
+        )
+    )
