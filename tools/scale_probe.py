@@ -115,6 +115,25 @@ ROUND4 = {
 }
 
 
+# Round-7 window composites (the LLM-pipeline entries the r6 verdict floated
+# into this round's scoring window) + the new overlapping-span dedup op —
+# measured over the natural sf0.01 → sf0.1 step like the other content-keyed
+# families (text/window hashes key on CONTENT; key-shifted replication would
+# fabricate quadratic true answers).
+ROUND7 = {
+    "q_span_dup_coverage": "llm_span_dup_coverage",
+    "q_pipeline_e2e": "llm_pipeline_e2e",
+    "q_dedup_incremental": "llm_dedup_incremental",
+    "q_importance_sample": "llm_importance_sample",
+    "q_perplexity_bucket": "llm_perplexity_bucket",
+    "q_entropy_filter": "llm_entropy_filter",
+    "q_cross_dup_matrix": "llm_cross_dup_matrix",
+    "q_ngram_novelty": "llm_ngram_novelty",
+    "q_stratified_sample": "llm_stratified_sample",
+    "q_mv_incremental": "mv_incremental_hourly",
+}
+
+
 def build(spark) -> None:
     if os.path.isdir(OUT):
         shutil.rmtree(OUT)
@@ -372,6 +391,15 @@ def main() -> None:
         print("\n| round-4b op | sf0.01 | sf0.1 (10x rows) | ratio (ideal <= 10) |")
         print("|---|---|---|---|")
         for q in ROUND4B:
+            r = nat[q] / small[q]
+            print(f"| {q} | {small[q]:.3f}s | {nat[q]:.3f}s | {r:.1f}x |")
+        return
+    if "--round7-only" in sys.argv:
+        small = time_queries(spark, SRC_SMALL, ROUND7)
+        nat = time_queries(spark, SRC, ROUND7)
+        print("\n| round-7 op | sf0.01 | sf0.1 (10x rows) | ratio (ideal <= 10) |")
+        print("|---|---|---|---|")
+        for q in ROUND7:
             r = nat[q] / small[q]
             print(f"| {q} | {small[q]:.3f}s | {nat[q]:.3f}s | {r:.1f}x |")
         return
