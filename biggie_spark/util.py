@@ -67,7 +67,11 @@ def lineage_cap(df: DataFrame) -> DataFrame:
         # truncated at the previous checkpoint), never to a wrong answer.
         _RELIABLE_PINNED.append(cached)
         while len(_RELIABLE_PINNED) > 1:
-            _RELIABLE_PINNED.pop(0).unpersist(blocking=False)
+            old = _RELIABLE_PINNED.pop(0)
+            try:
+                old.unpersist(blocking=False)
+            except Exception:  # noqa: BLE001 — frame's session already stopped
+                pass
         return out
     return df.localCheckpoint(eager=False)
 
