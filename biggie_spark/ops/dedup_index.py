@@ -523,3 +523,173 @@ def llm_knn_quantized_rerank(spark, sf_dir):
     from biggie_spark.util import topk_by_cosine
 
     return topk_by_cosine(top20, 5)
+
+
+# Integer DCG gains: floor(1e4 / log2(position+1)) for positions 1..5 — a
+# shared literal table on both engines, so the graded-relevance part of
+# nDCG needs no float log anywhere.
+_DCG_E4 = (10000, 6309, 5000, 4306, 3868)
+_IDCG_E4 = sum(_DCG_E4)  # exact top-5 always has 5 relevant items
+
+
+def _retrieval_eval_oracle() -> str:
+    """Composed at import time from the two retrievers' own oracles plus a
+    single-table SimHash bucket retriever — see llm_retrieval_eval."""
+    from biggie_spark.ops.llm import _ndc_sql_code
+
+    return f"""
+    WITH approx AS ({ORACLES["llm_knn_quantized_rerank"]}),
+    exact AS ({ORACLES["llm_knn_cosine"]}),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings),
+    codes AS (SELECT vec_id, a, {_ndc_sql_code(0)} AS code FROM e),
+    pr AS (SELECT vec_id AS probe_id, a AS pa, code FROM codes
+           WHERE vec_id < 10),
+    bc AS (SELECT pr.probe_id, c.vec_id AS neighbor_id,
+                  list_cosine_similarity(pr.pa, c.a) AS s
+           FROM pr JOIN codes c ON c.code = pr.code
+                               AND c.vec_id <> pr.probe_id),
+    bucket5 AS (SELECT probe_id, neighbor_id,
+                       CAST(round(s, 4) + 0 AS DOUBLE) AS sim
+                FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                        ORDER BY s DESC, neighbor_id) AS rn FROM bc)
+                WHERE rn <= 5),
+    ar AS (
+      SELECT 'sq8_rerank' AS retriever, probe_id, neighbor_id,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY sim DESC, neighbor_id) AS p
+      FROM approx
+      UNION ALL
+      SELECT 'simhash_bucket', probe_id, neighbor_id,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY sim DESC, neighbor_id) AS p
+      FROM bucket5),
+    rel AS (SELECT ar.retriever, ar.probe_id, ar.p
+            FROM ar JOIN exact e2 ON e2.probe_id = ar.probe_id
+                                 AND e2.neighbor_id = ar.neighbor_id),
+    agg AS (SELECT retriever, probe_id, count(*) AS n_rel, min(p) AS min_p,
+                   sum(CASE p WHEN 1 THEN {_DCG_E4[0]} WHEN 2 THEN {_DCG_E4[1]}
+                              WHEN 3 THEN {_DCG_E4[2]} WHEN 4 THEN {_DCG_E4[3]}
+                              WHEN 5 THEN {_DCG_E4[4]} END) AS dcg
+            FROM rel GROUP BY retriever, probe_id)
+    SELECT q.retriever, q.probe_id,
+           CAST(coalesce(a.n_rel, 0) AS BIGINT) AS n_rel,
+           CAST(coalesce(10000 // a.min_p, 0) AS BIGINT) AS rr_e4,
+           CAST(coalesce(a.dcg, 0) AS BIGINT) AS dcg_e4,
+           CAST(coalesce(a.dcg, 0) * 10000 // {_IDCG_E4} AS BIGINT) AS ndcg_e4
+    FROM (SELECT retriever, probe_id
+          FROM (SELECT DISTINCT probe_id FROM exact),
+               (VALUES ('sq8_rerank'), ('simhash_bucket')) v(retriever)) q
+    LEFT JOIN agg a USING (retriever, probe_id)
+    """
+
+
+@register("llm_retrieval_eval", oracle=_retrieval_eval_oracle())
+def llm_retrieval_eval(spark, sf_dir):
+    """Retrieval-quality evaluation AS A QUERY: per-probe relevant-hit
+    count, reciprocal rank and nDCG@5 against the exact brute-force
+    baseline (`llm_knn_cosine`), for TWO deterministic retrievers side by
+    side — the eval harness a production vector pipeline runs after every
+    index rebuild, expressed as one joint plan:
+
+    * ``sq8_rerank`` — the production two-stage path
+      (`llm_knn_quantized_rerank`); measures perfect (n_rel=5,
+      ndcg_e4=10000) on this corpus, which is the pinned expectation;
+    * ``simhash_bucket`` — a deliberately cheap single-table 6-bit
+      coordinate-sign SimHash bucket retriever (candidates = the probe's
+      bucket only, exact cosine rerank).  Its per-probe metrics VARY —
+      the harness demonstrably discriminates good from bad retrieval,
+      so a regression in either retriever or in the metric pipeline
+      itself cannot hide behind a constant-perfect scoreboard.
+
+    Because every stage is deterministic and oracled, the evaluation
+    carries a full value oracle — unlike the recall floors in
+    tests/test_ann.py (engineering gates), these metrics are
+    bit-reproducible on any engine.  Float-free metrics: DCG position
+    gains are the shared integer table floor(1e4/log2(p+1)), reciprocal
+    rank is 1e4 // rank, and nDCG normalizes by the constant ideal
+    (5 relevant) with integer division — no log/division ulps can flip
+    a value.
+
+    Scale shape: both retrievers use the bounded-probe pattern (10
+    probes broadcast; the corpus is scanned once coded and once bucketed
+    — never shuffled), and the eval adds only a <=100-row join plus a
+    20-row aggregate on top.  At 100 TB you'd sample probes the same way
+    and the eval stays O(probes)."""
+    from biggie_spark.ops.llm import _ndc_code, llm_knn_cosine
+    from biggie_spark.util import topk_by_cosine
+
+    exact = llm_knn_cosine(spark, sf_dir).select("probe_id", "neighbor_id")
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codes = e.select(
+        "vec_id", "embedding", _ndc_code(F.col("embedding"), 0).alias("code")
+    )
+    pr = codes.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pa"),
+        "code",
+    )
+    bc = (
+        codes.join(F.broadcast(pr), "code")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "pa",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("na"),
+        )
+    )
+    bucket5 = topk_by_cosine(bc, 5)
+    approx = llm_knn_quantized_rerank(spark, sf_dir)
+
+    def ranked(df, name):
+        w = Window.partitionBy("probe_id").orderBy(
+            F.col("sim").desc(), "neighbor_id"
+        )
+        return df.select(
+            F.lit(name).alias("retriever"),
+            "probe_id",
+            "neighbor_id",
+            F.row_number().over(w).alias("p"),
+        )
+
+    ar = ranked(approx, "sq8_rerank").unionByName(
+        ranked(bucket5, "simhash_bucket")
+    )
+    gain = (
+        F.when(F.col("p") == 1, _DCG_E4[0])
+        .when(F.col("p") == 2, _DCG_E4[1])
+        .when(F.col("p") == 3, _DCG_E4[2])
+        .when(F.col("p") == 4, _DCG_E4[3])
+        .when(F.col("p") == 5, _DCG_E4[4])
+    )
+    rel = ar.join(exact, ["probe_id", "neighbor_id"])
+    agg = rel.groupBy("retriever", "probe_id").agg(
+        F.count("*").alias("n_rel"),
+        F.min("p").alias("min_p"),
+        F.sum(gain).alias("dcg"),
+    )
+    probes = (
+        exact.select("probe_id")
+        .distinct()
+        .select(
+            "probe_id",
+            F.explode(
+                F.array(F.lit("sq8_rerank"), F.lit("simhash_bucket"))
+            ).alias("retriever"),
+        )
+    )
+    return (
+        probes.join(agg, ["retriever", "probe_id"], "left")
+        .select(
+            "retriever",
+            "probe_id",
+            F.coalesce(F.col("n_rel"), F.lit(0)).cast("long").alias("n_rel"),
+            F.coalesce(F.expr("10000 div min_p"), F.lit(0))
+            .cast("long")
+            .alias("rr_e4"),
+            F.coalesce(F.col("dcg"), F.lit(0)).cast("long").alias("dcg_e4"),
+            F.expr(f"coalesce(dcg, 0) * 10000 div {_IDCG_E4}")
+            .cast("long")
+            .alias("ndcg_e4"),
+        )
+    )
