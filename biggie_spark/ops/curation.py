@@ -950,3 +950,114 @@ def llm_span_dup_coverage(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "llm_span_dedup_apply",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+                  FROM documents),
+    win AS (SELECT doc_id, unnest(range(1, len(tk)-{SPAN_W}+2)) AS p, tk
+            FROM toks WHERE len(tk) >= {SPAN_W}),
+    w2 AS (SELECT doc_id, p,
+                  md5(array_to_string(tk[p:p+{SPAN_W}-1], ' ')) AS wh
+           FROM win),
+    occ AS (SELECT doc_id, p,
+                   row_number() OVER (PARTITION BY wh
+                                      ORDER BY doc_id, p) AS rn
+            FROM w2),
+    dups AS (SELECT doc_id, p FROM occ WHERE rn >= 2),
+    rem AS (SELECT DISTINCT doc_id, p + u AS pos
+            FROM dups, range(0, {SPAN_W}) r(u)),
+    tox AS (SELECT doc_id, unnest(range(1, len(tk)+1)) AS pos, tk
+            FROM toks),
+    tox2 AS (SELECT doc_id, pos, tk[pos] AS tok FROM tox),
+    keep AS (SELECT t.doc_id, t.pos, t.tok
+             FROM tox2 t LEFT JOIN rem r
+               ON r.doc_id = t.doc_id AND r.pos = t.pos
+             WHERE r.pos IS NULL),
+    res AS (SELECT doc_id, count(*) AS n_kept,
+                   md5(string_agg(tok, ' ' ORDER BY pos)) AS kept_md5
+            FROM keep GROUP BY doc_id)
+    SELECT t.doc_id, len(t.tk) AS n_tokens,
+           CAST(len(t.tk) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(r.kept_md5, md5('')) AS kept_md5
+    FROM toks t LEFT JOIN res r USING (doc_id)
+    """,
+)
+def llm_span_dedup_apply(spark, sf_dir):
+    """APPLY-side of span dedup — the keep-first-occurrence rewrite
+    ExactSubstr dedup actually performs (Lee et al. 2022), where
+    `llm_span_dup_coverage` only reports the statistic: every SPAN_W-token
+    sliding window is hashed; for each window hash the globally FIRST
+    occurrence (min (doc_id, position)) survives, every later occurrence
+    marks its token range for removal, and each document is reassembled
+    from its surviving tokens.  Output value-checks the rewrite (md5 of
+    the surviving text in order), not just the counts — same contract
+    idiom as `llm_segment_dedup`, whose drop-ALL-copies segment semantics
+    this op complements with keep-ONE span semantics.
+
+    Plan shape at 100 TB: windows explode linearly in corpus tokens; the
+    keeper election is ONE row_number window partitioned by the window
+    hash (the same shuffle key the count-based variant uses — collision
+    groups are bounded by true dup density, never n); removal positions
+    fan out x SPAN_W from dup occurrences only; the rewrite is a per-doc
+    anti-join + ordered reassembly bounded by document length.  No
+    pairwise comparison anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens(F.col("text")).alias("tk")).transform(
+        lineage_cap  # feeds the window explode, the token explode, the join
+    )
+    wins = (
+        t.filter(F.size("tk") >= SPAN_W)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("tk") - SPAN_W + 1)).alias(
+                "p"
+            ),
+            "tk",
+        )
+        .select(
+            "doc_id",
+            "p",
+            F.md5(F.array_join(F.slice("tk", F.col("p"), SPAN_W), " ")).alias(
+                "wh"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    wk = Window.partitionBy("wh").orderBy("doc_id", "p")
+    dups = (
+        wins.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") >= 2)
+        .select("doc_id", "p")
+    )
+    rem = dups.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("p"), F.col("p") + SPAN_W - 1)).alias("pos"),
+    ).distinct()
+    tox = t.select(
+        "doc_id", F.posexplode("tk").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    keep = tox.join(rem, ["doc_id", "pos"], "left_anti")
+    kept_sorted = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+        lambda s: s["tok"],
+    )
+    res = keep.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(F.array_join(kept_sorted, " ")).alias("kept_md5"),
+    )
+    return (
+        t.select("doc_id", F.size("tk").alias("n_tokens"))
+        .join(res, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("kept_md5"), F.md5(F.lit(""))).alias("kept_md5"),
+        )
+    )
