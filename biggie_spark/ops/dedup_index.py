@@ -348,10 +348,24 @@ def ivf_index_persisted(spark, sf_dir):
             raise RuntimeError(
                 "inverted-list scan must prune on the cid directory partition"
             )
-        if len(set(cids)) != NPROBE:
+        if len(set(cids)) != len(cids):
+            # duplicates can only come from a broken ranking window — that
+            # is OUR bug, never a data property, so it stays fatal
             raise RuntimeError(
-                f"centroid ranking must yield exactly NPROBE={NPROBE} "
-                f"distinct list ids, got {sorted(set(cids))}"
+                f"centroid ranking emitted duplicate list ids: {cids}"
+            )
+        if len(cids) < NPROBE:
+            # DATA-dependent (mirrors the n_dirs check below): Lloyd can
+            # leave fewer than NPROBE live centroids on another corpus/SF —
+            # the probe then reads every surviving list, which is the
+            # designed degradation, not a failure
+            import warnings
+
+            warnings.warn(
+                f"only {len(cids)} live centroids for NPROBE={NPROBE} — "
+                "probe reads every inverted list; retrain with fewer "
+                "centroids for this corpus size",
+                stacklevel=2,
             )
         n_dirs = sum(1 for x in os.listdir(base) if x.startswith("cid="))
         # DATA-dependent, so a warning not a crash (mirrors the sibling
@@ -618,7 +632,11 @@ def llm_retrieval_eval(spark, sf_dir):
     from biggie_spark.ops.llm import _ndc_code, llm_knn_cosine
     from biggie_spark.util import topk_by_cosine
 
-    exact = llm_knn_cosine(spark, sf_dir).select("probe_id", "neighbor_id")
+    exact = (
+        llm_knn_cosine(spark, sf_dir)
+        .select("probe_id", "neighbor_id")
+        .transform(lineage_cap)  # feeds the rel join AND the probes frame
+    )
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     codes = e.select(
         "vec_id", "embedding", _ndc_code(F.col("embedding"), 0).alias("code")

@@ -11,7 +11,7 @@ import os
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Reliable-mode lineage_cap pins (persist-before-checkpoint); newest only —
+# Reliable-mode lineage_cap pins (persist-before-checkpoint), bounded FIFO —
 # see the release note inside lineage_cap.
 _RELIABLE_PINNED: list[DataFrame] = []
 
@@ -57,16 +57,19 @@ def lineage_cap(df: DataFrame) -> DataFrame:
         # clusters so out-of-scope checkpoint files are reclaimed.
         cached = df.persist(StorageLevel.MEMORY_AND_DISK)
         out = cached.checkpoint(eager=False)
-        # Release earlier pins: iterative ops cap once per round (up to 25
-        # rounds in llm_dedup_clusters / graph_kcore), and a round's cache
-        # is redundant once its checkpoint files exist — without this the
-        # session accumulates pinned RDD blocks for its whole lifetime
-        # (round-7 advice).  Only the newest frame stays pinned; an older
-        # frame unpersisted before its checkpoint writes merely falls back
-        # to the documented recompute path (bounded: its lineage is already
-        # truncated at the previous checkpoint), never to a wrong answer.
+        # Bound the pin set: iterative ops cap once per round (up to 25
+        # rounds in llm_dedup_clusters / graph_kcore) and those loops run
+        # NO action between caps, so every pin of the CURRENT plan must
+        # survive until its final action or the checkpoint writer loses
+        # its cache and recomputes the whole chain.  A FIFO deeper than
+        # any single op's cap count (32 > 25) keeps the current plan fully
+        # pinned while releasing pins from long-finished earlier ops —
+        # bounding session-lifetime block accumulation (round-7 advice)
+        # without reinstating the recompute-cascade the persist exists to
+        # prevent.  Unpersisting an already-materialized old frame is
+        # always safe for correctness (persist is an optimization only).
         _RELIABLE_PINNED.append(cached)
-        while len(_RELIABLE_PINNED) > 1:
+        while len(_RELIABLE_PINNED) > 32:
             old = _RELIABLE_PINNED.pop(0)
             try:
                 old.unpersist(blocking=False)

@@ -4,9 +4,11 @@ floor.  Approximate ops get engineering tests, not value oracles.
 
 ``llm_knn_ann`` (the user-facing default) routes through the IVF index and
 is held to the accuracy bar a default deserves: recall@5 >= 0.9, pinned at
-BOTH the fixture SF and sf0.01.  ``llm_knn_lsh`` (the SimHash tables) is
-held to its theory-predicted floor on this cluster-free corpus (ops/ann.py
-docstring: 0.34-0.38 measured; floor 0.25 to catch collapses, not noise).
+BOTH the fixture SF and sf0.01.  ``llm_knn_lsh`` (the SimHash tables with
+Hamming<=2 multi-probe) measures 0.82 at the fixture SF / 0.88 at sf0.01;
+its floor is pinned just under the measured value at 0.75 at both SFs
+(VERDICT r6 item 5 — the single-bucket variant's 0.34-0.38 is history,
+see ops/ann.py).
 """
 
 from __future__ import annotations

@@ -40,7 +40,7 @@ def main() -> None:
     for n, s in rows.items():
         print(f"| {n} | {s:.3f} |")
     total = round(sum(rows.values()), 3)
-    print(f"| **total (22 queries)** | {total:.3f} |")
+    print(f"| **total ({len(names)} queries)** | {total:.3f} |")
     print(json.dumps({"metric": "tpch_22q_total_warm", "value": total,
                       "unit": "sec", "queries": rows, "sf_dir": SF}))
 
