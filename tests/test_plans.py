@@ -502,3 +502,28 @@ def test_graph_edges_ride_shingle_banding(spark, sf_dir):
 
     for fn in (graph.graph_triangles, graph.llm_dedup_clusters):
         assert "neardup_edges_shingle" in inspect.getsource(fn)
+
+
+def test_span_dedup_family_is_hash_keyed(spark, sf_dir):
+    """The ExactSubstr span ops (round 7) must generate their duplicated-
+    window evidence via hash-keyed shuffles on the window hash — one
+    corpus-wide agg (coverage) or one keeper-election window (apply) plus
+    equi-joins back; never a pairwise comparison."""
+    for name in ("llm_span_dup_coverage", "llm_span_dedup_apply"):
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert (
+            "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan
+        ), name
+
+
+def test_retrieval_eval_broadcasts_probe_side(spark, sf_dir):
+    """llm_retrieval_eval's bucket retriever joins the 10-probe frame into
+    the coded corpus via broadcast (the bounded-probe pattern) — the corpus
+    itself must never shuffle through a nested loop."""
+    plan = plan_of(QUERIES["llm_retrieval_eval"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
