@@ -148,6 +148,11 @@ ROUND7_PRIORITY = (
     "llm_dedup_incremental",
     "llm_containment_dup",
     "llm_embedding_pipeline",
+    # Round-7 flagship deliverable, registered after the backlog: the
+    # fully-oracled two-retriever nDCG/MRR evaluation should earn its
+    # driver row the round it ships (the two span ops enter the window by
+    # registration order already).
+    "llm_retrieval_eval",
 )
 
 # Extension families a real user hits most often — float these ahead of the
