@@ -122,6 +122,8 @@ ROUND4 = {
 # fabricate quadratic true answers).
 ROUND7 = {
     "q_span_dup_coverage": "llm_span_dup_coverage",
+    "q_span_dedup_apply": "llm_span_dedup_apply",
+    "q_retrieval_eval": "llm_retrieval_eval",
     "q_pipeline_e2e": "llm_pipeline_e2e",
     "q_dedup_incremental": "llm_dedup_incremental",
     "q_importance_sample": "llm_importance_sample",
