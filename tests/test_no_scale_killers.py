@@ -62,6 +62,7 @@ ALLOWED_BNLJ = {
     "llm_knn_ann",  # routes to llm_knn_ivf (same bounded probe pattern)
     "llm_knn_cosine",
     "llm_knn_quantized_rerank",  # 1-row calibration frame + 10-probe broadcast
+    "llm_retrieval_eval",  # composes the rerank path above (same bounded frames)
     "llm_knn_ivf",
     "ivf_assign",  # K=16-row centroid frame broadcast to the argmin pass
     "ivf_train_lloyd",  # same 16-row centroid broadcast, once per Lloyd round
