@@ -41,3 +41,4 @@ from biggie_spark.ops import mleval  # noqa: F401
 # order is registration order, so late registration keeps the not-yet-scored
 # extension backlog (r5 verdict item 1) ahead of anything new.
 from biggie_spark.ops import dedup_index  # noqa: E402,F401
+from biggie_spark.ops import training_data  # noqa: E402,F401

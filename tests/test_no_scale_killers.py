@@ -75,6 +75,8 @@ ALLOWED_BNLJ = {
     "llm_mix_weights",
     "llm_perplexity_bucket",  # 1-row corpus-total frame (token count)
     "llm_source_drift",
+    "agg_js_divergence",  # users x 5-type grid + 1-row corpus-N (source_drift pattern)
+    "llm_hash_shard_balance",  # 1-row corpus-total frame (scalar aggregate pattern)
     "llm_tf_idf",
     "llm_topic_lift",
     "stream_watermark_late",
