@@ -115,3 +115,35 @@ def test_ledgered_rows_only_ops_leave_the_window():
     window = list(ordered_queries())[:50]
     stuck = [n for n in window if n in rows_only]
     assert not stuck, f"ledgered rows-only ops burning window slots: {stuck}"
+
+
+def test_coverage_ledger_matches_live_registry():
+    """VERDICT r7 item 2: the 6 end-of-round training_data.py ops shipped
+    without a COVERAGE.md regeneration, so the ledger under-reported the
+    registry by 6 ops for a whole round.  Pin the generated inventory (row
+    count AND the Totals line) to the live registry so end-of-round
+    additions can't silently skew it again."""
+    import re
+
+    text = Path("COVERAGE.md").read_text()
+    rows = re.findall(r"^\| `([a-z0-9_]+)` \|", text, flags=re.M)
+    assert len(rows) == len(QUERIES), (
+        f"COVERAGE.md has {len(rows)} operator rows but the registry has "
+        f"{len(QUERIES)} — re-run tools/gen_coverage.py"
+    )
+    assert set(rows) == set(QUERIES)
+    m = re.search(r"Totals: (\d+) operators, (\d+) with full value oracles", text)
+    assert m, "COVERAGE.md Totals line missing"
+    assert (int(m.group(1)), int(m.group(2))) == (len(QUERIES), len(ORACLES))
+
+
+def test_survey_sec8_totals_match_registry():
+    """Same skew guard for the hand-written SURVEY.md §8 totals sentence
+    (was '372 operators total ... 366 full-oracle' while the registry held
+    378/372)."""
+    import re
+
+    text = Path("SURVEY.md").read_text()
+    m = re.search(r"(\d+) operators total \(incl\..*?(\d+) full-oracle", text, re.S)
+    assert m, "SURVEY.md §8 totals sentence missing"
+    assert (int(m.group(1)), int(m.group(2))) == (len(QUERIES), len(ORACLES))
