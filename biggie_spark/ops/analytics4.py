@@ -1681,7 +1681,8 @@ def kv_inverted_index(spark, sf_dir):
     WITH nodes AS (SELECT doc_id AS v FROM documents WHERE doc_id < {_BFS_N}),
     e AS (
       SELECT v AS src, (v * 2 + 1) % {_BFS_N} AS dst FROM nodes
-      UNION ALL SELECT v, (v * 3 + 7) % {_BFS_N} FROM nodes),
+      UNION ALL SELECT v, (v * 3 + 7) % {_BFS_N} FROM nodes
+      UNION ALL SELECT v, (v * v + 3) % {_BFS_N} FROM nodes),
     sym AS (SELECT DISTINCT src, dst FROM (
               SELECT src, dst FROM e WHERE src <> dst
               UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
@@ -1699,8 +1700,12 @@ def kv_inverted_index(spark, sf_dir):
 def graph_common_neighbors(spark, sf_dir):
     """Link prediction by common-neighbor count: the top unconnected node
     pairs sharing the most neighbors — the classic "people you may know"
-    score, over the same deterministic digraph as graph_bfs_distance
-    (symmetrized).
+    score, over the graph_bfs_distance digraph (symmetrized) plus a third
+    quadratic generator v -> (v*v+3) % N.  The quadratic term creates mild
+    hubs (max in-degree 20 at N=500) so common-neighbor counts VARY in the
+    top-25 — with only the two affine generators the graph is near-regular,
+    every top pair ties at cn=2, and the metric column is vacuously
+    constant (r8 vacuity audit).
 
     Wedge enumeration is ONE self-equi-join on the shared neighbor (the
     same shuffle shape as triangle counting): pair cardinality tracks
@@ -1714,13 +1719,23 @@ def graph_common_neighbors(spark, sf_dir):
         .filter(F.col("doc_id") < _BFS_N)
         .select(F.col("doc_id").alias("v"))
     )
-    e = nodes.select(
-        F.col("v").alias("src"), ((F.col("v") * 2 + 1) % _BFS_N).alias("dst")
-    ).unionByName(
+    e = (
         nodes.select(
-            F.col("v").alias("src"), ((F.col("v") * 3 + 7) % _BFS_N).alias("dst")
+            F.col("v").alias("src"), ((F.col("v") * 2 + 1) % _BFS_N).alias("dst")
         )
-    ).filter(F.col("src") != F.col("dst"))
+        .unionByName(
+            nodes.select(
+                F.col("v").alias("src"), ((F.col("v") * 3 + 7) % _BFS_N).alias("dst")
+            )
+        )
+        .unionByName(
+            nodes.select(
+                F.col("v").alias("src"),
+                ((F.col("v") * F.col("v") + 3) % _BFS_N).alias("dst"),
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
     sym = (
         e.select("src", "dst")
         .unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))

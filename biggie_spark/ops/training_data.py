@@ -22,10 +22,13 @@ from biggie_spark.ops.llm import _shingle_candidates
 from biggie_spark.registry import register
 from biggie_spark.util import r4, tokens
 
-# The BPE-ish pre-tokenizer regex shared with llm_token_bpeish
-# (letter runs / digit runs / single punctuation) — restricted to the
-# Java-regex/RE2 intersection so both engines extract identical tokens.
-_BPEISH = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+# The BPE-ish pre-tokenizer regex: letter/digit runs CAPPED at 4 chars
+# (greedy left-to-right in both Java regex and RE2, so a 10-char word
+# splits 4+4+2 identically in both engines) plus single punctuation.
+# The cap models subword splitting — without it this corpus (lowercase
+# words + single spaces) yields exactly one token per word and the
+# fertility metric is vacuously 10000 everywhere (r8 vacuity audit).
+_BPEISH = "[a-z]{1,4}|[0-9]{1,4}|[^a-z0-9 ]"
 
 
 # ---------------------------------------------------------------------------
@@ -38,12 +41,12 @@ _BPEISH = "[a-z]+|[0-9]+|[^a-z0-9 ]"
     SELECT lang, source,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_words,
-           CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS n_toks,
+           CAST(sum(len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]{1,4}|[^a-z0-9 ]'))) AS BIGINT) AS n_toks,
            CAST(sum(length(text)) AS BIGINT) AS n_chars,
-           CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) * 10000
+           CAST(sum(len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]{1,4}|[^a-z0-9 ]'))) * 10000
              // sum(len(string_split(lower(text), ' '))) AS BIGINT) AS fertility_e4,
            CAST(sum(length(text)) * 10000
-             // sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS chars_per_tok_e4
+             // nullif(sum(len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]{1,4}|[^a-z0-9 ]'))), 0) AS BIGINT) AS chars_per_tok_e4
     FROM documents GROUP BY lang, source
     """,
 )
@@ -83,7 +86,7 @@ def llm_tokenizer_fertility(spark, sf_dir):
             "n_toks",
             "n_chars",
             F.expr("n_toks * 10000 div n_words").alias("fertility_e4"),
-            F.expr("n_chars * 10000 div n_toks").alias("chars_per_tok_e4"),
+            F.expr("n_chars * 10000 div nullif(n_toks, 0)").alias("chars_per_tok_e4"),
         )
     )
 
