@@ -354,6 +354,14 @@ def ivf_index_persisted(spark, sf_dir):
             raise RuntimeError(
                 f"centroid ranking emitted duplicate list ids: {cids}"
             )
+        if len(cids) > NPROBE:
+            # Also fatal (ADVICE r7): the rn <= NPROBE filter can only
+            # exceed NPROBE through an engine bug, and an over-wide cid
+            # set silently widens the probe read past the nprobe budget.
+            raise RuntimeError(
+                f"centroid ranking emitted {len(cids)} list ids for "
+                f"NPROBE={NPROBE}: {cids}"
+            )
         if len(cids) < NPROBE:
             # DATA-dependent (mirrors the n_dirs check below): Lloyd can
             # leave fewer than NPROBE live centroids on another corpus/SF —

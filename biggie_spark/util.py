@@ -7,13 +7,20 @@ JVM-side inside whole-stage codegen — no Python UDFs in any hot path.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Reliable-mode lineage_cap pins (persist-before-checkpoint), bounded FIFO —
-# see the release note inside lineage_cap.
+# see the release note inside lineage_cap.  Caveat (ADVICE r7): the FIFO
+# evicts in global BUILD order, so a workload that constructs >32 capped
+# plans before running ANY action can unpersist a never-materialized frame
+# and pay the recompute cascade on first use — perf-only, never wrong
+# results.  No registered op builds more than 25 caps pre-action; a future
+# plan-collecting sweep over reliable mode should flush per query instead.
 _RELIABLE_PINNED: list[DataFrame] = []
+_RELIABLE_PINNED_LOCK = threading.Lock()
 
 
 def lineage_cap(df: DataFrame) -> DataFrame:
@@ -68,9 +75,12 @@ def lineage_cap(df: DataFrame) -> DataFrame:
         # without reinstating the recompute-cascade the persist exists to
         # prevent.  Unpersisting an already-materialized old frame is
         # always safe for correctness (persist is an optimization only).
-        _RELIABLE_PINNED.append(cached)
-        while len(_RELIABLE_PINNED) > 32:
-            old = _RELIABLE_PINNED.pop(0)
+        with _RELIABLE_PINNED_LOCK:
+            _RELIABLE_PINNED.append(cached)
+            evicted = []
+            while len(_RELIABLE_PINNED) > 32:
+                evicted.append(_RELIABLE_PINNED.pop(0))
+        for old in evicted:
             try:
                 old.unpersist(blocking=False)
             except Exception:  # noqa: BLE001 — frame's session already stopped
