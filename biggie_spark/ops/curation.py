@@ -1061,3 +1061,105 @@ def llm_span_dedup_apply(spark, sf_dir):
             F.coalesce(F.col("kept_md5"), F.md5(F.lit(""))).alias("kept_md5"),
         )
     )
+
+
+SPAN_MIN_LEN = 10  # report threshold in tokens — ExactSubstr (Lee et al.
+# 2022) thresholds at 50 tokens; scaled to this corpus's doc lengths the
+# same way SPAN_W scales their window (measured span lengths here run
+# 5..99, so 10 keeps 45/47/~500 spans at sf0.001/0.01/0.1)
+
+
+@register(
+    "llm_span_dup_lengths",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+                  FROM documents),
+    win AS (SELECT doc_id, unnest(range(1, len(tk)-{SPAN_W}+2)) AS p, tk
+            FROM toks WHERE len(tk) >= {SPAN_W}),
+    w2 AS (SELECT doc_id, p,
+                  md5(array_to_string(tk[p:p+{SPAN_W}-1], ' ')) AS wh
+           FROM win),
+    cnt AS (SELECT wh, count(*) AS c FROM w2 GROUP BY wh),
+    dup AS (SELECT doc_id, p FROM w2 JOIN cnt USING (wh) WHERE c >= 2),
+    g AS (SELECT doc_id, p,
+            CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                 <= {SPAN_W} THEN 0 ELSE 1 END AS brk
+          FROM dup),
+    isl AS (SELECT doc_id, p,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS grp
+            FROM g),
+    spans AS (SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+                     CAST(max(p) + {SPAN_W} - 1 - min(p) + 1 AS BIGINT)
+                       AS span_len,
+                     CAST(count(*) AS BIGINT) AS n_windows
+              FROM isl GROUP BY doc_id, grp)
+    SELECT doc_id, span_start, span_len, n_windows
+    FROM spans WHERE span_len >= {SPAN_MIN_LEN}
+    """,
+)
+def llm_span_dup_lengths(spark, sf_dir):
+    """VARIABLE-LENGTH duplicated spans — the run-merge pass VERDICT r7
+    asked for on top of `llm_span_dup_coverage`'s fixed-W windows: maximal
+    runs of duplicated SPAN_W-token windows are merged per document
+    (gaps-and-islands: a window whose start is within SPAN_W of its
+    predecessor overlaps-or-touches it), so a 200-token verbatim copy
+    reports as ONE span with its true token length, not 196 overlapping
+    windows.  Spans shorter than SPAN_MIN_LEN are dropped — the scaled
+    equivalent of ExactSubstr's >= 50-token report threshold (Lee et al.
+    2022).  Output is one row per maximal span: start position, merged
+    token length, and the number of W-windows it absorbed.
+
+    Plan shape at 100 TB (unchanged linear budget): the W=5 postings stay
+    the candidate generator — windows explode linearly in corpus tokens,
+    ONE corpus-wide hash agg on the window hash, count joined back on the
+    same key.  The merge adds two window functions over the SAME
+    (doc_id, p) sort (lag for break flags, running sum for island ids —
+    one exchange + one sort serves both) and a (doc_id, island) hash agg;
+    every post-postings stage is bounded by duplicated-position count,
+    never corpus size, and nothing is pairwise."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens(F.col("text")).alias("tk"))
+    wins = (
+        t.filter(F.size("tk") >= SPAN_W)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("tk") - SPAN_W + 1)).alias("p"),
+            "tk",
+        )
+        .select(
+            "doc_id",
+            "p",
+            F.md5(F.array_join(F.slice("tk", F.col("p"), SPAN_W), " ")).alias("wh"),
+        )
+    )
+    cnt = wins.groupBy("wh").agg(F.count("*").alias("c"))
+    dup = wins.join(cnt.filter(F.col("c") >= 2), "wh").select("doc_id", "p")
+    wd = Window.partitionBy("doc_id").orderBy("p")
+    g = dup.withColumn(
+        "brk",
+        F.when(F.col("p") - F.lag("p").over(wd) <= SPAN_W, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    isl = g.withColumn(
+        "grp", F.sum("brk").over(wd.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("p").alias("first_p"),
+            F.max("p").alias("last_p"),
+            F.count("*").alias("n_windows"),
+        )
+        .select(
+            F.col("doc_id"),
+            F.col("first_p").cast("long").alias("span_start"),
+            (F.col("last_p") + SPAN_W - 1 - F.col("first_p") + 1)
+            .cast("long")
+            .alias("span_len"),
+            F.col("n_windows").cast("long").alias("n_windows"),
+        )
+        .filter(F.col("span_len") >= SPAN_MIN_LEN)
+    )

@@ -509,7 +509,11 @@ def test_span_dedup_family_is_hash_keyed(spark, sf_dir):
     window evidence via hash-keyed shuffles on the window hash — one
     corpus-wide agg (coverage) or one keeper-election window (apply) plus
     equi-joins back; never a pairwise comparison."""
-    for name in ("llm_span_dup_coverage", "llm_span_dedup_apply"):
+    for name in (
+        "llm_span_dup_coverage",
+        "llm_span_dedup_apply",
+        "llm_span_dup_lengths",
+    ):
         plan = plan_of(QUERIES[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
@@ -518,6 +522,19 @@ def test_span_dedup_family_is_hash_keyed(spark, sf_dir):
             or "ShuffledHashJoin" in plan
             or "BroadcastHashJoin" in plan
         ), name
+
+
+def test_span_lengths_merge_reuses_one_sort(spark, sf_dir):
+    """llm_span_dup_lengths' run-merge needs lag() then a running sum over
+    the SAME (doc_id, p) ordering — Spark must plan both Window operators
+    over one exchange+sort, not re-shuffle between them."""
+    plan = plan_of(QUERIES["llm_span_dup_lengths"](spark, sf_dir))
+    import re
+
+    n_part = len(re.findall(r"hashpartitioning\(doc_id", plan))
+    # one partitioning for the two stacked Windows + one for the final
+    # (doc_id, grp) agg is acceptable; three would mean the windows split
+    assert n_part <= 2, f"doc_id reshuffled {n_part}x:\n{plan}"
 
 
 def test_retrieval_eval_broadcasts_probe_side(spark, sf_dir):

@@ -123,6 +123,7 @@ ROUND4 = {
 ROUND7 = {
     "q_span_dup_coverage": "llm_span_dup_coverage",
     "q_span_dedup_apply": "llm_span_dedup_apply",
+    "q_span_dup_lengths": "llm_span_dup_lengths",
     "q_retrieval_eval": "llm_retrieval_eval",
     "q_pipeline_e2e": "llm_pipeline_e2e",
     "q_dedup_incremental": "llm_dedup_incremental",
