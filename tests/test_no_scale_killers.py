@@ -42,13 +42,23 @@ ALLOWED_NESTED = {
 #     stream_watermark_late
 #     tpch_q11_important_parts tpch_q22_global_sales_opportunity
 #     ts_gapfill ts_resample_interp
-#   limit(1) winning-pair frame (1 row per iteration):
-#     llm_bpe_train llm_bpe_apply
 #   literal-bounded probe subset (doc_id/vec_id < k, k ≤ 10, documented as
 #   the exact-baseline probe pattern in the op docstring):
 #     llm_embed_norm llm_knn_cosine llm_knn_ivf
 # An op outside this set whose plan grows a BNLJ — e.g. a non-equi join
 # against a large broadcast side — fails the sweep.
+#
+# AUDITED 2026-08-14 (VERDICT r7 item 7): every entry's plan was rebuilt
+# and its BroadcastExchange subtree classified — 48/51 still carry a BNLJ
+# whose broadcast side is a scalar aggregate frame, a literal/range
+# constructor, a limit-bounded frame, or a literal id-bounded probe set
+# (spot-checked in-plan: llm_knn_cosine broadcasts the 10-id IN-list scan;
+# ivf_* broadcast the K=16 centroid LocalRelation).  Three entries were
+# STALE — their current plans contain no BNLJ at all — and were REMOVED
+# rather than left as unearned exemptions: ivf_index_persisted,
+# llm_bpe_train, llm_bpe_apply (their earlier nested-loop shapes were
+# replaced by equi-joins/local lookups in later rounds).  Audit note in
+# SCALE.md §BNLJ-audit.
 CARTESIAN = "CartesianProduct"
 BNLJ = "BroadcastNestedLoopJoin"
 ALLOWED_BNLJ = {
@@ -56,8 +66,6 @@ ALLOWED_BNLJ = {
     "diag_range_bounds",
     "graph_pagerank",
     "llm_bm25",
-    "llm_bpe_apply",
-    "llm_bpe_train",
     "llm_embed_norm",
     "llm_knn_ann",  # routes to llm_knn_ivf (same bounded probe pattern)
     "llm_knn_cosine",
@@ -67,7 +75,6 @@ ALLOWED_BNLJ = {
     "ivf_assign",  # K=16-row centroid frame broadcast to the argmin pass
     "ivf_train_lloyd",  # same 16-row centroid broadcast, once per Lloyd round
     "ivf_search_incremental",  # same 16-row centroid broadcast, both passes
-    "ivf_index_persisted",  # 16-row centroid broadcast + 1-row probe vector
     "llm_curation_pipeline",  # 1-row bounds + 1-row corpus-total frames
     "llm_dataset_card",  # 1-row top-language frame joined onto the 1-row card
     "llm_token_pmi",  # 1-row bigram-total frame (corpus-N pattern)
