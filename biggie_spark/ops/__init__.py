@@ -42,3 +42,4 @@ from biggie_spark.ops import mleval  # noqa: F401
 # extension backlog (r5 verdict item 1) ahead of anything new.
 from biggie_spark.ops import dedup_index  # noqa: E402,F401
 from biggie_spark.ops import training_data  # noqa: E402,F401
+from biggie_spark.ops import ingest  # noqa: E402,F401
