@@ -350,3 +350,151 @@ def stream_foreach_batch_upsert(spark, sf_dir):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(acc, ignore_errors=True)
+
+
+@register(
+    "stream_span_dedup_static",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+                  FROM documents),
+    basewh AS (SELECT DISTINCT md5(array_to_string(tk[p:p+4], ' ')) AS wh
+               FROM (SELECT doc_id, unnest(range(1, len(tk)-5+2)) AS p, tk
+                     FROM toks WHERE len(tk) >= 5 AND doc_id < 400)),
+    bw AS (SELECT doc_id, p, md5(array_to_string(tk[p:p+4], ' ')) AS wh
+           FROM (SELECT doc_id, unnest(range(1, len(tk)-5+2)) AS p, tk
+                 FROM toks WHERE len(tk) >= 5 AND doc_id >= 400)),
+    dup AS (SELECT doc_id, p FROM bw WHERE wh IN (SELECT wh FROM basewh)),
+    cov AS (SELECT doc_id, p,
+                   lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS np
+            FROM dup),
+    agg AS (SELECT doc_id,
+                   sum(CASE WHEN np IS NULL THEN 5
+                            ELSE least(np - p, 5) END) AS dt
+            FROM cov GROUP BY doc_id)
+    SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+           CAST(coalesce(a.dt, 0) AS BIGINT) AS dup_vs_base,
+           CAST(CASE WHEN 2 * coalesce(a.dt, 0) >= len(t.tk)
+                     THEN 1 ELSE 0 END AS BIGINT) AS quarantined
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    WHERE t.doc_id >= 400
+    """,
+)
+def stream_span_dedup_static(spark, sf_dir):
+    """Batch twin of STREAMING span dedup against a static corpus index —
+    the ingest-time filter a 100 TB pipeline runs on every incoming doc:
+    the doc's SPAN_W=5 rolling-hash windows probe the BASE corpus's
+    duplicated-window posting set (a static frame the stream side
+    broadcast-joins), and the doc is quarantined when >= half its tokens
+    are covered by base spans.
+
+    Built STRICTLY from streaming-capable constructs — the round-7 span
+    ops sweep with lead()/lag() window functions, which Structured
+    Streaming cannot run, so this twin computes the per-doc interval
+    union WITHOUT them: explode windows -> stream-static LEFT join on the
+    window hash -> stateful groupBy(doc_id) collecting matched positions
+    -> a single higher-order `aggregate` over the sorted array does the
+    union sweep inside the row (state per doc is its own positions,
+    bounded by doc length; update-mode emits each doc once).
+    `streaming_demo.demo_span_dedup_static` drains the identical plan from
+    a readStream source and the test asserts it matches this twin.
+
+    Scale shape: the base posting set is ONE distinct over base windows
+    (at 100 TB: the persisted `llm_ingest_pipeline_persisted`-style
+    artifact, broadcast or bucket-joined); per incoming doc the probe is
+    |doc| hash lookups and O(|doc| log |doc|) local work — nothing scans
+    the base per doc, and nothing is pairwise."""
+    return _span_static_plan(
+        spark, sf_dir, load_table(spark, sf_dir, "documents")
+    )
+
+
+def _span_static_plan(spark, sf_dir, docs_frame):
+    """Shared plan builder: `docs_frame` is the incoming-doc side (a batch
+    frame here, a readStream frame in streaming_demo.demo_span_dedup_static
+    — the SAME lazy plan in both, which is the proof the op
+    incrementalizes).  The static base posting set always builds from the
+    batch reader."""
+    from biggie_spark.util import tokens
+
+    t = docs_frame.select("doc_id", tokens(F.col("text")).alias("tk"))
+    base_docs = load_table(spark, sf_dir, "documents")
+    tb = base_docs.select("doc_id", tokens(F.col("text")).alias("tk"))
+    W = 5
+
+    def windows(frame):
+        return (
+            frame.filter(F.size("tk") >= W)
+            .select(
+                "doc_id",
+                F.size("tk").alias("n_tokens"),
+                F.explode_outer(
+                    F.sequence(F.lit(1), F.size("tk") - W + 1)
+                ).alias("p"),
+                "tk",
+            )
+            .select(
+                "doc_id",
+                "n_tokens",
+                "p",
+                F.md5(F.array_join(F.slice("tk", F.col("p"), W), " ")).alias("wh"),
+            )
+        )
+
+    base_set = (
+        windows(tb.filter(F.col("doc_id") < 400)).select("wh").distinct()
+    )
+    probe = (
+        t.filter(F.col("doc_id") >= 400)
+        .select(
+            "doc_id",
+            F.size("tk").alias("n_tokens"),
+            F.explode_outer(
+                F.when(
+                    F.size("tk") >= W,
+                    F.sequence(F.lit(1), F.size("tk") - W + 1),
+                )
+            ).alias("p"),
+            "tk",
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "p",
+            F.md5(F.array_join(F.slice("tk", F.col("p"), W), " ")).alias("wh"),
+        )
+    )
+    hits = probe.join(
+        F.broadcast(base_set.withColumn("hit", F.lit(1))), "wh", "left"
+    )
+    per_doc = hits.groupBy("doc_id").agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("hit") == 1, F.col("p")))
+        ).alias("ps"),
+    )
+    # interval-union sweep inside the row: acc = (covered_until, total)
+    dup_len = F.aggregate(
+        "ps",
+        F.struct(F.lit(0).cast("long").alias("cov"), F.lit(0).cast("long").alias("tot")),
+        lambda acc, p: F.struct(
+            F.greatest(acc["cov"], (p + W - 1).cast("long")).alias("cov"),
+            (
+                acc["tot"]
+                + F.greatest(
+                    F.lit(0).cast("long"),
+                    (p + W - 1).cast("long")
+                    - F.greatest(acc["cov"], (p - 1).cast("long")),
+                )
+            ).alias("tot"),
+        ),
+        lambda acc: acc["tot"],
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        dup_len.alias("dup_vs_base"),
+        F.when(2 * dup_len >= F.col("n_tokens"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("quarantined"),
+    )

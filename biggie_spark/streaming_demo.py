@@ -338,3 +338,23 @@ def demo_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.dataSource.register(SeqStreamSource)
     df = spark.readStream.format("biggie_seq_stream").load()
     return _drain(df.filter(F.col("id") < 120), "append")
+
+
+def demo_span_dedup_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of stream_span_dedup_static: incoming documents as a
+    file-source stream, each doc's SPAN_W=5 window hashes probing the
+    STATIC base posting set via a stream-static left join, per-doc state =
+    the matched positions (bounded by doc length), interval union computed
+    by a higher-order aggregate inside the emitted row.  Update mode: each
+    doc's final row emits when its group state flushes at the AvailableNow
+    drain."""
+    apply_runtime_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    docs_stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    from biggie_spark.ops.streaming import _span_static_plan
+
+    return _drain(_span_static_plan(spark, sf_dir, docs_stream), "update")

@@ -272,3 +272,14 @@ def test_python_stream_source_offsets(spark, sf_dir):
         for r in demo_python_stream_source(spark, sf_dir).collect()
     )
     assert rows == [(i, (i * 7) % 100) for i in range(120)]
+
+
+def test_streaming_span_dedup_static_matches_batch(spark, sf_dir):
+    """Round-8: the span-dedup ingest filter built without window functions
+    must produce identical rows from a readStream drain and the batch twin
+    (same _span_static_plan, different source)."""
+    from biggie_spark.streaming_demo import demo_span_dedup_static
+
+    live = _rows(demo_span_dedup_static(spark, sf_dir))
+    batch = _rows(QUERIES["stream_span_dedup_static"](spark, sf_dir))
+    assert live == batch
