@@ -405,3 +405,100 @@ def llm_contamination_check(spark, sf_dir):
             .alias("n_train_docs"),
         )
     )
+
+
+@register(
+    "llm_decontaminate_apply",
+    oracle="""
+    WITH toks AS (SELECT d.doc_id, d.source,
+                         string_split(lower(d.text), ' ') AS tk
+                  FROM documents d),
+    bench AS (SELECT doc_id, tk FROM toks WHERE doc_id % 50 = 0),
+    bwh AS (SELECT DISTINCT md5(array_to_string(tk[p:p+4], ' ')) AS wh
+            FROM (SELECT doc_id, unnest(range(1, len(tk)-5+2)) AS p, tk
+                  FROM bench WHERE len(tk) >= 5)),
+    train AS (SELECT doc_id, source, tk FROM toks WHERE doc_id % 50 <> 0),
+    trw AS (SELECT doc_id, md5(array_to_string(tk[p:p+4], ' ')) AS wh
+            FROM (SELECT doc_id, unnest(range(1, len(tk)-5+2)) AS p, tk
+                  FROM train WHERE len(tk) >= 5)),
+    dropd AS (SELECT DISTINCT doc_id FROM trw
+              WHERE wh IN (SELECT wh FROM bwh))
+    SELECT t.source, CAST(count(*) AS BIGINT) AS n_train,
+           CAST(count(*) FILTER (x.doc_id IS NOT NULL) AS BIGINT)
+             AS n_dropped,
+           CAST(coalesce(sum(t.doc_id) FILTER (x.doc_id IS NOT NULL), 0)
+                AS BIGINT) AS sum_dropped,
+           md5(coalesce(string_agg(CASE WHEN x.doc_id IS NULL
+                                        THEN CAST(t.doc_id AS VARCHAR) END, ','
+                                   ORDER BY t.doc_id), '')) AS kept_md5
+    FROM train t LEFT JOIN dropd x ON x.doc_id = t.doc_id
+    GROUP BY t.source
+    """,
+)
+def llm_decontaminate_apply(spark, sf_dir):
+    """APPLY-side of benchmark decontamination — the rewrite the check op
+    only reports: every TRAINING doc sharing at least one SPAN_W=5 window
+    with the eval set is dropped (the standard n-gram-collision removal
+    GPT-3 App. C describes, at this corpus's scaled-down window).  Output
+    is a per-source audit row — training count, dropped count, dropped-id
+    mass, and an md5 over the ORDERED surviving doc ids — so the value
+    hash checks the rewrite itself (which docs survive), not just counts
+    (same contract idiom as llm_span_dedup_apply's kept_md5).
+
+    Scale shape: the eval set's distinct window hashes are a small frame
+    (eval sets are thousands of docs, not billions) — at cluster scale
+    they broadcast, so the training corpus is scanned ONCE with a
+    broadcast semi-probe and never shuffled by content; the only shuffle
+    is the per-source audit aggregate.  Dropping whole docs (not spans)
+    is deliberate: eval contamination policy removes the document, while
+    span REWRITING for intra-corpus dups is llm_span_dedup_apply's job."""
+    d = _docs(spark, sf_dir)
+    t = d.select("doc_id", "source", tokens(F.col("text")).alias("tk"))
+    W = 5
+    is_bench = F.col("doc_id") % 50 == 0
+
+    def wins(frame):
+        return (
+            frame.filter(F.size("tk") >= W)
+            .select(
+                "doc_id",
+                F.explode(F.sequence(F.lit(1), F.size("tk") - W + 1)).alias("p"),
+                "tk",
+            )
+            .select(
+                "doc_id",
+                F.md5(F.array_join(F.slice("tk", F.col("p"), W), " ")).alias("wh"),
+            )
+        )
+
+    bwh = wins(t.filter(is_bench)).select("wh").distinct()
+    train = t.filter(~is_bench)
+    dropd = (
+        wins(train)
+        .join(F.broadcast(bwh), "wh", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("dropped", F.lit(1))
+    )
+    flagged = train.select("doc_id", "source").join(dropd, "doc_id", "left")
+    kept_sorted = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("dropped").isNull(),
+                    F.struct("doc_id"),
+                )
+            )
+        ),
+        lambda s: s["doc_id"].cast("string"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_train"),
+        F.count("dropped").cast("long").alias("n_dropped"),
+        F.coalesce(
+            F.sum(F.when(F.col("dropped") == 1, F.col("doc_id"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("sum_dropped"),
+        F.md5(F.array_join(kept_sorted, ",")).alias("kept_md5"),
+    )
