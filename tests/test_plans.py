@@ -544,3 +544,42 @@ def test_retrieval_eval_broadcasts_probe_side(spark, sf_dir):
     plan = plan_of(QUERIES["llm_retrieval_eval"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_stream_span_twin_has_no_window_operator(spark, sf_dir):
+    """stream_span_dedup_static's whole point is streaming legality: the
+    interval union must be computed WITHOUT window functions (lead/lag),
+    which Structured Streaming cannot run.  Pin it structurally: the plan
+    contains a broadcast join (the static posting set) and NO Window
+    operator."""
+    plan = plan_of(QUERIES["stream_span_dedup_static"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan, "window fn crept into the streaming twin"
+
+
+def test_contamination_family_is_hash_keyed(spark, sf_dir):
+    """Round-8 decontamination ops: evidence joins key on the window hash
+    (check) or broadcast-semi-probe the eval hash set (apply) — never a
+    nested loop."""
+    plan = plan_of(QUERIES["llm_contamination_check"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    plan = plan_of(QUERIES["llm_decontaminate_apply"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, "eval hash set must broadcast"
+
+
+def test_ingest_pipeline_dpp_guard_is_live(spark, sf_dir):
+    """llm_ingest_pipeline_persisted asserts dynamicpruningexpression in
+    its postings probe at RuntimeError grade.  Prove the guard is LIVE by
+    disabling DPP and expecting the raise — a guard that can't fire is
+    narration."""
+    key = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        with pytest.raises(RuntimeError, match="dynamic partition"):
+            QUERIES["llm_ingest_pipeline_persisted"](spark, sf_dir)
+    finally:
+        spark.conf.set(key, old)

@@ -115,6 +115,16 @@ ROUND4 = {
 }
 
 
+# Round-8 additions: the persisted ingest pipeline, the streaming span twin
+# and the decontamination pair — same natural sf0.01 -> sf0.1 step.
+ROUND8 = {
+    "q_ingest_pipeline": "llm_ingest_pipeline_persisted",
+    "q_span_stream_twin": "stream_span_dedup_static",
+    "q_contamination_check": "llm_contamination_check",
+    "q_decontaminate_apply": "llm_decontaminate_apply",
+}
+
+
 # Round-7 window composites (the LLM-pipeline entries the r6 verdict floated
 # into this round's scoring window) + the new overlapping-span dedup op —
 # measured over the natural sf0.01 → sf0.1 step like the other content-keyed
@@ -394,6 +404,15 @@ def main() -> None:
         print("\n| round-4b op | sf0.01 | sf0.1 (10x rows) | ratio (ideal <= 10) |")
         print("|---|---|---|---|")
         for q in ROUND4B:
+            r = nat[q] / small[q]
+            print(f"| {q} | {small[q]:.3f}s | {nat[q]:.3f}s | {r:.1f}x |")
+        return
+    if "--round8-only" in sys.argv:
+        small = time_queries(spark, SRC_SMALL, ROUND8)
+        nat = time_queries(spark, SRC, ROUND8)
+        print("\n| round-8 op | sf0.01 | sf0.1 (10x rows) | ratio (ideal <= 10) |")
+        print("|---|---|---|---|")
+        for q in ROUND8:
             r = nat[q] / small[q]
             print(f"| {q} | {small[q]:.3f}s | {nat[q]:.3f}s | {r:.1f}x |")
         return
