@@ -4,11 +4,17 @@ given SF against its oracle_sql() in DuckDB with an order-insensitive
 value-hash — the same shape of check the driver records in CORRECTNESS_r{N}.
 
 Usage: python tools/driver_sim.py [sf_dir] [name ...]
+
+Hostile-config battery hook: set DRIVER_SIM_CONF="k=v,k=v" to inject extra
+session confs (e.g. spark.sql.shuffle.partitions=7,spark.sql.adaptive.
+enabled=false) — the SCALE.md execution-config invariance sweeps run this
+same script under each hostile config so the check stays driver-faithful.
 """
 
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import time
 
@@ -24,12 +30,16 @@ SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
 
 # deliberately vanilla: the driver makes no promises about session confs
-spark = (
+_builder = (
     SparkSession.builder.master("local[8]")
     .appName("driver-sim")
     .config("spark.ui.enabled", "false")
-    .getOrCreate()
 )
+for _kv in filter(None, os.environ.get("DRIVER_SIM_CONF", "").split(",")):
+    _k, _, _v = _kv.partition("=")
+    print(f"hostile conf: {_k}={_v}")
+    _builder = _builder.config(_k.strip(), _v.strip())
+spark = _builder.getOrCreate()
 
 t0 = time.time()
 df = E.entry(spark)

@@ -125,6 +125,21 @@ ROUND8 = {
 }
 
 
+# Round-8 window close (ops/round8.py): the data-selection / governance
+# tier.  Expected shape: downweight/containment/chat/skyline grow ~linearly
+# with the corpus; kcenter/MMR are constant-K selection loops whose per-pass
+# cost is one corpus scan (kcenter) or pool-bounded (MMR).
+ROUND8B = {
+    "q_dedup_downweight": "llm_dedup_downweight",
+    "q_kcenter_coreset": "llm_kcenter_coreset",
+    "q_mmr_diverse": "llm_mmr_diverse_topk",
+    "q_chat_template": "llm_chat_template",
+    "q_k_anonymity": "agg_k_anonymity",
+    "q_containment_gate": "stream_containment_gate_static",
+    "q_skyline": "win_skyline_pareto",
+}
+
+
 # Round-7 window composites (the LLM-pipeline entries the r6 verdict floated
 # into this round's scoring window) + the new overlapping-span dedup op —
 # measured over the natural sf0.01 → sf0.1 step like the other content-keyed
@@ -413,6 +428,15 @@ def main() -> None:
         print("\n| round-8 op | sf0.01 | sf0.1 (10x rows) | ratio (ideal <= 10) |")
         print("|---|---|---|---|")
         for q in ROUND8:
+            r = nat[q] / small[q]
+            print(f"| {q} | {small[q]:.3f}s | {nat[q]:.3f}s | {r:.1f}x |")
+        return
+    if "--round8b-only" in sys.argv:
+        small = time_queries(spark, SRC_SMALL, ROUND8B)
+        nat = time_queries(spark, SRC, ROUND8B)
+        print("\n| round-8b op | sf0.01 | sf0.1 (10x rows) | ratio (ideal <= 10) |")
+        print("|---|---|---|---|")
+        for q in ROUND8B:
             r = nat[q] / small[q]
             print(f"| {q} | {small[q]:.3f}s | {nat[q]:.3f}s | {r:.1f}x |")
         return
