@@ -1,0 +1,284 @@
+"""Round-9 additions: the training-schedule layer that sits between data
+curation and the trainer — per-domain epoch/repeat planning under a token
+budget (data-constrained scaling), packed-vs-padded batch efficiency
+accounting, per-turn SFT loss-mask span offsets, and the QUALIFY SQL
+surface lowered onto Spark's window+filter plan.
+
+Registered from the LAST import in ops/__init__.py: within an
+ordered_queries() tier the window order is registration order, so these
+land BEHIND the 50-op round-8 backlog (which exactly fills the r8 window)
+and earn their driver rows in round 9.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from biggie_spark.io import load_table
+from biggie_spark.registry import register
+from biggie_spark.util import tokens
+
+# ---------------------------------------------------------------------------
+# per-domain epoch/repeat planning under a token budget
+
+# Repeat ceiling, e3-scaled (2.000 epochs).  Data-constrained scaling work
+# (Muennighoff et al. 2023) caps useful repetition at ~4 epochs; 2.0 keeps
+# BOTH branches of the min() live at every test SF (the max uncapped ratio
+# at sf0.1 is 2.309 epochs), so the cap is value-verified, never dead code.
+_MAX_EPOCHS_E3 = 2000
+
+
+@register(
+    "llm_epoch_schedule",
+    oracle=f"""
+    WITH s AS (SELECT lang, source,
+                      CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+                          AS n_tokens
+               FROM documents GROUP BY lang, source),
+         t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+                      CAST(count(*) AS BIGINT) AS n_dom
+               FROM s)
+    SELECT lang, source, n_docs, n_tokens,
+           CAST(tot // n_dom AS BIGINT) AS target_tokens,
+           CAST(least({_MAX_EPOCHS_E3},
+                      (tot // n_dom) * 1000 // n_tokens) AS BIGINT)
+             AS epochs_e3,
+           CAST(n_tokens * least({_MAX_EPOCHS_E3},
+                                 (tot // n_dom) * 1000 // n_tokens) // 1000
+             AS BIGINT) AS planned_tokens,
+           CAST((tot // n_dom)
+                - n_tokens * least({_MAX_EPOCHS_E3},
+                                   (tot // n_dom) * 1000 // n_tokens) // 1000
+             AS BIGINT) AS deficit_tokens
+    FROM s, t
+    """,
+)
+def llm_epoch_schedule(spark, sf_dir):
+    """Per-domain epoch plan under an equal-mix token budget — the
+    data-constrained-scaling schedule (Muennighoff et al. 2023): each
+    (lang, source) domain is assigned target_tokens = total/n_domains;
+    domains smaller than their target repeat (epochs > 1) but never past
+    the repeat ceiling (2.000 epochs, e3-scaled), and the unreachable
+    remainder is reported as deficit_tokens — the number the mixture
+    planner must reallocate to other domains.
+
+    Shape at scale: ONE hash aggregate over the corpus (map-side partials
+    shrink the shuffle to one row per domain), then the global totals come
+    from an unpartitioned window over the DOMAIN frame — a frame bounded
+    by domain cardinality (~10^2), never by data size, so the
+    single-partition window exchange moves O(domains) rows.  This beats
+    the scalar-rollup-broadcast idiom (``llm_mix_weights``) by one full
+    corpus scan: the rollup formulation evaluates the domain aggregate
+    twice (once as the join input, once under the rollup), while the
+    window reuses the one aggregated frame.  All outputs are
+    integer-exact BIGINTs (epochs e3-scaled, floor division on both
+    engines), so planned_tokens <= target_tokens always and
+    deficit_tokens >= 0 by construction."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", "source", F.size(tokens("text")).alias("tk")
+    )
+    s = d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"), F.sum("tk").alias("n_tokens")
+    )
+    w = Window.partitionBy()
+    s = s.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.sum("n_tokens").over(w).alias("tot"),
+        F.count(F.lit(1)).over(w).alias("n_dom"),
+    )
+    e = f"least({_MAX_EPOCHS_E3}, (tot div n_dom) * 1000 div n_tokens)"
+    return s.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("tot div n_dom").alias("target_tokens"),
+        F.expr(e).cast("long").alias("epochs_e3"),
+        F.expr(f"n_tokens * {e} div 1000").alias("planned_tokens"),
+        F.expr(f"tot div n_dom - n_tokens * {e} div 1000").alias(
+            "deficit_tokens"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# packed-vs-padded batch efficiency
+
+# Context window for the efficiency comparison.  64 (not the 512 the
+# packing layout op uses) so the truncation branch is live at every test
+# SF: doc token counts span 10..100, so some docs always exceed the
+# window and the padded baseline's truncation loss is value-verified.
+_PACK_CAP = 64
+
+
+@register(
+    "llm_packing_efficiency",
+    oracle=f"""
+    WITH t AS (SELECT lang,
+                      len(string_split(lower(text), ' ')) AS tk
+               FROM documents)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tk) AS BIGINT) AS n_tokens,
+           CAST((sum(tk) + {_PACK_CAP - 1}) // {_PACK_CAP} AS BIGINT)
+             AS bins_packed,
+           CAST(sum(tk) * 1000000
+                // (((sum(tk) + {_PACK_CAP - 1}) // {_PACK_CAP})
+                    * {_PACK_CAP}) AS BIGINT) AS util_packed_e6,
+           CAST(sum(least(tk, {_PACK_CAP})) * 1000000
+                // (count(*) * {_PACK_CAP}) AS BIGINT) AS util_padded_e6,
+           CAST(count(*) FILTER (tk > {_PACK_CAP}) AS BIGINT)
+             AS n_truncated,
+           CAST(sum(greatest(tk - {_PACK_CAP}, 0)) AS BIGINT)
+             AS trunc_loss_tokens
+    FROM t GROUP BY lang
+    """,
+)
+def llm_packing_efficiency(spark, sf_dir):
+    """Packed-vs-padded batch efficiency per language stream: the
+    concat-and-split layout (``llm_pack_sequences``) wastes at most one
+    partial bin per stream (util_packed -> 1 as the stream grows), while
+    the one-doc-per-window padded baseline wastes (CAP - len) per short
+    doc AND truncates every doc longer than the window — n_truncated and
+    trunc_loss_tokens quantify the data a padded loader silently drops.
+    This is the accounting a pipeline runs before choosing its collator.
+
+    Shape at scale: a single hash aggregate keyed by lang; map-side
+    partials mean the shuffle carries one row per (partition, lang).
+    Every metric is min/max/sum-composable, so the plan is one corpus
+    scan with no joins at all.  Ratios are e6-scaled integer division —
+    identical BIGINTs on both engines."""
+    t = load_table(spark, sf_dir, "documents").select(
+        "lang", F.size(tokens("text")).alias("tk")
+    )
+    c = F.lit(_PACK_CAP)
+    return t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tk").alias("n_tokens"),
+        ((F.sum("tk") + (_PACK_CAP - 1)) / c).cast("long").alias("bins_packed"),
+        F.expr(
+            f"sum(tk) * 1000000 div "
+            f"(((sum(tk) + {_PACK_CAP - 1}) div {_PACK_CAP}) * {_PACK_CAP})"
+        ).alias("util_packed_e6"),
+        F.expr(
+            f"sum(least(tk, {_PACK_CAP})) * 1000000 "
+            f"div (count(*) * {_PACK_CAP})"
+        ).alias("util_padded_e6"),
+        F.sum(F.when(F.col("tk") > _PACK_CAP, 1).otherwise(0)).alias(
+            "n_truncated"
+        ),
+        F.sum(F.greatest(F.col("tk") - c, F.lit(0))).alias("trunc_loss_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-turn SFT loss-mask span offsets
+
+
+@register(
+    "llm_sft_spans",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, doc_id // 4 AS conv_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+             len(string_split(lower(text), ' ')) AS n_tok
+      FROM documents)
+    SELECT conv_id,
+           CAST(row_number() OVER w - 1 AS BIGINT) AS turn_idx,
+           doc_id, role,
+           CAST(coalesce(sum(n_tok) OVER (
+                  PARTITION BY conv_id ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS tok_start,
+           CAST(sum(n_tok) OVER (
+                  PARTITION BY conv_id ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS tok_end,
+           CAST(role = 'assistant' AS BIGINT) AS loss_mask
+    FROM t
+    WINDOW w AS (PARTITION BY conv_id ORDER BY doc_id)
+    """,
+)
+def llm_sft_spans(spark, sf_dir):
+    """Per-turn loss-mask token spans for SFT: the [tok_start, tok_end)
+    offsets of each turn inside its rendered conversation, with
+    loss_mask = 1 on assistant turns — the literal mask array an SFT
+    trainer applies (``llm_chat_template`` reports the per-conversation
+    AGGREGATES; this op emits the per-turn artifact the collator
+    consumes).  Conversations are the same synthetic grouping the
+    template op uses: 4 consecutive doc_ids, roles alternating by parity.
+
+    Shape at scale: one shuffle on conv_id, then running sums inside a
+    window PARTITIONED by conv_id — partitions are bounded at 4 turns, so
+    there is no global window and no skew surface; the op is a plain
+    hash-partitioned map at any corpus size.  Offsets are whitespace-token
+    counts (BIGINT), exact on both engines."""
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") / 4).cast("long").alias("conv_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.size(tokens("text")).alias("n_tok"),
+    )
+    w = Window.partitionBy("conv_id").orderBy("doc_id")
+    wx = w.rowsBetween(Window.unboundedPreceding, -1)
+    wi = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return t.select(
+        "conv_id",
+        (F.row_number().over(w) - 1).cast("long").alias("turn_idx"),
+        "doc_id",
+        "role",
+        F.coalesce(F.sum("n_tok").over(wx), F.lit(0))
+        .cast("long")
+        .alias("tok_start"),
+        F.sum("n_tok").over(wi).cast("long").alias("tok_end"),
+        (F.col("role") == "assistant").cast("long").alias("loss_mask"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# QUALIFY surface, lowered onto window + filter
+
+
+@register(
+    "sql_qualify_clause",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY row_number() OVER (
+      PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 2
+    """,
+)
+def sql_qualify_clause(spark, sf_dir):
+    """DuckDB/Snowflake's QUALIFY clause (filter on a window function
+    without a subquery), lowered onto Spark SQL — Spark 4.1 has no QUALIFY
+    parser rule (verified: ParseException), so the op performs the exact
+    desugaring the clause specifies: project the window expression in a
+    subquery, filter on it, then DROP the helper column so the output
+    schema matches the QUALIFY form.  The oracle runs the native QUALIFY,
+    proving the lowering loss-less.
+
+    Plan note: Spark's WindowGroupLimit rule (3.5+) pushes the rn <= 2
+    predicate into a per-partition top-k BEFORE the exchange, so the
+    lowered form shuffles only survivor candidates — the clause costs
+    nothing relative to a native implementation at any scale."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "q9_orders_qualify"
+    )
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS _rn
+          FROM q9_orders_qualify
+        ) WHERE _rn <= 2
+        """
+    )

@@ -165,6 +165,21 @@ def _priority(name: str) -> bool:
     return name.startswith(PRIORITY_PREFIXES)
 
 
+# Round-9 additions, held back behind every older unscored op regardless of
+# name prefix: the round-8 backlog was engineered to EXACTLY fill the
+# driver's 50-op window (ops/round8.py docstring), so a new `sql_`-prefixed
+# op must not ride the PRIORITY_PREFIXES tier and displace a round-8 op out
+# of its slot.  These score in round 9, after the backlog clears.
+ROUND9_HOLDBACK = frozenset(
+    {
+        "llm_epoch_schedule",
+        "llm_packing_efficiency",
+        "llm_sft_spans",
+        "sql_qualify_clause",
+    }
+)
+
+
 def ordered_queries() -> dict[str, QueryFn]:
     """QUERIES reordered for the driver's bounded scoring window:
     (1) not-yet-green §2 contract ops, (2) not-yet-green high-traffic
@@ -205,6 +220,8 @@ def ordered_queries() -> dict[str, QueryFn]:
 
     def tier(n: str) -> int:
         if n in green:
+            return 9
+        if n in ROUND9_HOLDBACK:
             return 8
         if n in sec2:
             return 0
@@ -221,7 +238,7 @@ def ordered_queries() -> dict[str, QueryFn]:
         return 6 if _priority(n) else 7
 
     out: dict[str, QueryFn] = {}
-    for t in (0, 1, 2, 3, 4, 5, 6, 7, 8):
+    for t in (0, 1, 2, 3, 4, 5, 6, 7, 8, 9):
         names = [n for n in QUERIES if tier(n) == t]
         if t == 1:
             names.sort(key=verdict_rank.__getitem__)

@@ -583,3 +583,47 @@ def test_ingest_pipeline_dpp_guard_is_live(spark, sf_dir):
             QUERIES["llm_ingest_pipeline_persisted"](spark, sf_dir)
     finally:
         spark.conf.set(key, old)
+
+
+def test_qualify_lowering_gets_window_group_limit(spark, sf_dir):
+    """sql_qualify_clause lowers QUALIFY onto window+filter; Spark's
+    WindowGroupLimit rule (3.5+) must push the rn <= 2 predicate into a
+    per-partition top-k BEFORE the exchange — the property that makes the
+    lowering cost-free at scale.  Also pin that the helper column is
+    dropped (QUALIFY's output schema)."""
+    df = QUERIES["sql_qualify_clause"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "WindowGroupLimit" in plan, "rank pushdown lost — full window sort"
+    assert df.columns == ["o_custkey", "o_orderkey", "o_totalprice"]
+
+
+def test_sft_spans_window_is_conv_partitioned(spark, sf_dir):
+    """llm_sft_spans runs its running sums inside a window PARTITIONED by
+    conv_id (4-row partitions) — never a global window, which would
+    funnel the corpus through one task."""
+    plan = plan_of(QUERIES["llm_sft_spans"](spark, sf_dir))
+    assert "Window" in plan
+    assert "hashpartitioning(conv_id" in plan
+    assert "SinglePartition" not in plan, "global window crept in"
+
+
+def test_packing_efficiency_is_single_scan_no_join(spark, sf_dir):
+    """llm_packing_efficiency is one corpus scan -> one partial+final hash
+    aggregate keyed by lang.  No joins of any kind; every metric is
+    sum/min/max-composable."""
+    plan = plan_of(QUERIES["llm_packing_efficiency"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "partial_sum" in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_epoch_schedule_scans_corpus_once(spark, sf_dir):
+    """llm_epoch_schedule's global totals come from an unpartitioned
+    window over the DOMAIN frame (bounded by domain cardinality), not a
+    scalar-rollup broadcast — the corpus parquet must appear exactly once
+    in the plan (the rollup idiom evaluates the corpus aggregate twice)
+    and no nested-loop join may exist."""
+    plan = plan_of(QUERIES["llm_epoch_schedule"](spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_sum" in plan, "map-side combine lost"

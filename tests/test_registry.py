@@ -117,6 +117,30 @@ def test_ledgered_rows_only_ops_leave_the_window():
     assert not stuck, f"ledgered rows-only ops burning window slots: {stuck}"
 
 
+def test_round9_holdback_stays_behind_older_backlog():
+    """The round-8 backlog was engineered to exactly fill the driver's
+    50-op window; round-9 additions (one of which carries the `sql_`
+    priority prefix) must sit BEHIND every older unscored op so they can
+    never displace a round-8 op out of its slot."""
+    from biggie_spark.registry import ROUND9_HOLDBACK
+
+    ledger = json.loads(GREEN_LEDGER.read_text())
+    green = set(ledger["green"]) | set(ledger.get("rows_only_scored", []))
+    oq = list(ordered_queries())
+    unscored = [n for n in oq if n not in green]
+    held = [n for n in unscored if n in ROUND9_HOLDBACK]
+    others = [n for n in unscored if n not in ROUND9_HOLDBACK]
+    if held and others:
+        first_held = min(oq.index(n) for n in held)
+        last_other = max(oq.index(n) for n in others)
+        assert first_held > last_other, (
+            "a ROUND9_HOLDBACK op precedes an older unscored op: "
+            f"{[n for n in held if oq.index(n) < last_other]}"
+        )
+    missing = [n for n in ROUND9_HOLDBACK if n not in QUERIES]
+    assert not missing, f"holdback names unregistered ops: {missing}"
+
+
 def test_coverage_ledger_matches_live_registry():
     """VERDICT r7 item 2: the 6 end-of-round training_data.py ops shipped
     without a COVERAGE.md regeneration, so the ledger under-reported the

@@ -140,6 +140,18 @@ ROUND8B = {
 }
 
 
+# Round-9 additions (ops/round9.py): the training-schedule tier.  Expected
+# shape: epoch_schedule / packing_efficiency reduce to domain-/lang-bounded
+# frames (~flat in wall-clock, scan-dominated); sft_spans and the QUALIFY
+# lowering grow ~linearly (per-turn rows / per-customer top-2).
+ROUND9 = {
+    "q_epoch_schedule": "llm_epoch_schedule",
+    "q_packing_efficiency": "llm_packing_efficiency",
+    "q_sft_spans": "llm_sft_spans",
+    "q_qualify": "sql_qualify_clause",
+}
+
+
 # Round-7 window composites (the LLM-pipeline entries the r6 verdict floated
 # into this round's scoring window) + the new overlapping-span dedup op —
 # measured over the natural sf0.01 → sf0.1 step like the other content-keyed
@@ -437,6 +449,15 @@ def main() -> None:
         print("\n| round-8b op | sf0.01 | sf0.1 (10x rows) | ratio (ideal <= 10) |")
         print("|---|---|---|---|")
         for q in ROUND8B:
+            r = nat[q] / small[q]
+            print(f"| {q} | {small[q]:.3f}s | {nat[q]:.3f}s | {r:.1f}x |")
+        return
+    if "--round9-only" in sys.argv:
+        small = time_queries(spark, SRC_SMALL, ROUND9)
+        nat = time_queries(spark, SRC, ROUND9)
+        print("\n| round-9 op | sf0.01 | sf0.1 (10x rows) | ratio (ideal <= 10) |")
+        print("|---|---|---|---|")
+        for q in ROUND9:
             r = nat[q] / small[q]
             print(f"| {q} | {small[q]:.3f}s | {nat[q]:.3f}s | {r:.1f}x |")
         return
