@@ -282,3 +282,278 @@ def sql_qualify_clause(spark, sf_dir):
         ) WHERE _rn <= 2
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# quality-thresholded selection under a global token budget
+
+# Keep the best 2/5 of corpus tokens.  The fraction is chosen so BOTH the
+# kept and dropped sets are non-empty at every test SF (measured: the
+# threshold lands at score 42-43 with ~57% of docs kept — high-score docs
+# skew short, so 40% of tokens covers more than 40% of docs).
+_BUDGET_NUM, _BUDGET_DEN = 2, 5
+
+
+@register(
+    "llm_token_budget_select",
+    oracle=f"""
+    WITH s AS (SELECT doc_id,
+                      CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                        AS n_tok,
+                      CAST(len(list_distinct(string_split(lower(text), ' ')))
+                           * 100 // len(string_split(lower(text), ' '))
+                        AS BIGINT) AS score_e2
+               FROM documents),
+         b AS (SELECT score_e2, CAST(sum(n_tok) AS BIGINT) AS btok
+               FROM s GROUP BY score_e2),
+         c AS (SELECT score_e2,
+                      sum(btok) OVER (ORDER BY score_e2 DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cum_incl,
+                      sum(btok) OVER () AS tot
+               FROM b),
+         k AS (SELECT score_e2 FROM c
+               WHERE score_e2 >= (SELECT min(CASE WHEN cum_incl <=
+                                    tot * {_BUDGET_NUM} // {_BUDGET_DEN}
+                                    THEN score_e2 END) FROM c))
+    SELECT s.doc_id, s.score_e2, s.n_tok
+    FROM s JOIN k USING (score_e2)
+    """,
+)
+def llm_token_budget_select(spark, sf_dir):
+    """Select the highest-quality documents whose total token count fits a
+    global budget (2/5 of corpus tokens) — the data-selection step a
+    pipeline runs when compute, not data, is the binding constraint
+    (quality = per-doc unique-token ratio, an integer repetition proxy).
+
+    Shape at scale — the threshold-bucket decomposition, NEVER a global
+    per-doc sort: (1) one corpus aggregate onto the score-bucket grid
+    (<= 101 rows by construction: score_e2 is an integer percentage), (2)
+    a descending prefix sum over that bounded frame picks the cutoff
+    bucket (single-partition window over <= 101 rows, O(1) data moved),
+    (3) the kept-bucket set broadcast-equi-joins back onto the corpus.
+    The alternative — ORDER BY score + running-sum window over every doc —
+    single-partitions the entire corpus and dies at scale; this plan's
+    per-doc work is one scan + one BroadcastHashJoin.  Tie policy is
+    threshold-pure and deterministic: the boundary bucket is kept only if
+    it fits entirely, so selection never depends on doc order inside a
+    bucket (the slack this leaves is bounded by one bucket's mass; a
+    production variant would recurse on a hash sub-bucket of the boundary
+    bucket to shrink slack, same decomposition one level down).  All
+    values BIGINT; both engines floor-divide."""
+    s = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("ws"))
+        .select(
+            "doc_id",
+            F.size("ws").cast("long").alias("n_tok"),
+            F.expr("size(array_distinct(ws)) * 100 div size(ws)").alias(
+                "score_e2"
+            ),
+        )
+    )
+    b = s.groupBy("score_e2").agg(F.sum("n_tok").alias("btok"))
+    w_desc = (
+        Window.partitionBy()
+        .orderBy(F.desc("score_e2"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    c = b.select(
+        "score_e2",
+        F.sum("btok").over(w_desc).alias("cum_incl"),
+        F.sum("btok").over(w_all).alias("tot"),
+    )
+    k = (
+        c.withColumn(
+            "thr",
+            F.min(
+                F.when(
+                    F.expr(
+                        f"cum_incl <= tot * {_BUDGET_NUM} div {_BUDGET_DEN}"
+                    ),
+                    F.col("score_e2"),
+                )
+            ).over(w_all),
+        )
+        .filter(F.col("score_e2") >= F.col("thr"))
+        .select("score_e2")
+    )
+    return s.join(F.broadcast(k), "score_e2").select(
+        "doc_id", "score_e2", "n_tok"
+    )
+
+
+# ---------------------------------------------------------------------------
+# two-phase (stable + anneal) mixture allocation
+
+# Anneal fraction: the final 1/5 of the token budget re-weights sources by
+# quality (WSD-style decay-phase upweighting of high-quality data); the
+# first 4/5 sample sources at their natural share.
+_ANNEAL_DEN = 5
+
+
+@register(
+    "llm_anneal_mix",
+    oracle=f"""
+    WITH s AS (SELECT source,
+                      CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+                        AS n_tokens,
+                      CAST(sum(len(list_distinct(
+                             string_split(lower(text), ' ')))) AS BIGINT)
+                        AS n_uniq
+               FROM documents GROUP BY source),
+         q AS (SELECT source, n_docs, n_tokens,
+                      n_uniq * 100 // n_tokens AS score_e2
+               FROM s),
+         t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+                      CAST(sum(n_tokens * (n_uniq * 100 // n_tokens))
+                        AS BIGINT) AS wsum
+               FROM s)
+    SELECT source, n_docs, n_tokens, score_e2,
+           CAST((tot - tot // {_ANNEAL_DEN}) * n_tokens // tot AS BIGINT)
+             AS stable_alloc,
+           CAST((tot // {_ANNEAL_DEN}) * (n_tokens * score_e2) // wsum
+             AS BIGINT) AS anneal_alloc,
+           CAST(((tot // {_ANNEAL_DEN}) * (n_tokens * score_e2) // wsum)
+                * 10000
+                // nullif((tot // {_ANNEAL_DEN}) * n_tokens // tot, 0)
+             AS BIGINT) AS boost_e4
+    FROM q, t
+    """,
+)
+def llm_anneal_mix(spark, sf_dir):
+    """Two-phase training mixture: the stable phase (4/5 of the corpus
+    token budget) allocates tokens to each source at its natural share;
+    the anneal phase (final 1/5) re-weights sources by quality
+    (quality-weighted share n_tokens*score / sum(n_tokens*score)) — the
+    decay-phase upweighting of high-quality data that WSD-style schedules
+    apply.  boost_e4 reports each source's anneal allocation relative to
+    what its natural share of the anneal budget would have been (10000 =
+    no change), the number a mixture reviewer reads first.
+
+    Shape at scale: one corpus aggregate onto the source frame, global
+    totals via an unpartitioned window over that frame (bounded by source
+    cardinality, the ``llm_epoch_schedule`` idiom — one corpus scan, no
+    rollup double-evaluation, no BNLJ).  Integer-exact throughout;
+    nullif guards the boost ratio where a source's stable share floors to
+    zero (ADVICE r7: both engines must emit NULL, not one raise).  The
+    1e4/1e2 scalings overflow int64 past ~1e12 corpus tokens — the
+    documented switch point to DECIMAL(38,0), as in ``llm_mix_weights``."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.size(tokens("text")).cast("long").alias("tk"),
+        F.expr("size(array_distinct(split(lower(text), ' ')))")
+        .cast("long")
+        .alias("uq"),
+    )
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tk").alias("n_tokens"),
+        F.sum("uq").alias("n_uniq"),
+    )
+    w = Window.partitionBy()
+    q = s.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("n_uniq * 100 div n_tokens").alias("score_e2"),
+        F.sum("n_tokens").over(w).alias("tot"),
+        F.sum(F.expr("n_tokens * (n_uniq * 100 div n_tokens)"))
+        .over(w)
+        .alias("wsum"),
+    )
+    return q.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "score_e2",
+        F.expr(
+            f"(tot - tot div {_ANNEAL_DEN}) * n_tokens div tot"
+        ).alias("stable_alloc"),
+        F.expr(
+            f"(tot div {_ANNEAL_DEN}) * (n_tokens * score_e2) div wsum"
+        ).alias("anneal_alloc"),
+        F.expr(
+            f"((tot div {_ANNEAL_DEN}) * (n_tokens * score_e2) div wsum) "
+            f"* 10000 div nullif((tot div {_ANNEAL_DEN}) * n_tokens "
+            f"div tot, 0)"
+        ).alias("boost_e4"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# curriculum phases by equal token mass
+
+
+@register(
+    "llm_curriculum_phases",
+    oracle="""
+    WITH s AS (SELECT doc_id,
+                      CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                        AS n_tok,
+                      CAST(len(list_distinct(string_split(lower(text), ' ')))
+                           * 100 // len(string_split(lower(text), ' '))
+                        AS BIGINT) AS score_e2
+               FROM documents),
+         b AS (SELECT score_e2, CAST(sum(n_tok) AS BIGINT) AS btok
+               FROM s GROUP BY score_e2),
+         c AS (SELECT score_e2,
+                      CAST(coalesce(sum(btok) OVER (ORDER BY score_e2
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS cum_excl,
+                      sum(btok) OVER () AS tot
+               FROM b),
+         p AS (SELECT score_e2,
+                      CAST(least(3, cum_excl * 4 // tot) AS BIGINT) AS phase
+               FROM c)
+    SELECT s.doc_id, s.score_e2, p.phase, s.n_tok
+    FROM s JOIN p USING (score_e2)
+    """,
+)
+def llm_curriculum_phases(spark, sf_dir):
+    """Curriculum assignment: split the corpus into 4 training phases of
+    (approximately) equal token mass, ordered by the integer quality score
+    ascending — repetitive/low-diversity docs train first, high-diversity
+    docs last, the standard easy-to-hard curriculum with phase boundaries
+    placed by token mass (so each phase is the same amount of compute),
+    not by doc count.  Emits the per-doc phase assignment — the literal
+    column a curriculum-aware dataloader partitions on.
+
+    Shape at scale: the same threshold-bucket decomposition as
+    ``llm_token_budget_select`` — corpus aggregate onto the <= 101-row
+    score grid, ascending EXCLUSIVE prefix sum over that bounded frame
+    (cum_excl, so a bucket straddling a boundary lands in the earlier
+    phase deterministically), phase = floor(cum_excl * 4 / total) capped
+    at 3, then one broadcast equi-join back onto the corpus.  No global
+    doc sort exists in the plan; phase boundaries cost O(|grid|)."""
+    s = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("ws"))
+        .select(
+            "doc_id",
+            F.size("ws").cast("long").alias("n_tok"),
+            F.expr("size(array_distinct(ws)) * 100 div size(ws)").alias(
+                "score_e2"
+            ),
+        )
+    )
+    b = s.groupBy("score_e2").agg(F.sum("n_tok").alias("btok"))
+    w_asc = (
+        Window.partitionBy()
+        .orderBy("score_e2")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy()
+    p = b.select(
+        "score_e2",
+        F.coalesce(F.sum("btok").over(w_asc), F.lit(0)).alias("cum_excl"),
+        F.sum("btok").over(w_all).alias("tot"),
+    ).select(
+        "score_e2",
+        F.expr("least(3, cum_excl * 4 div tot)").cast("long").alias("phase"),
+    )
+    return s.join(F.broadcast(p), "score_e2").select(
+        "doc_id", "score_e2", "phase", "n_tok"
+    )

@@ -176,6 +176,9 @@ ROUND9_HOLDBACK = frozenset(
         "llm_packing_efficiency",
         "llm_sft_spans",
         "sql_qualify_clause",
+        "llm_token_budget_select",
+        "llm_anneal_mix",
+        "llm_curriculum_phases",
     }
 )
 

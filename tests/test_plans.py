@@ -627,3 +627,36 @@ def test_epoch_schedule_scans_corpus_once(spark, sf_dir):
     assert plan.count("Location: InMemoryFileIndex") == 1
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_sum" in plan, "map-side combine lost"
+
+
+def test_token_budget_select_has_no_global_doc_sort(spark, sf_dir):
+    """llm_token_budget_select must use the threshold-bucket decomposition:
+    the cutoff comes from a prefix sum over the bounded score grid and the
+    kept-bucket set equi-joins back via broadcast — the plan may never
+    contain a range partitioning (the global ORDER BY over docs that the
+    naive running-sum formulation needs) or a nested-loop join."""
+    plan = plan_of(QUERIES["llm_token_budget_select"](spark, sf_dir))
+    assert "rangepartitioning" not in plan, "global doc sort crept in"
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan, "bucket join must broadcast"
+    assert "partial_sum" in plan, "map-side combine lost"
+
+
+def test_anneal_mix_scans_corpus_once(spark, sf_dir):
+    """llm_anneal_mix follows the epoch-schedule idiom: global totals via
+    an unpartitioned window over the SOURCE frame (bounded cardinality),
+    one corpus scan, no nested-loop join."""
+    plan = plan_of(QUERIES["llm_anneal_mix"](spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_sum" in plan, "map-side combine lost"
+
+
+def test_curriculum_phases_has_no_global_doc_sort(spark, sf_dir):
+    """llm_curriculum_phases assigns phases on the bounded score grid and
+    broadcast-joins the per-bucket phase back onto the corpus — same
+    no-global-sort contract as llm_token_budget_select."""
+    plan = plan_of(QUERIES["llm_curriculum_phases"](spark, sf_dir))
+    assert "rangepartitioning" not in plan, "global doc sort crept in"
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan, "bucket join must broadcast"

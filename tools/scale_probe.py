@@ -149,6 +149,12 @@ ROUND9 = {
     "q_packing_efficiency": "llm_packing_efficiency",
     "q_sft_spans": "llm_sft_spans",
     "q_qualify": "sql_qualify_clause",
+    # data-selection trio: budget_select / curriculum reduce to the bounded
+    # score grid plus one broadcast join back onto the corpus (scan-bound,
+    # output ~linear); anneal_mix is a source-frame window (~flat).
+    "q_token_budget_select": "llm_token_budget_select",
+    "q_anneal_mix": "llm_anneal_mix",
+    "q_curriculum_phases": "llm_curriculum_phases",
 }
 
 
