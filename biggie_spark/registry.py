@@ -179,6 +179,8 @@ ROUND9_HOLDBACK = frozenset(
         "llm_token_budget_select",
         "llm_anneal_mix",
         "llm_curriculum_phases",
+        "llm_preference_pairs",
+        "llm_best_of_n_stats",
     }
 )
 

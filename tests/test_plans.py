@@ -660,3 +660,22 @@ def test_curriculum_phases_has_no_global_doc_sort(spark, sf_dir):
     assert "rangepartitioning" not in plan, "global doc sort crept in"
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan, "bucket join must broadcast"
+
+
+def test_preference_pairs_windows_are_prompt_partitioned(spark, sf_dir):
+    """llm_preference_pairs ranks candidates inside windows PARTITIONED by
+    prompt_id (4-row partitions) — never a global window — and needs no
+    join at all (conditional aggregation collapses each group)."""
+    plan = plan_of(QUERIES["llm_preference_pairs"](spark, sf_dir))
+    assert "hashpartitioning(prompt_id" in plan
+    assert "SinglePartition" not in plan, "global window crept in"
+    assert "Join" not in plan
+
+
+def test_best_of_n_stats_window_is_prompt_partitioned(spark, sf_dir):
+    """llm_best_of_n_stats runs its running max inside prompt_id-bounded
+    windows, then a partial+final aggregate onto the bounded k frame."""
+    plan = plan_of(QUERIES["llm_best_of_n_stats"](spark, sf_dir))
+    assert "hashpartitioning(prompt_id" in plan
+    assert "SinglePartition" not in plan, "global window crept in"
+    assert "partial_count" in plan or "partial_sum" in plan

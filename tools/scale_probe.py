@@ -155,6 +155,10 @@ ROUND9 = {
     "q_token_budget_select": "llm_token_budget_select",
     "q_anneal_mix": "llm_anneal_mix",
     "q_curriculum_phases": "llm_curriculum_phases",
+    # RLHF preference tier: both are prompt_id-bounded windows (4-row
+    # partitions) + one aggregate — the sft_spans execution profile.
+    "q_preference_pairs": "llm_preference_pairs",
+    "q_best_of_n_stats": "llm_best_of_n_stats",
 }
 
 
