@@ -12,6 +12,10 @@ and earn their driver rows in round 9.
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -701,3 +705,270 @@ def llm_best_of_n_stats(spark, sf_dir):
         F.sum("best").alias("sum_best"),
         F.expr("sum(best) * 10000 div count(*)").alias("mean_best_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pass@k estimation
+
+# "Correct" proxy threshold on the integer quality score: 45 splits the
+# per-problem correct counts across the FULL 0..4 range at every test SF
+# (measured: c-histogram {0: 5, 1: 30, 2: 48, 3: 34, 4: 8} at sf0.01), so
+# every branch of the estimator — including the c=0 floor and the k > n-c
+# certainty case — is live and value-verified.
+_PASS_THRESH = 45
+
+
+@register(
+    "llm_pass_at_k",
+    oracle=f"""
+    WITH s AS (SELECT doc_id // 4 AS prob,
+                      CAST(len(list_distinct(string_split(lower(text), ' ')))
+                           * 100 // len(string_split(lower(text), ' '))
+                        AS BIGINT) AS score_e2
+               FROM documents),
+         c AS (SELECT prob,
+                      CAST(count(*) FILTER (score_e2 >= {_PASS_THRESH})
+                        AS BIGINT) AS c,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM s GROUP BY prob),
+         g AS (SELECT prob, c, n, CAST(k.k AS BIGINT) AS k
+               FROM c CROSS JOIN (VALUES (1), (2), (3), (4)) k(k)
+               WHERE k.k <= n)
+    SELECT prob, k, c,
+           CAST(1000000 - CASE WHEN k > n - c THEN 0
+                ELSE CAST(factorial(CAST(n - c AS INTEGER)) AS BIGINT)
+                     // (CAST(factorial(CAST(k AS INTEGER)) AS BIGINT)
+                         * CAST(factorial(CAST(n - c - k AS INTEGER))
+                             AS BIGINT)) * 1000000
+                     // (CAST(factorial(CAST(n AS INTEGER)) AS BIGINT)
+                         // (CAST(factorial(CAST(k AS INTEGER)) AS BIGINT)
+                            * CAST(factorial(CAST(n - k AS INTEGER))
+                                AS BIGINT)))
+                END AS BIGINT) AS pass_e6
+    FROM g
+    """,
+)
+def llm_pass_at_k(spark, sf_dir):
+    """The unbiased pass@k estimator (Chen et al. 2021, HumanEval):
+    per problem, with n samples of which c are correct, pass@k =
+    1 - C(n-c, k) / C(n, k) — the probability at least one of k drawn
+    samples is correct.  Problems are the 4-consecutive-doc_id groups the
+    preference ops use; "correct" is the integer quality score clearing a
+    fixed threshold.  Emits the per-(problem, k) grid — the frame an eval
+    harness aggregates into its headline pass@1/pass@4 numbers — computed
+    in EXACT integer combinatorics (both engines' factorial() is integral
+    for n <= 20; the e6 scaling floor-divides identically), never float
+    powers, so the hash oracle is exact.
+
+    Shape at scale: one shuffle on the problem key, a 4-way explode of
+    the per-problem row (output is 4 rows per problem — linear), zero
+    joins.  The k > n-c branch (certain success) and the c = 0 floor are
+    both exercised at every test SF by the threshold choice above."""
+    s = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") / 4).cast("long").alias("prob"),
+        F.expr(
+            "size(array_distinct(split(lower(text), ' '))) * 100 "
+            "div size(split(lower(text), ' '))"
+        ).alias("score_e2"),
+    )
+    c = s.groupBy("prob").agg(
+        F.sum(
+            F.when(F.col("score_e2") >= _PASS_THRESH, 1).otherwise(0)
+        ).alias("c"),
+        F.count("*").alias("n"),
+    )
+    g = c.select(
+        "prob",
+        "c",
+        "n",
+        F.explode(F.expr("array(1L, 2L, 3L, 4L)")).alias("k"),
+    ).filter(F.col("k") <= F.col("n"))
+    return g.select(
+        "prob",
+        "k",
+        "c",
+        F.expr(
+            "1000000 - CASE WHEN k > n - c THEN 0 "
+            "ELSE factorial(n - c) div (factorial(k) * factorial(n - c - k))"
+            " * 1000000 div (factorial(n) div (factorial(k) "
+            "* factorial(n - k))) END"
+        ).alias("pass_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# the persisted training manifest — the tier's maintained artifact
+
+_MANIFEST_SHARDS = 8
+
+
+@register(
+    "llm_training_manifest_persisted",
+    oracle=f"""
+    WITH s AS (SELECT doc_id,
+                      CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                        AS n_tok,
+                      CAST(len(list_distinct(string_split(lower(text), ' ')))
+                           * 100 // len(string_split(lower(text), ' '))
+                        AS BIGINT) AS score_e2
+               FROM documents),
+         b AS (SELECT score_e2, CAST(sum(n_tok) AS BIGINT) AS btok
+               FROM s GROUP BY score_e2),
+         c AS (SELECT score_e2,
+                      sum(btok) OVER (ORDER BY score_e2 DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cum_incl,
+                      sum(btok) OVER () AS tot
+               FROM b),
+         kbuck AS (SELECT score_e2 FROM c
+                   WHERE score_e2 >= (SELECT min(CASE WHEN cum_incl <=
+                                        tot * {_BUDGET_NUM} // {_BUDGET_DEN}
+                                        THEN score_e2 END) FROM c)),
+         kept AS (SELECT s.* FROM s JOIN kbuck USING (score_e2)),
+         kb AS (SELECT score_e2, CAST(sum(n_tok) AS BIGINT) AS btok
+                FROM kept GROUP BY score_e2),
+         kc AS (SELECT score_e2,
+                       CAST(coalesce(sum(btok) OVER (ORDER BY score_e2
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS BIGINT) AS cum_excl,
+                       sum(btok) OVER () AS tot
+                FROM kb),
+         ph AS (SELECT score_e2,
+                       CAST(least(3, cum_excl * 4 // tot) AS BIGINT) AS phase
+                FROM kc),
+         m AS (SELECT kept.doc_id, kept.n_tok, ph.phase,
+                      CAST(('0x' || substr(md5(CAST(kept.doc_id AS VARCHAR)),
+                                           1, 4)) AS BIGINT)
+                        % {_MANIFEST_SHARDS} AS shard
+               FROM kept JOIN ph USING (score_e2))
+    SELECT phase, shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM m GROUP BY phase, shard
+    """,
+)
+def llm_training_manifest_persisted(spark, sf_dir):
+    """The training-schedule tier's maintained artifact, exercised
+    end-to-end: budget-select the corpus (threshold-bucket decomposition,
+    2/5 of tokens), assign curriculum phases of equal token mass over the
+    KEPT set, hash each doc into one of 8 reproducible shards, and
+    PERSIST the manifest ``partitionBy(phase)`` — the literal directory
+    layout a curriculum-aware dataloader consumes (epoch = read one phase
+    directory, shard = its intra-phase parallelism unit).
+
+    The op then acts as that dataloader: it re-reads the artifact with an
+    EXPLICIT schema (directory-value inference must never retype the
+    partition column), probes one phase the way an epoch would, and
+    RAISES unless the probe's scan shows PartitionFilters on the phase
+    directory — the structural guarantee (RuntimeError-grade, survives
+    ``python -O``) that an epoch read touches 1/4 of the manifest, not
+    all of it.  The returned per-(phase, shard) statistics come from
+    re-reading the artifact, never from the build-side plan, so a silent
+    write failure fails the value check.
+
+    Shape at 100 TB: the build is one corpus scan + the bounded bucket
+    frames of the component ops; the write is dynamic-partition over 4
+    directories; the epoch read is pruned to one directory; shard
+    assignment is a pure content hash (``llm_shard_order``'s reproducible
+    no-RNG shuffle).  Cites the component decompositions:
+    ``llm_token_budget_select`` / ``llm_curriculum_phases`` above."""
+    s = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("ws"))
+        .select(
+            "doc_id",
+            F.size("ws").cast("long").alias("n_tok"),
+            F.expr("size(array_distinct(ws)) * 100 div size(ws)").alias(
+                "score_e2"
+            ),
+        )
+    )
+    b = s.groupBy("score_e2").agg(F.sum("n_tok").alias("btok"))
+    w_desc = (
+        Window.partitionBy()
+        .orderBy(F.desc("score_e2"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    c = b.select(
+        "score_e2",
+        F.sum("btok").over(w_desc).alias("cum_incl"),
+        F.sum("btok").over(w_all).alias("tot"),
+    )
+    kbuck = (
+        c.withColumn(
+            "thr",
+            F.min(
+                F.when(
+                    F.expr(
+                        f"cum_incl <= tot * {_BUDGET_NUM} div {_BUDGET_DEN}"
+                    ),
+                    F.col("score_e2"),
+                )
+            ).over(w_all),
+        )
+        .filter(F.col("score_e2") >= F.col("thr"))
+        .select("score_e2")
+    )
+    kept = s.join(F.broadcast(kbuck), "score_e2")
+    kb = kept.groupBy("score_e2").agg(F.sum("n_tok").alias("btok"))
+    w_asc = (
+        Window.partitionBy()
+        .orderBy("score_e2")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ph = kb.select(
+        "score_e2",
+        F.coalesce(F.sum("btok").over(w_asc), F.lit(0)).alias("cum_excl"),
+        F.sum("btok").over(w_all).alias("tot"),
+    ).select(
+        "score_e2",
+        F.expr("least(3, cum_excl * 4 div tot)").cast("long").alias("phase"),
+    )
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % _MANIFEST_SHARDS
+    )
+    m = kept.join(F.broadcast(ph), "score_e2").select(
+        "doc_id", "n_tok", "phase", shard.alias("shard")
+    )
+    root = tempfile.mkdtemp(prefix="biggie_manifest_")
+    try:
+        m.write.mode("overwrite").partitionBy("phase").parquet(root)
+        # dataloader view: explicit schema, so `phase` stays LONG no matter
+        # what the directory values would infer to
+        manifest = spark.read.schema(m.schema).parquet(root)
+        # ---- epoch probe: one phase directory, pruning proven in-plan
+        epoch = manifest.filter(F.col("phase") == 2)
+        plan = epoch._jdf.queryExecution().executedPlan().toString()
+        if "PartitionFilters" not in plan or "phase" not in plan:
+            raise RuntimeError(
+                "epoch read must prune on the phase directory partition"
+            )
+        n_dirs = sum(1 for x in os.listdir(root) if x.startswith("phase="))
+        if n_dirs != 4:
+            # equal-token-mass phase placement guarantees 4 non-empty
+            # phases on any corpus with >= 4 score buckets — fewer means
+            # the bucket grid collapsed (degenerate corpus); that is a
+            # data property, so warn and continue (the stats below are
+            # still correct)
+            import warnings
+
+            warnings.warn(
+                f"manifest has {n_dirs} phase directories (expected 4) — "
+                "score grid too coarse for equal-mass phases on this corpus",
+                stacklevel=2,
+            )
+        out = manifest.groupBy("phase", "shard").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        # materialize before the temp artifact vanishes
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -181,6 +181,8 @@ ROUND9_HOLDBACK = frozenset(
         "llm_curriculum_phases",
         "llm_preference_pairs",
         "llm_best_of_n_stats",
+        "llm_pass_at_k",
+        "llm_training_manifest_persisted",
     }
 )
 

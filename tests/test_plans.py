@@ -679,3 +679,35 @@ def test_best_of_n_stats_window_is_prompt_partitioned(spark, sf_dir):
     assert "hashpartitioning(prompt_id" in plan
     assert "SinglePartition" not in plan, "global window crept in"
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_pass_at_k_is_explode_no_join(spark, sf_dir):
+    """llm_pass_at_k fans each per-problem row out over the k grid via
+    explode (4 output rows per problem, linear) — never a join against a
+    k frame — and its window-free plan shuffles once on the problem key."""
+    plan = plan_of(QUERIES["llm_pass_at_k"](spark, sf_dir))
+    assert "Generate explode" in plan or "Expand" in plan or "explode" in plan
+    assert "Join" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_training_manifest_invariants(spark, sf_dir):
+    """llm_training_manifest_persisted's re-read statistics must respect
+    the tier's contracts: all 4 curriculum phases materialize, shard ids
+    stay inside [0, 8), and the kept token mass never exceeds the 2/5
+    corpus budget by more than one boundary bucket's slack (the op keeps
+    whole score buckets only)."""
+    from biggie_spark.util import tokens as _tokens
+
+    rows = QUERIES["llm_training_manifest_persisted"](spark, sf_dir).collect()
+    phases = {r.phase for r in rows}
+    assert phases == {0, 1, 2, 3}, f"missing phases: {phases}"
+    assert all(0 <= r.shard < 8 for r in rows)
+    kept_tokens = sum(r.n_tokens for r in rows)
+    total = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.sum(F.size(_tokens("text"))).alias("t"))
+        .collect()[0].t
+    )
+    assert kept_tokens <= total * 2 // 5, "token budget exceeded"
+    assert kept_tokens >= total // 5, "suspiciously small kept set"

@@ -159,6 +159,11 @@ ROUND9 = {
     # partitions) + one aggregate — the sft_spans execution profile.
     "q_preference_pairs": "llm_preference_pairs",
     "q_best_of_n_stats": "llm_best_of_n_stats",
+    # pass@k: per-problem aggregate + 4-way explode, no joins (~linear).
+    "q_pass_at_k": "llm_pass_at_k",
+    # persisted manifest: corpus scan + bounded bucket frames + a
+    # 4-directory partitioned write, then a pruned epoch re-read.
+    "q_training_manifest": "llm_training_manifest_persisted",
 }
 
 
