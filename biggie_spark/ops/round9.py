@@ -972,3 +972,97 @@ def llm_training_manifest_persisted(spark, sf_dir):
         return out.localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# margin-criterion bitext mining
+
+# Probe bound: src-side docs are lang='de' AND doc_id < 200 — a literal
+# id bound, so the broadcast side is fixed-size by construction (the
+# exact-baseline probe pattern of llm_knn_cosine; ~26 probes at sf0.01).
+_BITEXT_PROBE_MAX = 200
+# Accept threshold on the 3x-scaled difference margin (integer-exact):
+# margins span 186..6188 at sf0.01, so 1500 keeps BOTH branches live
+# (13 accepted / 13 rejected).
+_BITEXT_MARGIN_E4 = 1500
+
+
+@register(
+    "llm_bitext_mine",
+    oracle=f"""
+    WITH e AS (SELECT d.doc_id, d.lang, emb.embedding AS v
+               FROM documents d JOIN embeddings emb ON emb.vec_id = d.doc_id),
+         src AS (SELECT doc_id AS src_id, v AS sv FROM e
+                 WHERE lang = 'de' AND doc_id < {_BITEXT_PROBE_MAX}),
+         tgt AS (SELECT doc_id AS tid, v AS tv FROM e WHERE lang = 'en'),
+         p AS (SELECT src_id, tid,
+                      CAST(round(list_cosine_similarity(
+                             sv::DOUBLE[], tv::DOUBLE[]) * 10000)
+                        AS BIGINT) AS sim_e4
+               FROM src, tgt),
+         r AS (SELECT *, row_number() OVER (PARTITION BY src_id
+                 ORDER BY sim_e4 DESC, tid) AS rn FROM p)
+    SELECT src_id,
+           CAST(max(CASE WHEN rn = 1 THEN tid END) AS BIGINT) AS tgt_id,
+           CAST(max(CASE WHEN rn = 1 THEN sim_e4 END) AS BIGINT) AS sim_e4,
+           CAST(3 * max(CASE WHEN rn = 1 THEN sim_e4 END)
+                - sum(CASE WHEN rn BETWEEN 2 AND 4 THEN sim_e4 ELSE 0 END)
+             AS BIGINT) AS margin3_e4,
+           CAST((3 * max(CASE WHEN rn = 1 THEN sim_e4 END)
+                 - sum(CASE WHEN rn BETWEEN 2 AND 4 THEN sim_e4 ELSE 0 END))
+                >= {_BITEXT_MARGIN_E4} AS BIGINT) AS accepted
+    FROM r GROUP BY src_id
+    """,
+)
+def llm_bitext_mine(spark, sf_dir):
+    """Margin-criterion bitext mining (Artetxe & Schwenk 2019, the
+    CCMatrix method): for each source-language document, find its best
+    target-language neighbor by embedding cosine and accept the pair only
+    if the best score clears the mean of the next-best neighbors by a
+    margin — absolute cosine thresholds mis-fire on hubness; the margin
+    criterion is what production mining pipelines actually gate on.
+    Emitted per probe: the top pair, its similarity, the 3x-scaled
+    difference margin (3*c1 - (c2+c3+c4) — integer-exact, no division),
+    and the accept flag (threshold chosen so both branches are live at
+    every test SF).
+
+    Shape at scale: the probe set is literal-bounded (lang + doc_id <
+    {_BITEXT_PROBE_MAX}) and broadcasts against ONE pass over the
+    target-language corpus — no shuffle of the big side, the
+    ``llm_knn_cosine`` exact-baseline pattern; ranking is a per-probe
+    window over candidate rows.  The production-scale path swaps the
+    candidate generator for the IVF index (``ivf_index_persisted``) and
+    keeps this op's margin scoring unchanged — candidates per probe drop
+    from |corpus| to nprobe lists.  Cosines are rounded to the e4 grid
+    ONCE, then all margin arithmetic is BIGINT, so the accept comparison
+    can never straddle a float rounding boundary between engines."""
+    from biggie_spark.util import cosine
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = d.join(emb, d.doc_id == emb.vec_id).select("doc_id", "lang", "embedding")
+    src = e.filter(
+        (F.col("lang") == "de") & (F.col("doc_id") < _BITEXT_PROBE_MAX)
+    ).select(F.col("doc_id").alias("src_id"), F.col("embedding").alias("sv"))
+    tgt = e.filter(F.col("lang") == "en").select(
+        F.col("doc_id").alias("tid"), F.col("embedding").alias("tv")
+    )
+    p = tgt.crossJoin(F.broadcast(src)).select(
+        "src_id",
+        "tid",
+        F.round(cosine(F.col("sv"), F.col("tv")) * 10000, 0)
+        .cast("long")
+        .alias("sim_e4"),
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("sim_e4"), F.asc("tid"))
+    r = p.select("*", F.row_number().over(w).alias("rn")).filter("rn <= 4")
+    c1 = F.max(F.when(F.col("rn") == 1, F.col("sim_e4")))
+    rest = F.sum(
+        F.when(F.col("rn").between(2, 4), F.col("sim_e4")).otherwise(0)
+    )
+    return r.groupBy("src_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("tid"))).alias("tgt_id"),
+        c1.alias("sim_e4"),
+        (3 * c1 - rest).alias("margin3_e4"),
+        ((3 * c1 - rest) >= _BITEXT_MARGIN_E4).cast("long").alias("accepted"),
+    )

@@ -183,6 +183,7 @@ ROUND9_HOLDBACK = frozenset(
         "llm_best_of_n_stats",
         "llm_pass_at_k",
         "llm_training_manifest_persisted",
+        "llm_bitext_mine",
     }
 )
 

@@ -69,6 +69,7 @@ ALLOWED_BNLJ = {
     "llm_embed_norm",
     "llm_knn_ann",  # routes to llm_knn_ivf (same bounded probe pattern)
     "llm_knn_cosine",
+    "llm_bitext_mine",  # literal-bounded probe set (lang + doc_id < 200)
     "llm_knn_quantized_rerank",  # 1-row calibration frame + 10-probe broadcast
     "llm_retrieval_eval",  # composes the rerank path above (same bounded frames)
     "llm_knn_ivf",

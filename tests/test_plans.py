@@ -711,3 +711,13 @@ def test_training_manifest_invariants(spark, sf_dir):
     )
     assert kept_tokens <= total * 2 // 5, "token budget exceeded"
     assert kept_tokens >= total // 5, "suspiciously small kept set"
+
+
+def test_bitext_mine_broadcasts_bounded_probe_side(spark, sf_dir):
+    """llm_bitext_mine's nested-loop join must broadcast the PROBE side
+    (literal lang + doc_id bound) — the corpus side must never appear in
+    a BroadcastExchange, and the probe bound must be pushed to the scan."""
+    plan = plan_of(QUERIES["llm_bitext_mine"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan  # the documented probe pattern
+    assert "PushedFilters" in plan
+    assert "LessThan(doc_id,200)" in plan.replace(" ", "")

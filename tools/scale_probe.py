@@ -164,6 +164,9 @@ ROUND9 = {
     # persisted manifest: corpus scan + bounded bucket frames + a
     # 4-directory partitioned write, then a pruned epoch re-read.
     "q_training_manifest": "llm_training_manifest_persisted",
+    # bitext mining: literal-bounded probe broadcast x one target-corpus
+    # pass (the knn_cosine exact-baseline pattern; ~flat, scan-bound).
+    "q_bitext_mine": "llm_bitext_mine",
 }
 
 
