@@ -1066,3 +1066,80 @@ def llm_bitext_mine(spark, sf_dir):
         (3 * c1 - rest).alias("margin3_e4"),
         ((3 * c1 - rest) >= _BITEXT_MARGIN_E4).cast("long").alias("accepted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ASOF JOIN surface, proved against DuckDB's native clause
+
+
+@register(
+    "sql_asof_join",
+    oracle="""
+    WITH p AS (SELECT user_id, ts, max(event_id) AS p_eid
+               FROM events WHERE event_type = 'purchase'
+               GROUP BY user_id, ts)
+    SELECT e.event_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT) AS prev_purchase_epoch,
+           p.p_eid AS prev_purchase_eid
+    FROM events e ASOF LEFT JOIN p
+      ON e.user_id = p.user_id AND e.ts > p.ts
+    """,
+)
+def sql_asof_join(spark, sf_dir):
+    """The ASOF JOIN surface (DuckDB/QuestDB syntax), proved loss-less
+    against DuckDB's NATIVE ``ASOF LEFT JOIN`` clause — the independent
+    proof the window-lowered ``join_asof`` cannot give (its oracle is an
+    inequality-join emulation; this one is the engine's own asof
+    operator).  Semantics are the native clause's exactly: match on the
+    timestamp alone with strict precedence (``e.ts > p.ts``), so
+    purchases are first deduplicated to one row per (user, ts) — max
+    event_id — because the native clause would otherwise pick an
+    arbitrary one of several equal-ts matches and the result would not be
+    deterministic on either engine.
+
+    Spark lowering (Spark 4.1 has no ASOF parser rule): the same
+    union-tag + running ``last(ignorenulls)`` window as ``join_asof``,
+    but ordered (ts, tag, event_id) with probes BEFORE purchase-copies at
+    equal ts, so the (unbounded, -1) frame enforces ts-only strict
+    precedence rather than join_asof's (ts, event_id) lexicographic
+    rule.  One shuffle on user_id, linear state, no inequality-join pair
+    blow-up — the asof cost model a cluster needs."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    pur = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("p_eid"))
+    )
+    probes = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+        F.lit(None).cast("long").alias("p_eid2"),
+    )
+    pcopy = pur.select(
+        "user_id",
+        "ts",
+        F.col("p_eid").alias("event_id"),
+        F.lit(1).alias("tag"),
+        F.col("ts").alias("p_ts"),
+        F.col("p_eid").alias("p_eid2"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        probes.unionByName(pcopy)
+        .withColumn("prev_ts", F.last("p_ts", ignorenulls=True).over(w))
+        .withColumn("prev_eid", F.last("p_eid2", ignorenulls=True).over(w))
+        .filter(F.col("tag") == 0)
+        .select(
+            "event_id",
+            F.unix_timestamp("prev_ts").alias("prev_purchase_epoch"),
+            F.col("prev_eid").alias("prev_purchase_eid"),
+        )
+    )

@@ -184,6 +184,7 @@ ROUND9_HOLDBACK = frozenset(
         "llm_pass_at_k",
         "llm_training_manifest_persisted",
         "llm_bitext_mine",
+        "sql_asof_join",
     }
 )
 

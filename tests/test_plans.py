@@ -721,3 +721,14 @@ def test_bitext_mine_broadcasts_bounded_probe_side(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan  # the documented probe pattern
     assert "PushedFilters" in plan
     assert "LessThan(doc_id,200)" in plan.replace(" ", "")
+
+
+def test_sql_asof_join_is_single_shuffle_window(spark, sf_dir):
+    """sql_asof_join lowers the ASOF clause onto the union-tag running
+    window: one exchange on user_id, no inequality join (the emulation
+    that pair-explodes), no nested-loop join."""
+    plan = plan_of(QUERIES["sql_asof_join"](spark, sf_dir))
+    assert "hashpartitioning(user_id" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") >= 1

@@ -167,6 +167,8 @@ ROUND9 = {
     # bitext mining: literal-bounded probe broadcast x one target-corpus
     # pass (the knn_cosine exact-baseline pattern; ~flat, scan-bound).
     "q_bitext_mine": "llm_bitext_mine",
+    # ASOF surface: union-tag running window, one shuffle (~linear).
+    "q_asof_syntax": "sql_asof_join",
 }
 
 
