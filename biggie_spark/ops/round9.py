@@ -1143,3 +1143,93 @@ def sql_asof_join(spark, sf_dir):
             F.col("prev_eid").alias("prev_purchase_eid"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# tensor contraction on the flat row-major layout
+
+
+@register(
+    "kv_tensor_matmul",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             3 AS n_rows, 4 + doc_id % 3 AS n_cols, doc_id % 50 AS base
+      FROM documents WHERE doc_id < 100),
+    g AS (SELECT doc_id, n_cols, base, p.v AS p, q.v AS q
+          FROM t, range(3) p(v), range(3) q(v))
+    SELECT doc_id, CAST(p AS INTEGER) AS p, CAST(q AS INTEGER) AS q,
+           /* C[p][q] = sum_j (b+2p+3j)(b+2q+3j)
+                      = n(b+2p)(b+2q) + 3*S1*(2b+2p+2q) + 9*S2
+              with S1 = sum j = n(n-1)/2, S2 = sum j^2 = (n-1)n(2n-1)/6 */
+           CAST(n_cols * (base + 2*p) * (base + 2*q)
+                + 3 * ((n_cols - 1) * n_cols // 2)
+                    * (2*base + 2*p + 2*q)
+                + 9 * ((n_cols - 1) * n_cols * (2*n_cols - 1) // 6)
+             AS BIGINT) AS gram
+    FROM g
+    """,
+)
+def kv_tensor_matmul(spark, sf_dir):
+    """Tensor contraction on the stored rank-2 field: the 3x3 Gram matrix
+    A·Aᵀ of each doc's (rows x cols) tensor — the feature-covariance
+    kernel (chroma self-similarity / spectrogram covariance) computed
+    entirely on the FLAT row-major layout with index arithmetic
+    (A[p,j] = data[p*cols + j]), one nested transform-over-cells x
+    aggregate-over-the-contracted-axis expression per tensor.  No UDF, no
+    reshape, no explode before the final long-format emission — the same
+    discipline as ``kv_tensor_reduce_axis``, extended from a reduction to
+    a contraction.
+
+    Tensors are the family's closed-form synthesis (elem = base + 2i +
+    3j), so the oracle states every Gram cell in closed form (n(b+2p)(b+2q)
+    + 3·S1·(2b+2p+2q) + 9·S2) — a stride bug in EITHER index term of the
+    contraction fails the value hash loudly.  Integer-valued floats keep
+    the double fold exact; output is BIGINT.
+
+    Shape at scale: per-row local compute (9 cells x cols multiply-adds
+    inside codegen), no shuffle at all before the final explode — the op
+    is embarrassingly parallel and the 100 TB cost is one scan."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    rows = F.lit(3)
+    cols = (F.lit(4) + F.col("doc_id") % 3).cast("int")
+    base = (F.col("doc_id") % 50).cast("int")
+    data = F.transform(
+        F.sequence(F.lit(0), rows * cols - 1),
+        lambda k: (base + 2 * (k / cols).cast("int") + 3 * (k % cols)).cast(
+            "float"
+        ),
+    )
+    t = d.select(
+        "doc_id",
+        F.struct(F.array(rows, cols).alias("shape"), data.alias("data")).alias(
+            "tensor"
+        ),
+    )
+    n_rows = F.element_at(F.col("tensor.shape"), 1)
+    n_cols = F.element_at(F.col("tensor.shape"), 2)
+    flat = F.col("tensor.data")
+
+    def elem(r, j):
+        return F.element_at(flat, (r * n_cols + j + 1).cast("int")).cast(
+            "double"
+        )
+
+    gram_flat = F.transform(
+        F.sequence(F.lit(0), n_rows * n_rows - 1),
+        lambda k: F.aggregate(
+            F.sequence(F.lit(0), n_cols - 1),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + elem((k / n_rows).cast("int"), j) * elem(k % n_rows, j),
+        ),
+    )
+    return (
+        t.select("doc_id", F.posexplode(gram_flat).alias("k", "v"))
+        .select(
+            "doc_id",
+            (F.col("k") / 3).cast("int").alias("p"),
+            (F.col("k") % 3).cast("int").alias("q"),
+            F.col("v").cast("bigint").alias("gram"),
+        )
+    )

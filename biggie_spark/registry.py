@@ -185,6 +185,7 @@ ROUND9_HOLDBACK = frozenset(
         "llm_training_manifest_persisted",
         "llm_bitext_mine",
         "sql_asof_join",
+        "kv_tensor_matmul",
     }
 )
 

@@ -732,3 +732,12 @@ def test_sql_asof_join_is_single_shuffle_window(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Window") >= 1
+
+
+def test_tensor_matmul_is_local_compute_no_shuffle(spark, sf_dir):
+    """kv_tensor_matmul contracts each tensor locally inside codegen —
+    the plan may contain no Exchange at all (embarrassingly parallel) and
+    no Python evaluation."""
+    plan = plan_of(QUERIES["kv_tensor_matmul"](spark, sf_dir))
+    assert "Exchange" not in plan, "a per-row contraction must not shuffle"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -169,6 +169,8 @@ ROUND9 = {
     "q_bitext_mine": "llm_bitext_mine",
     # ASOF surface: union-tag running window, one shuffle (~linear).
     "q_asof_syntax": "sql_asof_join",
+    # tensor contraction: per-row local codegen, no exchange (~flat).
+    "q_tensor_matmul": "kv_tensor_matmul",
 }
 
 
