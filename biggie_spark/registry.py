@@ -186,6 +186,7 @@ ROUND9_HOLDBACK = frozenset(
         "llm_bitext_mine",
         "sql_asof_join",
         "kv_tensor_matmul",
+        "llm_length_grouped_batches",
     }
 )
 

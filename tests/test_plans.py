@@ -741,3 +741,13 @@ def test_tensor_matmul_is_local_compute_no_shuffle(spark, sf_dir):
     plan = plan_of(QUERIES["kv_tensor_matmul"](spark, sf_dir))
     assert "Exchange" not in plan, "a per-row contraction must not shuffle"
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_length_grouped_batches_windows_are_shard_partitioned(spark, sf_dir):
+    """llm_length_grouped_batches orders docs inside windows PARTITIONED
+    by shard (the dataloader-worker unit) — a global sort would appear as
+    rangepartitioning/SinglePartition and must never exist here."""
+    plan = plan_of(QUERIES["llm_length_grouped_batches"](spark, sf_dir))
+    assert "hashpartitioning(shard" in plan
+    assert "SinglePartition" not in plan, "global window crept in"
+    assert "rangepartitioning" not in plan, "global sort crept in"

@@ -171,6 +171,8 @@ ROUND9 = {
     "q_asof_syntax": "sql_asof_join",
     # tensor contraction: per-row local codegen, no exchange (~flat).
     "q_tensor_matmul": "kv_tensor_matmul",
+    # length-grouped batching: shard-partitioned windows + 16-row joins.
+    "q_length_grouped": "llm_length_grouped_batches",
 }
 
 
