@@ -297,6 +297,91 @@ def sql_qualify_clause(spark, sf_dir):
 # skew short, so 40% of tokens covers more than 40% of docs).
 _BUDGET_NUM, _BUDGET_DEN = 2, 5
 
+# Per-doc quality score: unique-token ratio as an integer percentage
+# (0..100) — the ONE expression every selection/curriculum/preference op
+# in this tier keys on, extracted so the definition can never diverge
+# between ops (round-8 review finding).
+_UNIQ_SCORE = "size(array_distinct(ws)) * 100 div size(ws)"
+
+
+def _scored_docs(spark, sf_dir):
+    """(doc_id, n_tok, score_e2) — the tier's shared quality frame."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("ws"))
+        .select(
+            "doc_id",
+            F.size("ws").cast("long").alias("n_tok"),
+            F.expr(_UNIQ_SCORE).alias("score_e2"),
+        )
+    )
+
+
+def _prompt_scored(spark, sf_dir):
+    """(prompt_id, doc_id, score_e2): the 4-consecutive-doc_id prompt
+    groups over the shared quality score (preference / best-of-n /
+    pass@k all read this one frame)."""
+    return _scored_docs(spark, sf_dir).select(
+        (F.col("doc_id") / 4).cast("long").alias("prompt_id"),
+        "doc_id",
+        "score_e2",
+    )
+
+
+def _kept_buckets(s):
+    """Score buckets whose total token mass fits the 2/5 budget — the
+    threshold-bucket decomposition shared by llm_token_budget_select and
+    the persisted manifest (whole-bucket tie policy; rationale in the
+    former's docstring)."""
+    b = s.groupBy("score_e2").agg(F.sum("n_tok").alias("btok"))
+    w_desc = (
+        Window.partitionBy()
+        .orderBy(F.desc("score_e2"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    c = b.select(
+        "score_e2",
+        F.sum("btok").over(w_desc).alias("cum_incl"),
+        F.sum("btok").over(w_all).alias("tot"),
+    )
+    return (
+        c.withColumn(
+            "thr",
+            F.min(
+                F.when(
+                    F.expr(
+                        f"cum_incl <= tot * {_BUDGET_NUM} div {_BUDGET_DEN}"
+                    ),
+                    F.col("score_e2"),
+                )
+            ).over(w_all),
+        )
+        .filter(F.col("score_e2") >= F.col("thr"))
+        .select("score_e2")
+    )
+
+
+def _phase_grid(frame):
+    """(score_e2, phase): 4 equal-token-mass phases from the ascending
+    EXCLUSIVE prefix sum over the bounded score grid — shared by
+    llm_curriculum_phases (whole corpus) and the manifest (kept set)."""
+    kb = frame.groupBy("score_e2").agg(F.sum("n_tok").alias("btok"))
+    w_asc = (
+        Window.partitionBy()
+        .orderBy("score_e2")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy()
+    return kb.select(
+        "score_e2",
+        F.coalesce(F.sum("btok").over(w_asc), F.lit(0)).alias("cum_excl"),
+        F.sum("btok").over(w_all).alias("tot"),
+    ).select(
+        "score_e2",
+        F.expr("least(3, cum_excl * 4 div tot)").cast("long").alias("phase"),
+    )
+
 
 @register(
     "llm_token_budget_select",
@@ -345,45 +430,8 @@ def llm_token_budget_select(spark, sf_dir):
     production variant would recurse on a hash sub-bucket of the boundary
     bucket to shrink slack, same decomposition one level down).  All
     values BIGINT; both engines floor-divide."""
-    s = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", tokens("text").alias("ws"))
-        .select(
-            "doc_id",
-            F.size("ws").cast("long").alias("n_tok"),
-            F.expr("size(array_distinct(ws)) * 100 div size(ws)").alias(
-                "score_e2"
-            ),
-        )
-    )
-    b = s.groupBy("score_e2").agg(F.sum("n_tok").alias("btok"))
-    w_desc = (
-        Window.partitionBy()
-        .orderBy(F.desc("score_e2"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy()
-    c = b.select(
-        "score_e2",
-        F.sum("btok").over(w_desc).alias("cum_incl"),
-        F.sum("btok").over(w_all).alias("tot"),
-    )
-    k = (
-        c.withColumn(
-            "thr",
-            F.min(
-                F.when(
-                    F.expr(
-                        f"cum_incl <= tot * {_BUDGET_NUM} div {_BUDGET_DEN}"
-                    ),
-                    F.col("score_e2"),
-                )
-            ).over(w_all),
-        )
-        .filter(F.col("score_e2") >= F.col("thr"))
-        .select("score_e2")
-    )
-    return s.join(F.broadcast(k), "score_e2").select(
+    s = _scored_docs(spark, sf_dir)
+    return s.join(F.broadcast(_kept_buckets(s)), "score_e2").select(
         "doc_id", "score_e2", "n_tok"
     )
 
@@ -532,33 +580,8 @@ def llm_curriculum_phases(spark, sf_dir):
     phase deterministically), phase = floor(cum_excl * 4 / total) capped
     at 3, then one broadcast equi-join back onto the corpus.  No global
     doc sort exists in the plan; phase boundaries cost O(|grid|)."""
-    s = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", tokens("text").alias("ws"))
-        .select(
-            "doc_id",
-            F.size("ws").cast("long").alias("n_tok"),
-            F.expr("size(array_distinct(ws)) * 100 div size(ws)").alias(
-                "score_e2"
-            ),
-        )
-    )
-    b = s.groupBy("score_e2").agg(F.sum("n_tok").alias("btok"))
-    w_asc = (
-        Window.partitionBy()
-        .orderBy("score_e2")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_all = Window.partitionBy()
-    p = b.select(
-        "score_e2",
-        F.coalesce(F.sum("btok").over(w_asc), F.lit(0)).alias("cum_excl"),
-        F.sum("btok").over(w_all).alias("tot"),
-    ).select(
-        "score_e2",
-        F.expr("least(3, cum_excl * 4 div tot)").cast("long").alias("phase"),
-    )
-    return s.join(F.broadcast(p), "score_e2").select(
+    s = _scored_docs(spark, sf_dir)
+    return s.join(F.broadcast(_phase_grid(s)), "score_e2").select(
         "doc_id", "score_e2", "phase", "n_tok"
     )
 
@@ -612,14 +635,7 @@ def llm_preference_pairs(spark, sf_dir):
     conditional aggregate that collapses each group to one row — the op
     is a plain hash-partitioned map at any corpus size, exactly the
     ``llm_sft_spans`` execution profile.  All BIGINT, hash-exact."""
-    s = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        (F.col("doc_id") / 4).cast("long").alias("prompt_id"),
-        F.expr(
-            "size(array_distinct(split(lower(text), ' '))) * 100 "
-            "div size(split(lower(text), ' '))"
-        ).alias("score_e2"),
-    )
+    s = _prompt_scored(spark, sf_dir)
     wb = Window.partitionBy("prompt_id").orderBy(
         F.desc("score_e2"), F.asc("doc_id")
     )
@@ -685,14 +701,7 @@ def llm_best_of_n_stats(spark, sf_dir):
     partitions, then a partial+final aggregate onto the k frame (bounded
     by max group size).  mean_best_e6 is integer-scaled (score is e2, the
     1e4 factor lifts it to e6) — floor division on both engines."""
-    s = load_table(spark, sf_dir, "documents").select(
-        (F.col("doc_id") / 4).cast("long").alias("prompt_id"),
-        F.col("doc_id"),
-        F.expr(
-            "size(array_distinct(split(lower(text), ' '))) * 100 "
-            "div size(split(lower(text), ' '))"
-        ).alias("score_e2"),
-    )
+    s = _prompt_scored(spark, sf_dir)
     w = Window.partitionBy("prompt_id").orderBy("doc_id")
     wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     b = s.select(
@@ -764,12 +773,8 @@ def llm_pass_at_k(spark, sf_dir):
     the per-problem row (output is 4 rows per problem — linear), zero
     joins.  The k > n-c branch (certain success) and the c = 0 floor are
     both exercised at every test SF by the threshold choice above."""
-    s = load_table(spark, sf_dir, "documents").select(
-        (F.col("doc_id") / 4).cast("long").alias("prob"),
-        F.expr(
-            "size(array_distinct(split(lower(text), ' '))) * 100 "
-            "div size(split(lower(text), ' '))"
-        ).alias("score_e2"),
+    s = _prompt_scored(spark, sf_dir).select(
+        F.col("prompt_id").alias("prob"), "score_e2"
     )
     c = s.groupBy("prob").agg(
         F.sum(
@@ -874,59 +879,9 @@ def llm_training_manifest_persisted(spark, sf_dir):
     assignment is a pure content hash (``llm_shard_order``'s reproducible
     no-RNG shuffle).  Cites the component decompositions:
     ``llm_token_budget_select`` / ``llm_curriculum_phases`` above."""
-    s = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", tokens("text").alias("ws"))
-        .select(
-            "doc_id",
-            F.size("ws").cast("long").alias("n_tok"),
-            F.expr("size(array_distinct(ws)) * 100 div size(ws)").alias(
-                "score_e2"
-            ),
-        )
-    )
-    b = s.groupBy("score_e2").agg(F.sum("n_tok").alias("btok"))
-    w_desc = (
-        Window.partitionBy()
-        .orderBy(F.desc("score_e2"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy()
-    c = b.select(
-        "score_e2",
-        F.sum("btok").over(w_desc).alias("cum_incl"),
-        F.sum("btok").over(w_all).alias("tot"),
-    )
-    kbuck = (
-        c.withColumn(
-            "thr",
-            F.min(
-                F.when(
-                    F.expr(
-                        f"cum_incl <= tot * {_BUDGET_NUM} div {_BUDGET_DEN}"
-                    ),
-                    F.col("score_e2"),
-                )
-            ).over(w_all),
-        )
-        .filter(F.col("score_e2") >= F.col("thr"))
-        .select("score_e2")
-    )
-    kept = s.join(F.broadcast(kbuck), "score_e2")
-    kb = kept.groupBy("score_e2").agg(F.sum("n_tok").alias("btok"))
-    w_asc = (
-        Window.partitionBy()
-        .orderBy("score_e2")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    ph = kb.select(
-        "score_e2",
-        F.coalesce(F.sum("btok").over(w_asc), F.lit(0)).alias("cum_excl"),
-        F.sum("btok").over(w_all).alias("tot"),
-    ).select(
-        "score_e2",
-        F.expr("least(3, cum_excl * 4 div tot)").cast("long").alias("phase"),
-    )
+    s = _scored_docs(spark, sf_dir)
+    kept = s.join(F.broadcast(_kept_buckets(s)), "score_e2")
+    ph = _phase_grid(kept)
     shard = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
         .cast("long")
@@ -944,9 +899,15 @@ def llm_training_manifest_persisted(spark, sf_dir):
         # ---- epoch probe: one phase directory, pruning proven in-plan
         epoch = manifest.filter(F.col("phase") == 2)
         plan = epoch._jdf.queryExecution().executedPlan().toString()
-        if "PartitionFilters" not in plan or "phase" not in plan:
+        # The phase predicate must appear INSIDE the PartitionFilters
+        # bracket (every parquet scan prints an — possibly empty —
+        # 'PartitionFilters: [...]', so a bare substring check is
+        # vacuous; same idiom as snk_partition_prune_read).
+        pf = plan.split("PartitionFilters", 1)
+        if len(pf) < 2 or "phase" not in pf[1].split("]")[0]:
             raise RuntimeError(
-                "epoch read must prune on the phase directory partition"
+                "epoch read must prune on the phase directory partition "
+                "(phase predicate missing from the scan's PartitionFilters)"
             )
         n_dirs = sum(1 for x in os.listdir(root) if x.startswith("phase="))
         if n_dirs != 4:
@@ -1102,8 +1063,11 @@ def sql_asof_join(spark, sf_dir):
     but ordered (ts, tag, event_id) with probes BEFORE purchase-copies at
     equal ts, so the (unbounded, -1) frame enforces ts-only strict
     precedence rather than join_asof's (ts, event_id) lexicographic
-    rule.  One shuffle on user_id, linear state, no inequality-join pair
-    blow-up — the asof cost model a cluster needs."""
+    rule.  Cost: exactly two hash exchanges — the purchase dedup keyed
+    (user_id, ts), then the window on user_id — over two scans of the
+    events table (pinned by test_plans); state is linear and there is no
+    inequality-join pair blow-up, which is the asof property a cluster
+    needs."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     pur = (
         load_table(spark, sf_dir, "events")

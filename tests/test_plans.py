@@ -686,7 +686,7 @@ def test_pass_at_k_is_explode_no_join(spark, sf_dir):
     explode (4 output rows per problem, linear) — never a join against a
     k frame — and its window-free plan shuffles once on the problem key."""
     plan = plan_of(QUERIES["llm_pass_at_k"](spark, sf_dir))
-    assert "Generate explode" in plan or "Expand" in plan or "explode" in plan
+    assert "explode([1,2,3,4])" in plan.replace(" ", ""), "k-grid Generate lost"
     assert "Join" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
 
@@ -715,20 +715,28 @@ def test_training_manifest_invariants(spark, sf_dir):
 
 def test_bitext_mine_broadcasts_bounded_probe_side(spark, sf_dir):
     """llm_bitext_mine's nested-loop join must broadcast the PROBE side
-    (literal lang + doc_id bound) — the corpus side must never appear in
-    a BroadcastExchange, and the probe bound must be pushed to the scan."""
-    plan = plan_of(QUERIES["llm_bitext_mine"](spark, sf_dir))
+    (literal lang + doc_id bound): the BNLJ's build subtree is the unique
+    IdentityBroadcastMode exchange, so assert the bounded filters appear
+    INSIDE that subtree and the unbounded en-corpus side does not."""
+    df = QUERIES["llm_bitext_mine"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     assert "BroadcastNestedLoopJoin" in plan  # the documented probe pattern
-    assert "PushedFilters" in plan
-    assert "LessThan(doc_id,200)" in plan.replace(" ", "")
+    build = plan.split("BroadcastExchange IdentityBroadcastMode", 1)
+    assert len(build) == 2, "BNLJ build side is not an identity broadcast"
+    assert "LessThan(doc_id,200)" in build[1].replace(" ", "")
+    assert "EqualTo(lang,de)" in build[1].replace(" ", "")
+    assert "= en" not in build[1], "corpus side crept into the broadcast"
 
 
-def test_sql_asof_join_is_single_shuffle_window(spark, sf_dir):
+def test_sql_asof_join_shuffles_are_bounded(spark, sf_dir):
     """sql_asof_join lowers the ASOF clause onto the union-tag running
-    window: one exchange on user_id, no inequality join (the emulation
-    that pair-explodes), no nested-loop join."""
+    window: exactly TWO hash exchanges exist — the purchase dedup keyed
+    (user_id, ts) and the window on user_id — and never an inequality
+    join (the emulation that pair-explodes) or a nested-loop join."""
     plan = plan_of(QUERIES["sql_asof_join"](spark, sf_dir))
     assert "hashpartitioning(user_id" in plan
+    n_exchanges = plan.count("Arguments: hashpartitioning")
+    assert n_exchanges == 2, f"expected 2 hash exchanges, saw {n_exchanges}"
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Window") >= 1
