@@ -317,15 +317,25 @@ def _scored_docs(spark, sf_dir):
     )
 
 
+def _prompt_scored_frame(docs):
+    """(prompt_id, doc_id, score_e2) from a documents-shaped frame —
+    frame-parametric so the streaming twin can feed a readStream source
+    through the identical expressions."""
+    return (
+        docs.select("doc_id", tokens("text").alias("ws"))
+        .select(
+            (F.col("doc_id") / 4).cast("long").alias("prompt_id"),
+            "doc_id",
+            F.expr(_UNIQ_SCORE).alias("score_e2"),
+        )
+    )
+
+
 def _prompt_scored(spark, sf_dir):
     """(prompt_id, doc_id, score_e2): the 4-consecutive-doc_id prompt
     groups over the shared quality score (preference / best-of-n /
     pass@k all read this one frame)."""
-    return _scored_docs(spark, sf_dir).select(
-        (F.col("doc_id") / 4).cast("long").alias("prompt_id"),
-        "doc_id",
-        "score_e2",
-    )
+    return _prompt_scored_frame(load_table(spark, sf_dir, "documents"))
 
 
 def _kept_buckets(s):
@@ -1296,3 +1306,75 @@ def llm_length_grouped_batches(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming-capable preference extraction
+
+
+def _preference_agg_plan(docs):
+    """The streaming-capable formulation of preference-pair extraction:
+    ONE groupBy aggregate, no window functions, so the identical plan
+    runs under readStream with update-mode output.  The (score, doc_id)
+    lexicographic argmax/argmin are encoded as a single BIGINT key —
+    chosen = max(score*1e6 + (999999 - doc_id)) (max score, then MIN
+    doc_id), rejected = min(score*1e6 + doc_id) (min score, then min
+    doc_id) — exactly ``llm_preference_pairs``'s tie rule, integer-exact
+    on both engines.  The 1e6 doc_id stride holds to 10^6 docs per
+    encoding; a cluster deployment widens it (or uses a struct argmax)
+    past that."""
+    s = _prompt_scored_frame(docs)
+    ck = F.max(F.expr("score_e2 * 1000000 + (999999 - doc_id)"))
+    rk = F.min(F.expr("score_e2 * 1000000 + doc_id"))
+    return (
+        s.groupBy("prompt_id")
+        .agg(ck.alias("ck"), rk.alias("rk"), F.count("*").alias("n_cands"))
+        .select(
+            "prompt_id",
+            F.expr("999999 - ck % 1000000").alias("chosen_doc"),
+            F.expr("rk % 1000000").alias("rejected_doc"),
+            F.expr("ck div 1000000").alias("chosen_score_e2"),
+            F.expr("rk div 1000000").alias("rejected_score_e2"),
+            F.expr("ck div 1000000 - rk div 1000000").alias("margin_e2"),
+            "n_cands",
+        )
+    )
+
+
+@register(
+    "stream_preference_pairs_static",
+    oracle="""
+    WITH s AS (SELECT doc_id, doc_id // 4 AS prompt_id,
+                      CAST(len(list_distinct(string_split(lower(text), ' ')))
+                           * 100 // len(string_split(lower(text), ' '))
+                        AS BIGINT) AS score_e2
+               FROM documents),
+         a AS (SELECT prompt_id,
+                      max(score_e2 * 1000000 + (999999 - doc_id)) AS ck,
+                      min(score_e2 * 1000000 + doc_id) AS rk,
+                      CAST(count(*) AS BIGINT) AS n_cands
+               FROM s GROUP BY prompt_id)
+    SELECT prompt_id,
+           CAST(999999 - ck % 1000000 AS BIGINT) AS chosen_doc,
+           CAST(rk % 1000000 AS BIGINT) AS rejected_doc,
+           CAST(ck // 1000000 AS BIGINT) AS chosen_score_e2,
+           CAST(rk // 1000000 AS BIGINT) AS rejected_score_e2,
+           CAST(ck // 1000000 - rk // 1000000 AS BIGINT) AS margin_e2,
+           n_cands
+    FROM a
+    """,
+)
+def stream_preference_pairs_static(spark, sf_dir):
+    """Streaming-capable preference-pair extraction: the same pairs as
+    ``llm_preference_pairs`` (same tie rule, value-identical output —
+    pinned by a test comparing the two formulations row-for-row), built
+    STRICTLY from streaming-capable constructs in the
+    ``stream_containment_gate_static`` discipline: no window functions,
+    no second aggregation — ONE groupBy whose lexicographic argmax/argmin
+    ride a BIGINT key encoding (see ``_preference_agg_plan``).  Under
+    readStream this plan ingests completions as they arrive and each
+    prompt's pair updates incrementally — the online preference extractor
+    an RLHF data service runs, where the window-function batch
+    formulation cannot incrementalize.  Live drain equality is asserted
+    by tests/test_streaming_demo.py."""
+    return _preference_agg_plan(load_table(spark, sf_dir, "documents"))

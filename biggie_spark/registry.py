@@ -187,6 +187,7 @@ ROUND9_HOLDBACK = frozenset(
         "sql_asof_join",
         "kv_tensor_matmul",
         "llm_length_grouped_batches",
+        "stream_preference_pairs_static",
     }
 )
 

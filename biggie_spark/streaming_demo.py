@@ -358,3 +358,22 @@ def demo_span_dedup_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biggie_spark.ops.streaming import _span_static_plan
 
     return _drain(_span_static_plan(spark, sf_dir, docs_stream), "update")
+
+
+def demo_preference_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of stream_preference_pairs_static: completions
+    arrive as a file-source stream, each prompt group's chosen/rejected
+    pair is the single groupBy aggregate's state (BIGINT-encoded argmax /
+    argmin — no window functions), updating incrementally as candidates
+    land.  Update mode: each prompt's final pair emits when its group
+    state flushes at the AvailableNow drain."""
+    apply_runtime_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    docs_stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    from biggie_spark.ops.round9 import _preference_agg_plan
+
+    return _drain(_preference_agg_plan(docs_stream), "update")

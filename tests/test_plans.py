@@ -759,3 +759,12 @@ def test_length_grouped_batches_windows_are_shard_partitioned(spark, sf_dir):
     assert "hashpartitioning(shard" in plan
     assert "SinglePartition" not in plan, "global window crept in"
     assert "rangepartitioning" not in plan, "global sort crept in"
+
+
+def test_stream_preference_plan_is_streaming_capable(spark, sf_dir):
+    """stream_preference_pairs_static must contain NO window function —
+    the structural property that lets the identical plan incrementalize
+    under readStream (one groupBy aggregate only)."""
+    plan = plan_of(QUERIES["stream_preference_pairs_static"](spark, sf_dir))
+    assert "Window" not in plan, "window function breaks streamability"
+    assert "partial_" in plan, "map-side combine lost"

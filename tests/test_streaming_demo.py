@@ -283,3 +283,39 @@ def test_streaming_span_dedup_static_matches_batch(spark, sf_dir):
     live = _rows(demo_span_dedup_static(spark, sf_dir))
     batch = _rows(QUERIES["stream_span_dedup_static"](spark, sf_dir))
     assert live == batch
+
+
+def test_streaming_preference_static_matches_batch(spark, sf_dir):
+    """The live readStream drain of the preference extractor must equal
+    its batch twin row-for-row (same plan, streaming source)."""
+    from biggie_spark.registry import QUERIES
+    from biggie_spark.streaming_demo import demo_preference_static
+
+    live = _rows(demo_preference_static(spark, sf_dir))
+    batch = _rows(QUERIES["stream_preference_pairs_static"](spark, sf_dir))
+    assert live == batch
+
+
+def test_stream_preference_matches_window_formulation(spark, sf_dir):
+    """The streaming-capable BIGINT-key argmax formulation must produce
+    the SAME pairs as llm_preference_pairs' window formulation — the two
+    tie rules are claimed identical; this pins it."""
+    from biggie_spark.registry import QUERIES
+
+    a = {
+        tuple(r)
+        for r in QUERIES["stream_preference_pairs_static"](spark, sf_dir)
+        .select(
+            "prompt_id", "chosen_doc", "rejected_doc", "margin_e2", "n_cands"
+        )
+        .collect()
+    }
+    b = {
+        tuple(r)
+        for r in QUERIES["llm_preference_pairs"](spark, sf_dir)
+        .select(
+            "prompt_id", "chosen_doc", "rejected_doc", "margin_e2", "n_cands"
+        )
+        .collect()
+    }
+    assert a == b

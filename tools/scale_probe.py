@@ -173,6 +173,8 @@ ROUND9 = {
     "q_tensor_matmul": "kv_tensor_matmul",
     # length-grouped batching: shard-partitioned windows + 16-row joins.
     "q_length_grouped": "llm_length_grouped_batches",
+    # streaming preference twin: one groupBy agg, no windows (~linear).
+    "q_stream_preference": "stream_preference_pairs_static",
 }
 
 
