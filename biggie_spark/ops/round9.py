@@ -1378,3 +1378,58 @@ def stream_preference_pairs_static(spark, sf_dir):
     formulation cannot incrementalize.  Live drain equality is asserted
     by tests/test_streaming_demo.py."""
     return _preference_agg_plan(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# group-relative advantages (GRPO)
+
+
+@register(
+    "llm_grpo_advantages",
+    oracle="""
+    WITH s AS (SELECT doc_id, doc_id // 4 AS prompt_id,
+                      CAST(len(list_distinct(string_split(lower(text), ' ')))
+                           * 100 // len(string_split(lower(text), ' '))
+                        AS BIGINT) AS score_e2
+               FROM documents)
+    SELECT prompt_id, doc_id, score_e2,
+           CAST(count(*) OVER w AS BIGINT) AS n,
+           CAST(count(*) OVER w * score_e2 - sum(score_e2) OVER w
+             AS BIGINT) AS adv_n_e2,
+           CAST(row_number() OVER (PARTITION BY prompt_id
+                  ORDER BY score_e2 DESC, doc_id) AS BIGINT) AS grp_rank
+    FROM s
+    WINDOW w AS (PARTITION BY prompt_id)
+    """,
+)
+def llm_grpo_advantages(spark, sf_dir):
+    """Group-relative advantages (the GRPO estimator, DeepSeekMath 2024):
+    each candidate's advantage is its reward relative to its own prompt
+    group's mean — no learned value model.  Emitted per candidate in the
+    division-free integer form adv_n = n*score - sum(group scores)
+    (sign and ordering identical to the mean-centered advantage; the
+    trainer divides by n and the group std in float AFTER this exact
+    frame), plus the within-group rank.  Measured on this corpus the
+    advantages span -114..172 with a single zero, so all three sign
+    branches are live.
+
+    Shape at scale: one shuffle on prompt_id, then an unordered group
+    window (count/sum over the whole 4-row partition) and one ranking
+    window — bounded frames, no skew surface, the per-candidate map the
+    RLHF trainer consumes alongside ``llm_preference_pairs``'s
+    argmax/argmin reduction of the same groups."""
+    s = _prompt_scored(spark, sf_dir)
+    wg = Window.partitionBy("prompt_id")
+    wr = Window.partitionBy("prompt_id").orderBy(
+        F.desc("score_e2"), F.asc("doc_id")
+    )
+    return s.select(
+        "prompt_id",
+        "doc_id",
+        "score_e2",
+        F.count("*").over(wg).alias("n"),
+        (F.count("*").over(wg) * F.col("score_e2") - F.sum("score_e2").over(wg))
+        .cast("long")
+        .alias("adv_n_e2"),
+        F.row_number().over(wr).cast("long").alias("grp_rank"),
+    )

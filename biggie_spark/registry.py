@@ -188,6 +188,7 @@ ROUND9_HOLDBACK = frozenset(
         "kv_tensor_matmul",
         "llm_length_grouped_batches",
         "stream_preference_pairs_static",
+        "llm_grpo_advantages",
     }
 )
 

@@ -768,3 +768,11 @@ def test_stream_preference_plan_is_streaming_capable(spark, sf_dir):
     plan = plan_of(QUERIES["stream_preference_pairs_static"](spark, sf_dir))
     assert "Window" not in plan, "window function breaks streamability"
     assert "partial_" in plan, "map-side combine lost"
+
+
+def test_grpo_advantages_windows_are_prompt_partitioned(spark, sf_dir):
+    """llm_grpo_advantages runs both its group aggregate and its ranking
+    inside prompt_id-bounded windows — never a global window."""
+    plan = plan_of(QUERIES["llm_grpo_advantages"](spark, sf_dir))
+    assert "hashpartitioning(prompt_id" in plan
+    assert "SinglePartition" not in plan, "global window crept in"

@@ -175,6 +175,8 @@ ROUND9 = {
     "q_length_grouped": "llm_length_grouped_batches",
     # streaming preference twin: one groupBy agg, no windows (~linear).
     "q_stream_preference": "stream_preference_pairs_static",
+    # GRPO advantages: prompt-bounded windows, per-candidate map (~linear).
+    "q_grpo_advantages": "llm_grpo_advantages",
 }
 
 
