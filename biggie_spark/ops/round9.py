@@ -1,13 +1,26 @@
-"""Round-9 additions: the training-schedule layer that sits between data
-curation and the trainer — per-domain epoch/repeat planning under a token
-budget (data-constrained scaling), packed-vs-padded batch efficiency
-accounting, per-turn SFT loss-mask span offsets, and the QUALIFY SQL
-surface lowered onto Spark's window+filter plan.
+"""Round-9 additions: the training-schedule and RLHF-data layer that sits
+between data curation and the trainer.
+
+Tiers in this module:
+* schedule — per-domain epoch/repeat planning under a token budget
+  (data-constrained scaling), packed-vs-padded and length-grouped batch
+  efficiency accounting, per-turn SFT loss-mask span offsets;
+* data selection — token-budget selection, WSD-style anneal mixture and
+  curriculum phases, all decided on the bounded integer score grid
+  (shared helpers `_scored_docs` / `_kept_buckets` / `_phase_grid`), with
+  the persisted `partitionBy(phase)` training manifest as the capstone;
+* RLHF/eval — preference pairs (plus the streaming-capable twin), GRPO
+  group-relative advantages, best-of-n curves, exact-combinatorics
+  pass@k, margin-criterion bitext mining;
+* SQL/native-clause parity — QUALIFY and ASOF JOIN lowered onto Spark
+  plans and proved against DuckDB's native clauses;
+* tensor — the rank-2 field family extended to contractions (Gram matrix
+  on the flat layout).
 
 Registered from the LAST import in ops/__init__.py: within an
 ordered_queries() tier the window order is registration order, so these
 land BEHIND the 50-op round-8 backlog (which exactly fills the r8 window)
-and earn their driver rows in round 9.
+and earn their driver rows in round 9 via ROUND9_HOLDBACK.
 """
 
 from __future__ import annotations
