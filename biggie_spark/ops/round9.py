@@ -29,6 +29,10 @@ import os
 import shutil
 import tempfile
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve
+# via func.__globals__ because `from __future__ import annotations`
+# stringifies them (function-local aliases break get_type_hints)
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -1445,4 +1449,118 @@ def llm_grpo_advantages(spark, sf_dir):
         .cast("long")
         .alias("adv_n_e2"),
         F.row_number().over(wr).cast("long").alias("grp_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# chroma fold — the reference domain's signature feature
+
+# Bin -> pitch-class table for N=64, sr=8000 (f_k = 125k Hz):
+# pc_k = round(12*log2(f_k/440)) % 12, precomputed so BOTH engines use the
+# same literal mapping (the log/rounding never runs at query time).  The
+# fold is non-uniform — all 12 classes are hit, class 2 (D) collects 7
+# bins — exactly the log-frequency binning real chroma uses.
+_CHROMA_PC = {
+    1: 2, 2: 2, 3: 9, 4: 2, 5: 6, 6: 9, 7: 0, 8: 2, 9: 4, 10: 6, 11: 8,
+    12: 9, 13: 11, 14: 0, 15: 1, 16: 2, 17: 3, 18: 4, 19: 5, 20: 6, 21: 7,
+    22: 8, 23: 8, 24: 9, 25: 10, 26: 11, 27: 11, 28: 0, 29: 1, 30: 1,
+    31: 2, 32: 2,
+}
+_CHROMA_PC_SQL = ", ".join(f"({k}, {pc})" for k, pc in _CHROMA_PC.items())
+
+
+@register(
+    "mm_audio_chroma",
+    oracle=f"""
+    WITH probe AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+    terms AS (
+      SELECT p.doc_id, t.t, k.k,
+             CAST(((p.doc_id * 31 + t.t) * 2654435761) % 65536 - 32768
+                  AS DOUBLE) AS x,
+             2 * pi() * k.k * t.t / 64 AS th
+      FROM probe p, range(64) t(t), range(1, 33) k(k)),
+    r AS (
+      SELECT doc_id, k,
+             CAST(sum(CAST(sign(x * cos(th)) *
+                  floor(abs(x * cos(th)) * 10 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS c_e1,
+             CAST(sum(CAST(sign(x * sin(th)) *
+                  floor(abs(x * sin(th)) * 10 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS s_e1
+      FROM terms GROUP BY doc_id, k),
+    pctab AS (SELECT * FROM (VALUES {_CHROMA_PC_SQL}) v(k, pc))
+    SELECT r.doc_id, CAST(pctab.pc AS BIGINT) AS pc,
+           CAST(sum(c_e1 * c_e1 + s_e1 * s_e1) AS BIGINT) AS energy_e2
+    FROM r JOIN pctab ON r.k = pctab.k
+    GROUP BY r.doc_id, pctab.pc
+    """,
+)
+def mm_audio_chroma(spark, sf_dir):
+    """Chroma vector extraction — THE feature of the reference's music-
+    informatics domain (the 'mean chroma vector' query class the tensor
+    ops cite): synthesize deterministic int16 PCM, encode to real
+    RIFF/WAVE bytes, decode back through the container parser, compute
+    the k=1..32 DFT coefficients, and fold the per-bin energies into 12
+    pitch classes via the precomputed round(12*log2(f_k/440)) %% 12
+    table — the log-frequency binning real chroma uses, with the table
+    literal on BOTH engines so no log or rounding runs at query time.
+
+    Determinism is the mm_audio_spectrum discipline one notch coarser:
+    each DFT term is rounded to integer deci-units with the explicit
+    half-away rule BEFORE summation (e1 not e3, so the squared energies
+    c^2 + s^2 stay far inside int64 when summed across a class's 7
+    bins), making every downstream value exact integer arithmetic in any
+    order on any partitioning.  Kernel shape: Arrow-batched pandas_udf
+    emitting the 12-long chroma array per doc, posexploded to the scored
+    (doc, pitch-class, energy) long format — one pass, 1:12 fan-out, no
+    shuffle before the final exchange-free explode."""
+    import math as _math
+
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    from biggie_spark.multimodal import encode_wav, wav_samples
+
+    @pandas_udf("binary")
+    def encode_udf(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_id:
+            t = np.arange(64, dtype=np.int64)
+            x = ((int(d) * 31 + t) * 2654435761) % 65536 - 32768
+            out.append(encode_wav(x.astype("<i2")))
+        return pd.Series(out)
+
+    @pandas_udf("array<long>")
+    def chroma_udf(payload: pd.Series) -> pd.Series:
+        def half_away(v: float) -> int:
+            return int(_math.copysign(_math.floor(abs(v) * 10 + 0.5), v))
+
+        out = []
+        for b in payload:
+            x = wav_samples(bytes(b)).astype(np.float64)
+            chroma = [0] * 12
+            for k in range(1, 33):
+                c = s = 0
+                for t in range(64):
+                    th = 2 * _math.pi * k * t / 64
+                    c += half_away(x[t] * _math.cos(th))
+                    s += half_away(x[t] * _math.sin(th))
+                chroma[_CHROMA_PC[k]] += c * c + s * s
+            out.append(chroma)
+        return pd.Series(out)
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 64)
+        .select("doc_id")
+    )
+    return (
+        d.withColumn("payload", encode_udf("doc_id"))
+        .select("doc_id", F.posexplode(chroma_udf("payload")))
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pc"),
+            F.col("col").alias("energy_e2"),
+        )
     )

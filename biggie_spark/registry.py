@@ -189,6 +189,7 @@ ROUND9_HOLDBACK = frozenset(
         "llm_length_grouped_batches",
         "stream_preference_pairs_static",
         "llm_grpo_advantages",
+        "mm_audio_chroma",
     }
 )
 

@@ -776,3 +776,13 @@ def test_grpo_advantages_windows_are_prompt_partitioned(spark, sf_dir):
     plan = plan_of(QUERIES["llm_grpo_advantages"](spark, sf_dir))
     assert "hashpartitioning(prompt_id" in plan
     assert "SinglePartition" not in plan, "global window crept in"
+
+
+def test_audio_chroma_is_arrow_batched_no_shuffle(spark, sf_dir):
+    """mm_audio_chroma's kernel must be an Arrow-batched pandas UDF (never
+    row-at-a-time Python) and the plan must contain no Exchange — one
+    scan, 1:12 explode, embarrassingly parallel."""
+    plan = plan_of(QUERIES["mm_audio_chroma"](spark, sf_dir))
+    assert "ArrowEvalPython" in plan, "kernel must be Arrow-batched"
+    assert "BatchEvalPython" not in plan, "row-at-a-time Python crept in"
+    assert "Exchange" not in plan

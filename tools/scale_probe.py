@@ -177,6 +177,8 @@ ROUND9 = {
     "q_stream_preference": "stream_preference_pairs_static",
     # GRPO advantages: prompt-bounded windows, per-candidate map (~linear).
     "q_grpo_advantages": "llm_grpo_advantages",
+    # chroma fold: Arrow-batched kernel over the 64-doc probe (~flat).
+    "q_audio_chroma": "mm_audio_chroma",
 }
 
 
