@@ -344,3 +344,14 @@ def wav_samples(payload: bytes):
     if pcm is None:
         raise ValueError("missing data chunk")
     return np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+
+
+def demo_pcm(doc_id: int, n: int = 64):
+    """The deterministic int16 demo signal the audio-DFT ops synthesize:
+    x_t = ((doc_id*31 + t) * 2654435761) % 65536 - 32768.  Shared by
+    mm_audio_spectrum and mm_audio_chroma (and mirrored literally in
+    their DuckDB oracles) so the two ops' audio domains cannot fork."""
+    import numpy as np
+
+    t = np.arange(n, dtype=np.int64)
+    return ((int(doc_id) * 31 + t) * 2654435761) % 65536 - 32768

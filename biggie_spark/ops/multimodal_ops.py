@@ -702,16 +702,11 @@ def mm_audio_spectrum(spark, sf_dir):
 
     from pyspark.sql.functions import pandas_udf
 
-    from biggie_spark.multimodal import encode_wav, wav_samples
+    from biggie_spark.multimodal import demo_pcm, encode_wav, wav_samples
 
     @pandas_udf("binary")
     def encode_udf(doc_id: pd.Series) -> pd.Series:
-        out = []
-        for d in doc_id:
-            t = np.arange(64, dtype=np.int64)
-            x = ((int(d) * 31 + t) * 2654435761) % 65536 - 32768
-            out.append(encode_wav(x.astype("<i2")))
-        return pd.Series(out)
+        return pd.Series([encode_wav(demo_pcm(d).astype("<i2")) for d in doc_id])
 
     @pandas_udf("struct<c1_e3 bigint, s1_e3 bigint, c3_e3 bigint, s3_e3 bigint>")
     def dft_udf(payload: pd.Series) -> pd.DataFrame:

@@ -320,6 +320,15 @@ _BUDGET_NUM, _BUDGET_DEN = 2, 5
 # between ops (round-8 review finding).
 _UNIQ_SCORE = "size(array_distinct(ws)) * 100 div size(ws)"
 
+# The DuckDB twin of _UNIQ_SCORE, interpolated into every oracle that
+# scores documents (8 sites) so the two engines' definitions are each
+# written ONCE (round-8 review follow-up: the Spark side was extracted
+# but the oracle side was still copy-pasted per op).
+_UNIQ_SCORE_SQL = (
+    "CAST(len(list_distinct(string_split(lower(text), ' '))) * 100 "
+    "// len(string_split(lower(text), ' ')) AS BIGINT)"
+)
+
 
 def _scored_docs(spark, sf_dir):
     """(doc_id, n_tok, score_e2) — the tier's shared quality frame."""
@@ -416,9 +425,7 @@ def _phase_grid(frame):
     WITH s AS (SELECT doc_id,
                       CAST(len(string_split(lower(text), ' ')) AS BIGINT)
                         AS n_tok,
-                      CAST(len(list_distinct(string_split(lower(text), ' ')))
-                           * 100 // len(string_split(lower(text), ' '))
-                        AS BIGINT) AS score_e2
+                      {_UNIQ_SCORE_SQL} AS score_e2
                FROM documents),
          b AS (SELECT score_e2, CAST(sum(n_tok) AS BIGINT) AS btok
                FROM s GROUP BY score_e2),
@@ -568,13 +575,11 @@ def llm_anneal_mix(spark, sf_dir):
 
 @register(
     "llm_curriculum_phases",
-    oracle="""
+    oracle=f"""
     WITH s AS (SELECT doc_id,
                       CAST(len(string_split(lower(text), ' ')) AS BIGINT)
                         AS n_tok,
-                      CAST(len(list_distinct(string_split(lower(text), ' ')))
-                           * 100 // len(string_split(lower(text), ' '))
-                        AS BIGINT) AS score_e2
+                      {_UNIQ_SCORE_SQL} AS score_e2
                FROM documents),
          b AS (SELECT score_e2, CAST(sum(n_tok) AS BIGINT) AS btok
                FROM s GROUP BY score_e2),
@@ -619,11 +624,9 @@ def llm_curriculum_phases(spark, sf_dir):
 
 @register(
     "llm_preference_pairs",
-    oracle="""
+    oracle=f"""
     WITH s AS (SELECT doc_id, doc_id // 4 AS prompt_id,
-                      CAST(len(list_distinct(string_split(lower(text), ' ')))
-                           * 100 // len(string_split(lower(text), ' '))
-                        AS BIGINT) AS score_e2
+                      {_UNIQ_SCORE_SQL} AS score_e2
                FROM documents),
          r AS (SELECT *,
                       row_number() OVER (PARTITION BY prompt_id
@@ -694,11 +697,9 @@ def llm_preference_pairs(spark, sf_dir):
 
 @register(
     "llm_best_of_n_stats",
-    oracle="""
+    oracle=f"""
     WITH s AS (SELECT doc_id, doc_id // 4 AS prompt_id,
-                      CAST(len(list_distinct(string_split(lower(text), ' ')))
-                           * 100 // len(string_split(lower(text), ' '))
-                        AS BIGINT) AS score_e2
+                      {_UNIQ_SCORE_SQL} AS score_e2
                FROM documents),
          b AS (SELECT prompt_id,
                       row_number() OVER (PARTITION BY prompt_id
@@ -758,9 +759,7 @@ _PASS_THRESH = 45
     "llm_pass_at_k",
     oracle=f"""
     WITH s AS (SELECT doc_id // 4 AS prob,
-                      CAST(len(list_distinct(string_split(lower(text), ' ')))
-                           * 100 // len(string_split(lower(text), ' '))
-                        AS BIGINT) AS score_e2
+                      {_UNIQ_SCORE_SQL} AS score_e2
                FROM documents),
          c AS (SELECT prob,
                       CAST(count(*) FILTER (score_e2 >= {_PASS_THRESH})
@@ -840,9 +839,7 @@ _MANIFEST_SHARDS = 8
     WITH s AS (SELECT doc_id,
                       CAST(len(string_split(lower(text), ' ')) AS BIGINT)
                         AS n_tok,
-                      CAST(len(list_distinct(string_split(lower(text), ' ')))
-                           * 100 // len(string_split(lower(text), ' '))
-                        AS BIGINT) AS score_e2
+                      {_UNIQ_SCORE_SQL} AS score_e2
                FROM documents),
          b AS (SELECT score_e2, CAST(sum(n_tok) AS BIGINT) AS btok
                FROM s GROUP BY score_e2),
@@ -1360,11 +1357,9 @@ def _preference_agg_plan(docs):
 
 @register(
     "stream_preference_pairs_static",
-    oracle="""
+    oracle=f"""
     WITH s AS (SELECT doc_id, doc_id // 4 AS prompt_id,
-                      CAST(len(list_distinct(string_split(lower(text), ' ')))
-                           * 100 // len(string_split(lower(text), ' '))
-                        AS BIGINT) AS score_e2
+                      {_UNIQ_SCORE_SQL} AS score_e2
                FROM documents),
          a AS (SELECT prompt_id,
                       max(score_e2 * 1000000 + (999999 - doc_id)) AS ck,
@@ -1403,11 +1398,9 @@ def stream_preference_pairs_static(spark, sf_dir):
 
 @register(
     "llm_grpo_advantages",
-    oracle="""
+    oracle=f"""
     WITH s AS (SELECT doc_id, doc_id // 4 AS prompt_id,
-                      CAST(len(list_distinct(string_split(lower(text), ' ')))
-                           * 100 // len(string_split(lower(text), ' '))
-                        AS BIGINT) AS score_e2
+                      {_UNIQ_SCORE_SQL} AS score_e2
                FROM documents)
     SELECT prompt_id, doc_id, score_e2,
            CAST(count(*) OVER w AS BIGINT) AS n,
@@ -1501,7 +1494,7 @@ def mm_audio_chroma(spark, sf_dir):
     ops cite): synthesize deterministic int16 PCM, encode to real
     RIFF/WAVE bytes, decode back through the container parser, compute
     the k=1..32 DFT coefficients, and fold the per-bin energies into 12
-    pitch classes via the precomputed round(12*log2(f_k/440)) %% 12
+    pitch classes via the precomputed round(12*log2(f_k/440)) mod 12
     table — the log-frequency binning real chroma uses, with the table
     literal on BOTH engines so no log or rounding runs at query time.
 
@@ -1520,34 +1513,46 @@ def mm_audio_chroma(spark, sf_dir):
 
     from pyspark.sql.functions import pandas_udf
 
-    from biggie_spark.multimodal import encode_wav, wav_samples
+    from biggie_spark.multimodal import demo_pcm, encode_wav, wav_samples
 
     @pandas_udf("binary")
     def encode_udf(doc_id: pd.Series) -> pd.Series:
-        out = []
-        for d in doc_id:
-            t = np.arange(64, dtype=np.int64)
-            x = ((int(d) * 31 + t) * 2654435761) % 65536 - 32768
-            out.append(encode_wav(x.astype("<i2")))
-        return pd.Series(out)
+        return pd.Series([encode_wav(demo_pcm(d).astype("<i2")) for d in doc_id])
+
+    # Vectorized DFT-term kernel: theta is built with the SAME left-to-
+    # right association as the oracle's 2*pi()*k*t/64, and the half-away
+    # rounding is np.copysign(np.floor(abs*10 + 0.5)) — verified
+    # bit-identical to the scalar math.cos loop for every (doc, bin)
+    # coefficient over the op's ENTIRE closed input domain (doc_id < 64,
+    # all 32 bins) before adoption, so the ~16.8M interpreter-level calls
+    # the looped form spends are pure overhead, not a determinism hedge.
+    _t = np.arange(64, dtype=np.float64)
+    _ks = np.arange(1, 33, dtype=np.float64)
+    _TH = (2 * _math.pi * _ks)[:, None] * _t / 64
+    _COS, _SIN = np.cos(_TH), np.sin(_TH)
+    _PC_ROWS = [
+        [k - 1 for k in range(1, 33) if _CHROMA_PC[k] == pc]
+        for pc in range(12)
+    ]
 
     @pandas_udf("array<long>")
     def chroma_udf(payload: pd.Series) -> pd.Series:
-        def half_away(v: float) -> int:
-            return int(_math.copysign(_math.floor(abs(v) * 10 + 0.5), v))
-
         out = []
         for b in payload:
             x = wav_samples(bytes(b)).astype(np.float64)
-            chroma = [0] * 12
-            for k in range(1, 33):
-                c = s = 0
-                for t in range(64):
-                    th = 2 * _math.pi * k * t / 64
-                    c += half_away(x[t] * _math.cos(th))
-                    s += half_away(x[t] * _math.sin(th))
-                chroma[_CHROMA_PC[k]] += c * c + s * s
-            out.append(chroma)
+            vc, vs = x * _COS, x * _SIN
+            c = (
+                np.copysign(np.floor(np.abs(vc) * 10 + 0.5), vc)
+                .sum(axis=1)
+                .astype(np.int64)
+            )
+            s = (
+                np.copysign(np.floor(np.abs(vs) * 10 + 0.5), vs)
+                .sum(axis=1)
+                .astype(np.int64)
+            )
+            e = c * c + s * s
+            out.append([int(e[rows].sum()) for rows in _PC_ROWS])
         return pd.Series(out)
 
     d = (

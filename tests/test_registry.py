@@ -171,3 +171,19 @@ def test_survey_sec8_totals_match_registry():
     m = re.search(r"(\d+) operators total \(incl\..*?(\d+) full-oracle", text, re.S)
     assert m, "SURVEY.md §8 totals sentence missing"
     assert (int(m.group(1)), int(m.group(2))) == (len(QUERIES), len(ORACLES))
+
+
+def test_vacuity_audit_covers_every_holdback_op():
+    """tools/vacuity_r9.md went stale twice in round 8 (claimed blanket
+    holdback coverage while missing newly added ops).  Pin it: every
+    ROUND9_HOLDBACK name must appear in the audit doc, so adding an op
+    without auditing it fails CI instead of shipping an unearned
+    'no vacuous green' conclusion."""
+    from pathlib import Path
+
+    from biggie_spark.registry import ROUND9_HOLDBACK
+
+    doc = Path(__file__).resolve().parent.parent / "tools" / "vacuity_r9.md"
+    text = doc.read_text()
+    missing = [n for n in sorted(ROUND9_HOLDBACK) if n not in text]
+    assert not missing, f"holdback ops missing from vacuity_r9.md: {missing}"
