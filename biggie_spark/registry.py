@@ -190,6 +190,7 @@ ROUND9_HOLDBACK = frozenset(
         "stream_preference_pairs_static",
         "llm_grpo_advantages",
         "mm_audio_chroma",
+        "mm_audio_onset_flux",
     }
 )
 

@@ -786,3 +786,12 @@ def test_audio_chroma_is_arrow_batched_no_shuffle(spark, sf_dir):
     assert "ArrowEvalPython" in plan, "kernel must be Arrow-batched"
     assert "BatchEvalPython" not in plan, "row-at-a-time Python crept in"
     assert "Exchange" not in plan
+
+
+def test_audio_onset_is_arrow_batched_no_shuffle(spark, sf_dir):
+    """mm_audio_onset_flux mirrors the chroma kernel contract: Arrow-
+    batched pandas UDF, no row-at-a-time Python, no Exchange."""
+    plan = plan_of(QUERIES["mm_audio_onset_flux"](spark, sf_dir))
+    assert "ArrowEvalPython" in plan, "kernel must be Arrow-batched"
+    assert "BatchEvalPython" not in plan, "row-at-a-time Python crept in"
+    assert "Exchange" not in plan

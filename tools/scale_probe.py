@@ -179,6 +179,8 @@ ROUND9 = {
     "q_grpo_advantages": "llm_grpo_advantages",
     # chroma fold: Arrow-batched kernel over the 64-doc probe (~flat).
     "q_audio_chroma": "mm_audio_chroma",
+    # onset flux: same bounded Arrow kernel, two frames x 8 bins (~flat).
+    "q_audio_onset": "mm_audio_onset_flux",
 }
 
 
