@@ -350,7 +350,14 @@ def demo_pcm(doc_id: int, n: int = 64):
     """The deterministic int16 demo signal the audio-DFT ops synthesize:
     x_t = ((doc_id*31 + t) * 2654435761) % 65536 - 32768.  Shared by
     mm_audio_spectrum and mm_audio_chroma (and mirrored literally in
-    their DuckDB oracles) so the two ops' audio domains cannot fork."""
+    their DuckDB oracles) so the two ops' audio domains cannot fork.
+
+    The function-local numpy import is LOAD-BEARING, not dead weight
+    (ADVICE r8 suggested dropping it; doing so broke mm_audio_chroma in
+    driver_sim): pandas-UDF closures capture this function and cloudpickle
+    ships it by value, so the worker-side call cannot rely on this
+    module's global `np` being materialized — the local import is the
+    only binding guaranteed to exist inside the UDF worker."""
     import numpy as np
 
     t = np.arange(n, dtype=np.int64)

@@ -165,11 +165,11 @@ def _priority(name: str) -> bool:
     return name.startswith(PRIORITY_PREFIXES)
 
 
-# Round-9 additions, held back behind every older unscored op regardless of
-# name prefix: the round-8 backlog was engineered to EXACTLY fill the
-# driver's 50-op window (ops/round8.py docstring), so a new `sql_`-prefixed
-# op must not ride the PRIORITY_PREFIXES tier and displace a round-8 op out
-# of its slot.  These score in round 9, after the backlog clears.
+# Round-9 RELEASE: the round-8 backlog cleared (50/50 hash-green in
+# CORRECTNESS_r08), so the formerly-held round-9 ops now score FIRST in the
+# round-9 window (VERDICT r8 "Next round" item 1).  They must precede any
+# op registered later this round — a new registration must never displace
+# one of these out of the 50-slot window.
 ROUND9_HOLDBACK = frozenset(
     {
         "llm_epoch_schedule",
@@ -193,6 +193,12 @@ ROUND9_HOLDBACK = frozenset(
         "mm_audio_onset_flux",
     }
 )
+
+# Round-10 holdback, same mechanics as ROUND9_HOLDBACK last round: if this
+# round registers more new ops than the window has spare slots
+# (50 - 19 released = 31), the overflow goes here so it cannot displace
+# either the released tier or earlier round-9 registrations.
+ROUND10_HOLDBACK: frozenset[str] = frozenset()
 
 
 def ordered_queries() -> dict[str, QueryFn]:
@@ -236,8 +242,13 @@ def ordered_queries() -> dict[str, QueryFn]:
     def tier(n: str) -> int:
         if n in green:
             return 9
-        if n in ROUND9_HOLDBACK:
+        if n in ROUND10_HOLDBACK:
             return 8
+        if n in ROUND9_HOLDBACK:
+            # Released this round: ahead of everything, incl. §2 (all §2
+            # ops are long green, so this ordering is only about keeping
+            # new round-9 registrations from displacing the released set).
+            return -1
         if n in sec2:
             return 0
         if n in verdict_rank:
@@ -253,7 +264,7 @@ def ordered_queries() -> dict[str, QueryFn]:
         return 6 if _priority(n) else 7
 
     out: dict[str, QueryFn] = {}
-    for t in (0, 1, 2, 3, 4, 5, 6, 7, 8, 9):
+    for t in (-1, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9):
         names = [n for n in QUERIES if tier(n) == t]
         if t == 1:
             names.sort(key=verdict_rank.__getitem__)

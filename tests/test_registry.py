@@ -117,27 +117,38 @@ def test_ledgered_rows_only_ops_leave_the_window():
     assert not stuck, f"ledgered rows-only ops burning window slots: {stuck}"
 
 
-def test_round9_holdback_stays_behind_older_backlog():
-    """The round-8 backlog was engineered to exactly fill the driver's
-    50-op window; round-9 additions (one of which carries the `sql_`
-    priority prefix) must sit BEHIND every older unscored op so they can
-    never displace a round-8 op out of its slot."""
-    from biggie_spark.registry import ROUND9_HOLDBACK
+def test_round9_released_ops_lead_the_window():
+    """Round 9: the round-8 backlog cleared (CORRECTNESS_r08 50/50 green),
+    so the 19 formerly-held ops are RELEASED and must occupy the FRONT of
+    the window — a new round-9 registration must never displace one of
+    them out of the 50-slot window.  Overflow new ops park in
+    ROUND10_HOLDBACK, which must stay behind every other unscored op."""
+    from biggie_spark.registry import ROUND9_HOLDBACK, ROUND10_HOLDBACK
 
     ledger = json.loads(GREEN_LEDGER.read_text())
     green = set(ledger["green"]) | set(ledger.get("rows_only_scored", []))
     oq = list(ordered_queries())
     unscored = [n for n in oq if n not in green]
-    held = [n for n in unscored if n in ROUND9_HOLDBACK]
+    released = [n for n in unscored if n in ROUND9_HOLDBACK]
     others = [n for n in unscored if n not in ROUND9_HOLDBACK]
-    if held and others:
-        first_held = min(oq.index(n) for n in held)
-        last_other = max(oq.index(n) for n in others)
-        assert first_held > last_other, (
-            "a ROUND9_HOLDBACK op precedes an older unscored op: "
-            f"{[n for n in held if oq.index(n) < last_other]}"
+    if released and others:
+        last_released = max(oq.index(n) for n in released)
+        first_other = min(oq.index(n) for n in others)
+        assert last_released < first_other, (
+            "an unscored op precedes a released ROUND9 op in the window: "
+            f"{[n for n in others if oq.index(n) < last_released]}"
         )
-    missing = [n for n in ROUND9_HOLDBACK if n not in QUERIES]
+    held10 = [n for n in unscored if n in ROUND10_HOLDBACK]
+    rest = [n for n in unscored if n not in ROUND10_HOLDBACK]
+    if held10 and rest:
+        assert min(oq.index(n) for n in held10) > max(oq.index(n) for n in rest)
+    # The window must never overflow past the driver's 50 slots with
+    # unscored ops — that's exactly the displacement bug holdbacks prevent.
+    assert len(unscored) - len(held10) <= 50, (
+        f"{len(unscored) - len(held10)} unscored ops for a 50-slot window; "
+        "move the newest registrations into ROUND10_HOLDBACK"
+    )
+    missing = [n for n in ROUND9_HOLDBACK | ROUND10_HOLDBACK if n not in QUERIES]
     assert not missing, f"holdback names unregistered ops: {missing}"
 
 

@@ -119,3 +119,77 @@ def test_bitext_margin_is_scaled_mean_difference(sims):
     assert margin3 == round(3 * (top[0] - (top[1] + top[2] + top[3]) / 3))
     # c1 is the max of the ranked list, so the margin can never be negative
     assert margin3 >= 0
+
+
+# ---------------------------------------------------------------------------
+# round-9 runtime guards (VERDICT r8 item 1 + ADVICE r8): these need a
+# SparkSession because the guards live IN the plan, not in Python
+
+
+def test_grid_guard_raises_on_widened_frame(spark):
+    """_kept_buckets' unpartitioned windows are bounded by the <=101-row
+    score grid BY CONSTRUCTION; the in-plan assert_true turns a widened
+    grid (here 2000 distinct buckets) into a loud failure instead of a
+    silent corpus-sized single-partition window."""
+    import pytest
+
+    from biggie_spark.ops.round9 import _GRID_BOUND, _kept_buckets
+
+    wide = spark.range(_GRID_BOUND + 976).selectExpr(
+        "id AS score_e2", "10 AS n_tok"
+    )
+    with pytest.raises(Exception, match="grid window exceeds"):
+        _kept_buckets(wide).collect()
+
+
+def test_grid_guard_passes_and_degenerate_corpus_keeps_top_bucket(spark):
+    """ADVICE r8: when the single best bucket alone exceeds the 2/5 token
+    budget the old min-over-when threshold was NULL and `>= NULL` kept
+    NOTHING; the coalesce now falls back to the top bucket (whole-bucket
+    tie policy), and the guard stays silent within the bound."""
+    from biggie_spark.ops.round9 import _kept_buckets
+
+    degenerate = spark.createDataFrame(
+        [(90, 100), (50, 10)], "score_e2 long, n_tok long"
+    )
+    kept = sorted(r.score_e2 for r in _kept_buckets(degenerate).collect())
+    assert kept == [90], kept
+
+
+def test_preference_stride_guard_raises_past_1e6_docs(spark):
+    """ADVICE r8: the BIGINT argmax key in _preference_agg_plan encodes
+    doc_id in a 1e6 stride; a doc_id past the stride must raise, never
+    silently corrupt chosen/rejected extraction (the oracle mirrors the
+    encoding, so the hash check alone cannot catch it)."""
+    import pytest
+
+    from biggie_spark.ops.round9 import _preference_agg_plan
+
+    docs = spark.createDataFrame(
+        [(2_000_000, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="argmax stride"):
+        _preference_agg_plan(docs).collect()
+
+
+def test_preference_stride_guard_silent_in_bounds(spark):
+    """The guard must be value-neutral when the bound holds: same pairs as
+    the window formulation on an in-bounds frame."""
+    from biggie_spark.ops.round9 import _preference_agg_plan
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a a a a"),
+            (1, "a b c d"),
+            (2, "a a b b"),
+            (3, "a b c c"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = _preference_agg_plan(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # scores e2: doc0 = 25, doc1 = 100, doc2 = 50, doc3 = 75
+    assert (r.chosen_doc, r.rejected_doc) == (1, 0)
+    assert (r.chosen_score_e2, r.rejected_score_e2) == (100, 25)
+    assert r.margin_e2 == 75 and r.n_cands == 4
