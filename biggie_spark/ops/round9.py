@@ -1560,6 +1560,15 @@ def mm_audio_chroma(spark, sf_dir):
     emitting the 12-long chroma array per doc, posexploded to the scored
     (doc, pitch-class, energy) long format — one pass, 1:12 fan-out, no
     shuffle before the final exchange-free explode."""
+    return chroma_frame(spark, sf_dir)
+
+
+def chroma_frame(spark, sf_dir):
+    """The (doc_id, pc, energy_e2) chroma long frame mm_audio_chroma
+    emits, exposed module-level so the round-9b feature-stash loop
+    (kv_chroma_stash_persisted / kv_chroma_pair_dot) computes features
+    through the IDENTICAL WAV-encode/decode kernel — the two families can
+    never fork on the audio domain."""
     import math as _math
 
     import numpy as np
