@@ -474,3 +474,552 @@ def mm_image_integral_rect(spark, sf_dir):
             F.col("col").alias("rect_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# inference/serving tier — the data ops an LLM serving stack runs
+#
+# These are corpus-side accounting ops: given the documents table as the
+# request/trace log, compute the quantities a serving team actually reads
+# (speculative-decoding acceptance, prefix-cache hit rates, radix-tree
+# depth profiles, PagedAttention page/fragmentation counts, prefill vs
+# decode FLOPs, tier routing, FIFO batch queueing).  All integer-exact.
+
+# Draft vocabulary size for speculative decoding: the "small model" is
+# modeled as predicting the K most frequent corpus tokens (coverage 55%
+# measured at sf0.01), so per-position acceptance is deterministic and
+# the accepted-prefix length per 4-token block spans 0..4 with every
+# branch live (measured 3174/1721/912/471/696).
+_SPEC_TOPK = 16
+_SPEC_GAMMA = 4
+
+
+@register(
+    "llm_spec_decode_accept",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok,
+                      generate_subscripts(string_split(lower(text), ' '), 1)
+                        - 1 AS pos
+               FROM documents),
+    top AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM t GROUP BY tok
+                             ORDER BY c DESC, tok LIMIT {_SPEC_TOPK})),
+    m AS (SELECT doc_id, pos // {_SPEC_GAMMA} AS blk,
+                 pos % {_SPEC_GAMMA} AS pib,
+                 (tok IN (SELECT tok FROM top)) AS ok
+          FROM t),
+    a AS (SELECT doc_id, blk, CAST(count(*) AS BIGINT) AS blk_len,
+                 CAST(coalesce(min(CASE WHEN NOT ok THEN pib END),
+                               count(*)) AS BIGINT) AS acc
+          FROM m GROUP BY doc_id, blk)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(blk_len) AS BIGINT) AS n_tokens,
+           CAST(sum(acc) AS BIGINT) AS accepted,
+           CAST(sum(CASE WHEN acc < blk_len THEN acc + 1 ELSE blk_len END)
+             AS BIGINT) AS produced,
+           CAST(sum(CASE WHEN acc < blk_len THEN acc + 1 ELSE blk_len END)
+                * 10000 // count(*) AS BIGINT) AS tokens_per_step_e4
+    FROM a GROUP BY doc_id
+    """,
+)
+def llm_spec_decode_accept(spark, sf_dir):
+    """Speculative-decoding acceptance accounting — the serving-side
+    yield analysis: model the draft model as deterministically correct on
+    the corpus's {_SPEC_TOPK} most frequent tokens, chop each document's
+    token stream into gamma={_SPEC_GAMMA} blocks, and compute per block
+    the accepted prefix length (first draft miss truncates; the target's
+    correction token is the +1), then per document the produced-tokens
+    and tokens-per-target-step speedup — exactly the accounting that
+    decides whether speculative decoding pays for a given traffic mix.
+
+    Shape at scale: the draft vocabulary is a bounded TakeOrdered (top-K
+    over the token-count aggregate) broadcast against the exploded token
+    stream; block reduction is a (doc, block)-keyed partial+final hash
+    aggregate and the per-doc rollup reuses the doc key — no windows, no
+    sorts beyond the K-row TakeOrdered, everything map-side combinable.
+    Integer throughout; ties at vocabulary rank K break on (count desc,
+    token asc) identically on both engines."""
+    t = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
+        .select("doc_id", "pos", "tok")
+    )
+    top = (
+        t.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(_SPEC_TOPK)
+        .select("tok", F.lit(True).alias("in_top"))
+    )
+    m = (
+        t.join(F.broadcast(top), "tok", "left")
+        .select(
+            "doc_id",
+            (F.col("pos") / _SPEC_GAMMA).cast("long").alias("blk"),
+            (F.col("pos") % _SPEC_GAMMA).alias("pib"),
+            F.coalesce("in_top", F.lit(False)).alias("ok"),
+        )
+    )
+    a = m.groupBy("doc_id", "blk").agg(
+        F.count("*").alias("blk_len"),
+        F.coalesce(
+            F.min(F.when(~F.col("ok"), F.col("pib"))), F.count("*")
+        )
+        .cast("long")
+        .alias("acc"),
+    )
+    produced = F.when(
+        F.col("acc") < F.col("blk_len"), F.col("acc") + 1
+    ).otherwise(F.col("blk_len"))
+    return (
+        a.select("doc_id", "blk_len", "acc", produced.alias("prod"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.sum("blk_len").alias("n_tokens"),
+            F.sum("acc").alias("accepted"),
+            F.sum("prod").alias("produced"),
+            F.expr("sum(prod) * 10000 div count(*)").alias(
+                "tokens_per_step_e4"
+            ),
+        )
+    )
+
+
+# Prefix-cache depth: 8 tokens — deep enough that sharing is real reuse
+# (23 multi-doc groups / 47 docs at sf0.01), shallow enough to exist in
+# every doc (min corpus doc is 10 tokens).
+_PREFIX_DEPTH = 8
+
+
+@register(
+    "llm_kv_prefix_reuse",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, source,
+                      md5(array_to_string(list_slice(
+                        string_split(lower(text), ' '), 1, {_PREFIX_DEPTH}),
+                        ' ')) AS h
+               FROM documents
+               WHERE len(string_split(lower(text), ' ')) >= {_PREFIX_DEPTH}),
+    g AS (SELECT h, min(doc_id) AS first_doc FROM p GROUP BY h),
+    j AS (SELECT p.source,
+                 CASE WHEN p.doc_id = g.first_doc THEN 0 ELSE 1 END AS hit
+          FROM p JOIN g USING (h))
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_reqs,
+           CAST(sum(hit) AS BIGINT) AS cache_hits,
+           CAST({_PREFIX_DEPTH} * sum(hit) AS BIGINT) AS saved_tokens,
+           CAST(sum(hit) * 1000000 // count(*) AS BIGINT) AS hit_rate_e6
+    FROM j GROUP BY source
+    """,
+)
+def llm_kv_prefix_reuse(spark, sf_dir):
+    """Prefix-cache (KV-reuse) accounting — the serving-side statistic
+    behind prompt caching: requests sharing an identical leading
+    {_PREFIX_DEPTH}-token span reuse the cached KV pages of the first
+    request that filled them.  The cache is GLOBAL (one serving fleet);
+    attribution is per source, so the output is each tenant's hit count,
+    saved prefill tokens, and hit rate — the numbers that justify cache
+    capacity.  First-filler per prefix group is min(doc_id), the arrival
+    order's deterministic proxy.
+
+    Shape at scale: one hash aggregate onto the prefix-hash grid, a
+    same-key equi-join back (both sides partitioned by the 16-byte md5 —
+    the classic fingerprint join, linear), then a per-source rollup.
+    The md5 prefix hash is what ships across the exchange, never the
+    text."""
+    p = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            tokens("text").alias("ws"),
+        )
+        .filter(F.size("ws") >= _PREFIX_DEPTH)
+        .select(
+            "doc_id",
+            "source",
+            F.md5(F.array_join(F.slice("ws", 1, _PREFIX_DEPTH), " ")).alias(
+                "h"
+            ),
+        )
+    )
+    g = p.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        p.join(g, "h")
+        .select(
+            "source",
+            F.when(F.col("doc_id") == F.col("first_doc"), 0)
+            .otherwise(1)
+            .alias("hit"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_reqs"),
+            F.sum("hit").alias("cache_hits"),
+            (F.lit(_PREFIX_DEPTH) * F.sum("hit")).alias("saved_tokens"),
+            F.expr("sum(hit) * 1000000 div count(*)").alias("hit_rate_e6"),
+        )
+    )
+
+
+_RADIX_DEPTHS = (1, 2, 4, 8)
+
+
+@register(
+    "llm_radix_cache_depth",
+    oracle=f"""
+    WITH d AS (SELECT unnest(ARRAY{list(_RADIX_DEPTHS)}) AS depth),
+    t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+          FROM documents),
+    g AS (SELECT d.depth,
+                 md5(array_to_string(list_slice(t.ws, 1, d.depth), ' '))
+                   AS h
+          FROM t JOIN d ON len(t.ws) >= d.depth)
+    SELECT depth,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_prefixes,
+           CAST(count(*) * 1000000 // count(DISTINCT h) AS BIGINT)
+             AS dup_factor_e6,
+           CAST(depth * count(DISTINCT h) AS BIGINT) AS node_tokens,
+           CAST(depth * (count(*) - count(DISTINCT h)) AS BIGINT)
+             AS saved_tokens
+    FROM g GROUP BY depth
+    """,
+)
+def llm_radix_cache_depth(spark, sf_dir):
+    """Radix-tree (trie) cache depth profile — the capacity-planning
+    curve behind RadixAttention-style prefix caches: at each tree depth
+    d in {_RADIX_DEPTHS}, how many distinct d-token prefixes exist, the
+    duplication factor (docs per prefix), the token storage the tree's
+    nodes need at that depth, and the prefill tokens saved if every
+    shared prefix hits.  Depth 1 collapses the corpus to ~30 nodes;
+    depth 8 is nearly distinct (476 prefixes / 500 docs at sf0.01) —
+    the curve's knee tells the operator where cache depth stops paying.
+
+    Shape at scale: the depth grid is a 4-row broadcast against one
+    corpus pass; prefixes ship as md5 fingerprints; the per-depth
+    distinct is a partial+final aggregate on the (depth, hash) key —
+    no window, no sort.  count(DISTINCT) over the 16-byte hash is the
+    exact form; the approx_count_distinct swap is the documented
+    cluster-scale relaxation."""
+    depths = spark.createDataFrame(
+        [(d,) for d in _RADIX_DEPTHS], "depth int"
+    )
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("ws")
+    )
+    g = (
+        t.join(F.broadcast(depths), F.size("ws") >= F.col("depth"))
+        .select(
+            "depth",
+            F.md5(
+                F.array_join(F.slice("ws", F.lit(1), F.col("depth")), " ")
+            ).alias("h"),
+        )
+    )
+    return g.groupBy("depth").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("h").alias("n_prefixes"),
+        F.expr("count(*) * 1000000 div count(DISTINCT h)").alias(
+            "dup_factor_e6"
+        ),
+        F.expr("depth * count(DISTINCT h)").cast("long").alias("node_tokens"),
+        F.expr("depth * (count(*) - count(DISTINCT h))")
+        .cast("long")
+        .alias("saved_tokens"),
+    )
+
+
+_PAGE_SIZE = 16
+
+
+@register(
+    "llm_kv_cache_paging",
+    oracle=f"""
+    WITH t AS (SELECT source,
+                      CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                        AS tk
+               FROM documents),
+    p AS (SELECT source, tk, (tk + {_PAGE_SIZE - 1}) // {_PAGE_SIZE} AS pages
+          FROM t)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_seqs,
+           CAST(sum(tk) AS BIGINT) AS kv_tokens,
+           CAST(sum(pages) AS BIGINT) AS pages,
+           CAST(sum(pages * {_PAGE_SIZE} - tk) AS BIGINT) AS frag_tokens,
+           CAST(sum(pages * {_PAGE_SIZE} - tk) * 1000000
+                // (sum(pages) * {_PAGE_SIZE}) AS BIGINT) AS frag_e6
+    FROM p GROUP BY source
+    """,
+)
+def llm_kv_cache_paging(spark, sf_dir):
+    """PagedAttention page accounting — KV-cache blocks of
+    {_PAGE_SIZE} tokens per sequence: page counts, internal
+    fragmentation (allocated-but-unused slots in each sequence's last
+    page), and the fragmentation rate per tenant — the memory-planning
+    numbers paged KV allocation exists to minimize (fragmentation is
+    bounded by page_size-1 per sequence by construction; the measured
+    per-doc range spans the full 0..15).
+
+    ONE corpus scan into a per-source partial+final hash aggregate; every
+    metric is sum-composable integer arithmetic (ceil division in both
+    engines as (tk + p - 1) div p)."""
+    t = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(tokens("text")).cast("long").alias("tk")
+    )
+    pages = F.expr(f"(tk + {_PAGE_SIZE - 1}) div {_PAGE_SIZE}")
+    return (
+        t.select("source", "tk", pages.alias("pages"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_seqs"),
+            F.sum("tk").alias("kv_tokens"),
+            F.sum("pages").alias("pages"),
+            F.sum(F.col("pages") * _PAGE_SIZE - F.col("tk")).alias(
+                "frag_tokens"
+            ),
+            F.expr(
+                f"sum(pages * {_PAGE_SIZE} - tk) * 1000000 "
+                f"div (sum(pages) * {_PAGE_SIZE})"
+            ).alias("frag_e6"),
+        )
+    )
+
+
+_PROMPT_CAP = 32
+
+
+@register(
+    "llm_prefill_decode_flops",
+    oracle=f"""
+    WITH t AS (SELECT lang,
+                      CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                        AS n
+               FROM documents),
+    s AS (SELECT lang, n, least(n // 2, {_PROMPT_CAP}) AS p FROM t)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_reqs,
+           CAST(sum(p) AS BIGINT) AS prefill_tokens,
+           CAST(sum(n - p) AS BIGINT) AS decode_tokens,
+           CAST(sum(p * p) AS BIGINT) AS prefill_units,
+           CAST(sum((n - p) * n) AS BIGINT) AS decode_units,
+           CAST(sum((n - p) * n) * 1000000
+                // (sum(p * p) + sum((n - p) * n)) AS BIGINT)
+             AS decode_share_e6
+    FROM s GROUP BY lang
+    """,
+)
+def llm_prefill_decode_flops(spark, sf_dir):
+    """Prefill/decode FLOPs split — the serving cost model's first-order
+    decomposition: each request's prompt is its first min(n div 2,
+    {_PROMPT_CAP}) tokens, attention work is quadratic in the prefill
+    (p^2 units, one parallel pass) and linear-times-context in the
+    decode ((n-p)·n units, one pass per produced token).  The per-lang
+    decode share tells the operator which traffic is compute-bound
+    (prefill-heavy) vs memory-bandwidth-bound (decode-heavy) — the
+    split that decides chunked-prefill and batching policy.
+
+    ONE scan, one partial+final aggregate; all products stay far inside
+    int64 (n <= ~100 per doc here; at real scale the unit columns are
+    the documented DECIMAL(38,0) switch point)."""
+    t = load_table(spark, sf_dir, "documents").select(
+        "lang", F.size(tokens("text")).cast("long").alias("n")
+    )
+    s = t.select(
+        "lang", "n", F.expr(f"least(n div 2, {_PROMPT_CAP})").alias("p")
+    )
+    return s.groupBy("lang").agg(
+        F.count("*").alias("n_reqs"),
+        F.sum("p").alias("prefill_tokens"),
+        F.sum(F.col("n") - F.col("p")).alias("decode_tokens"),
+        F.sum(F.col("p") * F.col("p")).alias("prefill_units"),
+        F.sum((F.col("n") - F.col("p")) * F.col("n")).alias("decode_units"),
+        F.expr(
+            "sum((n - p) * n) * 1000000 div (sum(p * p) + sum((n - p) * n))"
+        ).alias("decode_share_e6"),
+    )
+
+
+# Tier thresholds chosen on the measured token distribution (10..99,
+# mean 54): small <32 (121 docs at sf0.01), mid <64 (180), large (199) —
+# every tier live at every SF.  Cost units per token: 1 / 3 / 10.
+_TIER_SQL = (
+    "CASE WHEN tk < 32 THEN 'small' WHEN tk < 64 THEN 'mid' "
+    "ELSE 'large' END"
+)
+_TIER_COST = "CASE WHEN tk < 32 THEN 1 WHEN tk < 64 THEN 3 ELSE 10 END"
+
+
+@register(
+    "llm_sla_tier_routing",
+    oracle=f"""
+    WITH t AS (SELECT CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                        AS tk
+               FROM documents),
+    r AS (SELECT tk, {_TIER_SQL} AS tier, {_TIER_COST} AS unit_cost FROM t)
+    SELECT tier,
+           CAST(count(*) AS BIGINT) AS n_reqs,
+           CAST(sum(tk) AS BIGINT) AS tokens,
+           CAST(sum(tk * unit_cost) AS BIGINT) AS routed_cost,
+           CAST(sum(tk * 10) AS BIGINT) AS all_large_cost,
+           CAST((sum(tk * 10) - sum(tk * unit_cost)) * 1000000
+                // sum(tk * 10) AS BIGINT) AS saved_e6
+    FROM r GROUP BY tier
+    """,
+)
+def llm_sla_tier_routing(spark, sf_dir):
+    """Model-tier routing accounting — requests routed to
+    small/mid/large model tiers by prompt length, with per-tier cost in
+    integer units against the all-requests-to-the-large-model baseline:
+    the saved_e6 column is the routing policy's headline number.
+    Thresholds sit inside the measured token distribution so every tier
+    is populated at every SF (121/180/199 at sf0.01).
+
+    ONE scan, one 3-row aggregate — the degenerate-cheap op shape; its
+    value is the POLICY expressed declaratively (the CASE is the router),
+    so Catalyst folds routing into the scan."""
+    t = load_table(spark, sf_dir, "documents").select(
+        F.size(tokens("text")).cast("long").alias("tk")
+    )
+    r = t.select(
+        "tk",
+        F.expr(_TIER_SQL).alias("tier"),
+        F.expr(_TIER_COST).alias("unit_cost"),
+    )
+    return r.groupBy("tier").agg(
+        F.count("*").alias("n_reqs"),
+        F.sum("tk").alias("tokens"),
+        F.sum(F.col("tk") * F.col("unit_cost")).alias("routed_cost"),
+        F.sum(F.col("tk") * 10).alias("all_large_cost"),
+        F.expr(
+            "(sum(tk * 10) - sum(tk * unit_cost)) * 1000000 "
+            "div sum(tk * 10)"
+        ).alias("saved_e6"),
+    )
+
+
+_BATCH_B = 8
+
+
+@register(
+    "llm_batch_wait_time",
+    oracle=f"""
+    WITH t AS (SELECT source, doc_id,
+                      CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                        AS tk
+               FROM documents),
+    r AS (SELECT source, tk,
+                 (row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                  - 1) // {_BATCH_B} AS b
+          FROM t),
+    l AS (SELECT source, b, CAST(max(tk) AS BIGINT) AS lat,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM r GROUP BY source, b),
+    w AS (SELECT source, b, n, lat,
+                 CAST(coalesce(sum(lat) OVER (PARTITION BY source ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS wait
+          FROM l)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_batches,
+           CAST(sum(lat) AS BIGINT) AS makespan,
+           CAST(sum(n * wait) AS BIGINT) AS total_wait,
+           CAST(sum(n * wait) // sum(n) AS BIGINT) AS mean_wait
+    FROM w GROUP BY source
+    """,
+)
+def llm_batch_wait_time(spark, sf_dir):
+    """FIFO batch queueing accounting — static batching of B={_BATCH_B}
+    requests per tenant queue in arrival (doc_id) order, where a batch's
+    latency is its longest member (everything pads to the max) and a
+    request's wait is the summed latency of every earlier batch in its
+    queue: per tenant, the makespan, total and mean request wait — the
+    queueing numbers that motivate continuous batching (compare
+    ``llm_length_grouped_batches`` for the padding-cost axis; this op is
+    the latency axis of the same tradeoff).
+
+    Shape at scale: windows are PARTITIONED by source (the tenant queue
+    is the natural parallelism unit), the batch reduction is a
+    (source, batch)-keyed hash aggregate, and the running wait is a
+    prefix sum over each tenant's bounded BATCH frame, never over
+    requests."""
+    t = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(tokens("text")).cast("long").alias("tk")
+    )
+    wq = Window.partitionBy("source").orderBy("doc_id")
+    r = t.select(
+        "source",
+        "tk",
+        ((F.row_number().over(wq) - 1) / _BATCH_B).cast("long").alias("b"),
+    )
+    l = r.groupBy("source", "b").agg(
+        F.max("tk").alias("lat"), F.count("*").alias("n")
+    )
+    ww = (
+        Window.partitionBy("source")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w = l.select(
+        "source",
+        "n",
+        "lat",
+        F.coalesce(F.sum("lat").over(ww), F.lit(0)).alias("wait"),
+    )
+    return w.groupBy("source").agg(
+        F.count("*").alias("n_batches"),
+        F.sum("lat").alias("makespan"),
+        F.sum(F.col("n") * F.col("wait")).alias("total_wait"),
+        F.expr("sum(n * wait) div sum(n)").alias("mean_wait"),
+    )
+
+
+@register(
+    "stream_prefix_reuse_static",
+    oracle=f"""
+    WITH p AS (SELECT doc_id,
+                      md5(array_to_string(list_slice(
+                        string_split(lower(text), ' '), 1, {_PREFIX_DEPTH}),
+                        ' ')) AS h
+               FROM documents
+               WHERE len(string_split(lower(text), ' ')) >= {_PREFIX_DEPTH})
+    SELECT h AS prefix_md5,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST({_PREFIX_DEPTH} * (count(*) - 1) AS BIGINT) AS saved_tokens
+    FROM p GROUP BY h HAVING count(*) >= 2
+    """,
+)
+def stream_prefix_reuse_static(spark, sf_dir):
+    """Streaming-capable prefix-cache hit table — the online form of
+    ``llm_kv_prefix_reuse``: ONE groupBy on the {_PREFIX_DEPTH}-token
+    prefix fingerprint (no windows, no join, no second aggregation — the
+    ``stream_containment_gate_static`` discipline), emitting each shared
+    prefix's population, first filler, and saved prefill tokens.  Under
+    readStream with update-mode output this is the live cache-hit
+    dashboard: each arriving request increments exactly one prefix row's
+    state.  The HAVING gate keeps only prefixes that actually save work
+    (23 rows at sf0.01; filters-after-aggregate are streaming-legal)."""
+    p = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("ws"))
+        .filter(F.size("ws") >= _PREFIX_DEPTH)
+        .select(
+            "doc_id",
+            F.md5(F.array_join(F.slice("ws", 1, _PREFIX_DEPTH), " ")).alias(
+                "prefix_md5"
+            ),
+        )
+    )
+    return (
+        p.groupBy("prefix_md5")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            (F.lit(_PREFIX_DEPTH) * (F.count("*") - 1)).alias(
+                "saved_tokens"
+            ),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
