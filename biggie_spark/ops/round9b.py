@@ -1023,3 +1023,554 @@ def stream_prefix_reuse_static(spark, sf_dir):
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# distillation / eval / fusion tier
+#
+# Teacher = the round-9 unique-token quality score (score_e2, the shared
+# _UNIQ_SCORE); student = the cheap length-capped proxy least(n_tok, 99).
+# Real pipelines join a large model's scores against a small model's —
+# here both sides are deterministic corpus functions so every op carries
+# a full value oracle while exercising the same join/aggregate shapes.
+
+_T_SCORE = (
+    "size(array_distinct(split(lower(text), ' '))) * 100 "
+    "div size(split(lower(text), ' '))"
+)
+_T_SCORE_SQL = (
+    "len(list_distinct(string_split(lower(text), ' '))) * 100 "
+    "// len(string_split(lower(text), ' '))"
+)
+_S_SCORE = "least(size(split(lower(text), ' ')), 99)"
+_S_SCORE_SQL = "least(len(string_split(lower(text), ' ')), 99)"
+# Binary keep-gates for the agreement flags (129 teacher-keeps and 277
+# student-keeps at sf0.01 — all four confusion cells live).
+_T_KEEP, _S_KEEP = 60, 50
+
+
+def _distill_frame(spark, sf_dir):
+    """(doc_id, source, n_tok, t_e2, s_e2) — the shared teacher/student
+    score join both distillation ops read.  Teacher and student are
+    computed as SEPARATE aggregable frames and equi-joined on doc_id —
+    the join shape a real teacher-score table forces — rather than
+    fused into one projection."""
+    d = load_table(spark, sf_dir, "documents")
+    teacher = d.select(
+        "doc_id", "source", F.expr(_T_SCORE).cast("long").alias("t_e2")
+    )
+    student = d.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("n_tok"),
+        F.expr(_S_SCORE).cast("long").alias("s_e2"),
+    )
+    return teacher.join(student, "doc_id")
+
+
+@register(
+    "llm_distill_pairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source,
+                      CAST({_T_SCORE_SQL} AS BIGINT) AS t_e2
+               FROM documents),
+    s AS (SELECT doc_id,
+                 CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                   AS n_tok,
+                 CAST({_S_SCORE_SQL} AS BIGINT) AS s_e2
+          FROM documents)
+    SELECT t.doc_id, t.source, t.t_e2, s.s_e2,
+           CAST(t.t_e2 - s.s_e2 AS BIGINT) AS gap_e2,
+           CAST((t.t_e2 >= {_T_KEEP}) = (s.s_e2 >= {_S_KEEP}) AS BIGINT)
+             AS gates_agree
+    FROM t JOIN s USING (doc_id)
+    """,
+)
+def llm_distill_pairs(spark, sf_dir):
+    """Teacher/student score pairing — the distillation pipeline's first
+    join: the expensive teacher's quality score against the cheap
+    student proxy, per document, with the signed gap and a
+    gates-agree flag (do the two models' keep decisions coincide?).
+    Gap spans -70..88 on this corpus and all four keep-gate confusion
+    cells are populated, so downstream threshold logic is never vacuous.
+
+    Shape at scale: ONE equi-join on doc_id between two aggregable score
+    frames — in production the teacher side is a separately-materialized
+    scores table, so the op deliberately keeps the join rather than
+    fusing both scores into one projection (bucketed layouts make it
+    shuffle-free)."""
+    f = _distill_frame(spark, sf_dir)
+    return f.select(
+        "doc_id",
+        "source",
+        "t_e2",
+        "s_e2",
+        (F.col("t_e2") - F.col("s_e2")).alias("gap_e2"),
+        (
+            (F.col("t_e2") >= _T_KEEP) == (F.col("s_e2") >= _S_KEEP)
+        )
+        .cast("long")
+        .alias("gates_agree"),
+    )
+
+
+@register(
+    "llm_distill_transfer_gap",
+    oracle=f"""
+    WITH p AS (SELECT CAST({_T_SCORE_SQL} AS BIGINT) // 20 AS t_bucket,
+                      CAST({_S_SCORE_SQL} AS BIGINT) // 20 AS s_bucket,
+                      CAST({_T_SCORE_SQL} AS BIGINT)
+                        - CAST({_S_SCORE_SQL} AS BIGINT) AS gap
+               FROM documents)
+    SELECT t_bucket, s_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(gap) AS BIGINT) AS sum_gap_e2,
+           CAST(sum(gap) // count(*) AS BIGINT) AS mean_gap_e2
+    FROM p GROUP BY t_bucket, s_bucket
+    """,
+)
+def llm_distill_transfer_gap(spark, sf_dir):
+    """The teacher→student transfer matrix: documents cross-tabulated by
+    quintile bucket of each model's score (a 5×5 grid at most), with the
+    per-cell mean signed gap — the picture that shows WHERE the student
+    tracks the teacher (diagonal mass) and where it fails (off-diagonal
+    cells with large |mean gap|).  The distillation analog of a
+    confusion matrix over continuous scores.
+
+    ONE scan, one partial+final aggregate onto the bounded bucket grid —
+    the cheapest possible shape; floor division keeps bucket edges and
+    means identical on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    p = d.select(
+        (F.expr(_T_SCORE).cast("long") / 20).cast("long").alias("t_bucket"),
+        (F.expr(_S_SCORE).cast("long") / 20).cast("long").alias("s_bucket"),
+        (F.expr(_T_SCORE).cast("long") - F.expr(_S_SCORE).cast("long")).alias(
+            "gap"
+        ),
+    )
+    return p.groupBy("t_bucket", "s_bucket").agg(
+        F.count("*").alias("n"),
+        F.sum("gap").alias("sum_gap_e2"),
+        F.expr("sum(gap) div count(*)").alias("mean_gap_e2"),
+    )
+
+
+@register(
+    "llm_distill_hard_mine",
+    oracle=f"""
+    WITH s AS (SELECT doc_id,
+                      CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                        AS n_tok,
+                      abs(CAST({_T_SCORE_SQL} AS BIGINT)
+                          - CAST({_S_SCORE_SQL} AS BIGINT)) AS ag
+               FROM documents),
+    b AS (SELECT ag, CAST(sum(n_tok) AS BIGINT) AS btok FROM s GROUP BY ag),
+    c AS (SELECT ag,
+                 sum(btok) OVER (ORDER BY ag DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_incl,
+                 sum(btok) OVER () AS tot
+          FROM b),
+    k AS (SELECT ag FROM c
+          WHERE ag >= (SELECT coalesce(
+                         min(CASE WHEN cum_incl <= tot // 5 THEN ag END),
+                         max(ag)) FROM c))
+    SELECT s.doc_id, s.ag AS gap_abs_e2, s.n_tok
+    FROM s JOIN k USING (ag)
+    """,
+)
+def llm_distill_hard_mine(spark, sf_dir):
+    """Hard-example mining under a token budget — select the documents
+    where teacher and student DISAGREE most (largest |gap|), up to 1/5 of
+    corpus tokens: the classic distillation curriculum step (spend the
+    student's training budget where the teacher has the most to teach).
+
+    Shape: the round-9 threshold-bucket decomposition on the bounded
+    |gap| grid (<= 189 integer values, inside the _GRID_BOUND guard
+    imported from round9): one corpus aggregate onto the gap grid, a
+    descending prefix sum over that bounded frame picks the cutoff, the
+    kept-gap set broadcast-joins back — never a global per-doc sort.
+    Whole-bucket tie policy and the degenerate-corpus coalesce both
+    match ``llm_token_budget_select``."""
+    from biggie_spark.ops.round9 import _grid_guarded
+
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("n_tok"),
+        F.abs(
+            F.expr(_T_SCORE).cast("long") - F.expr(_S_SCORE).cast("long")
+        ).alias("ag"),
+    )
+    b = s.groupBy("ag").agg(F.sum("n_tok").alias("btok"))
+    w_desc = (
+        Window.partitionBy()
+        .orderBy(F.desc("ag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    c = b.select(
+        "ag",
+        F.sum("btok").over(w_desc).alias("cum_incl"),
+        _grid_guarded(F.sum("btok").over(w_all), w_all).alias("tot"),
+    )
+    kept = (
+        c.withColumn(
+            "thr",
+            F.coalesce(
+                F.min(
+                    F.when(
+                        F.expr("cum_incl <= tot div 5"), F.col("ag")
+                    )
+                ).over(w_all),
+                F.max("ag").over(w_all),
+            ),
+        )
+        .filter(F.col("ag") >= F.col("thr"))
+        .select("ag")
+    )
+    return s.join(F.broadcast(kept), "ag").select(
+        "doc_id", F.col("ag").alias("gap_abs_e2"), "n_tok"
+    )
+
+
+@register(
+    "llm_pairwise_winrate",
+    oracle=f"""
+    WITH s AS (SELECT source,
+                      CAST({_T_SCORE_SQL} AS BIGINT) AS sc
+               FROM documents),
+    h AS (SELECT source, sc, CAST(count(*) AS BIGINT) AS n
+          FROM s GROUP BY source, sc),
+    p AS (SELECT a.source AS src_a, b.source AS src_b,
+                 CAST(sum(CASE WHEN a.sc > b.sc THEN a.n * b.n ELSE 0 END)
+                   AS BIGINT) AS wins,
+                 CAST(sum(CASE WHEN a.sc = b.sc THEN a.n * b.n ELSE 0 END)
+                   AS BIGINT) AS ties,
+                 CAST(sum(CASE WHEN a.sc < b.sc THEN a.n * b.n ELSE 0 END)
+                   AS BIGINT) AS losses
+          FROM h a JOIN h b ON a.source < b.source
+          GROUP BY a.source, b.source)
+    SELECT src_a, src_b, wins, ties, losses,
+           CAST((2 * wins + ties) * 1000000
+                // (2 * (wins + ties + losses)) AS BIGINT) AS winrate_e6
+    FROM p
+    """,
+)
+def llm_pairwise_winrate(spark, sf_dir):
+    """Exact pairwise win rates between sources — the Elo/Bradley-Terry
+    input matrix computed WITHOUT sampling: for each source pair,
+    P(random doc of A outscores random doc of B) from the product of the
+    two sources' score histograms (ties count half).  Because scores
+    live on the bounded integer grid, the full quadratic comparison
+    collapses to a histogram-product join — exact win counts over
+    62.5k implicit pairings per source pair at sf0.01, never
+    materialized.
+
+    Shape at scale: one corpus aggregate onto the (source, score) grid
+    (bounded: sources × 101 buckets), then a theta self-join of that
+    bounded frame — broadcast both sides; corpus size only changes the
+    histogram WEIGHTS.  The n*n products reach ~1e7 at sf0.1; the
+    winrate is the standard (wins + ties/2) normalization in e6 integer
+    form, floor-divided identically on both engines."""
+    s = load_table(spark, sf_dir, "documents").select(
+        "source", F.expr(_T_SCORE).cast("long").alias("sc")
+    )
+    h = s.groupBy("source", "sc").agg(F.count("*").alias("n"))
+    a = h.select(
+        F.col("source").alias("src_a"),
+        F.col("sc").alias("sa"),
+        F.col("n").alias("na"),
+    )
+    b = h.select(
+        F.col("source").alias("src_b"),
+        F.col("sc").alias("sb"),
+        F.col("n").alias("nb"),
+    )
+    p = (
+        a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("sa") > F.col("sb"), F.col("na") * F.col("nb")
+                ).otherwise(0)
+            ).alias("wins"),
+            F.sum(
+                F.when(
+                    F.col("sa") == F.col("sb"), F.col("na") * F.col("nb")
+                ).otherwise(0)
+            ).alias("ties"),
+            F.sum(
+                F.when(
+                    F.col("sa") < F.col("sb"), F.col("na") * F.col("nb")
+                ).otherwise(0)
+            ).alias("losses"),
+        )
+    )
+    return p.select(
+        "src_a",
+        "src_b",
+        "wins",
+        "ties",
+        "losses",
+        F.expr(
+            "(2 * wins + ties) * 1000000 div (2 * (wins + ties + losses))"
+        ).alias("winrate_e6"),
+    )
+
+
+# RRF constant (Cormack et al.): 60.
+_RRF_K = 60
+
+
+@register(
+    "llm_rrf_fusion",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings),
+    q AS (SELECT vec_id,
+                 [CAST(CASE WHEN x >= 0 THEN floor(abs(x) * 100 + 0.5)
+                            ELSE -floor(abs(x) * 100 + 0.5) END AS BIGINT)
+                  FOR x IN a] AS qa
+          FROM e),
+    pr AS (SELECT e.vec_id AS probe_id, e.a AS pa, q.qa AS pqa
+           FROM e JOIN q USING (vec_id) WHERE e.vec_id < 10),
+    cand AS (SELECT pr.probe_id,
+                    e.vec_id AS neighbor_id,
+                    round(list_cosine_similarity(pr.pa, e.a), 4) AS s4,
+                    list_dot_product(pr.pqa::DOUBLE[], q.qa::DOUBLE[])
+                      AS idot
+             FROM pr JOIN e ON e.vec_id <> pr.probe_id
+                     JOIN q ON q.vec_id = e.vec_id),
+    r AS (SELECT probe_id, neighbor_id,
+                 row_number() OVER (PARTITION BY probe_id
+                   ORDER BY s4 DESC, neighbor_id) AS r_cos,
+                 row_number() OVER (PARTITION BY probe_id
+                   ORDER BY idot DESC, neighbor_id) AS r_dot
+          FROM cand),
+    f AS (SELECT probe_id, neighbor_id,
+                 CAST(r_cos AS BIGINT) AS rank_cos,
+                 CAST(r_dot AS BIGINT) AS rank_dot,
+                 CAST(1000000 // ({_RRF_K} + r_cos)
+                      + 1000000 // ({_RRF_K} + r_dot) AS BIGINT) AS rrf_e6
+          FROM r)
+    SELECT probe_id, neighbor_id, rank_cos, rank_dot, rrf_e6
+    FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY rrf_e6 DESC, neighbor_id) AS rn FROM f)
+    WHERE rn <= 5
+    """,
+)
+def llm_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of two retrievers — the standard
+    no-tuning ensemble (RRF, k={_RRF_K}): retriever 1 ranks candidates
+    by double cosine (rounded to the repo's cross-engine-safe 4 decimals
+    BEFORE ranking), retriever 2 by the INTEGER dot product of e2
+    half-away-quantized embeddings (the SQ8-style coarse order — exact
+    integer, zero float risk), and each candidate's fused score is
+    sum(1e6 div (k + rank)).  Top-5 fused per probe, with both component
+    ranks exposed so a reviewer sees WHY a candidate won.
+
+    Shape at scale: the 10-probe frame broadcasts against one corpus
+    pass (the llm_knn_cosine exact-baseline pattern); ranks are windows
+    partitioned per probe over that probe's candidate list — in
+    production each retriever contributes its own bounded top-N instead
+    of the full corpus, same plan shape with a pre-cut."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("a"),
+    )
+    quant = F.transform(
+        "a",
+        lambda x: F.when(
+            x >= 0, F.floor(F.abs(x) * 100 + 0.5)
+        )
+        .otherwise(-F.floor(F.abs(x) * 100 + 0.5))
+        .cast("long"),
+    )
+    q = e.select("vec_id", "a", quant.alias("qa"))
+    pr = q.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("a").alias("pa"),
+        F.col("qa").alias("pqa"),
+    )
+    from biggie_spark.util import cosine, r4
+
+    idot = F.aggregate(
+        F.zip_with("pqa", "qa", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cand = (
+        q.join(F.broadcast(pr), F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            r4(cosine(F.col("pa"), F.col("a"))).alias("s4"),
+            idot.alias("idot"),
+        )
+    )
+    wc = Window.partitionBy("probe_id").orderBy(
+        F.desc("s4"), "neighbor_id"
+    )
+    wd = Window.partitionBy("probe_id").orderBy(
+        F.desc("idot"), "neighbor_id"
+    )
+    r = cand.select(
+        "probe_id",
+        "neighbor_id",
+        F.row_number().over(wc).cast("long").alias("rank_cos"),
+        F.row_number().over(wd).cast("long").alias("rank_dot"),
+    )
+    f = r.withColumn(
+        "rrf_e6",
+        F.expr(
+            f"1000000 div ({_RRF_K} + rank_cos) "
+            f"+ 1000000 div ({_RRF_K} + rank_dot)"
+        ),
+    )
+    wf = Window.partitionBy("probe_id").orderBy(
+        F.desc("rrf_e6"), "neighbor_id"
+    )
+    return (
+        f.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= 5)
+        .select("probe_id", "neighbor_id", "rank_cos", "rank_dot", "rrf_e6")
+    )
+
+
+_RAG_BUDGET = 400
+
+
+@register(
+    "llm_rag_context_pack",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, source,
+                      CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                        AS tk,
+                      CAST({_T_SCORE_SQL} AS BIGINT) AS sc
+               FROM documents),
+    r AS (SELECT *, sum(tk) OVER (PARTITION BY source
+                      ORDER BY sc DESC, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS cum,
+                 row_number() OVER (PARTITION BY source
+                      ORDER BY sc DESC, doc_id) AS rnk
+          FROM s)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(count(*) FILTER (cum <= {_RAG_BUDGET}) AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(tk) FILTER (cum <= {_RAG_BUDGET}), 0)
+             AS BIGINT) AS tokens_used,
+           CAST(coalesce(sum(tk) FILTER (cum <= {_RAG_BUDGET}), 0)
+                * 1000000 // {_RAG_BUDGET} AS BIGINT) AS util_e6,
+           CAST(min(CASE WHEN cum > {_RAG_BUDGET} THEN rnk END)
+             AS BIGINT) AS first_excluded_rank
+    FROM r GROUP BY source
+    """,
+)
+def llm_rag_context_pack(spark, sf_dir):
+    """RAG context packing under a token budget — per retrieval pool
+    (source), greedily admit the highest-scored chunks in rank order
+    until the next chunk would overflow the {_RAG_BUDGET}-token context:
+    kept count, tokens used, budget utilization, and the rank of the
+    first casualty (the number that tells you whether the budget or the
+    retriever is the bottleneck).  Both kept and excluded branches are
+    live at every SF (9..28 kept of 25..250 candidates).
+
+    Shape at scale: ONE running-sum window PARTITIONED by the retrieval
+    pool (never global), then a per-pool rollup — the greedy
+    prefix-admission rule is exactly a cumulative sum threshold, so no
+    iteration is needed.  Integer tokens; floor-division utilization."""
+    s = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).cast("long").alias("tk"),
+        F.expr(_T_SCORE).cast("long").alias("sc"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("sc"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wr = Window.partitionBy("source").orderBy(F.desc("sc"), "doc_id")
+    r = s.select(
+        "source",
+        "tk",
+        F.sum("tk").over(w).alias("cum"),
+        F.row_number().over(wr).alias("rnk"),
+    )
+    kept = F.col("cum") <= _RAG_BUDGET
+    return r.groupBy("source").agg(
+        F.count("*").alias("n_candidates"),
+        F.count(F.when(kept, 1)).alias("n_kept"),
+        F.coalesce(F.sum(F.when(kept, F.col("tk"))), F.lit(0)).alias(
+            "tokens_used"
+        ),
+        (
+            F.coalesce(F.sum(F.when(kept, F.col("tk"))), F.lit(0))
+            * 1000000
+            / _RAG_BUDGET
+        )
+        .cast("long")
+        .alias("util_e6"),
+        F.min(F.when(~kept, F.col("rnk"))).cast("long").alias(
+            "first_excluded_rank"
+        ),
+    )
+
+
+@register(
+    "llm_self_consistency_vote",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, doc_id // 4 AS prompt_id,
+                      CAST({_T_SCORE_SQL} AS BIGINT) // 25 AS ans
+               FROM documents),
+    c AS (SELECT prompt_id, ans, CAST(count(*) AS BIGINT) AS n
+          FROM s GROUP BY prompt_id, ans),
+    v AS (SELECT prompt_id,
+                 max(n * 8 + (7 - ans)) AS mk,
+                 CAST(sum(n) AS BIGINT) AS n_samples,
+                 CAST(count(*) AS BIGINT) AS n_distinct
+          FROM c GROUP BY prompt_id)
+    SELECT prompt_id,
+           n_samples,
+           n_distinct,
+           CAST(7 - mk % 8 AS BIGINT) AS vote,
+           CAST(mk // 8 AS BIGINT) AS vote_count,
+           CAST((mk // 8) * 1000000 // n_samples AS BIGINT) AS margin_e6,
+           CAST(n_distinct = 1 AS BIGINT) AS unanimous
+    FROM v
+    """,
+)
+def llm_self_consistency_vote(spark, sf_dir):
+    """Self-consistency majority voting — k=4 samples per prompt (the
+    round-9 prompt grouping), each sample's discrete answer being its
+    quality-score quartile class (0..4, a deterministic stand-in for an
+    extracted final answer): the modal answer wins, ties break to the
+    SMALLEST answer class via the repo's BIGINT argmax encoding
+    (count*8 + (7-ans); counts <= 4 so the stride never saturates), with
+    the vote margin and a unanimity flag (modal counts 2/3/4 all
+    populated: 65/50/10 at sf0.01).
+
+    Shape: two chained hash aggregates on (prompt, answer) then prompt —
+    no windows, no joins; under readStream the same plan shape is the
+    online vote tracker (one stateful agg per stage).  At scale the
+    answer grid per prompt is bounded by k, so state is O(prompts)."""
+    s = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") / 4).cast("long").alias("prompt_id"),
+        (F.expr(_T_SCORE).cast("long") / 25).cast("long").alias("ans"),
+    )
+    c = s.groupBy("prompt_id", "ans").agg(F.count("*").alias("n"))
+    v = c.groupBy("prompt_id").agg(
+        F.max(F.col("n") * 8 + (F.lit(7) - F.col("ans"))).alias("mk"),
+        F.sum("n").alias("n_samples"),
+        F.count("*").alias("n_distinct"),
+    )
+    return v.select(
+        "prompt_id",
+        "n_samples",
+        "n_distinct",
+        (F.lit(7) - F.col("mk") % 8).alias("vote"),
+        F.expr("mk div 8").alias("vote_count"),
+        F.expr("(mk div 8) * 1000000 div n_samples").alias("margin_e6"),
+        (F.col("n_distinct") == 1).cast("long").alias("unanimous"),
+    )
