@@ -13,13 +13,17 @@ Tiers in this module:
 * inference/serving — the data ops an LLM *serving* stack runs over its
   corpus: speculative-decoding acceptance accounting, prefix-cache (KV
   reuse) statistics, radix-tree depth profiles, PagedAttention page
-  accounting, prefill/decode FLOPs split, chunked-prefill scheduling,
-  FIFO batch queueing — plus a streaming-capable prefix-reuse twin;
+  accounting, prefill/decode FLOPs split, SLA tier routing, FIFO batch
+  queueing — plus streaming-capable prefix-reuse and spec-decode twins;
 * distillation/eval — teacher/student score joins, hard-example mining
   under a token budget (the round-9 grid idiom, guard included),
-  score cross-tabs, exact pairwise win rates on bounded histograms,
-  reciprocal-rank fusion of two retrievers, RAG context packing under a
-  budget, and self-consistency majority voting.
+  transfer-gap cross-tabs, exact pairwise win rates on bounded
+  histograms, reciprocal-rank fusion of two retrievers, RAG context
+  packing under a budget, self-consistency majority voting, and
+  Matryoshka-truncation recall;
+* surface/storage — GROUPING_ID and ordered-LISTAGG SQL parity, exact
+  grid percentiles (the full-oracle counterpart to the rows-only
+  approx-quantile), and persisted LSM-style stash compaction.
 
 Registered after ops/round9.py: `ordered_queries()` floats the 19
 released round-9 ops ahead of these (registry.py tier -1), so this wave
@@ -1574,3 +1578,430 @@ def llm_self_consistency_vote(spark, sf_dir):
         F.expr("(mk div 8) * 1000000 div n_samples").alias("margin_e6"),
         (F.col("n_distinct") == 1).cast("long").alias("unanimous"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-surface parity, exact percentiles, MRL truncation, compaction,
+# and the streaming spec-decode twin
+
+
+@register(
+    "sql_grouping_id",
+    oracle="""
+    SELECT l_returnflag AS rf, l_linestatus AS ls,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+    """,
+)
+def sql_grouping_id(spark, sf_dir):
+    """``GROUPING_ID`` / ``GROUPING()`` parity over GROUPING SETS — the
+    bitmask that lets a report consumer tell a real NULL group key from a
+    rollup-aggregated one (THE classic grouping-sets footgun).  Spark's
+    ``grouping_id(a, b)`` and DuckDB's two-argument ``GROUPING(a, b)``
+    must emit the same bitmask (first argument = most-significant bit) on
+    the same three grouping sets — the hash check certifies bit order,
+    not just totals.
+
+    Plan shape: one Expand + hash aggregate (Spark's grouping-sets
+    lowering); the expansion factor is the number of sets (3), applied
+    after partial aggregation where possible.  Quantities are integral
+    doubles in this corpus, cast to BIGINT before summation on both
+    engines."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_gid"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag AS rf, l_linestatus AS ls,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT)
+                 AS gid,
+               count(*) AS n,
+               sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+        FROM lineitem_gid
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """
+    )
+
+
+@register(
+    "sql_listagg_ordered",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n,
+           string_agg(DISTINCT o_orderpriority, ','
+                      ORDER BY o_orderpriority DESC) AS priorities_desc
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sql_listagg_ordered(spark, sf_dir):
+    """Ordered ``LISTAGG ... WITHIN GROUP`` parity — the SQL:2023 string
+    aggregation Spark 4 added, proved against DuckDB's ordered
+    ``string_agg``: per order status, the DISTINCT priorities
+    concatenated in DESCENDING order.  The hash check certifies the
+    ORDER BY inside the aggregate actually orders (an engine that
+    ignored it would emit a different string), the DISTINCT dedups
+    before ordering, and the separator semantics match.
+
+    Plan shape: a hash aggregate whose state is the collected distinct
+    set (bounded: 5 priorities) — safe only because the group domain is
+    tiny; the docstring-level contract for users is 'LISTAGG state is
+    O(distinct values per group): never aggregate an unbounded text
+    column'."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_lga"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus AS status,
+               count(*) AS n,
+               listagg(DISTINCT o_orderpriority, ',')
+                 WITHIN GROUP (ORDER BY o_orderpriority DESC)
+                 AS priorities_desc
+        FROM orders_lga GROUP BY o_orderstatus
+        """
+    )
+
+
+_MRL_DIMS = (8, 16, 32)
+
+
+def _mrl_rank_sql(dim: str) -> str:
+    """DuckDB candidate frame at one truncation width: 4dp-rounded cosine
+    between `dim`-prefix slices, ranked per probe."""
+    return f"""
+      SELECT probe_id, neighbor_id,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY round(list_cosine_similarity(
+                 pa[1:{dim}], a[1:{dim}]), 4) DESC, neighbor_id) AS rn
+      FROM cand
+    """
+
+
+@register(
+    "llm_matryoshka_truncate",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings),
+    pr AS (SELECT vec_id AS probe_id, a AS pa FROM e WHERE vec_id < 10),
+    cand AS (SELECT pr.probe_id, pr.pa, e.vec_id AS neighbor_id, e.a
+             FROM pr JOIN e ON e.vec_id <> pr.probe_id),
+    full5 AS (SELECT probe_id, neighbor_id FROM ({_mrl_rank_sql('64')})
+              WHERE rn <= 5),
+    d AS (SELECT unnest(ARRAY{list(_MRL_DIMS)}) AS dim),
+    t8 AS (SELECT 8 AS dim, * FROM ({_mrl_rank_sql('8')}) WHERE rn <= 5),
+    t16 AS (SELECT 16 AS dim, * FROM ({_mrl_rank_sql('16')}) WHERE rn <= 5),
+    t32 AS (SELECT 32 AS dim, * FROM ({_mrl_rank_sql('32')}) WHERE rn <= 5),
+    t AS (SELECT * FROM t8 UNION ALL SELECT * FROM t16
+          UNION ALL SELECT * FROM t32),
+    ov AS (SELECT t.dim, t.probe_id,
+                  CAST(count(f.neighbor_id) AS BIGINT) AS overlap5
+           FROM t LEFT JOIN full5 f
+             ON f.probe_id = t.probe_id AND f.neighbor_id = t.neighbor_id
+           GROUP BY t.dim, t.probe_id)
+    SELECT CAST(dim AS BIGINT) AS dim, probe_id, overlap5,
+           CAST(overlap5 * 1000000 // 5 AS BIGINT) AS recall5_e6
+    FROM ov
+    """,
+)
+def llm_matryoshka_truncate(spark, sf_dir):
+    """Matryoshka (MRL) truncation analysis — how much retrieval quality
+    survives cutting embeddings to their leading 8/16/32 of 64
+    dimensions: per (width, probe), the top-5 overlap between the
+    truncated-cosine ranking and the full-width ranking, and the recall
+    it implies.  On this corpus the curve is brutal (overlap 0..1 at
+    width 8, 0..3 at 32) — the honest conclusion that RANDOM embeddings
+    are not matryoshka-trained, exactly what the op exists to measure
+    before a team ships truncated vectors.
+
+    Shape at scale: the 10-probe frame broadcasts once; each width's
+    ranking is a window per probe over the SAME candidate pass (the
+    slice is a zero-copy prefix of the stored array — column pruning
+    still reads one vector column); overlap is an equi-join of two
+    bounded top-5 frames.  Cosines round to the cross-engine-safe 4
+    decimals BEFORE ranking."""
+    from biggie_spark.util import cosine, r4
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("a"),
+    )
+    pr = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("a").alias("pa")
+    )
+    cand = e.join(
+        F.broadcast(pr), F.col("vec_id") != F.col("probe_id")
+    ).select("probe_id", "pa", F.col("vec_id").alias("neighbor_id"), "a")
+
+    def top5(dim):
+        s4 = r4(
+            cosine(F.slice("pa", 1, dim), F.slice("a", 1, dim))
+        )
+        w = Window.partitionBy("probe_id").orderBy(
+            F.desc("s4"), "neighbor_id"
+        )
+        return (
+            cand.select("probe_id", "neighbor_id", s4.alias("s4"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .select("probe_id", "neighbor_id")
+        )
+
+    full5 = top5(64)
+    parts = []
+    for dim in _MRL_DIMS:
+        t = top5(dim).select(
+            F.lit(dim).cast("long").alias("dim"), "probe_id", "neighbor_id"
+        )
+        parts.append(t)
+    t = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    f5 = full5.select(
+        "probe_id", F.col("neighbor_id").alias("fn"), F.lit(1).alias("hit")
+    )
+    ov = (
+        t.join(
+            f5,
+            (t.probe_id == f5.probe_id) & (t.neighbor_id == f5.fn),
+            "left",
+        )
+        .select(t.dim, t.probe_id, "hit")
+        .groupBy("dim", "probe_id")
+        .agg(F.count("hit").alias("overlap5"))
+    )
+    return ov.select(
+        "dim",
+        "probe_id",
+        "overlap5",
+        F.expr("overlap5 * 1000000 div 5").alias("recall5_e6"),
+    )
+
+
+@register(
+    "stream_spec_accept_static",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok,
+                      generate_subscripts(string_split(lower(text), ' '), 1)
+                        - 1 AS pos
+               FROM documents),
+    top AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM t GROUP BY tok
+                             ORDER BY c DESC, tok LIMIT {_SPEC_TOPK})),
+    m AS (SELECT doc_id, pos // {_SPEC_GAMMA} AS blk,
+                 pos % {_SPEC_GAMMA} AS pib,
+                 (tok IN (SELECT tok FROM top)) AS ok
+          FROM t)
+    SELECT doc_id, CAST(blk AS BIGINT) AS blk,
+           CAST(count(*) AS BIGINT) AS blk_len,
+           CAST(coalesce(min(CASE WHEN NOT ok THEN pib END),
+                         count(*)) AS BIGINT) AS accepted,
+           CAST(least(coalesce(min(CASE WHEN NOT ok THEN pib END),
+                               count(*)) + 1, count(*)) AS BIGINT)
+             AS produced
+    FROM m GROUP BY doc_id, blk
+    """,
+)
+def stream_spec_accept_static(spark, sf_dir):
+    """Streaming-capable speculative-decoding acceptance — the online
+    form of ``llm_spec_decode_accept``: the draft vocabulary is a STATIC
+    dimension (stream-static joins are streaming-legal), and the
+    per-(request, block) acceptance reduction is ONE groupBy whose
+    min/count state incrementalizes under update mode — the live
+    acceptance dashboard a serving fleet tails per request.  The per-doc
+    rollup (a second stateful stage) stays in the batch op; this twin
+    deliberately stops at the single-aggregate frontier, the
+    ``stream_containment_gate_static`` discipline.
+
+    produced = min(accepted + 1, block_len) expressed with least() so
+    the one aggregate emits it directly (no post-join)."""
+    t = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
+        .select("doc_id", "pos", "tok")
+    )
+    top = (
+        t.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(_SPEC_TOPK)
+        .select("tok", F.lit(True).alias("in_top"))
+    )
+    m = (
+        t.join(F.broadcast(top), "tok", "left")
+        .select(
+            "doc_id",
+            (F.col("pos") / _SPEC_GAMMA).cast("long").alias("blk"),
+            (F.col("pos") % _SPEC_GAMMA).alias("pib"),
+            F.coalesce("in_top", F.lit(False)).alias("ok"),
+        )
+    )
+    acc = F.coalesce(
+        F.min(F.when(~F.col("ok"), F.col("pib"))), F.count("*")
+    ).cast("long")
+    return m.groupBy("doc_id", "blk").agg(
+        F.count("*").alias("blk_len"),
+        acc.alias("accepted"),
+        F.least(acc + 1, F.count("*")).alias("produced"),
+    )
+
+
+_PCTS = (25, 50, 75)
+
+
+@register(
+    "agg_percentile_grid",
+    oracle="""
+    WITH s AS (SELECT source,
+                      CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                        AS tk
+               FROM documents),
+    h AS (SELECT source, tk, CAST(count(*) AS BIGINT) AS n
+          FROM s GROUP BY source, tk),
+    c AS (SELECT source, tk,
+                 sum(n) OVER (PARTITION BY source ORDER BY tk
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 sum(n) OVER (PARTITION BY source) AS tot
+          FROM h)
+    SELECT source, CAST(max(tot) AS BIGINT) AS n,
+           CAST(min(CASE WHEN 100 * cum >= 25 * tot THEN tk END)
+             AS BIGINT) AS p25,
+           CAST(min(CASE WHEN 100 * cum >= 50 * tot THEN tk END)
+             AS BIGINT) AS p50,
+           CAST(min(CASE WHEN 100 * cum >= 75 * tot THEN tk END)
+             AS BIGINT) AS p75
+    FROM c GROUP BY source
+    """,
+)
+def agg_percentile_grid(spark, sf_dir):
+    """EXACT nearest-rank percentiles (p25/p50/p75) per group via the
+    bounded-value-grid decomposition — the full-oracle counterpart to the
+    rows-only ``agg_approx_quantile``: when the value domain is a bounded
+    integer grid (token counts, latencies in ms buckets, ages), exact
+    percentiles need NO global sort and NO sketch — one hash aggregate
+    onto the (group, value) grid, a prefix sum over each group's bounded
+    grid slice, and the nearest-rank rule min{v : cum(v) >= ceil(p*n)}
+    expressed as the integer cross-multiplication 100*cum >= p*n (exact:
+    cum is integral, so cum >= ceil(q) iff cum >= q).
+
+    Shape at scale: the window partitions by GROUP over <= 90 grid rows
+    each — corpus size only changes the histogram weights, identical to
+    the ``llm_pairwise_winrate`` posture.  This is how a 100 TB latency
+    dashboard computes true p99 without touching a sort or accepting
+    sketch error."""
+    s = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(tokens("text")).cast("long").alias("tk")
+    )
+    h = s.groupBy("source", "tk").agg(F.count("*").alias("n"))
+    wc = (
+        Window.partitionBy("source")
+        .orderBy("tk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("source")
+    c = h.select(
+        "source",
+        "tk",
+        F.sum("n").over(wc).alias("cum"),
+        F.sum("n").over(wt).alias("tot"),
+    )
+    aggs = [F.max("tot").alias("n")] + [
+        F.min(
+            F.when(100 * F.col("cum") >= p * F.col("tot"), F.col("tk"))
+        ).alias(f"p{p}")
+        for p in _PCTS
+    ]
+    return c.groupBy("source").agg(*aggs)
+
+
+@register(
+    "kv_stash_compaction_persisted",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN doc_id BETWEEN 200 AND 399 THEN 2
+                  WHEN doc_id BETWEEN 100 AND 199 THEN 1
+                  ELSE 0 END AS ver,
+             CASE WHEN doc_id BETWEEN 200 AND 399 THEN text || ' [v2]'
+                  WHEN doc_id BETWEEN 100 AND 199 THEN text || ' [v1]'
+                  ELSE text END AS payload
+      FROM documents WHERE doc_id < 400)
+    SELECT ver,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(doc_id) AS BIGINT) AS sum_key,
+           CAST(sum(len(payload)) AS BIGINT) AS sum_len
+    FROM m GROUP BY ver
+    """,
+)
+def kv_stash_compaction_persisted(spark, sf_dir):
+    """LSM-style stash compaction, persisted end-to-end: three write
+    generations land as separate directories (gen=0 the 300-key base,
+    gen=1 a 100-key update delta, gen=2 a 200-key update+insert delta),
+    the read path resolves latest-version-wins per key with ONE hash
+    aggregate (``max_by(payload, ver)`` — no window, no sort; version
+    numbers are unique per key by construction), and compaction rewrites
+    the merged state as a single-file artifact.  The op RAISES unless
+    compaction actually shrank the file count — the structural claim a
+    compactor exists to deliver — and the returned per-version stats
+    (key counts, key sums, payload byte sums) are computed from
+    RE-READING the compacted artifact, so a corrupted rewrite fails the
+    value check, not just the file-count probe.
+
+    Shape at 100 TB: generations are partition directories, the merge is
+    one agg keyed by the stash key (bucketed layouts make it
+    shuffle-free), and production compaction bounds file size with
+    maxRecordsPerFile instead of coalesce(1) — the plan shape is
+    identical, only the output split policy differs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    gens = [
+        docs.filter(F.col("doc_id") < 300).select(
+            "doc_id", F.lit(0).alias("ver"), F.col("text").alias("payload")
+        ),
+        docs.filter(F.col("doc_id").between(100, 199)).select(
+            "doc_id",
+            F.lit(1).alias("ver"),
+            F.concat("text", F.lit(" [v1]")).alias("payload"),
+        ),
+        docs.filter(F.col("doc_id").between(200, 399)).select(
+            "doc_id",
+            F.lit(2).alias("ver"),
+            F.concat("text", F.lit(" [v2]")).alias("payload"),
+        ),
+    ]
+    root = tempfile.mkdtemp(prefix="biggie_stash_compact_")
+    try:
+        for i, g in enumerate(gens):
+            g.write.mode("overwrite").parquet(os.path.join(root, f"gen={i}"))
+
+        def parquet_files(d):
+            return [
+                os.path.join(dp, f)
+                for dp, _, fs in os.walk(d)
+                for f in fs
+                if f.endswith(".parquet")
+            ]
+
+        n_in = len(parquet_files(root))
+        allg = spark.read.option("basePath", root).parquet(
+            *[os.path.join(root, f"gen={i}") for i in range(3)]
+        )
+        latest = allg.groupBy("doc_id").agg(
+            F.expr("max_by(payload, ver)").alias("payload"),
+            F.max("ver").alias("ver"),
+        )
+        compact = os.path.join(root, "compact")
+        latest.coalesce(1).write.mode("overwrite").parquet(compact)
+        n_out = len(parquet_files(compact))
+        if n_out >= n_in:
+            raise RuntimeError(
+                f"compaction must shrink the file count ({n_in} -> {n_out})"
+            )
+        merged = spark.read.schema(latest.schema).parquet(compact)
+        out = merged.groupBy("ver").agg(
+            F.count("*").alias("n_keys"),
+            F.sum("doc_id").alias("sum_key"),
+            F.sum(F.length("payload")).alias("sum_len"),
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
