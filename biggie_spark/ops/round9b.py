@@ -1004,10 +1004,18 @@ def stream_prefix_reuse_static(spark, sf_dir):
     readStream with update-mode output this is the live cache-hit
     dashboard: each arriving request increments exactly one prefix row's
     state.  The HAVING gate keeps only prefixes that actually save work
-    (23 rows at sf0.01; filters-after-aggregate are streaming-legal)."""
+    (23 rows at sf0.01; filters-after-aggregate are streaming-legal).
+    Live readStream drain equality is pinned by
+    tests/test_streaming_demo.py."""
+    return _prefix_reuse_plan(load_table(spark, sf_dir, "documents"))
+
+
+def _prefix_reuse_plan(docs):
+    """Frame-parametric prefix-reuse plan: the identical expressions run
+    over a batch frame (the scored op) and a readStream source (the live
+    drain demo) — the two can never fork."""
     p = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", tokens("text").alias("ws"))
+        docs.select("doc_id", tokens("text").alias("ws"))
         .filter(F.size("ws") >= _PREFIX_DEPTH)
         .select(
             "doc_id",
@@ -1814,19 +1822,32 @@ def stream_spec_accept_static(spark, sf_dir):
     ``stream_containment_gate_static`` discipline.
 
     produced = min(accepted + 1, block_len) expressed with least() so
-    the one aggregate emits it directly (no post-join)."""
-    t = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
-        .select("doc_id", "pos", "tok")
-    )
-    top = (
-        t.groupBy("tok")
+    the one aggregate emits it directly (no post-join).  Live readStream
+    drain equality is pinned by tests/test_streaming_demo.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _spec_accept_plan(docs, _spec_top_vocab(docs))
+
+
+def _spec_top_vocab(batch_docs):
+    """The static draft-vocabulary dimension (top-{_SPEC_TOPK} corpus
+    tokens) — always computed from a BATCH frame: in the live drain it is
+    the static side of the stream-static join."""
+    return (
+        batch_docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
         .agg(F.count("*").alias("c"))
         .orderBy(F.desc("c"), "tok")
         .limit(_SPEC_TOPK)
         .select("tok", F.lit(True).alias("in_top"))
     )
+
+
+def _spec_accept_plan(docs, top):
+    """Frame-parametric acceptance plan: `docs` may be a batch frame or a
+    readStream source; `top` is the static vocabulary dimension."""
+    t = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    ).select("doc_id", "pos", "tok")
     m = (
         t.join(F.broadcast(top), "tok", "left")
         .select(

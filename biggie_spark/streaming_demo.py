@@ -377,3 +377,39 @@ def demo_preference_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biggie_spark.ops.round9 import _preference_agg_plan
 
     return _drain(_preference_agg_plan(docs_stream), "update")
+
+
+def demo_prefix_reuse_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of stream_prefix_reuse_static: requests arrive as a
+    file-source stream; each shared prefix's population/first-filler/
+    saved-tokens row is one groupBy aggregate's state, updating as
+    requests land (the live prefix-cache hit dashboard).  Update mode."""
+    apply_runtime_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    docs_stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    from biggie_spark.ops.round9b import _prefix_reuse_plan
+
+    return _drain(_prefix_reuse_plan(docs_stream), "update")
+
+
+def demo_spec_accept_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of stream_spec_accept_static: the draft vocabulary
+    is computed ONCE from the batch corpus (the static side of the
+    stream-static join); requests stream in and each (request, block)
+    acceptance row is one groupBy aggregate's state.  Update mode."""
+    apply_runtime_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    docs_stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    from biggie_spark.io import load_table
+    from biggie_spark.ops.round9b import _spec_accept_plan, _spec_top_vocab
+
+    top = _spec_top_vocab(load_table(spark, sf_dir, "documents"))
+    return _drain(_spec_accept_plan(docs_stream, top), "update")

@@ -113,6 +113,14 @@ ALLOWED_BNLJ = {
     "agg_basket_rules",  # 1-row basket-count frame onto the rule frame
     "agg_cuped",  # 1-row temporal-span frame onto the event scan
     "graph_reciprocity",  # 1-row reciprocal-count frame onto the 1-row total
+    # round-9b additions — audited 2026-08-15, each broadcast side bounded
+    # by construction independent of corpus size:
+    "llm_rrf_fusion",  # 10-probe broadcast (vec_id < 10, knn_cosine pattern)
+    "llm_matryoshka_truncate",  # same 10-probe broadcast, 3 widths
+    "llm_pairwise_winrate",  # theta join of the bounded (source x <=101
+    # score) histogram frames — corpus size only changes histogram weights
+    "llm_radix_cache_depth",  # 4-row literal depth grid (LocalRelation)
+    # broadcast with a size(ws) >= depth non-equi condition
 }
 
 

@@ -795,3 +795,83 @@ def test_audio_onset_is_arrow_batched_no_shuffle(spark, sf_dir):
     assert "ArrowEvalPython" in plan, "kernel must be Arrow-batched"
     assert "BatchEvalPython" not in plan, "row-at-a-time Python crept in"
     assert "Exchange" not in plan
+
+
+# --- round-9b plan pins -------------------------------------------------
+
+
+def test_distill_hard_mine_has_no_global_doc_sort(spark, sf_dir):
+    """llm_distill_hard_mine must use the threshold-bucket decomposition
+    on the bounded |gap| grid — never a global per-doc sort — and the
+    kept-gap set must broadcast back onto the corpus."""
+    plan = plan_of(QUERIES["llm_distill_hard_mine"](spark, sf_dir))
+    assert "rangepartitioning" not in plan, "global doc sort crept in"
+    assert "BroadcastHashJoin" in plan, "gap-bucket join must broadcast"
+    assert "partial_sum" in plan, "map-side combine lost"
+
+
+def test_spec_decode_vocab_is_take_ordered_and_broadcast(spark, sf_dir):
+    """llm_spec_decode_accept's draft vocabulary is a bounded TakeOrdered
+    (top-16 over the token counts), broadcast onto the exploded stream —
+    never a global sort of the vocabulary, never a shuffled join."""
+    plan = plan_of(QUERIES["llm_spec_decode_accept"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, "vocab cut must be TakeOrdered"
+    assert "BroadcastHashJoin" in plan, "vocab join must broadcast"
+    assert "partial_min" in plan or "partial_count" in plan
+
+
+def test_batch_wait_windows_are_source_partitioned(spark, sf_dir):
+    """llm_batch_wait_time's running wait is a prefix sum over each
+    tenant's BATCH frame — windows partitioned by source, never global."""
+    plan = plan_of(QUERIES["llm_batch_wait_time"](spark, sf_dir))
+    assert "hashpartitioning(source" in plan
+    assert "SinglePartition" not in plan, "global window crept in"
+
+
+def test_rag_context_pack_window_is_pool_partitioned(spark, sf_dir):
+    """llm_rag_context_pack's greedy admission is one running-sum window
+    PARTITIONED by the retrieval pool."""
+    plan = plan_of(QUERIES["llm_rag_context_pack"](spark, sf_dir))
+    assert "hashpartitioning(source" in plan
+    assert "SinglePartition" not in plan, "global window crept in"
+
+
+def test_percentile_grid_has_no_sort_of_corpus(spark, sf_dir):
+    """agg_percentile_grid computes exact percentiles from the bounded
+    (group, value) grid — the corpus is never range-partitioned and the
+    grid windows are group-partitioned."""
+    plan = plan_of(QUERIES["agg_percentile_grid"](spark, sf_dir))
+    assert "rangepartitioning" not in plan, "global value sort crept in"
+    assert "hashpartitioning(source" in plan
+    assert "partial_count" in plan, "map-side combine lost"
+
+
+def test_prefix_reuse_join_is_fingerprint_keyed(spark, sf_dir):
+    """llm_kv_prefix_reuse joins the prefix-group frame back on the md5
+    fingerprint — an equi-join (never nested-loop), with partial aggs."""
+    plan = plan_of(QUERIES["llm_kv_prefix_reuse"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan or "partial_min" in plan
+
+
+def test_chroma_stash_prune_guard_is_live(spark, sf_dir):
+    """kv_chroma_stash_persisted RAISES when the key-range read does not
+    partition-prune.  Negative proof: the guard logic applied to a plan
+    WITHOUT the kgrp predicate must trip (same split the op performs)."""
+    from biggie_spark.ops.round9b import _chroma_tensors
+    import tempfile, shutil
+
+    tens = _chroma_tensors(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="biggie_prune_guard_")
+    try:
+        tens.write.mode("overwrite").partitionBy("kgrp").parquet(root)
+        unpruned = spark.read.schema(tens.schema).parquet(root)
+        plan = unpruned._jdf.queryExecution().executedPlan().toString()
+        pf = plan.split("PartitionFilters", 1)
+        tripped = len(pf) < 2 or "kgrp" not in pf[1].split("]")[0]
+        assert tripped, (
+            "guard must trip on a scan without the kgrp predicate — if "
+            "this fails the in-op RuntimeError check is vacuous"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -319,3 +319,27 @@ def test_stream_preference_matches_window_formulation(spark, sf_dir):
         .collect()
     }
     assert a == b
+
+
+def test_streaming_prefix_reuse_static_matches_batch(spark, sf_dir):
+    """Round-9b: the live readStream drain of the prefix-cache hit table
+    must equal the batch twin row-for-row (same _prefix_reuse_plan,
+    streaming source)."""
+    from biggie_spark.registry import QUERIES
+    from biggie_spark.streaming_demo import demo_prefix_reuse_static
+
+    live = _rows(demo_prefix_reuse_static(spark, sf_dir))
+    batch = _rows(QUERIES["stream_prefix_reuse_static"](spark, sf_dir))
+    assert live == batch
+
+
+def test_streaming_spec_accept_static_matches_batch(spark, sf_dir):
+    """Round-9b: the live drain of the per-(request, block) acceptance
+    aggregate (draft vocabulary as a static join side) must equal the
+    batch twin row-for-row."""
+    from biggie_spark.registry import QUERIES
+    from biggie_spark.streaming_demo import demo_spec_accept_static
+
+    live = _rows(demo_spec_accept_static(spark, sf_dir))
+    batch = _rows(QUERIES["stream_spec_accept_static"](spark, sf_dir))
+    assert live == batch
