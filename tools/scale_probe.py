@@ -184,6 +184,41 @@ ROUND9 = {
 }
 
 
+# Round-9b additions (ops/round9b.py): the feature-stash loop, the
+# inference/serving tier, distillation/fusion, and surface/storage ops.
+# Measured over the natural sf0.01 -> sf0.1 step (text/embedding content
+# keyed; the stash/audio/image ops run on literal-bounded probe sets and
+# should be ~flat).  Expected shape: probe-bounded ops flat; per-doc
+# accounting ops ~linear; grid/histogram reductions ~flat-to-scan-bound.
+ROUND9B = {
+    "q_chroma_stash": "kv_chroma_stash_persisted",
+    "q_chroma_pair_dot": "kv_chroma_pair_dot",
+    "q_tensor_norms": "kv_tensor_field_norms",
+    "q_tempo_autocorr": "mm_audio_tempo_autocorr",
+    "q_integral_rect": "mm_image_integral_rect",
+    "q_spec_decode": "llm_spec_decode_accept",
+    "q_prefix_reuse": "llm_kv_prefix_reuse",
+    "q_radix_depth": "llm_radix_cache_depth",
+    "q_kv_paging": "llm_kv_cache_paging",
+    "q_prefill_decode": "llm_prefill_decode_flops",
+    "q_tier_routing": "llm_sla_tier_routing",
+    "q_batch_wait": "llm_batch_wait_time",
+    "q_stream_prefix": "stream_prefix_reuse_static",
+    "q_distill_pairs": "llm_distill_pairs",
+    "q_transfer_gap": "llm_distill_transfer_gap",
+    "q_hard_mine": "llm_distill_hard_mine",
+    "q_pairwise_winrate": "llm_pairwise_winrate",
+    "q_rrf_fusion": "llm_rrf_fusion",
+    "q_rag_pack": "llm_rag_context_pack",
+    "q_self_consistency": "llm_self_consistency_vote",
+    "q_grouping_id": "sql_grouping_id",
+    "q_listagg": "sql_listagg_ordered",
+    "q_matryoshka": "llm_matryoshka_truncate",
+    "q_stream_spec": "stream_spec_accept_static",
+    "q_percentile_grid": "agg_percentile_grid",
+    "q_stash_compaction": "kv_stash_compaction_persisted",
+}
+
 # Round-7 window composites (the LLM-pipeline entries the r6 verdict floated
 # into this round's scoring window) + the new overlapping-span dedup op —
 # measured over the natural sf0.01 → sf0.1 step like the other content-keyed
@@ -447,10 +482,139 @@ def incremental_exponents(spark) -> None:
             shutil.rmtree(base, ignore_errors=True)
 
 
+def ann_recall_100x(spark) -> None:
+    """VERDICT r8 item 5: ANN recall + IVF train/probe cost at the 100x
+    corpus (~500k vectors — the 1M-vector-class scale).  Key-shifted
+    replication alone would be degenerate here (byte-identical embedding
+    copies make every probe's true top-5 its own clones), so each copy i
+    also gets a content transform that PRESERVES norms and pairwise
+    geometry within a copy but decorrelates across copies: roll the
+    64-dim array by i % 64 positions and negate when (i // 64) is odd —
+    128 distinct isometries, enough for K=100 distinct copies."""
+    n_copies = K
+    out = os.path.join(OUT + "_ann", "")
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    e = load_table(spark, SRC, "embeddings").select("vec_id", "embedding")
+    dims = 64
+    copies = []
+    for i in range(n_copies):
+        r = i % dims
+        c = e.withColumn("vec_id", F.col("vec_id") + F.lit(i * OFF))
+        if r:
+            rolled = F.concat(
+                F.slice("embedding", r + 1, dims - r),
+                F.slice("embedding", 1, r),
+            )
+            c = c.withColumn("embedding", rolled)
+        if (i // dims) % 2 == 1:
+            c = c.withColumn(
+                "embedding", F.transform("embedding", lambda x: -x)
+            )
+        copies.append(c.withColumn("label", F.lit(0)))
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    t0 = time.time()
+    big.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    n = spark.read.parquet(f"{out}/embeddings.parquet").count()
+    print(f"built {n}-vector ANN corpus in {time.time() - t0:.0f}s")
+
+    from biggie_spark.ops.ann import llm_knn_lsh
+    from biggie_spark.ops.ivf import NPROBE, _sq_dist, train_ivf
+    from biggie_spark.util import knn_exact, topk_by_cosine
+    from pyspark.sql import Window
+
+    emb = load_table(spark, out, "embeddings")
+    t0 = time.time()
+    exact = {
+        (r.probe_id, r.neighbor_id)
+        for r in knn_exact(emb, range(10), 5).collect()
+    }
+    t_exact = time.time() - t0
+
+    t0 = time.time()
+    assigned, centroids = train_ivf(spark, out)
+    assigned = assigned.localCheckpoint()  # materialize: train cost stops here
+    centroids = centroids.localCheckpoint()
+    t_train = time.time() - t0
+
+    t0 = time.time()
+    probes = assigned.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pa")
+    )
+    pc = probes.crossJoin(F.broadcast(centroids)).withColumn(
+        "d", _sq_dist(F.col("pa"), F.col("cvec"))
+    )
+    wp = Window.partitionBy("probe_id").orderBy("d", "cid")
+    probe_lists = (
+        pc.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= NPROBE)
+        .select("probe_id", "pa", "cid")
+    )
+    cands = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("na"),
+        "cid",
+    )
+    pairs = cands.join(F.broadcast(probe_lists), "cid").filter(
+        F.col("neighbor_id") != F.col("probe_id")
+    )
+    ivf_top = {
+        (r.probe_id, r.neighbor_id)
+        for r in topk_by_cosine(pairs, 5).collect()
+    }
+    t_probe = time.time() - t0
+    r_ivf = len(exact & ivf_top) / len(exact)
+
+    t0 = time.time()
+    lsh_top = {
+        (r.probe_id, r.neighbor_id)
+        for r in llm_knn_lsh(spark, out).collect()
+    }
+    t_lsh = time.time() - t0
+    r_lsh = len(exact & lsh_top) / len(exact)
+
+    print(f"\n| path | wall | recall@5 vs exact ({n} vectors) |")
+    print("|---|---|---|")
+    print(f"| exact brute force (10 probes) | {t_exact:.1f}s | 1.00 |")
+    print(f"| IVF train (K=16, 3 Lloyd iters) | {t_train:.1f}s | — |")
+    print(f"| IVF probe (NPROBE=4, 10 probes) | {t_probe:.1f}s | {r_ivf:.2f} |")
+    print(f"| LSH multi-probe (10 probes) | {t_lsh:.1f}s | {r_lsh:.2f} |")
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def shuffle_sweep(spark) -> None:
+    """VERDICT r8 item 6: does the 100x wall of the two shuffle/sort-bound
+    outliers (q_window 28x, q_join_agg 31.8x) respond to the
+    shuffle-partition count once data no longer fits the 32-task layout?
+    Sweeps spark.sql.shuffle.partitions over the K-x corpus and prints
+    warm walls — the measured basis for the cluster-scaling conclusion."""
+    build(spark)
+    print(f"built {K}x corpus at {OUT}")
+    suite = {"q_window": "win_topk_per_group", "q_join_agg": "join_multiway_star"}
+    parts = [32, 64, 128, 256]
+    print("\n| shuffle.partitions | q_window | q_join_agg |")
+    print("|---|---|---|")
+    for p in parts:
+        spark.conf.set("spark.sql.shuffle.partitions", str(p))
+        walls = time_queries(spark, OUT, suite)
+        print(f"| {p} | {walls['q_window']:.2f}s | {walls['q_join_agg']:.2f}s |")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    shutil.rmtree(OUT, ignore_errors=True)
+
+
 def main() -> None:
     load_all_ops()
     spark = get_spark(app_name="biggie-scale-probe", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
+    if "--ann-100x" in sys.argv:
+        ann_recall_100x(spark)
+        return
+    if "--shuffle-sweep" in sys.argv:
+        shuffle_sweep(spark)
+        return
     if "--ann-exponents" in sys.argv:
         ann_exponents(spark)
         return
@@ -490,6 +654,15 @@ def main() -> None:
         print("\n| round-9 op | sf0.01 | sf0.1 (10x rows) | ratio (ideal <= 10) |")
         print("|---|---|---|---|")
         for q in ROUND9:
+            r = nat[q] / small[q]
+            print(f"| {q} | {small[q]:.3f}s | {nat[q]:.3f}s | {r:.1f}x |")
+        return
+    if "--round9b-only" in sys.argv:
+        small = time_queries(spark, SRC_SMALL, ROUND9B)
+        nat = time_queries(spark, SRC, ROUND9B)
+        print("\n| round-9b op | sf0.01 | sf0.1 (10x rows) | ratio (ideal <= 10) |")
+        print("|---|---|---|---|")
+        for q in ROUND9B:
             r = nat[q] / small[q]
             print(f"| {q} | {small[q]:.3f}s | {nat[q]:.3f}s | {r:.1f}x |")
         return
