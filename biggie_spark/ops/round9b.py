@@ -2026,3 +2026,42 @@ def kv_stash_compaction_persisted(spark, sf_dir):
         return out.localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# window-slot closer: the stash top-k coordinate query (the other
+# direction of the feature-stash loop)
+
+@register(
+    "kv_tensor_stash_topk_keys",
+    oracle=f"""
+    WITH ch AS ({ORACLES["mm_audio_chroma"]})
+    SELECT doc_id, energy_e2,
+           CAST(row_number() OVER (ORDER BY energy_e2 DESC, doc_id)
+             AS BIGINT) AS rnk
+    FROM ch WHERE pc = 2
+    ORDER BY energy_e2 DESC, doc_id LIMIT 8
+    """,
+)
+def kv_tensor_stash_topk_keys(spark, sf_dir):
+    """Top-k keys by one tensor coordinate — the OTHER direction of the
+    feature-stash loop: ``kv_chroma_stash_persisted`` answers "aggregate
+    a range of keys"; this answers "which keys rank highest on pitch
+    class 2" (the D class that collects 7 DFT bins) — the 'find me the
+    most D-heavy tracks' query, served from stored chroma tensors via
+    ``element_at(data, pc+1)`` without touching audio.
+
+    Plan shape: coordinate extraction is a struct/array projection
+    (column-pruned to one field), and the top-8 is
+    TakeOrderedAndProject — never a global sort.  Ties break on key
+    ascending, identically on both engines."""
+    tens = _chroma_tensors(spark, sf_dir)
+    e2 = tens.select(
+        "doc_id", F.element_at(F.col("tensor.data"), 3).alias("energy_e2")
+    )
+    w = Window.partitionBy().orderBy(F.desc("energy_e2"), "doc_id")
+    return (
+        e2.orderBy(F.desc("energy_e2"), "doc_id")
+        .limit(8)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+    )
