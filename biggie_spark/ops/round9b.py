@@ -2065,3 +2065,216 @@ def kv_tensor_stash_topk_keys(spark, sf_dir):
         .limit(8)
         .withColumn("rnk", F.row_number().over(w).cast("long"))
     )
+
+
+@register(
+    "agg_gini_concentration",
+    oracle="""
+    WITH s AS (SELECT source,
+                      CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                        AS tk
+               FROM documents),
+    h AS (SELECT source, tk, CAST(count(*) AS BIGINT) AS c
+          FROM s GROUP BY source, tk),
+    w AS (SELECT source, tk, c,
+                 coalesce(sum(c) OVER (PARTITION BY source ORDER BY tk
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS base
+          FROM h),
+    a AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+                 CAST(sum(tk * c) AS BIGINT) AS total_tokens,
+                 sum(tk * (c * base + c * (c + 1) // 2)) AS ranksum
+          FROM w GROUP BY source)
+    SELECT source, n, total_tokens,
+           CAST((2 * ranksum - (n + 1) * total_tokens) * 1000000
+                // (n * total_tokens) AS BIGINT) AS gini_e6
+    FROM a
+    """,
+)
+def agg_gini_concentration(spark, sf_dir):
+    """EXACT Gini coefficient of token mass per source — the inequality
+    measure a data-mix review reads ("is this source's contribution a
+    few huge docs or many small ones?"), computed on the bounded value
+    grid with ZERO sorting of the corpus: the classic rank formula
+    G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) needs sorted per-doc ranks,
+    but on a histogram the rank sum collapses per grid row to
+    v·(c·base + c(c+1)/2) where base is the exclusive cumulative count —
+    so one hash aggregate onto the (source, value) grid plus a
+    group-partitioned prefix sum replaces the global sort entirely (the
+    ``agg_percentile_grid`` posture; corpus size only changes histogram
+    weights).  All integer: the e6 Gini floor-divides identically on
+    both engines."""
+    s = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(tokens("text")).cast("long").alias("tk")
+    )
+    h = s.groupBy("source", "tk").agg(F.count("*").alias("c"))
+    wb = (
+        Window.partitionBy("source")
+        .orderBy("tk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w = h.select(
+        "source",
+        "tk",
+        "c",
+        F.coalesce(F.sum("c").over(wb), F.lit(0)).alias("base"),
+    )
+    return (
+        w.groupBy("source")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("tk") * F.col("c")).alias("total_tokens"),
+            F.sum(
+                F.col("tk")
+                * (
+                    F.col("c") * F.col("base")
+                    + F.expr("c * (c + 1) div 2")
+                )
+            ).alias("ranksum"),
+        )
+        .select(
+            "source",
+            "n",
+            "total_tokens",
+            F.expr(
+                "(2 * ranksum - (n + 1) * total_tokens) * 1000000 "
+                "div (n * total_tokens)"
+            ).alias("gini_e6"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# rank-2 chroma matrix field — the stored feature MATRIX (frames x pcs)
+
+from biggie_spark.ops.round9 import _CHROMA_PC_SQL  # noqa: E402  (round9
+# is always imported first by ops/__init__, so this is cycle-safe; the pc
+# fold table must be THE SAME literal in both modules' oracles)
+
+@register(
+    "kv_chroma_matrix_field",
+    oracle=f"""
+    WITH probe AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+    terms AS (
+      SELECT p.doc_id, t.t, k.k, (t.t // 64) AS frame,
+             CAST(((p.doc_id * 31 + t.t) * 2654435761) % 65536 - 32768
+                  AS DOUBLE) AS x,
+             2 * pi() * k.k * (t.t % 64) / 64 AS th
+      FROM probe p, range(128) t(t), range(1, 33) k(k)),
+    r AS (SELECT doc_id, frame, k,
+             CAST(sum(CAST(sign(x * cos(th)) *
+                  floor(abs(x * cos(th)) * 10 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS c,
+             CAST(sum(CAST(sign(x * sin(th)) *
+                  floor(abs(x * sin(th)) * 10 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS s
+          FROM terms GROUP BY doc_id, frame, k),
+    pctab AS (SELECT * FROM (VALUES {_CHROMA_PC_SQL}) v(k, pc)),
+    e AS (SELECT r.doc_id, r.frame, pctab.pc,
+                 CAST(sum(c*c + s*s) AS BIGINT) AS e
+          FROM r JOIN pctab ON r.k = pctab.k
+          GROUP BY r.doc_id, r.frame, pctab.pc),
+    m AS (SELECT doc_id, pc,
+                 max(CASE WHEN frame = 0 THEN e END) AS e0,
+                 max(CASE WHEN frame = 1 THEN e END) AS e1
+          FROM e GROUP BY doc_id, pc)
+    SELECT doc_id,
+           CAST(sum(e0) AS BIGINT) AS frame0_sum,
+           CAST(sum(e1) AS BIGINT) AS frame1_sum,
+           CAST(sum(abs(e1 - e0)) AS BIGINT) AS l1_change
+    FROM m GROUP BY doc_id
+    """,
+)
+def kv_chroma_matrix_field(spark, sf_dir):
+    """The stored feature MATRIX — the reference's actual payload shape
+    (a chromagram: frames × pitch classes, not a single vector): two
+    consecutive 64-sample frames per key through the real WAV path, each
+    frame's 12-bin chroma fold, assembled into a rank-2 tensor field
+    ``struct<shape:[2,12], data:array<long>>`` (row-major, frame-major),
+    then reduced THROUGH the flat layout: per-frame totals are row
+    slices (``slice(data, f*12+1, 12)`` folds), and the frame-to-frame
+    harmonic change is the L1 distance between the two rows — the
+    chroma-flux feature that drives chord-change detection.
+
+    The oracle restates both frames' folds in SQL from the generating
+    signal; the Spark side must recover them from the FLAT tensor — a
+    frame-stride slip breaks the hash.  Kernel: one Arrow-batched
+    pandas_udf emits the 24-long flat matrix per key; every reduction
+    after that is JVM array code."""
+    import math as _math
+
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    from biggie_spark.multimodal import demo_pcm, encode_wav, wav_samples
+    from biggie_spark.ops.round9 import _CHROMA_PC
+
+    @pandas_udf("binary")
+    def encode_udf(doc_id: pd.Series) -> pd.Series:
+        return pd.Series(
+            [encode_wav(demo_pcm(d, 128).astype("<i2")) for d in doc_id]
+        )
+
+    _t = np.arange(64, dtype=np.float64)
+    _ks = np.arange(1, 33, dtype=np.float64)
+    _TH = (2 * _math.pi * _ks)[:, None] * _t / 64
+    _COS, _SIN = np.cos(_TH), np.sin(_TH)
+    _PC_ROWS = [
+        [k - 1 for k in range(1, 33) if _CHROMA_PC[k] == pc]
+        for pc in range(12)
+    ]
+
+    @pandas_udf("array<long>")
+    def chromagram_udf(payload: pd.Series) -> pd.Series:
+        out = []
+        for buf in payload:
+            x = wav_samples(bytes(buf)).astype(np.float64)
+            flat = []
+            for f in range(2):
+                xf = x[f * 64 : (f + 1) * 64]
+                vc, vs = xf * _COS, xf * _SIN
+                c = (
+                    np.copysign(np.floor(np.abs(vc) * 10 + 0.5), vc)
+                    .sum(axis=1)
+                    .astype(np.int64)
+                )
+                s = (
+                    np.copysign(np.floor(np.abs(vs) * 10 + 0.5), vs)
+                    .sum(axis=1)
+                    .astype(np.int64)
+                )
+                e = c * c + s * s
+                flat.extend(int(e[rows].sum()) for rows in _PC_ROWS)
+            out.append(flat)
+        return pd.Series(out)
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 64)
+        .select("doc_id")
+    )
+    t = d.withColumn("payload", encode_udf("doc_id")).select(
+        "doc_id",
+        F.struct(
+            F.array(F.lit(2), F.lit(12)).alias("shape"),
+            chromagram_udf("payload").alias("data"),
+        ).alias("tensor"),
+    )
+    flat = F.col("tensor.data")
+    row0 = F.slice(flat, 1, 12)
+    row1 = F.slice(flat, 13, 12)
+    fsum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    l1 = F.aggregate(
+        F.zip_with(row1, row0, lambda a, b: F.abs(a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return t.select(
+        "doc_id",
+        fsum(row0).alias("frame0_sum"),
+        fsum(row1).alias("frame1_sum"),
+        l1.alias("l1_change"),
+    )
