@@ -217,6 +217,9 @@ ROUND9B = {
     "q_stream_spec": "stream_spec_accept_static",
     "q_percentile_grid": "agg_percentile_grid",
     "q_stash_compaction": "kv_stash_compaction_persisted",
+    "q_stash_topk_keys": "kv_tensor_stash_topk_keys",
+    "q_gini": "agg_gini_concentration",
+    "q_chroma_matrix": "kv_chroma_matrix_field",
 }
 
 # Round-7 window composites (the LLM-pipeline entries the r6 verdict floated
