@@ -396,20 +396,25 @@ def _prompt_scored(spark, sf_dir):
     return _prompt_scored_frame(load_table(spark, sf_dir, "documents"))
 
 
-def _kept_buckets(s):
-    """Score buckets whose total token mass fits the 2/5 budget — the
-    threshold-bucket decomposition shared by llm_token_budget_select and
-    the persisted manifest (whole-bucket tie policy; rationale in the
-    former's docstring)."""
-    b = s.groupBy("score_e2").agg(F.sum("n_tok").alias("btok"))
+def _kept_buckets(s, col="score_e2", num=None, den=None):
+    """Score buckets whose total token mass fits the num/den budget — the
+    threshold-bucket decomposition shared by llm_token_budget_select, the
+    persisted manifest (both on the default score_e2 grid, 2/5 budget)
+    and round9b's llm_distill_hard_mine (|gap| grid, 1/5 budget).
+    Whole-bucket tie policy; rationale in llm_token_budget_select's
+    docstring.  Parameterized so the policy (including the
+    degenerate-corpus coalesce below) lives in exactly ONE Spark body."""
+    num = _BUDGET_NUM if num is None else num
+    den = _BUDGET_DEN if den is None else den
+    b = s.groupBy(col).agg(F.sum("n_tok").alias("btok"))
     w_desc = (
         Window.partitionBy()
-        .orderBy(F.desc("score_e2"))
+        .orderBy(F.desc(col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_all = Window.partitionBy()
     c = b.select(
-        "score_e2",
+        col,
         F.sum("btok").over(w_desc).alias("cum_incl"),
         _grid_guarded(F.sum("btok").over(w_all), w_all).alias("tot"),
     )
@@ -424,17 +429,15 @@ def _kept_buckets(s):
             F.coalesce(
                 F.min(
                     F.when(
-                        F.expr(
-                            f"cum_incl <= tot * {_BUDGET_NUM} div {_BUDGET_DEN}"
-                        ),
-                        F.col("score_e2"),
+                        F.expr(f"cum_incl <= tot * {num} div {den}"),
+                        F.col(col),
                     )
                 ).over(w_all),
-                F.max("score_e2").over(w_all),
+                F.max(col).over(w_all),
             ),
         )
-        .filter(F.col("score_e2") >= F.col("thr"))
-        .select("score_e2")
+        .filter(F.col(col) >= F.col("thr"))
+        .select(col)
     )
 
 
@@ -1056,7 +1059,7 @@ def llm_bitext_mine(spark, sf_dir):
     every test SF).
 
     Shape at scale: the probe set is literal-bounded (lang + doc_id <
-    {_BITEXT_PROBE_MAX}) and broadcasts against ONE pass over the
+    200 = _BITEXT_PROBE_MAX) and broadcasts against ONE pass over the
     target-language corpus — no shuffle of the big side, the
     ``llm_knn_cosine`` exact-baseline pattern; ranking is a per-probe
     window over candidate rows.  The production-scale path swaps the
@@ -1320,8 +1323,9 @@ def llm_length_grouped_batches(spark, sf_dir):
     Shape at scale: both orderings are windows PARTITIONED by shard —
     never a global sort — and the shard count is the dataloader's worker
     parallelism, so partitions stay bounded as the corpus grows by
-    raising {_LGB_SHARDS} exactly as a real loader adds workers.  The
-    final join is on the {_LGB_SHARDS}-row per-shard frames.  All BIGINT
+    raising the shard count (_LGB_SHARDS) exactly as a real loader
+    adds workers.  The
+    final join is on the shard-count-row per-shard frames.  All BIGINT
     (cost = B x per-batch max; the trailing partial batch pays full B
     slots under BOTH strategies — same convention both engines)."""
     hx = F.md5(F.col("doc_id").cast("string"))
@@ -1680,7 +1684,7 @@ def mm_audio_onset_flux(spark, sf_dir):
     the other classic feature of the reference's music-informatics
     domain: two consecutive 64-sample frames per doc (a 128-sample PCM
     clip through the real WAV encode/decode path), per-bin DFT energies
-    for k=1..{_ONSET_BINS} in each frame, and onset strength = the
+    for k=1..8 (_ONSET_BINS) in each frame, and onset strength = the
     positive spectral flux sum(max(0, |X_B|^2 - |X_A|^2)) — energy that
     APPEARED between frames, the standard onset-detection function.  The
     flag thresholds the flux with both branches live at every SF.

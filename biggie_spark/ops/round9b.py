@@ -180,10 +180,12 @@ def kv_chroma_pair_dot(spark, sf_dir):
     repo's BIGINT argmax encoding (max energy, min pc on ties; stride 16
     with energy*16 <= 6e14).  Shape: the pair join is a 1-off equi-join
     on the bounded 64-key probe frame; at stash scale it is the classic
-    neighbor self-join, linear after the stash's key partitioning."""
+    neighbor self-join, linear after the stash's key partitioning.  The
+    chroma long frame is localCheckpoint'd once so the WAV/DFT kernel
+    runs ONE pass over the probe, not one per join branch (review r9)."""
     from biggie_spark.ops.round9 import chroma_frame
 
-    ch = chroma_frame(spark, sf_dir)
+    ch = chroma_frame(spark, sf_dir).localCheckpoint()
     top = ch.groupBy("doc_id").agg(
         (
             F.lit(15)
@@ -529,64 +531,34 @@ _SPEC_GAMMA = 4
 def llm_spec_decode_accept(spark, sf_dir):
     """Speculative-decoding acceptance accounting — the serving-side
     yield analysis: model the draft model as deterministically correct on
-    the corpus's {_SPEC_TOPK} most frequent tokens, chop each document's
-    token stream into gamma={_SPEC_GAMMA} blocks, and compute per block
-    the accepted prefix length (first draft miss truncates; the target's
-    correction token is the +1), then per document the produced-tokens
-    and tokens-per-target-step speedup — exactly the accounting that
-    decides whether speculative decoding pays for a given traffic mix.
+    the corpus's 16 most frequent tokens (_SPEC_TOPK), chop each
+    document's token stream into gamma=4 (_SPEC_GAMMA) blocks, and
+    compute per block the accepted prefix length (first draft miss
+    truncates; the target's correction token is the +1), then per
+    document the produced-tokens and tokens-per-target-step speedup —
+    exactly the accounting that decides whether speculative decoding
+    pays for a given traffic mix.
 
-    Shape at scale: the draft vocabulary is a bounded TakeOrdered (top-K
-    over the token-count aggregate) broadcast against the exploded token
+    The per-block frame is the SHARED ``_spec_accept_plan`` (the same
+    body the streaming twin drains), so batch and streaming can never
+    fork; this op adds only the per-doc rollup the single-aggregate
+    streaming discipline excludes.  Shape at scale: the draft vocabulary
+    is a bounded TakeOrdered broadcast against the exploded token
     stream; block reduction is a (doc, block)-keyed partial+final hash
-    aggregate and the per-doc rollup reuses the doc key — no windows, no
-    sorts beyond the K-row TakeOrdered, everything map-side combinable.
-    Integer throughout; ties at vocabulary rank K break on (count desc,
-    token asc) identically on both engines."""
-    t = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
-        .select("doc_id", "pos", "tok")
-    )
-    top = (
-        t.groupBy("tok")
-        .agg(F.count("*").alias("c"))
-        .orderBy(F.desc("c"), "tok")
-        .limit(_SPEC_TOPK)
-        .select("tok", F.lit(True).alias("in_top"))
-    )
-    m = (
-        t.join(F.broadcast(top), "tok", "left")
-        .select(
-            "doc_id",
-            (F.col("pos") / _SPEC_GAMMA).cast("long").alias("blk"),
-            (F.col("pos") % _SPEC_GAMMA).alias("pib"),
-            F.coalesce("in_top", F.lit(False)).alias("ok"),
-        )
-    )
-    a = m.groupBy("doc_id", "blk").agg(
-        F.count("*").alias("blk_len"),
-        F.coalesce(
-            F.min(F.when(~F.col("ok"), F.col("pib"))), F.count("*")
-        )
-        .cast("long")
-        .alias("acc"),
-    )
-    produced = F.when(
-        F.col("acc") < F.col("blk_len"), F.col("acc") + 1
-    ).otherwise(F.col("blk_len"))
-    return (
-        a.select("doc_id", "blk_len", "acc", produced.alias("prod"))
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_blocks"),
-            F.sum("blk_len").alias("n_tokens"),
-            F.sum("acc").alias("accepted"),
-            F.sum("prod").alias("produced"),
-            F.expr("sum(prod) * 10000 div count(*)").alias(
-                "tokens_per_step_e4"
-            ),
-        )
+    aggregate and the rollup reuses the doc key — no windows, no sorts
+    beyond the K-row TakeOrdered.  Integer throughout; ties at
+    vocabulary rank K break on (count desc, token asc) identically on
+    both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = _spec_accept_plan(docs, _spec_top_vocab(docs))
+    return a.groupBy("doc_id").agg(
+        F.count("*").alias("n_blocks"),
+        F.sum("blk_len").alias("n_tokens"),
+        F.sum("accepted").alias("accepted"),
+        F.sum("produced").alias("produced"),
+        F.expr("sum(produced) * 10000 div count(*)").alias(
+            "tokens_per_step_e4"
+        ),
     )
 
 
@@ -594,6 +566,24 @@ def llm_spec_decode_accept(spark, sf_dir):
 # (23 multi-doc groups / 47 docs at sf0.01), shallow enough to exist in
 # every doc (min corpus doc is 10 tokens).
 _PREFIX_DEPTH = 8
+
+
+def _prefix_frame(docs, *extra):
+    """(doc_id, *extra, prefix_md5) — the _PREFIX_DEPTH-token prefix
+    fingerprint frame.  The ONE definition of what a 'prefix' is, shared
+    by llm_kv_prefix_reuse and the streaming _prefix_reuse_plan so the
+    two prefix-cache ops can never compute different prefix groups."""
+    return (
+        docs.select("doc_id", *extra, tokens("text").alias("ws"))
+        .filter(F.size("ws") >= _PREFIX_DEPTH)
+        .select(
+            "doc_id",
+            *extra,
+            F.md5(F.array_join(F.slice("ws", 1, _PREFIX_DEPTH), " ")).alias(
+                "prefix_md5"
+            ),
+        )
+    )
 
 
 @register(
@@ -620,7 +610,7 @@ _PREFIX_DEPTH = 8
 def llm_kv_prefix_reuse(spark, sf_dir):
     """Prefix-cache (KV-reuse) accounting — the serving-side statistic
     behind prompt caching: requests sharing an identical leading
-    {_PREFIX_DEPTH}-token span reuse the cached KV pages of the first
+    8-token (_PREFIX_DEPTH) span reuse the cached KV pages of the first
     request that filled them.  The cache is GLOBAL (one serving fleet);
     attribution is per source, so the output is each tenant's hit count,
     saved prefill tokens, and hit rate — the numbers that justify cache
@@ -631,23 +621,11 @@ def llm_kv_prefix_reuse(spark, sf_dir):
     same-key equi-join back (both sides partitioned by the 16-byte md5 —
     the classic fingerprint join, linear), then a per-source rollup.
     The md5 prefix hash is what ships across the exchange, never the
-    text."""
-    p = (
-        load_table(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            "source",
-            tokens("text").alias("ws"),
-        )
-        .filter(F.size("ws") >= _PREFIX_DEPTH)
-        .select(
-            "doc_id",
-            "source",
-            F.md5(F.array_join(F.slice("ws", 1, _PREFIX_DEPTH), " ")).alias(
-                "h"
-            ),
-        )
-    )
+    text.  The prefix fingerprint itself is the shared ``_prefix_frame``
+    (one definition for batch and streaming)."""
+    p = _prefix_frame(
+        load_table(spark, sf_dir, "documents"), "source"
+    ).withColumnRenamed("prefix_md5", "h")
     g = p.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
     return (
         p.join(g, "h")
@@ -694,7 +672,8 @@ _RADIX_DEPTHS = (1, 2, 4, 8)
 def llm_radix_cache_depth(spark, sf_dir):
     """Radix-tree (trie) cache depth profile — the capacity-planning
     curve behind RadixAttention-style prefix caches: at each tree depth
-    d in {_RADIX_DEPTHS}, how many distinct d-token prefixes exist, the
+    d in (1, 2, 4, 8) (_RADIX_DEPTHS), how many distinct d-token
+    prefixes exist, the
     duplication factor (docs per prefix), the token storage the tree's
     nodes need at that depth, and the prefill tokens saved if every
     shared prefix hits.  Depth 1 collapses the corpus to ~30 nodes;
@@ -759,7 +738,7 @@ _PAGE_SIZE = 16
 )
 def llm_kv_cache_paging(spark, sf_dir):
     """PagedAttention page accounting — KV-cache blocks of
-    {_PAGE_SIZE} tokens per sequence: page counts, internal
+    16 tokens (_PAGE_SIZE) per sequence: page counts, internal
     fragmentation (allocated-but-unused slots in each sequence's last
     page), and the fragmentation rate per tenant — the memory-planning
     numbers paged KV allocation exists to minimize (fragmentation is
@@ -817,7 +796,7 @@ _PROMPT_CAP = 32
 def llm_prefill_decode_flops(spark, sf_dir):
     """Prefill/decode FLOPs split — the serving cost model's first-order
     decomposition: each request's prompt is its first min(n div 2,
-    {_PROMPT_CAP}) tokens, attention work is quadratic in the prefill
+    32 = _PROMPT_CAP) tokens, attention work is quadratic in the prefill
     (p^2 units, one parallel pass) and linear-times-context in the
     decode ((n-p)·n units, one pass per produced token).  The per-lang
     decode share tells the operator which traffic is compute-bound
@@ -934,7 +913,8 @@ _BATCH_B = 8
     """,
 )
 def llm_batch_wait_time(spark, sf_dir):
-    """FIFO batch queueing accounting — static batching of B={_BATCH_B}
+    """FIFO batch queueing accounting — static batching of B=8
+    (_BATCH_B)
     requests per tenant queue in arrival (doc_id) order, where a batch's
     latency is its longest member (everything pads to the max) and a
     request's wait is the summed latency of every earlier batch in its
@@ -997,7 +977,7 @@ def llm_batch_wait_time(spark, sf_dir):
 )
 def stream_prefix_reuse_static(spark, sf_dir):
     """Streaming-capable prefix-cache hit table — the online form of
-    ``llm_kv_prefix_reuse``: ONE groupBy on the {_PREFIX_DEPTH}-token
+    ``llm_kv_prefix_reuse``: ONE groupBy on the 8-token (_PREFIX_DEPTH)
     prefix fingerprint (no windows, no join, no second aggregation — the
     ``stream_containment_gate_static`` discipline), emitting each shared
     prefix's population, first filler, and saved prefill tokens.  Under
@@ -1013,19 +993,11 @@ def stream_prefix_reuse_static(spark, sf_dir):
 def _prefix_reuse_plan(docs):
     """Frame-parametric prefix-reuse plan: the identical expressions run
     over a batch frame (the scored op) and a readStream source (the live
-    drain demo) — the two can never fork."""
-    p = (
-        docs.select("doc_id", tokens("text").alias("ws"))
-        .filter(F.size("ws") >= _PREFIX_DEPTH)
-        .select(
-            "doc_id",
-            F.md5(F.array_join(F.slice("ws", 1, _PREFIX_DEPTH), " ")).alias(
-                "prefix_md5"
-            ),
-        )
-    )
+    drain demo) — the two can never fork.  The prefix fingerprint is the
+    shared ``_prefix_frame`` (also used by llm_kv_prefix_reuse)."""
     return (
-        p.groupBy("prefix_md5")
+        _prefix_frame(docs)
+        .groupBy("prefix_md5")
         .agg(
             F.count("*").alias("n_docs"),
             F.min("doc_id").alias("first_doc"),
@@ -1197,13 +1169,14 @@ def llm_distill_hard_mine(spark, sf_dir):
     student's training budget where the teacher has the most to teach).
 
     Shape: the round-9 threshold-bucket decomposition on the bounded
-    |gap| grid (<= 189 integer values, inside the _GRID_BOUND guard
-    imported from round9): one corpus aggregate onto the gap grid, a
-    descending prefix sum over that bounded frame picks the cutoff, the
-    kept-gap set broadcast-joins back — never a global per-doc sort.
-    Whole-bucket tie policy and the degenerate-corpus coalesce both
-    match ``llm_token_budget_select``."""
-    from biggie_spark.ops.round9 import _grid_guarded
+    |gap| grid (<= 189 integer values, inside round9's _GRID_BOUND
+    guard): one corpus aggregate onto the gap grid, a descending prefix
+    sum over that bounded frame picks the cutoff, the kept-gap set
+    broadcast-joins back — never a global per-doc sort.  The whole
+    algorithm — tie policy, degenerate-corpus coalesce, grid guard —
+    IS round9's ``_kept_buckets``, called with (col='ag', budget 1/5),
+    so the policy has exactly one Spark body."""
+    from biggie_spark.ops.round9 import _kept_buckets
 
     d = load_table(spark, sf_dir, "documents")
     s = d.select(
@@ -1213,33 +1186,7 @@ def llm_distill_hard_mine(spark, sf_dir):
             F.expr(_T_SCORE).cast("long") - F.expr(_S_SCORE).cast("long")
         ).alias("ag"),
     )
-    b = s.groupBy("ag").agg(F.sum("n_tok").alias("btok"))
-    w_desc = (
-        Window.partitionBy()
-        .orderBy(F.desc("ag"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy()
-    c = b.select(
-        "ag",
-        F.sum("btok").over(w_desc).alias("cum_incl"),
-        _grid_guarded(F.sum("btok").over(w_all), w_all).alias("tot"),
-    )
-    kept = (
-        c.withColumn(
-            "thr",
-            F.coalesce(
-                F.min(
-                    F.when(
-                        F.expr("cum_incl <= tot div 5"), F.col("ag")
-                    )
-                ).over(w_all),
-                F.max("ag").over(w_all),
-            ),
-        )
-        .filter(F.col("ag") >= F.col("thr"))
-        .select("ag")
-    )
+    kept = _kept_buckets(s, col="ag", num=1, den=5)
     return s.join(F.broadcast(kept), "ag").select(
         "doc_id", F.col("ag").alias("gap_abs_e2"), "n_tok"
     )
@@ -1373,7 +1320,7 @@ _RRF_K = 60
 )
 def llm_rrf_fusion(spark, sf_dir):
     """Reciprocal-rank fusion of two retrievers — the standard
-    no-tuning ensemble (RRF, k={_RRF_K}): retriever 1 ranks candidates
+    no-tuning ensemble (RRF, k=60 = _RRF_K): retriever 1 ranks candidates
     by double cosine (rounded to the repo's cross-engine-safe 4 decimals
     BEFORE ranking), retriever 2 by the INTEGER dot product of e2
     half-away-quantized embeddings (the SQ8-style coarse order — exact
@@ -1482,7 +1429,8 @@ _RAG_BUDGET = 400
 def llm_rag_context_pack(spark, sf_dir):
     """RAG context packing under a token budget — per retrieval pool
     (source), greedily admit the highest-scored chunks in rank order
-    until the next chunk would overflow the {_RAG_BUDGET}-token context:
+    until the next chunk would overflow the 400-token (_RAG_BUDGET)
+    context:
     kept count, tokens used, budget utilization, and the rank of the
     first casualty (the number that tells you whether the budget or the
     retriever is the bottleneck).  Both kept and excluded branches are
@@ -1699,7 +1647,6 @@ def _mrl_rank_sql(dim: str) -> str:
              FROM pr JOIN e ON e.vec_id <> pr.probe_id),
     full5 AS (SELECT probe_id, neighbor_id FROM ({_mrl_rank_sql('64')})
               WHERE rn <= 5),
-    d AS (SELECT unnest(ARRAY{list(_MRL_DIMS)}) AS dim),
     t8 AS (SELECT 8 AS dim, * FROM ({_mrl_rank_sql('8')}) WHERE rn <= 5),
     t16 AS (SELECT 16 AS dim, * FROM ({_mrl_rank_sql('16')}) WHERE rn <= 5),
     t32 AS (SELECT 32 AS dim, * FROM ({_mrl_rank_sql('32')}) WHERE rn <= 5),
@@ -1725,10 +1672,12 @@ def llm_matryoshka_truncate(spark, sf_dir):
     are not matryoshka-trained, exactly what the op exists to measure
     before a team ships truncated vectors.
 
-    Shape at scale: the 10-probe frame broadcasts once; each width's
-    ranking is a window per probe over the SAME candidate pass (the
-    slice is a zero-copy prefix of the stored array — column pruning
-    still reads one vector column); overlap is an equi-join of two
+    Shape at scale: the 10-probe frame broadcasts once; ONE candidate
+    pass projects the cosine at all four widths (the slice is a
+    zero-copy prefix of the stored array — column pruning still reads
+    one vector column), and each width's top-5 is a window over the
+    localCheckpoint'd scored frame — the candidate generation runs once,
+    not once per width (review r9); overlap is an equi-join of two
     bounded top-5 frames.  Cosines round to the cross-engine-safe 4
     decimals BEFORE ranking."""
     from biggie_spark.util import cosine, r4
@@ -1740,31 +1689,39 @@ def llm_matryoshka_truncate(spark, sf_dir):
     pr = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("probe_id"), F.col("a").alias("pa")
     )
-    cand = e.join(
-        F.broadcast(pr), F.col("vec_id") != F.col("probe_id")
-    ).select("probe_id", "pa", F.col("vec_id").alias("neighbor_id"), "a")
+    widths = list(_MRL_DIMS) + [64]
+    scored = (
+        e.join(F.broadcast(pr), F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            *[
+                r4(cosine(F.slice("pa", 1, d), F.slice("a", 1, d))).alias(
+                    f"s4_{d}"
+                )
+                for d in widths
+            ],
+        )
+        .localCheckpoint()
+    )
 
     def top5(dim):
-        s4 = r4(
-            cosine(F.slice("pa", 1, dim), F.slice("a", 1, dim))
-        )
         w = Window.partitionBy("probe_id").orderBy(
-            F.desc("s4"), "neighbor_id"
+            F.desc(f"s4_{dim}"), "neighbor_id"
         )
         return (
-            cand.select("probe_id", "neighbor_id", s4.alias("s4"))
-            .withColumn("rn", F.row_number().over(w))
+            scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= 5)
             .select("probe_id", "neighbor_id")
         )
 
     full5 = top5(64)
-    parts = []
-    for dim in _MRL_DIMS:
-        t = top5(dim).select(
+    parts = [
+        top5(dim).select(
             F.lit(dim).cast("long").alias("dim"), "probe_id", "neighbor_id"
         )
-        parts.append(t)
+        for dim in _MRL_DIMS
+    ]
     t = parts[0].unionByName(parts[1]).unionByName(parts[2])
     f5 = full5.select(
         "probe_id", F.col("neighbor_id").alias("fn"), F.lit(1).alias("hit")
@@ -1829,7 +1786,7 @@ def stream_spec_accept_static(spark, sf_dir):
 
 
 def _spec_top_vocab(batch_docs):
-    """The static draft-vocabulary dimension (top-{_SPEC_TOPK} corpus
+    """The static draft-vocabulary dimension (top-16 = _SPEC_TOPK corpus
     tokens) — always computed from a BATCH frame: in the live drain it is
     the static side of the stream-static join."""
     return (
