@@ -198,7 +198,20 @@ ROUND9_HOLDBACK = frozenset(
 # round registers more new ops than the window has spare slots
 # (50 - 19 released = 31), the overflow goes here so it cannot displace
 # either the released tier or earlier round-9 registrations.
-ROUND10_HOLDBACK: frozenset[str] = frozenset()
+ROUND10_HOLDBACK: frozenset[str] = frozenset(
+    {
+        "fn_morton_curve",
+        "snk_zorder_layout_persisted",
+        "snk_stats_manifest_persisted",
+        "src_scan_schema_evolution",
+        "sql_try_arith",
+        "agg_mcnemar_gates",
+        "llm_bradley_terry_step",
+        "llm_length_bias_audit",
+        "graph_hits_iter",
+        "kv_ttl_expiry",
+    }
+)
 
 
 def ordered_queries() -> dict[str, QueryFn]:
