@@ -121,6 +121,12 @@ ALLOWED_BNLJ = {
     # score) histogram frames — corpus size only changes histogram weights
     "llm_radix_cache_depth",  # 4-row literal depth grid (LocalRelation)
     # broadcast with a size(ws) >= depth non-equi condition
+    # round-10 holdback additions — audited 2026-08-15:
+    "llm_bradley_terry_step",  # theta join of the bounded (source x <=101
+    # score) histogram frames (the llm_pairwise_winrate shape), plus the
+    # mx localCheckpoint keyed equi-joins
+    "graph_hits_iter",  # 1-row max-normalization frame broadcast per
+    # half-iteration (the scalar-aggregate pattern)
 }
 
 

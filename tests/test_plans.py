@@ -875,3 +875,41 @@ def test_chroma_stash_prune_guard_is_live(spark, sf_dir):
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --- round-10 holdback plan pins ------------------------------------------
+
+
+def test_morton_curve_is_pure_codegen(spark, sf_dir):
+    """fn_morton_curve is per-row bit arithmetic inside one codegen span —
+    no exchange, no join, no Python."""
+    plan = plan_of(QUERIES["fn_morton_curve"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "PushedFilters" in plan  # doc_id < 256 reaches the scan
+
+
+def test_bradley_terry_matrix_is_bounded_and_checkpointed(spark, sf_dir):
+    """llm_bradley_terry_step's MM steps run on the localCheckpoint'd
+    bounded game matrix — the corpus parquet appears exactly once (the
+    histogram build), not once per MM step."""
+    plan = plan_of(QUERIES["llm_bradley_terry_step"](spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") <= 1
+    assert "rangepartitioning" not in plan
+
+
+def test_length_bias_pair_join_is_prompt_keyed(spark, sf_dir):
+    """llm_length_bias_audit's pair enumeration is an equi-join on
+    prompt_id (4-row blocks) — never a nested-loop join."""
+    plan = plan_of(QUERIES["llm_length_bias_audit"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+
+
+def test_ttl_expiry_is_single_scan_aggregate(spark, sf_dir):
+    """kv_ttl_expiry is one scan into one conditional aggregate."""
+    plan = plan_of(QUERIES["kv_ttl_expiry"](spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Join" not in plan
+    assert "partial_count" in plan
