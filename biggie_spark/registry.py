@@ -210,6 +210,13 @@ ROUND10_HOLDBACK: frozenset[str] = frozenset(
         "llm_length_bias_audit",
         "graph_hits_iter",
         "kv_ttl_expiry",
+        "ts_journey_trigrams",
+        "ts_click_attribution",
+        "ts_dwell_time_buckets",
+        "ts_concurrent_sessions",
+        "join_null_safe_eq",
+        "sql_named_window",
+        "agg_kendall_tau_grid",
     }
 )
 
