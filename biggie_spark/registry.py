@@ -217,6 +217,11 @@ ROUND10_HOLDBACK: frozenset[str] = frozenset(
         "join_null_safe_eq",
         "sql_named_window",
         "agg_kendall_tau_grid",
+        "llm_prompt_compression",
+        "llm_truncation_policies",
+        "agg_lorenz_topshare",
+        "mm_audio_loudness_gate",
+        "ts_daily_spectrum",
     }
 )
 
