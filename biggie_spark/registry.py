@@ -222,6 +222,8 @@ ROUND10_HOLDBACK: frozenset[str] = frozenset(
         "agg_lorenz_topshare",
         "mm_audio_loudness_gate",
         "ts_daily_spectrum",
+        "agg_sprt_sequential",
+        "snk_partition_evolution",
     }
 )
 
