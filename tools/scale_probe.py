@@ -222,6 +222,38 @@ ROUND9B = {
     "q_chroma_matrix": "kv_chroma_matrix_field",
 }
 
+# Round-10 holdback tranche (ops/round10.py, built during round 9):
+# lakehouse layout, eval statistics, session analytics, SQL surface.
+# Natural sf0.01 -> sf0.1 step.  Expected: grid/stat ops ~flat;
+# persisted-layout ops dominated by their (fixed-size-probe) writes;
+# per-event analytics ~linear.
+ROUND10 = {
+    "q_morton": "fn_morton_curve",
+    "q_zorder_layout": "snk_zorder_layout_persisted",
+    "q_stats_manifest": "snk_stats_manifest_persisted",
+    "q_schema_evolution": "src_scan_schema_evolution",
+    "q_try_arith": "sql_try_arith",
+    "q_mcnemar": "agg_mcnemar_gates",
+    "q_bradley_terry": "llm_bradley_terry_step",
+    "q_length_bias": "llm_length_bias_audit",
+    "q_hits": "graph_hits_iter",
+    "q_ttl_expiry": "kv_ttl_expiry",
+    "q_journey_trigrams": "ts_journey_trigrams",
+    "q_click_attribution": "ts_click_attribution",
+    "q_dwell_buckets": "ts_dwell_time_buckets",
+    "q_concurrency": "ts_concurrent_sessions",
+    "q_null_safe_join": "join_null_safe_eq",
+    "q_named_window": "sql_named_window",
+    "q_kendall_tau": "agg_kendall_tau_grid",
+    "q_prompt_compression": "llm_prompt_compression",
+    "q_truncation_policies": "llm_truncation_policies",
+    "q_lorenz_topshare": "agg_lorenz_topshare",
+    "q_loudness_gate": "mm_audio_loudness_gate",
+    "q_daily_spectrum": "ts_daily_spectrum",
+    "q_sprt": "agg_sprt_sequential",
+    "q_partition_evolution": "snk_partition_evolution",
+}
+
 # Round-7 window composites (the LLM-pipeline entries the r6 verdict floated
 # into this round's scoring window) + the new overlapping-span dedup op —
 # measured over the natural sf0.01 → sf0.1 step like the other content-keyed
@@ -666,6 +698,15 @@ def main() -> None:
         print("\n| round-9b op | sf0.01 | sf0.1 (10x rows) | ratio (ideal <= 10) |")
         print("|---|---|---|---|")
         for q in ROUND9B:
+            r = nat[q] / small[q]
+            print(f"| {q} | {small[q]:.3f}s | {nat[q]:.3f}s | {r:.1f}x |")
+        return
+    if "--round10-only" in sys.argv:
+        small = time_queries(spark, SRC_SMALL, ROUND10)
+        nat = time_queries(spark, SRC, ROUND10)
+        print("\n| round-10 op | sf0.01 | sf0.1 (10x rows) | ratio (ideal <= 10) |")
+        print("|---|---|---|---|")
+        for q in ROUND10:
             r = nat[q] / small[q]
             print(f"| {q} | {small[q]:.3f}s | {nat[q]:.3f}s | {r:.1f}x |")
         return
