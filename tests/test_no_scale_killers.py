@@ -127,6 +127,8 @@ ALLOWED_BNLJ = {
     # mx localCheckpoint keyed equi-joins
     "graph_hits_iter",  # 1-row max-normalization frame broadcast per
     # half-iteration (the scalar-aggregate pattern)
+    "ts_daily_spectrum",  # 4-row literal frequency grid (spark.range
+    # LocalRelation) broadcast onto the bounded 24-hour profile frame
 }
 
 
@@ -155,6 +157,11 @@ def test_no_unbounded_cartesian(spark, sf_dir, name):
 _COLLECT_ALLOWLIST = {
     "ops/dedup_index.py": 2,
     "ops/sources.py": 1,
+    # round-10: snk_stats_manifest_persisted collects the per-block
+    # overlaps flags to enforce its both-prune-and-admit RuntimeError —
+    # bounded by the block-count manifest (keyspace/128 rows: 4 at
+    # sf0.001, ~40 at sf0.1; a zone-map is small by definition).
+    "ops/round10.py": 1,
 }
 
 
