@@ -177,24 +177,43 @@ def test_lorenz_grid_equals_sorted_topk(tks):
 # McNemar: only discordant cells move the statistic
 
 
+def _mcnemar_from_table(pairs):
+    """The op's statistic computed from a full (t, s) gate table — the
+    reference path a regression could corrupt by letting concordant
+    cells leak into the formula."""
+    b = sum(1 for tt, ss in pairs if tt and not ss)
+    c = sum(1 for tt, ss in pairs if ss and not tt)
+    if b + c == 0:
+        return None
+    return (b - c) * (b - c) * 1_000_000 // (b + c)
+
+
 @given(
-    st.integers(0, 500),
-    st.integers(0, 500),
-    st.integers(0, 500),
-    st.integers(1, 500),
+    st.lists(
+        st.tuples(st.booleans(), st.booleans()), min_size=1, max_size=60
+    ),
+    st.integers(0, 40),
+    st.integers(0, 40),
 )
 @settings(max_examples=300, deadline=None)
-def test_mcnemar_depends_only_on_discordant(both, neither, b, c):
-    chi2 = (b - c) * (b - c) * 1_000_000 // (b + c) if b + c else None
-    chi2_other = (
-        (b - c) * (b - c) * 1_000_000 // (b + c) if b + c else None
+def test_mcnemar_invariant_to_concordant_cells(pairs, extra_tt, extra_ff):
+    """Adding any number of CONCORDANT rows (both-keep / both-drop) to
+    the gate table must not move the statistic — the property the
+    vacuous first version of this test (chi2 compared with itself)
+    failed to check (review r9)."""
+    base = _mcnemar_from_table(pairs)
+    padded = (
+        pairs + [(True, True)] * extra_tt + [(False, False)] * extra_ff
     )
-    assert chi2 == chi2_other  # concordant cells never enter
-    if b == c and b + c:
-        assert chi2 == 0
+    assert _mcnemar_from_table(padded) == base
+    b = sum(1 for tt, ss in pairs if tt and not ss)
+    c = sum(1 for tt, ss in pairs if ss and not tt)
     if b + c:
-        cc = (abs(b - c) - 1) ** 2 * 1_000_000 // (b + c)
-        # continuity correction shrinks the statistic unless b == c
-        # (where (|0|-1)^2 = 1 makes it the larger of the two)
-        if b != c:
-            assert cc <= chi2
+        if b == c:
+            assert base == 0
+        else:
+            cc = (abs(b - c) - 1) ** 2 * 1_000_000 // (b + c)
+            assert cc <= base  # continuity correction shrinks it
+        # symmetry: swapping the models swaps b and c, not the statistic
+        swapped = _mcnemar_from_table([(ss, tt) for tt, ss in pairs])
+        assert swapped == base
