@@ -224,6 +224,13 @@ ROUND10_HOLDBACK: frozenset[str] = frozenset(
         "ts_daily_spectrum",
         "agg_sprt_sequential",
         "snk_partition_evolution",
+        "src_scan_merge_on_read",
+        "llm_keyword_rake",
+        "llm_embed_isotropy",
+        "ts_error_budget_burn",
+        "agg_l_diversity",
+        "agg_mann_kendall_trend",
+        "sql_interval_arith",
     }
 )
 
