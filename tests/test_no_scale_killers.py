@@ -129,6 +129,8 @@ ALLOWED_BNLJ = {
     # half-iteration (the scalar-aggregate pattern)
     "ts_daily_spectrum",  # 4-row literal frequency grid (spark.range
     # LocalRelation) broadcast onto the bounded 24-hour profile frame
+    "llm_embed_isotropy",  # two 1-row scalar frames (centroid energy,
+    # mean norm) crossJoined onto the 1-row pair-cosine summary
 }
 
 

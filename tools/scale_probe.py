@@ -252,6 +252,13 @@ ROUND10 = {
     "q_daily_spectrum": "ts_daily_spectrum",
     "q_sprt": "agg_sprt_sequential",
     "q_partition_evolution": "snk_partition_evolution",
+    "q_merge_on_read": "src_scan_merge_on_read",
+    "q_keyword_rake": "llm_keyword_rake",
+    "q_isotropy": "llm_embed_isotropy",
+    "q_error_budget": "ts_error_budget_burn",
+    "q_l_diversity": "agg_l_diversity",
+    "q_mann_kendall": "agg_mann_kendall_trend",
+    "q_interval_arith": "sql_interval_arith",
 }
 
 # Round-7 window composites (the LLM-pipeline entries the r6 verdict floated
