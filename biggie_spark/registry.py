@@ -231,6 +231,10 @@ ROUND10_HOLDBACK: frozenset[str] = frozenset(
         "agg_l_diversity",
         "agg_mann_kendall_trend",
         "sql_interval_arith",
+        "llm_groundedness_support",
+        "llm_watermark_greenlist",
+        "kv_tensor_conv1d",
+        "agg_prevalence_adjust",
     }
 )
 

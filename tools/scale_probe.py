@@ -259,6 +259,10 @@ ROUND10 = {
     "q_l_diversity": "agg_l_diversity",
     "q_mann_kendall": "agg_mann_kendall_trend",
     "q_interval_arith": "sql_interval_arith",
+    "q_groundedness": "llm_groundedness_support",
+    "q_watermark": "llm_watermark_greenlist",
+    "q_tensor_conv1d": "kv_tensor_conv1d",
+    "q_prevalence": "agg_prevalence_adjust",
 }
 
 # Round-7 window composites (the LLM-pipeline entries the r6 verdict floated
