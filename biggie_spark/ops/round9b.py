@@ -2221,9 +2221,7 @@ def kv_chroma_matrix_field(spark, sf_dir):
     flat = F.col("tensor.data")
     row0 = F.slice(flat, 1, 12)
     row1 = F.slice(flat, 13, 12)
-    fsum = lambda arr: F.aggregate(  # noqa: E731
-        arr, F.lit(0).cast("long"), lambda acc, x: acc + x
-    )
+    from biggie_spark.util import long_sum as fsum
     l1 = F.aggregate(
         F.zip_with(row1, row0, lambda a, b: F.abs(a - b)),
         F.lit(0).cast("long"),

@@ -202,6 +202,13 @@ def l2_norm_sq(a: Column) -> Column:
     )
 
 
+def long_sum(a: Column) -> Column:
+    """Integer left-to-right fold of an array<long> column, the BIGINT
+    sibling of :func:`dot`'s double fold, shared by the tensor/audio ops
+    (was three identical per-op lambdas before round 9's review)."""
+    return F.aggregate(a, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity in double precision.
 
