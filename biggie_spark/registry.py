@@ -194,10 +194,14 @@ ROUND9_HOLDBACK = frozenset(
     }
 )
 
-# Round-10 holdback, same mechanics as ROUND9_HOLDBACK last round: if this
-# round registers more new ops than the window has spare slots
-# (50 - 19 released = 31), the overflow goes here so it cannot displace
-# either the released tier or earlier round-9 registrations.
+# Round-10 RELEASE: the round-9 window cleared (CORRECTNESS_r09 50/50
+# green), so this formerly-held tranche now enters the round-10 scoring
+# window.  Placement fix (ADVICE r9 item 4): the released tier sits AFTER
+# the §2 contract tier, not before — if a §2 op is ever un-greened it keeps
+# its guaranteed front-of-window slot; the released set follows immediately.
+# (fn_morton_curve and snk_zorder_layout_persisted leaked into the r9 window
+# by registration order and are already ledger-green — harmless here, the
+# green check runs first.)
 ROUND10_HOLDBACK: frozenset[str] = frozenset(
     {
         "fn_morton_curve",
@@ -237,6 +241,12 @@ ROUND10_HOLDBACK: frozenset[str] = frozenset(
         "agg_prevalence_adjust",
     }
 )
+
+# Round-11 holdback, same mechanics: if round 10 registers more new ops
+# than the window has spare slots (50 - 33 released = 17), the overflow
+# goes here so it cannot displace the released tier or earlier unscored
+# registrations.  A registry test asserts the 50-slot fit.
+ROUND11_HOLDBACK: frozenset[str] = frozenset()
 
 
 def ordered_queries() -> dict[str, QueryFn]:
@@ -279,40 +289,41 @@ def ordered_queries() -> dict[str, QueryFn]:
 
     def tier(n: str) -> int:
         if n in green:
+            return 10
+        if n in ROUND11_HOLDBACK:
             return 9
-        if n in ROUND10_HOLDBACK:
-            return 8
-        if n in ROUND9_HOLDBACK:
-            # Released this round: ahead of everything, incl. §2 (all §2
-            # ops are long green, so this ordering is only about keeping
-            # new round-9 registrations from displacing the released set).
-            return -1
         if n in sec2:
             return 0
-        if n in verdict_rank:
+        if n in ROUND10_HOLDBACK:
+            # Released this round — AFTER §2 (ADVICE r9 item 4): an
+            # un-greened contract op keeps its guaranteed front slot, the
+            # released tranche follows, and nothing registered later this
+            # round can displace either.
             return 1
-        if n in r4_rank:
+        if n in verdict_rank:
             return 2
-        if n in r5_rank:
+        if n in r4_rank:
             return 3
-        if n in r6_rank:
+        if n in r5_rank:
             return 4
-        if n in r7_rank:
+        if n in r6_rank:
             return 5
-        return 6 if _priority(n) else 7
+        if n in r7_rank:
+            return 6
+        return 7 if _priority(n) else 8
 
     out: dict[str, QueryFn] = {}
-    for t in (-1, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9):
+    for t in (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10):
         names = [n for n in QUERIES if tier(n) == t]
-        if t == 1:
+        if t == 2:
             names.sort(key=verdict_rank.__getitem__)
-        elif t == 2:
-            names.sort(key=r4_rank.__getitem__)
         elif t == 3:
-            names.sort(key=r5_rank.__getitem__)
+            names.sort(key=r4_rank.__getitem__)
         elif t == 4:
-            names.sort(key=r6_rank.__getitem__)
+            names.sort(key=r5_rank.__getitem__)
         elif t == 5:
+            names.sort(key=r6_rank.__getitem__)
+        elif t == 6:
             names.sort(key=r7_rank.__getitem__)
         out.update({n: QUERIES[n] for n in names})
     return out

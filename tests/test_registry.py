@@ -117,38 +117,48 @@ def test_ledgered_rows_only_ops_leave_the_window():
     assert not stuck, f"ledgered rows-only ops burning window slots: {stuck}"
 
 
-def test_round9_released_ops_lead_the_window():
-    """Round 9: the round-8 backlog cleared (CORRECTNESS_r08 50/50 green),
-    so the 19 formerly-held ops are RELEASED and must occupy the FRONT of
-    the window — a new round-9 registration must never displace one of
-    them out of the 50-slot window.  Overflow new ops park in
-    ROUND10_HOLDBACK, which must stay behind every other unscored op."""
-    from biggie_spark.registry import ROUND9_HOLDBACK, ROUND10_HOLDBACK
+def test_round10_released_ops_follow_sec2_in_the_window():
+    """Round 10: the round-9 window cleared (CORRECTNESS_r09 50/50 green),
+    so the formerly-held ROUND10 tranche is RELEASED.  Placement contract
+    (ADVICE r9 item 4): any un-greened §2 op precedes the released tier;
+    the released tier precedes every other unscored op; overflow new ops
+    park in ROUND11_HOLDBACK, which stays behind every other unscored op."""
+    from biggie_spark.registry import ROUND10_HOLDBACK, ROUND11_HOLDBACK
 
     ledger = json.loads(GREEN_LEDGER.read_text())
     green = set(ledger["green"]) | set(ledger.get("rows_only_scored", []))
+    sec2 = set(json.loads(SEC2_CONTRACT.read_text())["sec2"])
     oq = list(ordered_queries())
     unscored = [n for n in oq if n not in green]
-    released = [n for n in unscored if n in ROUND9_HOLDBACK]
-    others = [n for n in unscored if n not in ROUND9_HOLDBACK]
+    released = [n for n in unscored if n in ROUND10_HOLDBACK and n not in sec2]
+    others = [
+        n for n in unscored if n not in ROUND10_HOLDBACK and n not in sec2
+    ]
+    others = [n for n in others if n not in ROUND11_HOLDBACK]
+    # un-greened §2 ops (if any ever appear) must precede the released tier
+    pending_sec2 = [n for n in unscored if n in sec2]
+    if pending_sec2 and released:
+        assert max(oq.index(n) for n in pending_sec2) < min(
+            oq.index(n) for n in released
+        ), "a released ROUND10 op precedes an un-greened §2 contract op"
     if released and others:
         last_released = max(oq.index(n) for n in released)
         first_other = min(oq.index(n) for n in others)
         assert last_released < first_other, (
-            "an unscored op precedes a released ROUND9 op in the window: "
+            "an unscored extension precedes a released ROUND10 op: "
             f"{[n for n in others if oq.index(n) < last_released]}"
         )
-    held10 = [n for n in unscored if n in ROUND10_HOLDBACK]
-    rest = [n for n in unscored if n not in ROUND10_HOLDBACK]
-    if held10 and rest:
-        assert min(oq.index(n) for n in held10) > max(oq.index(n) for n in rest)
+    held11 = [n for n in unscored if n in ROUND11_HOLDBACK]
+    rest = [n for n in unscored if n not in ROUND11_HOLDBACK]
+    if held11 and rest:
+        assert min(oq.index(n) for n in held11) > max(oq.index(n) for n in rest)
     # The window must never overflow past the driver's 50 slots with
     # unscored ops — that's exactly the displacement bug holdbacks prevent.
-    assert len(unscored) - len(held10) <= 50, (
-        f"{len(unscored) - len(held10)} unscored ops for a 50-slot window; "
-        "move the newest registrations into ROUND10_HOLDBACK"
+    assert len(unscored) - len(held11) <= 50, (
+        f"{len(unscored) - len(held11)} unscored ops for a 50-slot window; "
+        "move the newest registrations into ROUND11_HOLDBACK"
     )
-    missing = [n for n in ROUND9_HOLDBACK | ROUND10_HOLDBACK if n not in QUERIES]
+    missing = [n for n in ROUND10_HOLDBACK | ROUND11_HOLDBACK if n not in QUERIES]
     assert not missing, f"holdback names unregistered ops: {missing}"
 
 
@@ -192,9 +202,12 @@ def test_vacuity_audit_covers_every_holdback_op():
     'no vacuous green' conclusion."""
     from pathlib import Path
 
-    from biggie_spark.registry import ROUND9_HOLDBACK
+    from biggie_spark.registry import ROUND9_HOLDBACK, ROUND10_HOLDBACK
 
-    doc = Path(__file__).resolve().parent.parent / "tools" / "vacuity_r9.md"
-    text = doc.read_text()
-    missing = [n for n in sorted(ROUND9_HOLDBACK) if n not in text]
+    tools = Path(__file__).resolve().parent.parent / "tools"
+    text9 = (tools / "vacuity_r9.md").read_text()
+    missing = [n for n in sorted(ROUND9_HOLDBACK) if n not in text9]
     assert not missing, f"holdback ops missing from vacuity_r9.md: {missing}"
+    text10 = (tools / "vacuity_r10.md").read_text()
+    missing = [n for n in sorted(ROUND10_HOLDBACK) if n not in text10]
+    assert not missing, f"holdback ops missing from vacuity_r10.md: {missing}"
