@@ -66,7 +66,8 @@ def _pr_iter_sql(prev: str, out: str) -> str:
         JOIN orders ON l_orderkey = o_orderkey
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN customer ON o_custkey = c_custkey
-        WHERE s_nationkey <> c_nationkey),
+        WHERE s_nationkey <> c_nationkey
+          AND (s_nationkey * s_nationkey + 31 * c_nationkey) % 7 < 3),
     nodes AS (SELECT DISTINCT k FROM
               (SELECT src AS k FROM edges UNION SELECT dst FROM edges)),
     deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
@@ -109,6 +110,14 @@ def graph_pagerank(spark, sf_dir):
             F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
         )
         .filter(F.col("src") != F.col("dst"))
+        # Structural sparsifier (round-10 vacuity CI catch, the same flaw
+        # the round-9 review fixed in graph_hits_iter): at sf0.01+ the raw
+        # trade graph is COMPLETE, making PageRank exactly uniform — every
+        # rank the constant 1e12/25, a hash that proves nothing about the
+        # iteration.  The quadratic mask keeps a fixed sparse subgraph with
+        # genuine degree spread so ranks differentiate at every SF; the
+        # data still decides which masked pairs appear.
+        .filter(F.expr("(src * src + 31 * dst) % 7 < 3"))
         .distinct()
         .transform(lineage_cap)
     )

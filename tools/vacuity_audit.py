@@ -5,7 +5,15 @@ in round 6 — the no-orders anti-join was unsatisfiable on this corpus):
 
 1. EMPTY results — an op whose oracle returns 0 rows is vacuously green;
 2. CONSTANT label columns — a non-numeric column stuck at one value over
-   many rows often marks a CASE/filter branch that never fires.
+   many rows often marks a CASE/filter branch that never fires;
+3. CONSTANT-COMPUTATION shape (round-10, from the graph_hits_iter
+   near-miss): every column is either single-valued or all-distinct, with
+   at least one single-valued column present — i.e. the key columns vary
+   but every COMPUTED value is one constant, so the hash proves nothing
+   about the computation.  This is the numeric-constant case rule 2
+   deliberately skips (numeric constants over a small corpus are sometimes
+   legitimate), promoted to a failure when NO column carries intermediate
+   cardinality.
 
 Both are REPORTS, not failures, because some are by design (scalar
 aggregates, uniform metadata demos); the allowlist below records each
@@ -41,6 +49,10 @@ ALLOW: dict[tuple[str, str | None], str] = {
     ("fn_redact", "redacted_md5"): "md5 of the constant redaction above",
     ("mm_binary_meta", "kind"): "metadata-plumbing demo; kind is literally hardcoded (the real classifier is mm_decode_dispatch)",
     ("ts_gap_detect", None): "gap threshold (2h) is density-relative: 45 gaps at the scoring SF (0.01); a 10x denser corpus legitimately has no 2h silences (sf0.1 empty is the CORRECT monitoring answer, not a dead branch)",
+    # rule-3 (keys-vary-values-constant) adjudications, round 10:
+    ("fn_redact", "*"): "uniform synthetic json => uniform redaction template over all rows; the op demos the redaction fns (per-column entries above), and n_runs is a property of that one template",
+    ("llm_dedup_exact", "*"): "the corpus has exact duplicate texts only at sf0.1+ (4992 distinct of 5000; zero dups at sf0.01 even lower/trim-normalized) — the all-25s result at the scoring SF is the CORRECT answer, and the dup branch is exercised by the sf0.1 pytest sweep",
+    ("udf_arrow_map", "*"): "dim is the fixed 64-dim embedding schema and sq_norm is constant because the corpus is unit-normalized — producing the exact e4 constant for all 300 rows requires the Arrow-batched norm computation to be right, and any kernel error breaks it",
 }
 
 
@@ -64,13 +76,39 @@ def audit(sf_dir: str = SF_DIR):
             continue
         if len(rows) < 4:
             continue  # tiny outputs are judged case-by-case
+        ndv = []
         for i, c in enumerate(cols):
-            vals = {r[i] for r in rows}
+            try:
+                vals = {r[i] for r in rows}
+            except TypeError:  # unhashable (list/struct) column — varies
+                vals = {str(r[i]) for r in rows}
+            ndv.append(len(vals))
             if len(vals) == 1 and not isinstance(next(iter(vals)), (int, float)):
                 if (name, c) not in ALLOW:
                     findings.append(
                         (name, c, f"constant {next(iter(vals))!r} over {len(rows)} rows")
                     )
+        # Rule 3: keys-vary-values-constant — the graph_hits_iter shape.
+        # Exactly ONE column varies (d==n, the presumptive key) and every
+        # other column is one constant, so the hash proves only that the
+        # key column scanned; the computation contributed nothing.  Results
+        # with two or more varying columns carry computed signal and pass.
+        n = len(rows)
+        if (
+            all(d == 1 or d == n for d in ndv)
+            and any(d == 1 for d in ndv)
+            and sum(1 for d in ndv if d == n) <= 1
+            and (name, "*") not in ALLOW
+        ):
+            const_cols = [c for c, d in zip(cols, ndv) if d == 1]
+            findings.append(
+                (
+                    name,
+                    "*",
+                    f"keys-vary-values-constant over {n} rows "
+                    f"(constant cols: {const_cols})",
+                )
+            )
     con.close()
     return findings
 
