@@ -47,3 +47,4 @@ from biggie_spark.ops import round8  # noqa: E402,F401
 from biggie_spark.ops import round9  # noqa: E402,F401
 from biggie_spark.ops import round9b  # noqa: E402,F401
 from biggie_spark.ops import round10  # noqa: E402,F401
+from biggie_spark.ops import round10b  # noqa: E402,F401

@@ -131,6 +131,14 @@ ALLOWED_BNLJ = {
     # LocalRelation) broadcast onto the bounded 24-hour profile frame
     "llm_embed_isotropy",  # two 1-row scalar frames (centroid energy,
     # mean norm) crossJoined onto the 1-row pair-cosine summary
+    # round-10b additions — audited 2026-08-15, each broadcast side bounded
+    # by construction independent of corpus size:
+    "llm_vocab_size_sweep",  # 6-row literal K grid theta-joined (rn <= k)
+    # onto the _GRID_BOUND-guarded ranked vocab frame
+    "llm_lang_profile_divergence",  # 1-row global-token-count scalar frame
+    # crossJoined onto the (lang x vocab) profile frame
+    "llm_epoch_interleave",  # 3-row literal epoch grid (spark.range
+    # LocalRelation) broadcast-crossed onto one corpus scan
 }
 
 

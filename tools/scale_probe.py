@@ -222,6 +222,30 @@ ROUND9B = {
     "q_chroma_matrix": "kv_chroma_matrix_field",
 }
 
+# Round-10b tranche (ops/round10b.py): tokenizer audit, cluster structure,
+# cross-lingual curation, shard assembly, time travel, ZCR/pyramid,
+# diversity.  Natural sf0.01 -> sf0.1 step.  Expected: token-stream ops
+# ~linear (scan-bound); vocab/profile frames bounded; codec probes ~flat;
+# persisted manifests dominated by fixed-size writes.
+ROUND10B = {
+    "q_vocab_oov": "llm_vocab_oov_persisted",
+    "q_byte_fallback": "llm_byte_fallback",
+    "q_vocab_sweep": "llm_vocab_size_sweep",
+    "q_label_prop": "graph_label_prop_rounds",
+    "q_component_mass": "graph_component_mass",
+    "q_time_travel": "src_scan_time_travel",
+    "q_lang_divergence": "llm_lang_profile_divergence",
+    "q_lang_gate": "llm_lang_confidence_gate",
+    "q_stream_lang_gate": "stream_lang_gate_static",
+    "q_lang_overlap": "llm_lang_overlap_coeff",
+    "q_shard_manifest": "llm_shard_manifest_persisted",
+    "q_epoch_interleave": "llm_epoch_interleave",
+    "q_bin_pack": "agg_bin_pack_nextfit",
+    "q_zero_crossings": "mm_audio_zero_crossings",
+    "q_pyramid": "mm_image_downsample_pyramid",
+    "q_simpson": "agg_simpson_diversity",
+}
+
 # Round-10 holdback tranche (ops/round10.py, built during round 9):
 # lakehouse layout, eval statistics, session analytics, SQL surface.
 # Natural sf0.01 -> sf0.1 step.  Expected: grid/stat ops ~flat;
@@ -631,6 +655,235 @@ def ann_recall_100x(spark) -> None:
     shutil.rmtree(out, ignore_errors=True)
 
 
+def ann_recall_hard(spark) -> None:
+    """VERDICT r9 item 3: ANN recall on a HARD corpus.  The --ann-100x
+    isometry corpus clusters trivially (IVF recall 1.00 — the write-up
+    itself flags it as easy), so this probe builds a corpus where
+    within-copy geometry is NOT preserved: each of the 100 copies gets
+    its own SEEDED random rotation (QR of a standard-normal matrix,
+    sign-fixed for uniqueness) and every vector gets additive Gaussian
+    noise (seeded per vec_id) at a measured SNR of ~10 dB — a noisy
+    100-mode Gaussian mixture over the unit sphere, the natural-
+    statistics shape real embedding corpora have.  Reports recall@5 vs
+    exact brute force for the IVF, LSH, and SQ8-rerank paths at ~200k
+    vectors.  Seeded numpy is probe-tool-only (ops stay RNG-free per the
+    determinism conventions)."""
+    import numpy as np
+
+    n_copies = 100
+    dims = 64
+    rng = np.random.default_rng(20260815)
+    qs = []
+    for _ in range(n_copies):
+        a = rng.standard_normal((dims, dims))
+        q, r = np.linalg.qr(a)
+        qs.append((q * np.sign(np.diag(r))).astype(np.float64))
+    qs = np.stack(qs)  # (100, 64, 64)
+    sigma = float(np.sqrt(0.1 / dims))  # noise power 0.1 vs unit signal
+
+    out = os.path.join(OUT + "_annhard", "")
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    e = load_table(spark, SRC, "embeddings").select("vec_id", "embedding")
+    grid = spark.range(n_copies).select(F.col("id").alias("copy"))
+    base = e.crossJoin(F.broadcast(grid)).select(
+        (F.col("vec_id") + F.col("copy") * OFF).alias("vec_id"),
+        "copy",
+        "embedding",
+    )
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<float>")
+    def transform_udf(vec_id: pd.Series, copy: pd.Series,
+                      emb: pd.Series) -> pd.Series:
+        out_rows = []
+        for vid, cp, v in zip(vec_id, copy, emb):
+            x = qs[int(cp)] @ np.asarray(v, dtype=np.float64)
+            nz = np.random.default_rng(int(vid) & 0x7FFFFFFF).standard_normal(
+                dims
+            )
+            out_rows.append((x + sigma * nz).astype(np.float32))
+        return pd.Series(out_rows)
+
+    hard = base.select(
+        "vec_id",
+        transform_udf("vec_id", "copy", "embedding").alias("embedding"),
+        F.lit(0).alias("label"),
+    )
+    t0 = time.time()
+    hard.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    n = spark.read.parquet(f"{out}/embeddings.parquet").count()
+    print(f"built {n}-vector HARD ANN corpus in {time.time() - t0:.0f}s "
+          f"(sigma={sigma:.4f}, nominal SNR 10 dB)")
+    # measured SNR: signal power is 1 (rotations preserve the unit norm)
+    from biggie_spark.util import l2_norm_sq
+
+    snr = (
+        spark.read.parquet(f"{out}/embeddings.parquet")
+        .agg(F.avg(l2_norm_sq(F.col("embedding"))).alias("p"))
+        .collect()[0
+        ].p
+    )
+    print(f"measured mean ||x||^2 = {snr:.4f} (signal 1.0 + noise ~0.1)")
+
+    from biggie_spark.ops.ann import llm_knn_lsh
+    from biggie_spark.ops.dedup_index import llm_knn_quantized_rerank
+    from biggie_spark.ops.ivf import NPROBE, _sq_dist, train_ivf
+    from biggie_spark.util import knn_exact, topk_by_cosine
+    from pyspark.sql import Window
+
+    emb = load_table(spark, out, "embeddings")
+    t0 = time.time()
+    exact = {
+        (r.probe_id, r.neighbor_id)
+        for r in knn_exact(emb, range(10), 5).collect()
+    }
+    t_exact = time.time() - t0
+
+    t0 = time.time()
+    assigned, centroids = train_ivf(spark, out)
+    assigned = assigned.localCheckpoint()
+    centroids = centroids.localCheckpoint()
+    t_train = time.time() - t0
+
+    t0 = time.time()
+    probes = assigned.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pa")
+    )
+    pc = probes.crossJoin(F.broadcast(centroids)).withColumn(
+        "d", _sq_dist(F.col("pa"), F.col("cvec"))
+    )
+    wp = Window.partitionBy("probe_id").orderBy("d", "cid")
+    probe_lists = (
+        pc.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= NPROBE)
+        .select("probe_id", "pa", "cid")
+    )
+    cands = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("na"),
+        "cid",
+    )
+    pairs = cands.join(F.broadcast(probe_lists), "cid").filter(
+        F.col("neighbor_id") != F.col("probe_id")
+    )
+    ivf_top = {
+        (r.probe_id, r.neighbor_id)
+        for r in topk_by_cosine(pairs, 5).collect()
+    }
+    t_probe = time.time() - t0
+    r_ivf = len(exact & ivf_top) / len(exact)
+
+    t0 = time.time()
+    lsh_top = {
+        (r.probe_id, r.neighbor_id)
+        for r in llm_knn_lsh(spark, out).collect()
+    }
+    t_lsh = time.time() - t0
+    r_lsh = len(exact & lsh_top) / len(exact)
+
+    t0 = time.time()
+    rr_top = {
+        (r.probe_id, r.neighbor_id)
+        for r in llm_knn_quantized_rerank(spark, out).collect()
+    }
+    t_rr = time.time() - t0
+    r_rr = len(exact & rr_top) / len(exact)
+
+    print(f"\n| path | wall | recall@5 vs exact ({n} vectors, hard) |")
+    print("|---|---|---|")
+    print(f"| exact brute force (10 probes) | {t_exact:.1f}s | 1.00 |")
+    print(f"| IVF train (K=16, 3 Lloyd iters) | {t_train:.1f}s | \u2014 |")
+    print(f"| IVF probe (NPROBE={NPROBE}, 10 probes) | {t_probe:.1f}s | {r_ivf:.2f} |")
+    print(f"| LSH multi-probe (10 probes) | {t_lsh:.1f}s | {r_lsh:.2f} |")
+    print(f"| SQ8 coarse+rerank (10 probes) | {t_rr:.1f}s | {r_rr:.2f} |")
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def bucket_window(spark) -> None:
+    """VERDICT r9 item 5: does a bucketBy(o_custkey)-sorted persisted
+    layout beat the flat scan for the top-3-per-customer window at the
+    100x corpus — i.e. is the sort Exchange the cost that matters?
+    Builds the 100x ORDERS table only (the window touches nothing else),
+    measures the flat window wall, writes the bucketed+sorted table
+    (cost reported), re-runs the identical window on it, and prints
+    whether each executed plan contains an Exchange."""
+    out = f"{OUT}_orders100x"
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    df = load_table(spark, SRC, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    copies = []
+    for i in range(K):
+        copies.append(
+            df.withColumn("o_custkey", F.col("o_custkey") + F.lit(i * OFF))
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * OFF))
+        )
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    t0 = time.time()
+    big.write.mode("overwrite").parquet(f"{out}/orders.parquet")
+    n = spark.read.parquet(f"{out}/orders.parquet").count()
+    print(f"built {n}-row 100x orders in {time.time() - t0:.0f}s")
+
+    from pyspark.sql import Window
+
+    def topk(frame):
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderkey")
+        )
+        return frame.withColumn(
+            "rn", F.row_number().over(w)
+        ).filter(F.col("rn") <= 3)
+
+    flat = spark.read.parquet(f"{out}/orders.parquet")
+    wall_flat = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        topk(flat).write.format("noop").mode("overwrite").save()
+        wall_flat = time.perf_counter() - t0
+    plan_flat = topk(flat)._jdf.queryExecution().executedPlan().toString()
+
+    spark.sql("DROP TABLE IF EXISTS orders_bucketed_100x")
+    t0 = time.time()
+    (
+        flat.write.mode("overwrite")
+        .bucketBy(64, "o_custkey")
+        .sortBy("o_custkey", "o_totalprice", "o_orderkey")
+        .saveAsTable("orders_bucketed_100x")
+    )
+    t_bucket = time.time() - t0
+    b = spark.table("orders_bucketed_100x")
+    wall_bucket = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        topk(b).write.format("noop").mode("overwrite").save()
+        wall_bucket = time.perf_counter() - t0
+    plan_bucket = topk(b)._jdf.queryExecution().executedPlan().toString()
+
+    print("\n| layout | window wall (warm) | Exchange in plan | Sort in plan |")
+    print("|---|---|---|---|")
+    print(
+        f"| flat parquet | {wall_flat:.1f}s |"
+        f" {'yes' if 'Exchange' in plan_flat else 'NO'} |"
+        f" {'yes' if 'Sort' in plan_flat else 'NO'} |"
+    )
+    print(
+        f"| bucketBy(64, o_custkey) sortBy(custkey, price, key)"
+        f" (one-time write {t_bucket:.0f}s) | {wall_bucket:.1f}s |"
+        f" {'yes' if 'Exchange' in plan_bucket else 'NO'} |"
+        f" {'yes' if 'Sort' in plan_bucket else 'NO'} |"
+    )
+    spark.sql("DROP TABLE IF EXISTS orders_bucketed_100x")
+    shutil.rmtree(out, ignore_errors=True)
+
+
 def shuffle_sweep(spark) -> None:
     """VERDICT r8 item 6: does the 100x wall of the two shuffle/sort-bound
     outliers (q_window 28x, q_join_agg 31.8x) respond to the
@@ -657,6 +910,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     if "--ann-100x" in sys.argv:
         ann_recall_100x(spark)
+        return
+    if "--ann-hard" in sys.argv:
+        ann_recall_hard(spark)
+        return
+    if "--bucket-window" in sys.argv:
+        bucket_window(spark)
         return
     if "--shuffle-sweep" in sys.argv:
         shuffle_sweep(spark)
@@ -709,6 +968,15 @@ def main() -> None:
         print("\n| round-9b op | sf0.01 | sf0.1 (10x rows) | ratio (ideal <= 10) |")
         print("|---|---|---|---|")
         for q in ROUND9B:
+            r = nat[q] / small[q]
+            print(f"| {q} | {small[q]:.3f}s | {nat[q]:.3f}s | {r:.1f}x |")
+        return
+    if "--round10b-only" in sys.argv:
+        small = time_queries(spark, SRC_SMALL, ROUND10B)
+        nat = time_queries(spark, SRC, ROUND10B)
+        print("\n| round-10b op | sf0.01 | sf0.1 (10x rows) | ratio (ideal <= 10) |")
+        print("|---|---|---|---|")
+        for q in ROUND10B:
             r = nat[q] / small[q]
             print(f"| {q} | {small[q]:.3f}s | {nat[q]:.3f}s | {r:.1f}x |")
         return
