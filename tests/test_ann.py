@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd  # module-level: pandas_udf type hints resolve via
+# func.__globals__ under `from __future__ import annotations`
 import pytest
 
 from pyspark.sql import functions as F
@@ -105,3 +107,89 @@ def test_ann_recall_sf01(spark):
     assert recall >= 0.9, f"default ANN recall@5 below bar at sf0.1: {recall:.2f}"
     recall = _recall_at_5(spark, sf, llm_knn_lsh)
     assert recall >= 0.75, f"LSH recall@5 below bar at sf0.1: {recall:.2f}"
+
+
+@pytest.mark.slow
+def test_ann_recall_hard_corpus(spark, tmp_path):
+    """VERDICT r9 item 3: the r8 isometry corpus clusters trivially (IVF
+    recall 1.00 with the write-up flagging it easy), so pin recall on a
+    HARD corpus — per-copy seeded random ROTATIONS (QR of standard
+    normals) plus additive Gaussian noise at 10 dB SNR: a noisy 10-mode
+    Gaussian mixture over the unit sphere, the natural-statistics shape
+    of real embedding spaces.  Measured 2026-08-15 at 20k vectors
+    (mean ||x||^2 = 1.0997 — the designed 1.0 signal + 0.1 noise):
+    llm_knn_ann (IVF) 1.00, llm_knn_lsh 0.78, llm_knn_quantized_rerank
+    1.00; the 200k run (tools/scale_probe.py --ann-hard, SCALE.md) reads
+    the same IVF/rerank 1.00 with LSH 0.82.  Floors pinned just under:
+    IVF >= 0.9 (the default path's bar), LSH >= 0.7, rerank >= 0.9.
+    Seeded numpy lives in the TEST (probe-side), never in an op."""
+    import numpy as np
+
+    from biggie_spark.ops.dedup_index import llm_knn_quantized_rerank
+    from biggie_spark.util import knn_exact
+
+    dims, n_copies, off = 64, 10, 1 << 33
+    rng = np.random.default_rng(20260815)
+    qs = []
+    for _ in range(n_copies):
+        a = rng.standard_normal((dims, dims))
+        q, r = np.linalg.qr(a)
+        qs.append((q * np.sign(np.diag(r))).astype(np.float64))
+    qs = np.stack(qs)
+    sigma = float(np.sqrt(0.1 / dims))
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<float>")
+    def transform_udf(
+        vec_id: pd.Series, copy: pd.Series, emb: pd.Series
+    ) -> pd.Series:
+        out = []
+        for vid, cp, v in zip(vec_id, copy, emb):
+            x = qs[int(cp)] @ np.asarray(v, dtype=np.float64)
+            nz = np.random.default_rng(
+                int(vid) & 0x7FFFFFFF
+            ).standard_normal(dims)
+            out.append((x + sigma * nz).astype(np.float32))
+        return pd.Series(out)
+
+    src = "/root/testdata/sf0.1"
+    if not os.path.isdir(src):
+        pytest.skip("sf0.1 corpus not present")
+    e = load_table(spark, src, "embeddings").select("vec_id", "embedding")
+    grid = spark.range(n_copies).select(F.col("id").alias("copy"))
+    hard = (
+        e.crossJoin(F.broadcast(grid))
+        .select(
+            (F.col("vec_id") + F.col("copy") * off).alias("vec_id"),
+            "copy",
+            "embedding",
+        )
+        .select(
+            "vec_id",
+            transform_udf("vec_id", "copy", "embedding").alias("embedding"),
+            F.lit(0).alias("label"),
+        )
+    )
+    root = str(tmp_path / "annhard")
+    hard.write.mode("overwrite").parquet(f"{root}/embeddings.parquet")
+    emb = load_table(spark, root, "embeddings")
+    exact = {
+        (r.probe_id, r.neighbor_id)
+        for r in knn_exact(emb, range(10), 5).collect()
+    }
+    ivf = {
+        (r.probe_id, r.neighbor_id)
+        for r in llm_knn_ann(spark, root).collect()
+    }
+    assert len(exact & ivf) / len(exact) >= 0.9
+    lsh = {
+        (r.probe_id, r.neighbor_id)
+        for r in llm_knn_lsh(spark, root).collect()
+    }
+    assert len(exact & lsh) / len(exact) >= 0.7
+    rr = {
+        (r.probe_id, r.neighbor_id)
+        for r in llm_knn_quantized_rerank(spark, root).collect()
+    }
+    assert len(exact & rr) / len(exact) >= 0.9

@@ -19,6 +19,9 @@ import shutil
 import sys
 import time
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve
+# via func.__globals__ (see ops/round9.py note)
+
 sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F
@@ -693,7 +696,6 @@ def ann_recall_hard(spark) -> None:
         "embedding",
     )
 
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<float>")
