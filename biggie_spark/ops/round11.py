@@ -1,0 +1,1023 @@
+"""Round-11 tranche, built and locally verified during round 10 (the
+holdback cadence the round-9/10 verdicts endorsed: pre-build next round's
+window so every driver slot scores NEW capability the day the window
+opens).
+
+Families:
+
+* data quality — the expectations/contract audit a pipeline gates on
+  (range / JSON-field / length rules with live violation mass), and the
+  archival-orphan referential audit (what a retention sweep strands).
+* privacy — t-closeness over an ORDERED sensitive attribute (cumulative
+  EMD, integer cross-multiplied), completing the k-anonymity /
+  l-diversity governance tier.
+* layout — RLE run counts per column under natural vs sorted layout (the
+  measured "why sorted tables compress" number), deterministic geohash
+  cell encoding (base32 bit-interleave, the geo sibling of
+  fn_morton_curve), and a Feistel permutation (the RNG-free key
+  scrambler behind deterministic pseudo-shuffles).
+* ops analytics — the day-of-week x hour traffic heatmap.
+* serving — semantic-cache hit accounting over sign-bit embedding
+  signatures.
+* SQL surface — window EXCLUDE CURRENT ROW parity (DuckDB native,
+  Spark emulated by frame arithmetic).
+* multimodal — Otsu threshold from the decoded image histogram (integer
+  between-class score), audio envelope peak counts, and video-as-frames
+  sampling (stride manifest over per-frame decodes).
+* streaming — the expectations audit's per-record append-mode twin.
+
+Every op is registered into ROUND11_HOLDBACK (registry.py): the round-10
+window is exactly full (33 released + 1 re-score + 16 round-10b), so these
+must not displace a round-10 op from its slot; they earn driver rows in
+round 11.  Integer-exact conventions throughout; spreads validated in
+DuckDB at sf{0.001,0.01,0.1} before registration (tools/vacuity_r11.md).
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # module-level: pandas_udf type hints resolve via
+# func.__globals__ (see ops/round9.py note)
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from biggie_spark.io import load_table
+from biggie_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# data quality tier
+
+# Archival rule: customers with c_custkey % 7 == 0 leave the active set
+# (a retention sweep); every order pointing at them is stranded.  ~1/7 of
+# orders at every SF — both branches heavy.
+@register(
+    "agg_orphan_audit",
+    oracle="""
+    WITH o AS (SELECT o_orderkey, o_custkey,
+                      CAST(strftime(o_orderdate, '%Y%m') AS BIGINT) AS ym,
+                      CAST(o_custkey % 7 = 0 AS BIGINT) AS orphaned
+               FROM orders)
+    SELECT ym,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(orphaned) AS BIGINT) AS n_orphaned,
+           CAST(sum(orphaned) * 1000000 // count(*) AS BIGINT)
+             AS orphan_e6
+    FROM o GROUP BY ym
+    """,
+)
+def agg_orphan_audit(spark, sf_dir):
+    """Referential-integrity audit after an archival sweep — the orphan
+    accounting a retention job must publish before it deletes: with the
+    archived-customer rule (c_custkey % 7 == 0, the simulated sweep),
+    how many orders per month would dangle, and the orphan rate e6.
+    The synthetic corpus has ZERO natural FK violations (measured — a
+    plain orphan scan is vacuously green), so the audit is parameterized
+    by the sweep predicate, exactly how a real retention dry-run works.
+
+    Shape: the archived set is a predicate, not a table — the audit is
+    ONE scan of the fact side with a pushed-down projection, no join at
+    all (the membership rule evaluates inline); grouped by month."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyyMM").cast("long").alias("ym"),
+        (F.col("o_custkey") % 7 == 0).cast("long").alias("orphaned"),
+    )
+    return o.groupBy("ym").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("orphaned").alias("n_orphaned"),
+        F.expr("sum(orphaned) * 1000000 div count(*)").alias("orphan_e6"),
+    )
+
+
+# Expectation rules (thresholds straddle at every SF; DuckDB-measured
+# violation mass at sf0.01: value cap 16.1%, props-k band 20.3%, doc
+# length floor 1.4%, lang allowlist 0% — the passing rule is deliberate:
+# a contract suite must report green rows too).
+@register(
+    "agg_expectations_audit",
+    oracle="""
+    WITH r AS (
+      SELECT 'events' AS tbl, 'value_le_90' AS rule,
+             CAST(count(*) AS BIGINT) AS n_checked,
+             CAST(sum(CASE WHEN value > 90 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations
+      FROM events
+      UNION ALL
+      SELECT 'events', 'props_k_in_10_90', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT)
+                                < 10
+                            OR CAST(json_extract(props, '$.k') AS BIGINT)
+                                >= 90
+                      THEN 1 ELSE 0 END) AS BIGINT)
+      FROM events
+      UNION ALL
+      SELECT 'documents', 'n_chars_ge_60', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN n_chars < 60 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM documents
+      UNION ALL
+      SELECT 'documents', 'lang_in_allowlist', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN lang NOT IN ('en','de','es','fr','zh')
+                      THEN 1 ELSE 0 END) AS BIGINT)
+      FROM documents)
+    SELECT tbl, rule, n_checked, n_violations,
+           CAST(n_violations * 1000000 // n_checked AS BIGINT)
+             AS violation_e6
+    FROM r
+    """,
+)
+def agg_expectations_audit(spark, sf_dir):
+    """The expectations/contract audit a pipeline gates ingest on (the
+    Great-Expectations shape re-expressed as one relational pass per
+    table): a literal rule suite — numeric range cap, JSON-field band,
+    string-length floor, categorical allowlist — each reporting checked
+    count, violation count, and violation rate e6.  The allowlist rule
+    legitimately reports ZERO violations on this corpus: a contract
+    suite that can only show failures is a broken contract suite.
+
+    Shape: one aggregate per audited table (each a single scan with the
+    rule expressions fused into the same pass), unioned into the bounded
+    report frame — rules are columns of ONE aggregation, never one scan
+    per rule."""
+    ev = load_table(spark, sf_dir, "events").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("value") > 90).cast("long")).alias("v_cap"),
+        F.sum(
+            (
+                (F.get_json_object("props", "$.k").cast("long") < 10)
+                | (F.get_json_object("props", "$.k").cast("long") >= 90)
+            ).cast("long")
+        ).alias("v_band"),
+    )
+    dc = load_table(spark, sf_dir, "documents").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("n_chars") < 60).cast("long")).alias("v_len"),
+        F.sum(
+            (~F.col("lang").isin("en", "de", "es", "fr", "zh")).cast("long")
+        ).alias("v_lang"),
+    )
+    rows = (
+        ev.select(
+            F.lit("events").alias("tbl"),
+            F.lit("value_le_90").alias("rule"),
+            F.col("n").alias("n_checked"),
+            F.col("v_cap").alias("n_violations"),
+        )
+        .unionByName(
+            ev.select(
+                F.lit("events").alias("tbl"),
+                F.lit("props_k_in_10_90").alias("rule"),
+                F.col("n").alias("n_checked"),
+                F.col("v_band").alias("n_violations"),
+            )
+        )
+        .unionByName(
+            dc.select(
+                F.lit("documents").alias("tbl"),
+                F.lit("n_chars_ge_60").alias("rule"),
+                F.col("n").alias("n_checked"),
+                F.col("v_len").alias("n_violations"),
+            )
+        )
+        .unionByName(
+            dc.select(
+                F.lit("documents").alias("tbl"),
+                F.lit("lang_in_allowlist").alias("rule"),
+                F.col("n").alias("n_checked"),
+                F.col("v_lang").alias("n_violations"),
+            )
+        )
+    )
+    return rows.select(
+        "tbl",
+        "rule",
+        "n_checked",
+        "n_violations",
+        F.expr("n_violations * 1000000 div n_checked").alias("violation_e6"),
+    )
+
+
+@register(
+    "stream_expectations_static",
+    oracle="""
+    SELECT event_id,
+           CAST(value > 90 AS BIGINT) AS viol_value,
+           CAST(CAST(json_extract(props, '$.k') AS BIGINT) < 10
+                OR CAST(json_extract(props, '$.k') AS BIGINT) >= 90
+             AS BIGINT) AS viol_props,
+           CAST((CASE WHEN value > 90 THEN 1 ELSE 0 END)
+                + (CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) < 10
+                         OR CAST(json_extract(props, '$.k') AS BIGINT) >= 90
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM events
+    """,
+)
+def stream_expectations_static(spark, sf_dir):
+    """Streaming twin of the expectations audit — the per-record
+    violation flags an ingest gate emits on every incoming event, built
+    STRICTLY from streaming-capable constructs (stream_lang_gate_static
+    discipline): one stateless projection, no aggregation, so the
+    identical plan runs under readStream in append mode and the batch
+    aggregate (agg_expectations_audit) is exactly its groupBy."""
+    k = F.get_json_object("props", "$.k").cast("long")
+    viol_v = (F.col("value") > 90).cast("long")
+    viol_p = ((k < 10) | (k >= 90)).cast("long")
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        viol_v.alias("viol_value"),
+        viol_p.alias("viol_props"),
+        (viol_v + viol_p).alias("n_violations"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# privacy: t-closeness over an ordered sensitive attribute
+
+# Sensitive attribute: n_chars quintile (ordered 0..4); quasi-identifier
+# group: source.  t-closeness distance = ordered-EMD = sum over the
+# cumulative buckets of |cum_group - cum_global|, normalized by
+# (m-1) * group_mass * corpus_mass in cross-multiplied integer form.
+@register(
+    "agg_t_closeness",
+    oracle="""
+    WITH q AS (SELECT source,
+                      least(4, greatest(0, (n_chars - 50) // 30)) AS b
+               FROM documents),
+    g AS (SELECT source, b, CAST(count(*) AS BIGINT) AS c
+          FROM q GROUP BY source, b),
+    n AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM g GROUP BY source),
+    tot AS (SELECT b, CAST(sum(c) AS BIGINT) AS c FROM g GROUP BY b),
+    nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM g),
+    grid AS (SELECT n.source, t.b, n.n,
+                    CAST(coalesce(g.c, 0) AS BIGINT) AS cg,
+                    t.c AS ct
+             FROM n CROSS JOIN tot t
+             LEFT JOIN g ON g.source = n.source AND g.b = t.b),
+    cum AS (SELECT source, b, n,
+                   sum(cg) OVER (PARTITION BY source ORDER BY b) AS cum_g,
+                   sum(ct) OVER (PARTITION BY source ORDER BY b) AS cum_t
+            FROM grid)
+    SELECT source,
+           CAST(min(n) AS BIGINT) AS group_rows,
+           CAST(sum(CASE WHEN b < 4
+                    THEN abs(cum_g * (SELECT n FROM nn) - cum_t * n)
+                    ELSE 0 END) * 1000000
+                // (4 * min(n) * (SELECT n FROM nn)) AS BIGINT)
+             AS emd_e6
+    FROM cum GROUP BY source
+    """,
+)
+def agg_t_closeness(spark, sf_dir):
+    """t-closeness over an ORDERED sensitive attribute — the governance
+    metric that completes the k-anonymity / l-diversity tier: for each
+    quasi-identifier group (source), the Earth Mover's Distance between
+    the group's distribution of the sensitive attribute (document-length
+    quintile, ordered 0..4) and the corpus-global distribution — EMD on
+    an ordered categorical being exactly the mean absolute difference of
+    CUMULATIVE masses.  max(emd_e6) over groups is the dataset's t.
+
+    Integer-exact by cross-multiplication: cumulative group counts scale
+    by the corpus mass and cumulative global counts by the group mass
+    before the |difference|, with ONE normalizing division at the end.
+    Shape: one groupBy((source, bucket)) shrinks the corpus to the
+    bounded grid; the cumulative window runs over 5-bucket partitions."""
+    q = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.expr("least(4, greatest(0, (n_chars - 50) div 30))").alias("b"),
+    )
+    g = q.groupBy("source", "b").agg(F.count("*").alias("c"))
+    n = g.groupBy("source").agg(F.sum("c").alias("n"))
+    tot = g.groupBy("b").agg(F.sum("c").alias("ct"))
+    nn = g.agg(F.sum("c").alias("gn"))
+    grid = (
+        n.crossJoin(F.broadcast(tot))
+        .join(g, ["source", "b"], "left")
+        .select(
+            "source",
+            "b",
+            "n",
+            F.coalesce("c", F.lit(0)).alias("cg"),
+            "ct",
+        )
+    )
+    w = Window.partitionBy("source").orderBy("b")
+    cum = grid.select(
+        "source",
+        "b",
+        "n",
+        F.sum("cg").over(w).alias("cum_g"),
+        F.sum("ct").over(w).alias("cum_t"),
+    ).crossJoin(F.broadcast(nn))
+    return cum.groupBy("source").agg(
+        F.min("n").alias("group_rows"),
+        F.expr(
+            "sum(case when b < 4 then abs(cum_g * gn - cum_t * n)"
+            " else 0 end) * 1000000 div (4 * min(n) * min(gn))"
+        ).alias("emd_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# layout: RLE runs under natural vs sorted order
+
+@register(
+    "fn_rle_runs_layout",
+    oracle="""
+    WITH cols AS (
+      SELECT 'lang' AS col, lang AS v, doc_id FROM documents
+      UNION ALL
+      SELECT 'source', source, doc_id FROM documents),
+    nat AS (SELECT col, v,
+                   lag(v) OVER (PARTITION BY col ORDER BY doc_id) AS p
+            FROM cols),
+    srt AS (SELECT col, v,
+                   lag(v) OVER (PARTITION BY col ORDER BY v, doc_id) AS p
+            FROM cols),
+    rn AS (SELECT col, CAST(count(*) FILTER (p IS NULL OR p <> v) AS BIGINT)
+                    AS natural_runs,
+                  CAST(count(*) AS BIGINT) AS n_rows
+           FROM nat GROUP BY col),
+    rs AS (SELECT col, CAST(count(*) FILTER (p IS NULL OR p <> v) AS BIGINT)
+                    AS sorted_runs
+           FROM srt GROUP BY col)
+    SELECT rn.col, rn.n_rows, rn.natural_runs, rs.sorted_runs,
+           CAST(rn.natural_runs * 1000 // rs.sorted_runs AS BIGINT)
+             AS run_inflation_e3
+    FROM rn JOIN rs ON rs.col = rn.col
+    """,
+)
+def fn_rle_runs_layout(spark, sf_dir):
+    """Run-length-encoding run counts under natural vs sorted layout —
+    the measured answer to "why does sorting this table shrink it":
+    parquet's RLE/dictionary pages cost one run header per value change,
+    so runs-per-column IS the layout-compression knob.  Per column
+    (lang, source): total rows, run count in natural doc_id order, run
+    count when the table is sorted by the column, and the inflation
+    ratio e3 — sorted runs equal the column's NDV (the floor), natural
+    runs approach row count (the ceiling).  The number a
+    Z-order/sort-key decision (fn_morton_curve, snk_zorder_layout) is
+    made from.
+
+    Shape: the run test is lag-over-order per column — a window keyed on
+    the stacked column id, so both layouts are measured in one pass over
+    the stacked frame; no data is rewritten to measure the layouts."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    cols = d.select(
+        F.lit("lang").alias("col"), F.col("lang").alias("v"), "doc_id"
+    ).unionByName(
+        d.select(
+            F.lit("source").alias("col"), F.col("source").alias("v"), "doc_id"
+        )
+    )
+    wn = Window.partitionBy("col").orderBy("doc_id")
+    ws = Window.partitionBy("col").orderBy("v", "doc_id")
+    nat = cols.select(
+        "col", (F.lag("v").over(wn).isNull() | (F.lag("v").over(wn) != F.col("v"))).cast("long").alias("brk")
+    ).groupBy("col").agg(
+        F.sum("brk").alias("natural_runs"), F.count("*").alias("n_rows")
+    )
+    srt = cols.select(
+        "col", (F.lag("v").over(ws).isNull() | (F.lag("v").over(ws) != F.col("v"))).cast("long").alias("brk")
+    ).groupBy("col").agg(F.sum("brk").alias("sorted_runs"))
+    return (
+        nat.join(srt, "col")
+        .select(
+            "col",
+            "n_rows",
+            "natural_runs",
+            "sorted_runs",
+            F.expr("natural_runs * 1000 div sorted_runs").alias(
+                "run_inflation_e3"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ops analytics: day-of-week x hour traffic heatmap
+
+@register(
+    "ts_traffic_heatmap",
+    oracle="""
+    WITH h AS (SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+                      CAST(hour(ts) AS BIGINT) AS hr,
+                      count(*) AS n
+               FROM events GROUP BY dow, hr),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM h)
+    SELECT dow, hr, CAST(n AS BIGINT) AS n,
+           CAST(n * 1000000 // t.tot AS BIGINT) AS share_e6,
+           CAST(dow IN (0, 6) AS BIGINT) AS is_weekend
+    FROM h, t
+    """,
+)
+def ts_traffic_heatmap(spark, sf_dir):
+    """The day-of-week x hour traffic heatmap — the first dashboard any
+    event system ships: per (dow, hour) cell the event count, its share
+    of total traffic e6, and the weekend flag.  On this corpus the truth
+    is NO weekly seasonality (uniform generator — the per-cell variation
+    is sampling noise, consistent with ts_daily_spectrum's no-diurnal
+    finding), and the heatmap is the artifact that would PROVE seasonal
+    structure if the upstream changed.
+
+    DuckDB dayofweek() is 0=Sunday..6=Saturday; Spark's dayofweek() is
+    1..7, so the Spark side subtracts 1 — pinned by the hash compare.
+    Shape: one groupBy over the bounded 168-cell grid + a 1-row total
+    broadcast."""
+    h = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hr"),
+        )
+        .groupBy("dow", "hr")
+        .agg(F.count("*").alias("n"))
+    )
+    t = h.agg(F.sum("n").alias("tot"))
+    return h.crossJoin(F.broadcast(t)).select(
+        "dow",
+        "hr",
+        "n",
+        F.expr("n * 1000000 div tot").alias("share_e6"),
+        F.col("dow").isin(0, 6).cast("long").alias("is_weekend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# layout: geohash cells and the Feistel permutation
+
+_GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _gh_interleave_sql(lon: str, lat: str) -> str:
+    """30-bit geohash integer (lon bit first, MSB first) as a SQL
+    expression over 15-bit cell indexes — identical text on both engines
+    (shiftright/% arithmetic only)."""
+    terms = []
+    for i in range(15):
+        terms.append(f"((({lon}) // {1 << (14 - i)}) % 2) * {1 << (29 - 2 * i)}")
+        terms.append(f"((({lat}) // {1 << (14 - i)}) % 2) * {1 << (28 - 2 * i)}")
+    return " + ".join(terms)
+
+
+@register(
+    "fn_geohash",
+    oracle=f"""
+    WITH pts AS (SELECT event_id,
+                        CAST((user_id * 2654435761) % 180000000 - 90000000
+                          AS BIGINT) AS lat_e6,
+                        CAST((event_id * 40503) % 360000000 - 180000000
+                          AS BIGINT) AS lon_e6
+                 FROM events),
+    idx AS (SELECT event_id, lat_e6, lon_e6,
+                   least(32767, (lat_e6 + 90000000) * 32768 // 180000000)
+                     AS lati,
+                   least(32767, (lon_e6 + 180000000) * 32768 // 360000000)
+                     AS loni
+            FROM pts),
+    g AS (SELECT event_id, lat_e6, lon_e6,
+                 CAST({_gh_interleave_sql("loni", "lati")} AS BIGINT) AS gh
+          FROM idx),
+    s AS (SELECT event_id, lat_e6, lon_e6, gh,
+                 substr('{_GH32}', CAST(gh // 33554432 AS INT) + 1, 1) ||
+                 substr('{_GH32}', CAST((gh // 1048576) % 32 AS INT) + 1, 1) ||
+                 substr('{_GH32}', CAST((gh // 32768) % 32 AS INT) + 1, 1)
+                   AS prefix3
+          FROM g)
+    SELECT prefix3,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT gh) AS BIGINT) AS n_cells,
+           CAST(min(lat_e6) AS BIGINT) AS min_lat_e6,
+           CAST(max(lat_e6) AS BIGINT) AS max_lat_e6
+    FROM s GROUP BY prefix3
+    """,
+)
+def fn_geohash(spark, sf_dir):
+    """Geohash cell encoding — the geo sibling of fn_morton_curve: each
+    synthetic event point (deterministic lat/lon from the key hashes) is
+    encoded to the standard 30-bit lon-first bit-interleaved geohash and
+    its 3-character base32 prefix; per prefix the event count, distinct
+    6-char cell count, and the latitude envelope — the spatial-locality
+    evidence (all points sharing a prefix sit inside one bounded lat
+    band, which the envelope columns prove value-level).
+
+    The bit interleave is the same generated integer expression on both
+    engines (floor-div/mod arithmetic, no engine bit-op dialect), and the
+    base32 alphabet is the standard geohash one.  Shape: pure projection
+    + one groupBy(prefix) — the encode is exactly what a spatial
+    partitioner computes before a partitionBy(prefix) write."""
+    pts = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        ((F.col("user_id") * 2654435761) % 180000000 - 90000000)
+        .cast("long")
+        .alias("lat_e6"),
+        ((F.col("event_id") * 40503) % 360000000 - 180000000)
+        .cast("long")
+        .alias("lon_e6"),
+    )
+    idx = pts.select(
+        "event_id",
+        "lat_e6",
+        "lon_e6",
+        F.expr(
+            "least(32767, (lat_e6 + 90000000) * 32768 div 180000000)"
+        ).alias("lati"),
+        F.expr(
+            "least(32767, (lon_e6 + 180000000) * 32768 div 360000000)"
+        ).alias("loni"),
+    )
+    gh_expr = _gh_interleave_sql("loni", "lati").replace("//", "div")
+    g = idx.select(
+        "event_id",
+        "lat_e6",
+        "lon_e6",
+        F.expr(f"cast({gh_expr} as bigint)").alias("gh"),
+    )
+    s = g.select(
+        "lat_e6",
+        "gh",
+        F.concat(
+            F.substring(F.lit(_GH32), F.expr("cast(gh div 33554432 as int)") + 1, 1),
+            F.substring(
+                F.lit(_GH32), F.expr("cast((gh div 1048576) % 32 as int)") + 1, 1
+            ),
+            F.substring(
+                F.lit(_GH32), F.expr("cast((gh div 32768) % 32 as int)") + 1, 1
+            ),
+        ).alias("prefix3"),
+    )
+    return s.groupBy("prefix3").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("gh").alias("n_cells"),
+        F.min("lat_e6").alias("min_lat_e6"),
+        F.max("lat_e6").alias("max_lat_e6"),
+    )
+
+
+# 4-round Feistel over a 20-bit domain (10-bit halves) — the RNG-free
+# bijective key scrambler behind deterministic pseudo-shuffles: same
+# literal round keys on both engines, xor via (a + b - 2 * floor-div
+# arithmetic)?  No — both engines have integer XOR; DuckDB spells it
+# xor(a, b), Spark SQL spells it a ^ b, so each side uses its dialect of
+# the IDENTICAL operation.
+_FEISTEL_KEYS = (2654435761, 40503, 2246822519, 3266489917)
+
+
+def _feistel_sql(xor_fmt: str) -> str:
+    """Unrolled 4-round Feistel as nested single expressions.  xor_fmt
+    formats an integer XOR in the target dialect, e.g. 'xor({a}, {b})'
+    (DuckDB) or '({a} ^ {b})' (Spark SQL)."""
+    l, r = "(doc_id // 1024)", "(doc_id % 1024)"
+    for k in _FEISTEL_KEYS:
+        f = f"((({r}) * 2654435761 + {k}) % 1024)"
+        l, r = r, xor_fmt.format(a=l, b=f)
+    return f"(({l}) * 1024 + ({r}))"
+
+
+@register(
+    "fn_feistel_permute",
+    oracle=f"""
+    WITH p AS (SELECT doc_id,
+                      CAST({_feistel_sql("xor({a}, {b})")} AS BIGINT) AS perm
+               FROM documents),
+    b AS (SELECT doc_id, perm, perm * 16 // 1048576 AS bucket FROM p)
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT perm) AS BIGINT) AS n_distinct_perm,
+           CAST(min(perm) AS BIGINT) AS min_perm,
+           CAST(sum(doc_id * (perm % 97)) AS BIGINT) AS map_checksum
+    FROM b GROUP BY bucket
+    """,
+)
+def fn_feistel_permute(spark, sf_dir):
+    """Feistel-network permutation over the 2^20 key domain — the
+    RNG-free primitive behind every deterministic pseudo-shuffle this
+    engine ships (llm_shard_order's md5 ranking randomizes ORDER; a
+    Feistel permutation additionally guarantees BIJECTIVITY, which is
+    what format-preserving key scrambling and draw-without-replacement
+    sampling need): 4 rounds over 10-bit halves with literal round keys,
+    round function (R * 2654435761 + k) mod 1024.
+
+    Bijectivity is value-checked the relational way: per output bucket
+    (16 equal ranges of the permuted domain), n_docs == n_distinct_perm
+    — a collision anywhere breaks the equality; the map_checksum pins
+    the exact mapping, not just its cardinality.  XOR is integer-
+    identical on both engines (DuckDB xor(), Spark ^) and the rest is
+    floor-div/mod arithmetic.  Shape: pure projection + one bounded
+    groupBy."""
+    perm_expr = _feistel_sql("({a} ^ {b})").replace("//", " div ")
+    p = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(f"cast({perm_expr} as bigint)").alias("perm")
+    )
+    b = p.select(
+        "doc_id", "perm", F.expr("perm * 16 div 1048576").alias("bucket")
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("perm").alias("n_distinct_perm"),
+        F.min("perm").alias("min_perm"),
+        F.sum(F.col("doc_id") * (F.col("perm") % 97)).alias("map_checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# serving: semantic cache hit accounting
+
+@register(
+    "llm_semantic_cache_hits",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS a,
+                      (SELECT max(vec_id) FROM embeddings) AS mx
+               FROM embeddings),
+    sig AS (SELECT vec_id, label, mx,
+              CAST((CASE WHEN a[1] > 0 THEN 2048 ELSE 0 END)
+                 + (CASE WHEN a[2] > 0 THEN 1024 ELSE 0 END)
+                 + (CASE WHEN a[3] > 0 THEN 512 ELSE 0 END)
+                 + (CASE WHEN a[4] > 0 THEN 256 ELSE 0 END)
+                 + (CASE WHEN a[5] > 0 THEN 128 ELSE 0 END)
+                 + (CASE WHEN a[6] > 0 THEN 64 ELSE 0 END)
+                 + (CASE WHEN a[7] > 0 THEN 32 ELSE 0 END)
+                 + (CASE WHEN a[8] > 0 THEN 16 ELSE 0 END)
+                 + (CASE WHEN a[9] > 0 THEN 8 ELSE 0 END)
+                 + (CASE WHEN a[10] > 0 THEN 4 ELSE 0 END)
+                 + (CASE WHEN a[11] > 0 THEN 2 ELSE 0 END)
+                 + (CASE WHEN a[12] > 0 THEN 1 ELSE 0 END) AS BIGINT) AS s
+            FROM e),
+    warm AS (SELECT DISTINCT s FROM sig WHERE vec_id * 4 < mx)
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN s IN (SELECT s FROM warm)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(sum(CASE WHEN s IN (SELECT s FROM warm)
+                    THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT)
+             AS hit_e4
+    FROM sig WHERE vec_id * 4 >= mx
+    GROUP BY label
+    """,
+)
+def llm_semantic_cache_hits(spark, sf_dir):
+    """Semantic-cache hit accounting — the serving-tier question "how
+    often does a fresh query land in a cached neighborhood": queries
+    (the last 3/4 of the corpus by key) probe a cache warmed with the
+    sign-bit signatures of the first 1/4 — the 12-bit SimHash-style
+    bucket a production semantic cache keys on (one sign test per
+    leading dimension; identical float comparisons on both engines).
+    Per query label: query count, bucket hits, hit rate e4 — measured
+    11-15% at sf0.1 with 4096 buckets, the honest baseline for random
+    embeddings (a real corpus's semantic clustering is exactly what
+    lifts this number, and this op is how you'd measure that lift).
+
+    Shape: the warm set reduces to distinct 12-bit signatures (a
+    broadcast-sized frame by construction — at most 4096 rows no matter
+    the corpus); the probe is one broadcast left-semi pattern + one
+    groupBy(label)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("a"),
+    )
+    mx = e.agg(F.max("vec_id").alias("mx"))
+    sig_bits = sum(
+        F.when(F.element_at("a", i + 1) > 0, F.lit(1 << (11 - i))).otherwise(
+            F.lit(0)
+        )
+        for i in range(12)
+    )
+    sig = e.crossJoin(F.broadcast(mx)).select(
+        "vec_id", "label", "mx", sig_bits.cast("long").alias("s")
+    )
+    warm = (
+        sig.filter(F.col("vec_id") * 4 < F.col("mx"))
+        .select("s")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    q = sig.filter(F.col("vec_id") * 4 >= F.col("mx")).join(
+        F.broadcast(warm), "s", "left"
+    )
+    return q.groupBy("label").agg(
+        F.count("*").alias("n_queries"),
+        F.sum(F.col("hit").isNotNull().cast("long")).alias("n_hits"),
+        F.expr(
+            "sum(cast(hit is not null as long)) * 10000 div count(*)"
+        ).alias("hit_e4"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL surface: window frame EXCLUDE CURRENT ROW parity
+
+@register(
+    "sql_window_exclude",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id,
+                      CAST(round(value * 100, 0) AS BIGINT) AS cents
+               FROM events)
+    SELECT event_id, user_id, cents,
+           CAST(sum(cents) OVER (PARTITION BY user_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                EXCLUDE CURRENT ROW) AS BIGINT) AS peers_cents
+    FROM e
+    """,
+)
+def sql_window_exclude(spark, sf_dir):
+    """Window frame EXCLUDE CURRENT ROW parity — the leave-one-out
+    aggregate (every row scored against its PEERS, the standard shape
+    for per-row z-scores and contribution analysis): DuckDB evaluates
+    the frame clause natively; Spark has no EXCLUDE syntax, so the op
+    proves the algebraic identity sum(frame) - current == sum(frame
+    EXCLUDE CURRENT ROW) holds value-exactly in integer cents — the
+    rewrite a Spark user must apply by hand, hash-pinned against the
+    native form.  (NULL cents would need a coalesce in the subtraction;
+    events.value is non-null on this corpus and the count column would
+    catch a regression.)
+
+    Shape: one window aggregate partitioned by user — no ordering
+    needed for the full-frame sum, so no sort inside the partition."""
+    w = Window.partitionBy("user_id")
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "cents",
+        (F.sum("cents").over(w) - F.col("cents")).alias("peers_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal: Otsu threshold, envelope peaks, video frame sampling
+
+@register(
+    "mm_image_otsu_threshold",
+    oracle="""
+    WITH probe AS (SELECT doc_id,
+                          16 + doc_id % 8 AS w,
+                          8 AS h,
+                          doc_id % 60 + 10 AS b
+                   FROM documents WHERE doc_id < 64),
+    hist AS (SELECT doc_id, w, h, b, b + s.s AS v,
+                    CAST(least(s.s, w - 1) - greatest(0, s.s - h + 1) + 1
+                      AS BIGINT) AS c
+             FROM probe, range(0, 31) s(s)
+             WHERE s.s <= w + h - 2),
+    tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS wt,
+                   CAST(sum(v * c) AS BIGINT) AS st
+            FROM hist GROUP BY doc_id),
+    cum AS (SELECT hist.doc_id, v, wt, st,
+                   sum(c) OVER (PARTITION BY hist.doc_id ORDER BY v)
+                     AS w0,
+                   sum(v * c) OVER (PARTITION BY hist.doc_id ORDER BY v)
+                     AS s0
+            FROM hist JOIN tot ON tot.doc_id = hist.doc_id),
+    sc AS (SELECT doc_id, v AS t, wt, w0,
+                  CAST((st * w0 - wt * s0) * (st * w0 - wt * s0)
+                       // (w0 * (wt - w0)) AS BIGINT) AS score
+           FROM cum WHERE w0 > 0 AND w0 < wt),
+    r AS (SELECT doc_id, t, score, w0, wt,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, t) AS rn
+          FROM sc)
+    SELECT doc_id, CAST(t AS BIGINT) AS otsu_t,
+           CAST(score AS BIGINT) AS score,
+           CAST(w0 * 10000 // wt AS BIGINT) AS class0_share_e4
+    FROM r WHERE rn = 1
+    """,
+)
+def mm_image_otsu_threshold(spark, sf_dir):
+    """Otsu binarization threshold through the REAL PPM codec — the
+    classic histogram-based foreground/background split, and (unusually
+    for image math) EXACT integer arithmetic end to end: the
+    between-class variance argmax is taken over the equivalent integer
+    score (S*w0 - W*s0)^2 / (w0*(W-w0)) with floor division, ties to the
+    smallest threshold, so both engines agree bit-for-bit.  Per probe
+    image: the threshold, its score, and the class-0 pixel share e4.
+
+    Kernel: one Arrow-batched pandas_udf decodes the P6 payload (netpbm
+    grammar) and runs the integer argmax over the (<=31-level) gray
+    histogram; the oracle reproduces the histogram in closed form (the
+    gradient image's level count is the diagonal-count function
+    min(s, w-1) - max(0, s-h+1) + 1) and the identical argmax as window
+    cumsums over the bounded grid.  Spread: thresholds 20..68 and 8
+    distinct scores across the probe (validated before registration)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from biggie_spark.multimodal import encode_ppm
+
+    @pandas_udf("struct<otsu_t bigint, score bigint, class0_share_e4 bigint>")
+    def otsu_udf(doc_id: pd.Series) -> pd.DataFrame:
+        rows = []
+        for d in doc_id:
+            w, h, b = 16 + int(d) % 8, 8, int(d) % 60 + 10
+            payload = encode_ppm(w, h, (b, b, b))
+            # decode: reuse the netpbm token walk (header is comment-free
+            # here but the parser must not assume that)
+            pos, toks = 2, []
+            while len(toks) < 3:
+                while payload[pos : pos + 1].isspace():
+                    pos += 1
+                if payload[pos : pos + 1] == b"#":
+                    while payload[pos : pos + 1] not in (b"\n", b""):
+                        pos += 1
+                    continue
+                start = pos
+                while not payload[pos : pos + 1].isspace():
+                    pos += 1
+                toks.append(int(payload[start:pos]))
+            pos += 1
+            ww, hh, _ = toks
+            px = np.frombuffer(
+                payload, dtype=np.uint8, count=ww * hh * 3, offset=pos
+            ).reshape(hh, ww, 3)[:, :, 0].astype(np.int64)
+            vals, counts = np.unique(px, return_counts=True)
+            W, S = int(counts.sum()), int((vals * counts).sum())
+            w0 = np.cumsum(counts)[:-1]
+            s0 = np.cumsum(vals * counts)[:-1]
+            num = S * w0 - W * s0
+            score = (num * num) // (w0 * (W - w0))
+            i = int(np.argmax(score))  # first max = smallest t on ties
+            rows.append(
+                {
+                    "otsu_t": int(vals[i]),
+                    "score": int(score[i]),
+                    "class0_share_e4": int(w0[i]) * 10000 // W,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    probe = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 64)
+        .select("doc_id")
+    )
+    return probe.select("doc_id", otsu_udf("doc_id").alias("o")).select(
+        "doc_id", "o.otsu_t", "o.score", "o.class0_share_e4"
+    )
+
+
+@register(
+    "mm_audio_envelope_peaks",
+    oracle="""
+    WITH probe AS (SELECT v AS doc_id FROM range(64) p(v)),
+    t AS (SELECT doc_id, tt.t,
+                 CAST(((doc_id * 31 + tt.t) * 2654435761) % 65536 - 32768
+                   AS BIGINT) AS x
+          FROM probe, range(64) tt(t)),
+    l AS (SELECT doc_id, t, x,
+                 lag(x) OVER (PARTITION BY doc_id ORDER BY t) AS px,
+                 lead(x) OVER (PARTITION BY doc_id ORDER BY t) AS nx
+          FROM t)
+    SELECT doc_id, t // 16 AS block,
+           CAST(sum(CASE WHEN px IS NOT NULL AND nx IS NOT NULL
+                          AND px < x AND x > nx THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_peaks,
+           CAST(max(x) AS BIGINT) AS max_amp
+    FROM l GROUP BY doc_id, block
+    """,
+)
+def mm_audio_envelope_peaks(spark, sf_dir):
+    """Envelope peak counting through the REAL WAV codec — the onset/
+    percussion-density proxy one step simpler than spectral flux: per
+    16-sample block, the count of strict local maxima (x[t-1] < x[t] >
+    x[t+1]; endpoints excluded) and the block's max amplitude — both
+    exact integers, the mm_audio_zero_crossings discipline applied to
+    the second classic time-domain feature.  Same Arrow-batched
+    decode kernel over the bounded 64-doc probe; the oracle reproduces
+    the closed-form waveform with lag/lead windows."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from biggie_spark.multimodal import demo_pcm, encode_wav, wav_samples
+
+    @pandas_udf("binary")
+    def encode_udf(doc_id: pd.Series) -> pd.Series:
+        return pd.Series(
+            [encode_wav(demo_pcm(d).astype("<i2")) for d in doc_id]
+        )
+
+    @pandas_udf("struct<pk array<bigint>, mx array<bigint>>")
+    def peaks_udf(payload: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in payload:
+            x = wav_samples(bytes(b))
+            is_peak = np.zeros(len(x), dtype=bool)
+            is_peak[1:-1] = (x[:-2] < x[1:-1]) & (x[1:-1] > x[2:])
+            pk, mx = [], []
+            for blk in range(4):
+                lo = blk * 16
+                pk.append(int(is_peak[lo : lo + 16].sum()))
+                mx.append(int(x[lo : lo + 16].max()))
+            rows.append({"pk": pk, "mx": mx})
+        return pd.DataFrame(rows)
+
+    probe = spark.range(64).select(F.col("id").alias("doc_id"))
+    enc = probe.select("doc_id", encode_udf("doc_id").alias("wav"))
+    feats = enc.select("doc_id", peaks_udf("wav").alias("f"))
+    return feats.select(
+        "doc_id",
+        F.posexplode(F.arrays_zip(F.col("f.pk"), F.col("f.mx"))).alias(
+            "block", "z"
+        ),
+    ).select(
+        "doc_id",
+        F.col("block").cast("long").alias("block"),
+        F.col("z.pk").alias("n_peaks"),
+        F.col("z.mx").alias("max_amp"),
+    )
+
+
+# Video-as-frames: 12 PPM frames per doc, sampling stride 3.
+_VID_FRAMES, _VID_STRIDE = 12, 3
+
+
+@register(
+    "mm_video_frame_sample",
+    oracle=f"""
+    WITH probe AS (SELECT doc_id, 16 + doc_id % 8 AS w, 8 AS h
+                   FROM documents WHERE doc_id < 32),
+    fr AS (SELECT doc_id, w, h, f.f AS frame_idx,
+                  (doc_id * 7 + f.f * 5) % 60 + 10 AS b
+           FROM probe, range({_VID_FRAMES}) f(f)
+           WHERE f.f % {_VID_STRIDE} = 0),
+    s AS (SELECT doc_id, frame_idx, w, h,
+                 CAST(3 * (w * h * b + h * (w * (w - 1) // 2)
+                           + w * (h * (h - 1) // 2)) AS BIGINT) AS px_sum
+          FROM fr)
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, px_sum,
+           CAST(coalesce(px_sum - lag(px_sum) OVER (
+                 PARTITION BY doc_id ORDER BY frame_idx), 0) AS BIGINT)
+             AS motion_delta
+    FROM s
+    """,
+)
+def mm_video_frame_sample(spark, sf_dir):
+    """Video frame sampling — the temporal half of multimodal ingest: a
+    synthetic {_VID_FRAMES}-frame "video" per probe doc (each frame a
+    REAL P6 PPM whose base brightness advances 5 levels per frame),
+    sampled at stride {_VID_STRIDE} (the every-k-th-frame policy a
+    vision-language pipeline uses before embedding), with the per-frame
+    pixel mass and the motion proxy (pixel-mass delta between
+    consecutive SAMPLED frames — 0 on the first, the brightness ramp
+    afterwards, wrapping where the %60 base wraps, so the column is
+    genuinely two-signed).
+
+    Kernel: one Arrow-batched pandas_udf per doc decodes each sampled
+    frame through the netpbm parser and emits the frame array —
+    1:{_VID_FRAMES // _VID_STRIDE} fan-out; the oracle computes the
+    gradient image's closed-form mass per sampled frame and the same
+    lag."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from biggie_spark.multimodal import encode_ppm
+
+    @pandas_udf("array<struct<frame_idx bigint, px_sum bigint>>")
+    def frames_udf(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_id:
+            w, h = 16 + int(d) % 8, 8
+            frames = []
+            for f in range(0, _VID_FRAMES, _VID_STRIDE):
+                b = (int(d) * 7 + f * 5) % 60 + 10
+                payload = encode_ppm(w, h, (b, b, b))
+                pos, toks = 2, []
+                while len(toks) < 3:
+                    while payload[pos : pos + 1].isspace():
+                        pos += 1
+                    if payload[pos : pos + 1] == b"#":
+                        while payload[pos : pos + 1] not in (b"\n", b""):
+                            pos += 1
+                        continue
+                    start = pos
+                    while not payload[pos : pos + 1].isspace():
+                        pos += 1
+                    toks.append(int(payload[start:pos]))
+                pos += 1
+                ww, hh, _ = toks
+                px = np.frombuffer(
+                    payload, dtype=np.uint8, count=ww * hh * 3, offset=pos
+                ).astype(np.int64)
+                frames.append({"frame_idx": f, "px_sum": int(px.sum())})
+            out.append(frames)
+        return pd.Series(out)
+
+    probe = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 32)
+        .select("doc_id")
+    )
+    s = probe.select(
+        "doc_id", F.explode(frames_udf("doc_id")).alias("fr")
+    ).select("doc_id", "fr.frame_idx", "fr.px_sum")
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    return s.select(
+        "doc_id",
+        "frame_idx",
+        "px_sum",
+        F.coalesce(
+            F.col("px_sum") - F.lag("px_sum").over(w), F.lit(0)
+        ).alias("motion_delta"),
+    )

@@ -246,7 +246,23 @@ ROUND10_HOLDBACK: frozenset[str] = frozenset(
 # than the window has spare slots (50 - 33 released = 17), the overflow
 # goes here so it cannot displace the released tier or earlier unscored
 # registrations.  A registry test asserts the 50-slot fit.
-ROUND11_HOLDBACK: frozenset[str] = frozenset()
+ROUND11_HOLDBACK: frozenset[str] = frozenset(
+    {
+        "agg_orphan_audit",
+        "agg_expectations_audit",
+        "stream_expectations_static",
+        "agg_t_closeness",
+        "fn_rle_runs_layout",
+        "ts_traffic_heatmap",
+        "fn_geohash",
+        "fn_feistel_permute",
+        "llm_semantic_cache_hits",
+        "sql_window_exclude",
+        "mm_image_otsu_threshold",
+        "mm_audio_envelope_peaks",
+        "mm_video_frame_sample",
+    }
+)
 
 
 def ordered_queries() -> dict[str, QueryFn]:

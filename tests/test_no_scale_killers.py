@@ -139,6 +139,14 @@ ALLOWED_BNLJ = {
     # crossJoined onto the (lang x vocab) profile frame
     "llm_epoch_interleave",  # 3-row literal epoch grid (spark.range
     # LocalRelation) broadcast-crossed onto one corpus scan
+    # round-11 holdback additions — audited 2026-08-15:
+    "agg_t_closeness",  # 5-bucket global-distribution frame crossed onto
+    # the per-source count frame (both bounded aggregates), plus the
+    # 1-row corpus-total scalar
+    "llm_semantic_cache_hits",  # 1-row max-key scalar frame crossed onto
+    # the embedding scan (the warm/query split point)
+    "ts_traffic_heatmap",  # 1-row traffic-total scalar frame crossed
+    # onto the bounded 168-cell heatmap grid
 }
 
 

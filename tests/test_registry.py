@@ -211,3 +211,8 @@ def test_vacuity_audit_covers_every_holdback_op():
     text10 = (tools / "vacuity_r10.md").read_text()
     missing = [n for n in sorted(ROUND10_HOLDBACK) if n not in text10]
     assert not missing, f"holdback ops missing from vacuity_r10.md: {missing}"
+    from biggie_spark.registry import ROUND11_HOLDBACK
+
+    text11 = (tools / "vacuity_r11.md").read_text()
+    missing = [n for n in sorted(ROUND11_HOLDBACK) if n not in text11]
+    assert not missing, f"holdback ops missing from vacuity_r11.md: {missing}"

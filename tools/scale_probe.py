@@ -249,6 +249,26 @@ ROUND10B = {
     "q_simpson": "agg_simpson_diversity",
 }
 
+# Round-11 holdback tranche (ops/round11.py, built during round 10):
+# data quality, privacy, layout, serving, SQL surface, multimodal.
+# Natural sf0.01 -> sf0.1 step.  Expected: scan-bound audits ~linear;
+# grid/profile ops flat; codec probes flat.
+ROUND11 = {
+    "q_orphan_audit": "agg_orphan_audit",
+    "q_expectations": "agg_expectations_audit",
+    "q_stream_expectations": "stream_expectations_static",
+    "q_t_closeness": "agg_t_closeness",
+    "q_rle_runs": "fn_rle_runs_layout",
+    "q_heatmap": "ts_traffic_heatmap",
+    "q_geohash": "fn_geohash",
+    "q_feistel": "fn_feistel_permute",
+    "q_semantic_cache": "llm_semantic_cache_hits",
+    "q_window_exclude": "sql_window_exclude",
+    "q_otsu": "mm_image_otsu_threshold",
+    "q_envelope_peaks": "mm_audio_envelope_peaks",
+    "q_video_frames": "mm_video_frame_sample",
+}
+
 # Round-10 holdback tranche (ops/round10.py, built during round 9):
 # lakehouse layout, eval statistics, session analytics, SQL surface.
 # Natural sf0.01 -> sf0.1 step.  Expected: grid/stat ops ~flat;
@@ -970,6 +990,15 @@ def main() -> None:
         print("\n| round-9b op | sf0.01 | sf0.1 (10x rows) | ratio (ideal <= 10) |")
         print("|---|---|---|---|")
         for q in ROUND9B:
+            r = nat[q] / small[q]
+            print(f"| {q} | {small[q]:.3f}s | {nat[q]:.3f}s | {r:.1f}x |")
+        return
+    if "--round11-only" in sys.argv:
+        small = time_queries(spark, SRC_SMALL, ROUND11)
+        nat = time_queries(spark, SRC, ROUND11)
+        print("\n| round-11 op | sf0.01 | sf0.1 (10x rows) | ratio (ideal <= 10) |")
+        print("|---|---|---|---|")
+        for q in ROUND11:
             r = nat[q] / small[q]
             print(f"| {q} | {small[q]:.3f}s | {nat[q]:.3f}s | {r:.1f}x |")
         return
