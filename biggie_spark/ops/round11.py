@@ -1021,3 +1021,361 @@ def mm_video_frame_sample(spark, sf_dir):
             F.col("px_sum") - F.lag("px_sum").over(w), F.lit(0)
         ).alias("motion_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave D: attribution, SQL surface, graph structure, ingestion robustness
+
+@register(
+    "llm_source_influence_loo",
+    oracle="""
+    WITH s AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS ss,
+                      CAST(count(*) AS BIGINT) AS ns
+               FROM documents GROUP BY source),
+    g AS (SELECT CAST(sum(ss) AS BIGINT) AS st,
+                 CAST(sum(ns) AS BIGINT) AS nt FROM s)
+    SELECT source, ns AS n_docs,
+           CAST(ss * 10000 // ns AS BIGINT) AS source_mean_e4,
+           CAST(((st - ss) * 10000 // (nt - ns))
+                - (st * 10000 // nt) AS BIGINT) AS loo_delta_e4
+    FROM s, g
+    """,
+)
+def llm_source_influence_loo(spark, sf_dir):
+    """Leave-one-out source influence — the data-attribution primitive at
+    group granularity (sql_window_exclude's leave-one-out idea lifted
+    from rows to SOURCES): for each source, how the corpus-mean document
+    length (e4) moves when that source is removed.  The sign and
+    magnitude rank which sources drag a curation statistic — the cheap
+    first pass before any gradient-based influence method, and exactly
+    how mixture rebalancing decisions get sanity-checked.
+
+    Integer-exact: both means are floor divisions of exact BIGINT sums
+    (identical truncation on both engines), so the delta is reproducible
+    bit-for-bit.  Shape: one groupBy(source) + a 1-row corpus total
+    broadcast — the LOO aggregate is pure arithmetic on the group frame,
+    NOT a per-source re-scan (the naive formulation is 20 corpus
+    passes; this is one)."""
+    s = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum("n_chars").alias("ss"), F.count("*").alias("ns"))
+    )
+    g = s.agg(F.sum("ss").alias("st"), F.sum("ns").alias("nt"))
+    return s.crossJoin(F.broadcast(g)).select(
+        "source",
+        F.col("ns").alias("n_docs"),
+        F.expr("ss * 10000 div ns").alias("source_mean_e4"),
+        F.expr(
+            "((st - ss) * 10000 div (nt - ns)) - (st * 10000 div nt)"
+        ).alias("loo_delta_e4"),
+    )
+
+
+@register(
+    "sql_groupby_all",
+    oracle="""
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc
+    FROM documents GROUP BY ALL
+    """,
+)
+def sql_groupby_all(spark, sf_dir):
+    """GROUP BY ALL parity — the modern SQL surface both engines now
+    ship (Spark 3.4+/DuckDB): every non-aggregate select item becomes a
+    grouping key, eliminating the classic copy-paste drift between the
+    SELECT list and the GROUP BY clause.  The op runs the LITERAL
+    `GROUP BY ALL` text through spark.sql (not a DataFrame rewrite), so
+    the hash-compare pins that both engines resolve the same implied key
+    set (lang, source) — the failure mode being an engine silently
+    grouping by a different subset."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_gba"
+    )
+    return spark.sql(
+        """
+        SELECT lang, source,
+               count(*) AS n_docs,
+               sum(n_chars) AS sum_chars,
+               min(doc_id) AS min_doc
+        FROM documents_gba GROUP BY ALL
+        """
+    )
+
+
+@register(
+    "sql_variant_extract",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_sum
+    FROM events GROUP BY k_mod
+    """,
+)
+def sql_variant_extract(spark, sf_dir):
+    """VARIANT-type extraction parity — Spark 4's semi-structured
+    lakehouse path: parse_json() into a VARIANT value and
+    variant_get(..., '$.k', 'bigint') typed extraction, hash-pinned
+    against DuckDB's native JSON extraction over the same payloads.
+    This is the modern replacement for string-typed get_json_object
+    pipelines (VARIANT keeps a binary-encoded tree, so repeated
+    extraction doesn't re-parse), and the parity proof is that the typed
+    values — not just the strings — agree.
+
+    Shape: pure projection + one bounded groupBy; the parse is
+    JVM-side (no Python in the loop)."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr(
+            "variant_get(parse_json(props), '$.k', 'bigint')"
+        ).alias("k")
+    )
+    return e.groupBy((F.col("k") % 10).alias("k_mod")).agg(
+        F.count("*").alias("n"), F.sum("k").alias("k_sum")
+    )
+
+
+@register(
+    "graph_clustering_coeff",
+    oracle="""
+    WITH e AS (SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+          FROM lineitem li
+          JOIN orders o ON li.l_orderkey = o.o_orderkey
+          JOIN supplier s ON li.l_suppkey = s.s_suppkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE s.s_nationkey <> c.c_nationkey
+            AND (s.s_nationkey * s.s_nationkey + 31 * c.c_nationkey)
+                % 7 < 3),
+    sym AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+    tri AS (SELECT a.u, CAST(count(*) AS BIGINT) AS t
+            FROM sym a
+            JOIN sym b ON b.u = a.v
+            JOIN sym c ON c.u = a.u AND c.v = b.v
+            GROUP BY a.u)
+    SELECT deg.u AS node, deg.d AS degree,
+           CAST(coalesce(tri.t, 0) AS BIGINT) AS wedge_closures,
+           CAST(coalesce(tri.t, 0) * 1000000 // (deg.d * (deg.d - 1))
+             AS BIGINT) AS clustering_e6
+    FROM deg LEFT JOIN tri ON tri.u = deg.u
+    WHERE deg.d >= 2
+    """,
+)
+def graph_clustering_coeff(spark, sf_dir):
+    """Local clustering coefficient over the masked trade graph — the
+    per-node community-density signal that complements graph_triangles
+    (a count) and graph_hits_iter (a centrality): closed wedges /
+    possible wedges = 2*triangles / (d*(d-1)), kept as the integer e6 of
+    wedge_closures / (d*(d-1)) where wedge_closures counts ordered
+    closed wedges (2x triangles) — so no division by 2 ever happens and
+    the arithmetic stays exact.  Spread at sf0.01: 0.16..0.60 across 25
+    nodes (validated before registration).
+
+    Shape: degree = one groupBy over the edge frame; closures = the
+    standard two-hop self-join CONFINED to the bounded symmetric edge
+    frame (the same triangle-join shape graph_triangles already ships at
+    document scale); one left join back to degrees."""
+    from biggie_spark.util import lineage_cap
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .filter(F.expr("(src * src + 31 * dst) % 7 < 3"))
+        .distinct()
+        .transform(lineage_cap)
+    )
+    sym = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionByName(
+            edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+        )
+        .distinct()
+        .transform(lineage_cap)
+    )
+    deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    tri = (
+        sym.alias("a")
+        .join(
+            sym.select(F.col("u").alias("v"), F.col("v").alias("w")).alias("b"),
+            "v",
+        )
+        .join(
+            sym.select(F.col("u").alias("u2"), F.col("v").alias("w")).alias(
+                "c"
+            ),
+            (F.col("a.u") == F.col("u2")) & (F.col("b.w") == F.col("c.w")),
+        )
+        .groupBy("a.u")
+        .agg(F.count("*").alias("t"))
+    )
+    return (
+        deg.join(tri, "u", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            F.col("u").alias("node"),
+            F.col("d").alias("degree"),
+            F.coalesce("t", F.lit(0)).alias("wedge_closures"),
+            F.expr(
+                "coalesce(t, 0) * 1000000 div (d * (d - 1))"
+            ).alias("clustering_e6"),
+        )
+    )
+
+
+@register(
+    "src_scan_csv_malformed",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_malformed,
+           CAST(sum(CASE WHEN doc_id % 9 = 0 THEN 0 ELSE n_chars END)
+             AS BIGINT) AS clean_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def src_scan_csv_malformed(spark, sf_dir):
+    """Malformed-record accounting on the CSV read path — the ingestion
+    robustness contract: a feed where every 9th record is truncated
+    (missing its trailing column) must read under PERMISSIVE mode with
+    the missing field NULL and every other record intact — never a job
+    failure, never a silently dropped row.  The op writes the feed
+    (text lines, one malformed per doc_id % 9 == 0), reads it back with
+    an explicit schema, RAISES unless the total row count survives, and
+    reports per-language row counts, malformed counts (NULL-field rows),
+    and the char mass of clean rows — all value-pinned against the
+    closed-form malformation rule.
+
+    Shape: the read is a plain schema-first CSV scan; accounting is one
+    groupBy(lang)."""
+    import shutil
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    lines = d.select(
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat_ws(",", F.col("doc_id"), F.col("lang")),
+        )
+        .otherwise(
+            F.concat_ws(",", F.col("doc_id"), F.col("lang"), F.col("n_chars"))
+        )
+        .alias("value")
+    )
+    root = tempfile.mkdtemp(prefix="biggie_csv_malformed_")
+    try:
+        lines.write.mode("overwrite").text(root)
+        feed = spark.read.csv(
+            root,
+            schema="doc_id long, lang string, n_chars long",
+            mode="PERMISSIVE",
+        )
+        n_in, n_out = d.count(), feed.count()
+        if n_in != n_out:
+            raise RuntimeError(
+                f"PERMISSIVE csv read dropped rows: wrote {n_in}, read "
+                f"{n_out} — the malformed-record contract regressed"
+            )
+        return (
+            feed.groupBy("lang")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.col("n_chars").isNull().cast("long")).alias(
+                    "n_malformed"
+                ),
+                F.sum(F.coalesce("n_chars", F.lit(0))).alias("clean_chars"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# Feature-hashing bucket grid: 16/32/64/256 buckets over the 31-token
+# vocabulary — collision mass 20.6% -> 3.6% across the grid at sf0.01.
+_FH_BUCKETS = (16, 32, 64, 256)
+
+
+@register(
+    "llm_feature_hash_collisions",
+    oracle=f"""
+    WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS tok
+               FROM documents),
+    f AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY tok),
+    g AS (SELECT unnest([{",".join(map(str, _FH_BUCKETS))}]) AS n_buckets),
+    h AS (SELECT n_buckets,
+                 CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+                   % n_buckets AS b,
+                 tok, c
+          FROM f, g),
+    w AS (SELECT *, count(*) OVER (PARTITION BY n_buckets, b) AS cnt
+          FROM h),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS mass FROM f)
+    SELECT n_buckets,
+           CAST(count(DISTINCT b) AS BIGINT) AS buckets_used,
+           CAST(count(*) FILTER (cnt > 1) AS BIGINT) AS collided_tokens,
+           CAST(coalesce(sum(c) FILTER (cnt > 1), 0) * 1000000
+                // (SELECT mass FROM tot) AS BIGINT) AS collided_mass_e6
+    FROM w GROUP BY n_buckets
+    """,
+)
+def llm_feature_hash_collisions(spark, sf_dir):
+    """Feature-hashing collision audit — the table that sizes a hashed
+    embedding/count-vector layer (the hashing trick): for each candidate
+    bucket count, how many buckets the vocabulary actually occupies, how
+    many tokens share a bucket with another token, and the corpus token
+    MASS sitting in collided buckets (e6) — the quantity that actually
+    degrades a hashed model, since colliding two rare tokens is free and
+    colliding two frequent ones is not.
+
+    Shape: the vocabulary frame (bounded) crossed with the
+    {len(_FH_BUCKETS)}-point bucket grid; collision structure via one
+    count-over-partition window on that tiny frame; corpus size enters
+    only through the first token aggregate."""
+    from biggie_spark.ops.round10b import _token_freq
+
+    _, f = _token_freq(spark, sf_dir)
+    grid = spark.range(len(_FH_BUCKETS)).select(
+        F.element_at(
+            F.array(*[F.lit(b) for b in _FH_BUCKETS]),
+            (F.col("id") + 1).cast("int"),
+        ).alias("n_buckets")
+    )
+    h = f.crossJoin(F.broadcast(grid)).select(
+        "n_buckets",
+        "tok",
+        "c",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+            % F.col("n_buckets")
+        ).alias("b"),
+    )
+    w = h.withColumn(
+        "cnt", F.count("*").over(Window.partitionBy("n_buckets", "b"))
+    )
+    tot = f.agg(F.sum("c").alias("mass"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .groupBy("n_buckets")
+        .agg(
+            F.countDistinct("b").alias("buckets_used"),
+            F.sum((F.col("cnt") > 1).cast("long")).alias("collided_tokens"),
+            F.expr(
+                "coalesce(sum(case when cnt > 1 then c end), 0) * 1000000"
+                " div max(mass)"
+            ).alias("collided_mass_e6"),
+        )
+    )

@@ -261,6 +261,12 @@ ROUND11_HOLDBACK: frozenset[str] = frozenset(
         "mm_image_otsu_threshold",
         "mm_audio_envelope_peaks",
         "mm_video_frame_sample",
+        "llm_source_influence_loo",
+        "sql_groupby_all",
+        "sql_variant_extract",
+        "graph_clustering_coeff",
+        "src_scan_csv_malformed",
+        "llm_feature_hash_collisions",
     }
 )
 

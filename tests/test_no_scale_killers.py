@@ -147,6 +147,10 @@ ALLOWED_BNLJ = {
     # the embedding scan (the warm/query split point)
     "ts_traffic_heatmap",  # 1-row traffic-total scalar frame crossed
     # onto the bounded 168-cell heatmap grid
+    "llm_source_influence_loo",  # 1-row corpus-total scalar frame crossed
+    # onto the per-source group frame (the one-pass LOO identity)
+    "llm_feature_hash_collisions",  # 4-point literal bucket grid crossed
+    # onto the vocab-bounded frequency frame + 1-row mass scalar
 }
 
 

@@ -267,6 +267,12 @@ ROUND11 = {
     "q_otsu": "mm_image_otsu_threshold",
     "q_envelope_peaks": "mm_audio_envelope_peaks",
     "q_video_frames": "mm_video_frame_sample",
+    "q_source_loo": "llm_source_influence_loo",
+    "q_groupby_all": "sql_groupby_all",
+    "q_variant": "sql_variant_extract",
+    "q_clustering": "graph_clustering_coeff",
+    "q_csv_malformed": "src_scan_csv_malformed",
+    "q_feature_hash": "llm_feature_hash_collisions",
 }
 
 # Round-10 holdback tranche (ops/round10.py, built during round 9):
