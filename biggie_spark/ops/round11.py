@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from biggie_spark.io import load_table
 from biggie_spark.registry import register
+from biggie_spark.util import tokens
 
 # ---------------------------------------------------------------------------
 # data quality tier
@@ -1378,4 +1379,417 @@ def llm_feature_hash_collisions(spark, sf_dir):
                 " div max(mass)"
             ).alias("collided_mass_e6"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave E: paired stats, robust means, mixture sweeps, quotas, regex, coupon
+
+@register(
+    "agg_wilcoxon_signed",
+    oracle="""
+    WITH d AS (SELECT source,
+                      n_chars - 5 * len(string_split(lower(text), ' '))
+                        AS d
+               FROM documents),
+    nz AS (SELECT source, d, abs(d) AS absd FROM d WHERE d <> 0),
+    hist AS (SELECT source, absd,
+                    CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS c_pos,
+                    CAST(sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS c_neg
+             FROM nz GROUP BY source, absd),
+    cum AS (SELECT source, absd, c_pos, c_neg,
+                   CAST(coalesce(sum(c_pos + c_neg) OVER (
+                     PARTITION BY source ORDER BY absd
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS n_less
+            FROM hist),
+    r AS (SELECT source, c_pos, c_neg,
+                 2 * n_less + (c_pos + c_neg) + 1 AS r2
+          FROM cum),
+    z AS (SELECT source, CAST(count(*) AS BIGINT) AS n_zero
+          FROM d WHERE d = 0 GROUP BY source)
+    SELECT r.source,
+           CAST(sum(c_pos) AS BIGINT) AS n_pos,
+           CAST(sum(c_neg) AS BIGINT) AS n_neg,
+           CAST(coalesce(min(z.n_zero), 0) AS BIGINT) AS n_zero,
+           CAST(sum(c_pos * r2) AS BIGINT) AS w_plus_x2,
+           CAST(sum(c_neg * r2) AS BIGINT) AS w_minus_x2
+    FROM r LEFT JOIN z ON z.source = r.source
+    GROUP BY r.source
+    """,
+)
+def agg_wilcoxon_signed(spark, sf_dir):
+    """Wilcoxon signed-rank statistic per source — the PAIRED sibling of
+    agg_mann_whitney: each document contributes the signed difference
+    between its char count and the 5-chars-per-token model (the "is the
+    mean word length 4" test, paired within-document), and the statistic
+    is the rank-sum of positive differences.  Emitted as DOUBLED rank
+    sums (w_plus_x2 / w_minus_x2) because tied |d| groups take the
+    average rank (a+b)/2 — doubling keeps every value an exact integer
+    (the repo's factor-scaling convention, same trick as the x2 tie
+    handling in agg_mann_whitney).
+
+    The rank computation is histogram-decomposed: group by |d| (a
+    bounded value grid), one cumulative window over that tiny frame —
+    never a corpus-wide sort of raw rows.  Identity check: w_plus_x2 +
+    w_minus_x2 == m*(m+1) where m = n_pos + n_neg."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        (
+            F.col("n_chars") - 5 * F.size(tokens(F.col("text")))
+        ).alias("d"),
+    )
+    nz = d.filter(F.col("d") != 0).select(
+        "source", "d", F.abs("d").alias("absd")
+    )
+    hist = nz.groupBy("source", "absd").agg(
+        F.sum((F.col("d") > 0).cast("long")).alias("c_pos"),
+        F.sum((F.col("d") < 0).cast("long")).alias("c_neg"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("absd")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = hist.select(
+        "source",
+        "c_pos",
+        "c_neg",
+        (
+            2 * F.coalesce(F.sum(F.col("c_pos") + F.col("c_neg")).over(w), F.lit(0))
+            + F.col("c_pos")
+            + F.col("c_neg")
+            + 1
+        ).alias("r2"),
+    )
+    z = (
+        d.filter(F.col("d") == 0)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_zero"))
+    )
+    return (
+        r.groupBy("source")
+        .agg(
+            F.sum("c_pos").alias("n_pos"),
+            F.sum("c_neg").alias("n_neg"),
+            F.sum(F.col("c_pos") * F.col("r2")).alias("w_plus_x2"),
+            F.sum(F.col("c_neg") * F.col("r2")).alias("w_minus_x2"),
+        )
+        .join(z, "source", "left")
+        .select(
+            "source",
+            "n_pos",
+            "n_neg",
+            F.coalesce("n_zero", F.lit(0)).alias("n_zero"),
+            "w_plus_x2",
+            "w_minus_x2",
+        )
+    )
+
+
+@register(
+    "agg_median_of_means",
+    oracle="""
+    WITH b AS (SELECT event_type,
+                      CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                           1, 2)) AS BIGINT) % 8 AS bk,
+                      CAST(round(value * 100, 0) AS BIGINT) AS cents
+               FROM events),
+    m AS (SELECT event_type, bk,
+                 CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents
+          FROM b GROUP BY event_type, bk),
+    r AS (SELECT event_type, mean_cents,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY mean_cents, bk) AS rn
+          FROM m),
+    g AS (SELECT event_type,
+                 CAST(sum(cents) // count(*) AS BIGINT) AS plain_mean_cents
+          FROM b GROUP BY event_type)
+    SELECT r.event_type,
+           CAST(r.mean_cents AS BIGINT) AS mom_cents,
+           g.plain_mean_cents,
+           CAST(r.mean_cents - g.plain_mean_cents AS BIGINT) AS delta_cents
+    FROM r JOIN g ON g.event_type = r.event_type
+    WHERE r.rn = 4
+    """,
+)
+def agg_median_of_means(spark, sf_dir):
+    """Median-of-means robust estimator per event type — the standard
+    heavy-tail-safe mean (bucket the sample into k=8 deterministic
+    hash buckets, average each, take the median of the 8 averages): the
+    estimator concentrates even when the plain mean is dragged by
+    outliers, and the delta column IS the measured drag.  Lower median
+    (4th of 8, ties to the lower bucket id) so the choice is exact and
+    deterministic on both engines; bucket means are integer cents
+    divisions of exact sums.
+
+    Shape: one groupBy((type, bucket)) — 40 cells — then a rank over
+    that bounded frame; the plain mean rides the same pass shape."""
+    b = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 2), 16, 10)
+            .cast("long")
+            % 8
+        ).alias("bk"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    m = b.groupBy("event_type", "bk").agg(
+        F.expr("sum(cents) div count(*)").alias("mean_cents")
+    )
+    r = m.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("mean_cents", "bk")
+        ),
+    ).filter(F.col("rn") == 4)
+    g = b.groupBy("event_type").agg(
+        F.expr("sum(cents) div count(*)").alias("plain_mean_cents")
+    )
+    return r.join(g, "event_type").select(
+        "event_type",
+        F.col("mean_cents").alias("mom_cents"),
+        "plain_mean_cents",
+        (F.col("mean_cents") - F.col("plain_mean_cents")).alias(
+            "delta_cents"
+        ),
+    )
+
+
+_MIX_TAUS = (1, 2, 3)
+
+
+@register(
+    "llm_mix_power_sweep",
+    oracle=f"""
+    WITH s AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS c
+               FROM documents GROUP BY source),
+    m AS (SELECT source,
+                 CAST(c * 1000 // (SELECT sum(c) FROM s) AS BIGINT) AS pm
+          FROM s),
+    g AS (SELECT unnest([{",".join(map(str, _MIX_TAUS))}]) AS tau),
+    p AS (SELECT tau, source,
+                 CAST(CASE tau WHEN 1 THEN pm
+                               WHEN 2 THEN pm * pm
+                               ELSE pm * pm * pm END AS BIGINT) AS pw
+          FROM m, g),
+    t AS (SELECT tau, CAST(sum(pw) AS BIGINT) AS tot FROM p GROUP BY tau)
+    SELECT p.tau, p.source,
+           CAST(p.pw * 1000000 // t.tot AS BIGINT) AS weight_e6
+    FROM p JOIN t ON t.tau = p.tau
+    """,
+)
+def llm_mix_power_sweep(spark, sf_dir):
+    """Mixture-weight power sweep — the sampling-temperature table a
+    multilingual/multi-source training mix is tuned with (the
+    p^(1/T)-renormalization family, here at integer powers tau=1,2,3 so
+    everything stays exact): per (tau, source) the normalized sampling
+    weight e6.  tau=1 is natural proportions; higher tau SHARPENS toward
+    the head (measured: the source-weight range widens 42338..57459 ->
+    29750..74364 from tau 1 to 3 at sf0.01) — the same table at
+    fractional 1/T needs floats, and the integer-power grid brackets the
+    decision the same way.
+
+    Per-mille masses (c*1000 div total) are computed BEFORE powering so
+    the cubed values stay far inside int64 regardless of corpus size.
+    Shape: one groupBy(source), a 3-point literal grid, and a per-tau
+    total join — all on the bounded source frame."""
+    s = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum("n_chars").alias("c"))
+    )
+    tot = s.agg(F.sum("c").alias("tc"))
+    m = s.crossJoin(F.broadcast(tot)).select(
+        "source", F.expr("c * 1000 div tc").alias("pm")
+    )
+    grid = spark.range(len(_MIX_TAUS)).select(
+        F.element_at(
+            F.array(*[F.lit(t) for t in _MIX_TAUS]), (F.col("id") + 1).cast("int")
+        ).alias("tau")
+    )
+    p = m.crossJoin(F.broadcast(grid)).select(
+        "tau",
+        "source",
+        F.expr(
+            "cast(case tau when 1 then pm when 2 then pm * pm"
+            " else pm * pm * pm end as bigint)"
+        ).alias("pw"),
+    )
+    t = p.groupBy("tau").agg(F.sum("pw").alias("tot"))
+    return (
+        p.join(F.broadcast(t), "tau")
+        .select(
+            "tau", "source", F.expr("pw * 1000000 div tot").alias("weight_e6")
+        )
+    )
+
+
+# Length-bucket token-mass targets (pct of total tokens); bucket 0 (short
+# docs) is deliberately under-supplied on this corpus so the repeat cap
+# branch is live (7.4x uncapped -> 3000 capped), while buckets 1-3 stay
+# under the cap.
+_QUOTA_PCT = (10, 20, 30, 40)
+_QUOTA_CAP_E3 = 3000
+
+
+@register(
+    "llm_context_length_quota",
+    oracle=f"""
+    WITH t AS (SELECT least(3, len(string_split(lower(text), ' ')) // 16)
+                 AS bucket,
+                      CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                 AS n_tok
+               FROM documents),
+    b AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_tok) AS BIGINT) AS toks
+          FROM t GROUP BY bucket),
+    g AS (SELECT CAST(sum(toks) AS BIGINT) AS tot FROM b),
+    tgt AS (SELECT * FROM (VALUES {", ".join(f"({i}, {p})" for i, p in enumerate(_QUOTA_PCT))})
+              v(bucket, pct))
+    SELECT b.bucket, b.n_docs, b.toks,
+           CAST(b.toks * 10000 // g.tot AS BIGINT) AS actual_share_e4,
+           CAST(least({_QUOTA_CAP_E3},
+                      g.tot * tgt.pct * 10 // (100 * b.toks) * 10)
+             AS BIGINT) AS repeat_e3
+    FROM b JOIN tgt ON tgt.bucket = b.bucket, g
+    """,
+)
+def llm_context_length_quota(spark, sf_dir):
+    """Context-length quota planning — the long-document upsampling table
+    (long-context training needs a length mix the natural corpus doesn't
+    have): per length bucket, the actual token share vs the target mix
+    ({"/".join(str(p) + "%" for p in _QUOTA_PCT)} across buckets 0-3) and
+    the repeat factor e3 that would meet the target, capped at
+    {_QUOTA_CAP_E3 / 1000:.0f}x (the data-constrained repetition ceiling
+    the epoch scheduler also uses).  On this corpus the short bucket is
+    under target (cap branch live) and the long bucket is over (repeat
+    < 1x) — the table says "repeat shorts 3x, downsample longs", which
+    is the decision the op exists to make.
+
+    Shape: one corpus scan onto the 4-bucket frame; the target grid is a
+    literal VALUES dimension."""
+    t = load_table(spark, sf_dir, "documents").select(
+        F.expr(
+            "least(3, size(split(lower(text), ' ')) div 16)"
+        ).alias("bucket"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    b = t.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("toks")
+    )
+    g = b.agg(F.sum("toks").alias("tot"))
+    tgt = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(_QUOTA_PCT)], "bucket int, pct int"
+    )
+    return (
+        b.join(F.broadcast(tgt), "bucket")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "bucket",
+            "n_docs",
+            "toks",
+            F.expr("toks * 10000 div tot").alias("actual_share_e4"),
+            F.expr(
+                f"least({_QUOTA_CAP_E3},"
+                " tot * pct * 10 div (100 * toks) * 10)"
+            ).alias("repeat_e3"),
+        )
+    )
+
+
+@register(
+    "sql_regexp_extract_all",
+    oracle="""
+    SELECT lang,
+           CAST(sum(len(regexp_extract_all(text, '[a-z]*a[a-z]*')))
+             AS BIGINT) AS n_matches,
+           CAST(sum(CASE WHEN len(regexp_extract_all(text,
+                 '[a-z]*a[a-z]*')) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_match,
+           CAST(sum(len(list_distinct(regexp_extract_all(text,
+                 '[a-z]*a[a-z]*')))) AS BIGINT) AS distinct_matches
+    FROM documents GROUP BY lang
+    """,
+)
+def sql_regexp_extract_all(spark, sf_dir):
+    """regexp_extract_all parity — the multi-match regex surface (all
+    non-overlapping leftmost matches of a pattern, here every token
+    containing an 'a'): per language the total match count, documents
+    with at least one match, and the per-document distinct-match mass.
+    Both engines implement leftmost-longest non-overlapping semantics
+    for this pattern class; the hash-compare pins that the match SETS,
+    not just counts, agree (distinct_matches would diverge first).
+
+    Shape: pure projection (the regex runs JVM-side in whole-stage
+    codegen) + one groupBy(lang)."""
+    m = F.expr("regexp_extract_all(text, '[a-z]*a[a-z]*', 0)")
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", m.alias("ms"))
+        .groupBy("lang")
+        .agg(
+            F.sum(F.size("ms")).alias("n_matches"),
+            F.sum((F.size("ms") > 0).cast("long")).alias("docs_with_match"),
+            F.sum(F.size(F.array_distinct("ms"))).alias("distinct_matches"),
+        )
+    )
+
+
+@register(
+    "ts_coupon_collector",
+    oracle="""
+    WITH r AS (SELECT user_id, event_type,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS rn
+               FROM events),
+    f AS (SELECT user_id, event_type, CAST(min(rn) AS BIGINT) AS frn
+          FROM r GROUP BY user_id, event_type),
+    u AS (SELECT user_id, count(*) AS ntypes,
+                 CAST(max(frn) AS BIGINT) AS done_at
+          FROM f GROUP BY user_id),
+    c AS (SELECT least(7, (done_at - 5) // 5) AS bucket, done_at
+          FROM u WHERE ntypes = 5)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(min(done_at) AS BIGINT) AS min_done,
+           CAST(max(done_at) AS BIGINT) AS max_done,
+           CAST(sum(done_at) AS BIGINT) AS sum_done
+    FROM c GROUP BY bucket
+    """,
+)
+def ts_coupon_collector(spark, sf_dir):
+    """Coupon-collector time per user — how many events it takes a user
+    to have exhibited ALL five event types (the engagement-breadth
+    milestone a lifecycle model keys on): first-seen rank per (user,
+    type) via one per-user ordered rank, done_at = the rank at which the
+    last new type appears, bucketed into a bounded histogram (5-wide
+    buckets above the theoretical minimum of 5).  Every user on this
+    corpus completes the set (measured), with completion times 5..41 —
+    the distribution IS the output.
+
+    Shape: one window rank partitioned by user (parallel across users),
+    two shrinking aggregates — the per-user frame is tiny and the
+    histogram is bounded by the bucket cap."""
+    r = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+    )
+    f = r.groupBy("user_id", "event_type").agg(F.min("rn").alias("frn"))
+    u = f.groupBy("user_id").agg(
+        F.count("*").alias("ntypes"), F.max("frn").cast("long").alias("done_at")
+    )
+    c = u.filter(F.col("ntypes") == 5).select(
+        F.expr("least(7, (done_at - 5) div 5)").alias("bucket"), "done_at"
+    )
+    return c.groupBy("bucket").agg(
+        F.count("*").alias("n_users"),
+        F.min("done_at").alias("min_done"),
+        F.max("done_at").alias("max_done"),
+        F.sum("done_at").alias("sum_done"),
     )

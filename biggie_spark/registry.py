@@ -267,6 +267,12 @@ ROUND11_HOLDBACK: frozenset[str] = frozenset(
         "graph_clustering_coeff",
         "src_scan_csv_malformed",
         "llm_feature_hash_collisions",
+        "agg_wilcoxon_signed",
+        "agg_median_of_means",
+        "llm_mix_power_sweep",
+        "llm_context_length_quota",
+        "sql_regexp_extract_all",
+        "ts_coupon_collector",
     }
 )
 

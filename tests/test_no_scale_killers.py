@@ -151,6 +151,10 @@ ALLOWED_BNLJ = {
     # onto the per-source group frame (the one-pass LOO identity)
     "llm_feature_hash_collisions",  # 4-point literal bucket grid crossed
     # onto the vocab-bounded frequency frame + 1-row mass scalar
+    "llm_mix_power_sweep",  # 1-row mass total + 3-point literal tau grid
+    # crossed onto the bounded source frame
+    "llm_context_length_quota",  # 1-row token total crossed onto the
+    # 4-bucket quota frame (with the literal target VALUES dimension)
 }
 
 

@@ -273,6 +273,12 @@ ROUND11 = {
     "q_clustering": "graph_clustering_coeff",
     "q_csv_malformed": "src_scan_csv_malformed",
     "q_feature_hash": "llm_feature_hash_collisions",
+    "q_wilcoxon": "agg_wilcoxon_signed",
+    "q_mom": "agg_median_of_means",
+    "q_power_sweep": "llm_mix_power_sweep",
+    "q_length_quota": "llm_context_length_quota",
+    "q_regex_all": "sql_regexp_extract_all",
+    "q_coupon": "ts_coupon_collector",
 }
 
 # Round-10 holdback tranche (ops/round10.py, built during round 9):
