@@ -1793,3 +1793,133 @@ def ts_coupon_collector(spark, sf_dir):
         F.max("done_at").alias("max_done"),
         F.sum("done_at").alias("sum_done"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave F: SFT template assembly, agreement stats, experiment guards
+
+# The three prompt templates an SFT-assembly pass renders (literal
+# overheads of 13 / 54 / 15 chars).
+_TPL = (
+    ("plain", "instruction: ", ""),
+    ("chatml", "system: you are a helpful assistant\nuser: ", "\nassistant:"),
+    ("special", "<|user|>", "<|end|>"),
+)
+
+
+@register(
+    "llm_prompt_template_render",
+    oracle=f"""
+    WITH tpl AS (SELECT * FROM (VALUES
+      {", ".join(f"('{n}', {len(p)}, {len(s)})" for n, p, s in _TPL)})
+      v(template_id, pre_len, suf_len)),
+    r AS (SELECT tpl.template_id, d.lang,
+                 CAST(d.n_chars + tpl.pre_len + tpl.suf_len AS BIGINT)
+                   AS rendered_chars,
+                 CAST(tpl.pre_len + tpl.suf_len AS BIGINT) AS overhead
+          FROM documents d, tpl)
+    SELECT template_id, lang,
+           CAST(count(*) AS BIGINT) AS n_rendered,
+           CAST(sum(rendered_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(overhead) * 10000 // sum(rendered_chars) AS BIGINT)
+             AS overhead_share_e4
+    FROM r GROUP BY template_id, lang
+    """,
+)
+def llm_prompt_template_render(spark, sf_dir):
+    """SFT prompt-template assembly accounting — the rendering pass that
+    turns raw documents into training prompts, and the first place a
+    context budget silently leaks: for each template (plain instruction
+    prefix, a chat-markup wrapper, a special-token wrapper) per
+    language, the rendered char mass and the template-overhead share e4
+    (the fraction of every training sequence spent on boilerplate — the
+    number that decides whether a verbose system prompt is worth 8% of
+    the token budget).  The Spark side RENDERS the actual strings
+    (concat) and measures them with length() — a renderer bug (lost
+    separator, doubled suffix) breaks the hash against the closed-form
+    oracle.
+
+    Shape: a 3-row literal template dimension crossed onto one corpus
+    scan; one groupBy((template, lang))."""
+    tpl = spark.createDataFrame(
+        [(n, p, s) for n, p, s in _TPL],
+        "template_id string, pre string, suf string",
+    )
+    d = load_table(spark, sf_dir, "documents").select("lang", "text")
+    r = d.crossJoin(F.broadcast(tpl)).select(
+        "template_id",
+        "lang",
+        F.length(
+            F.concat(F.col("pre"), F.col("text"), F.col("suf"))
+        )
+        .cast("long")
+        .alias("rendered_chars"),
+        (F.length("pre") + F.length("suf")).cast("long").alias("overhead"),
+    )
+    return r.groupBy("template_id", "lang").agg(
+        F.count("*").alias("n_rendered"),
+        F.sum("rendered_chars").alias("sum_chars"),
+        F.expr(
+            "sum(overhead) * 10000 div sum(rendered_chars)"
+        ).alias("overhead_share_e4"),
+    )
+
+
+@register(
+    "agg_srm_check",
+    oracle="""
+    WITH s AS (SELECT event_type,
+                      CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                           1, 2)) AS BIGINT) % 2 AS arm
+               FROM events),
+    g AS (SELECT event_type,
+                 CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+                 CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b
+          FROM s GROUP BY event_type)
+    SELECT event_type, n_a, n_b,
+           CAST((n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b)
+             AS BIGINT) AS chi2_e6,
+           CAST((n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b)
+                > 3841000 AS BIGINT) AS srm_flag
+    FROM g
+    """,
+)
+def agg_srm_check(spark, sf_dir):
+    """Sample-ratio-mismatch check — the guardrail every experimentation
+    platform runs before reading an A/B test: users hash 50/50 into two
+    arms, and per event type the one-degree-of-freedom chi-square
+    statistic (n_a - n_b)^2 / (n_a + n_b) (e6, exact integers — the
+    expected-count denominators cancel at a 50/50 split) is compared to
+    the 3.841 critical value (alpha = 0.05).  A flagged row means the
+    assignment itself is broken and the experiment unreadable.  On this
+    corpus the hash split is healthy in aggregate with per-type noise
+    straddling the threshold at small SFs — both flag branches live
+    (measured chi2_e6 495049..10875868 at the test SFs).
+
+    Shape: one scan with the arm hash fused, one groupBy(event_type)."""
+    s = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 2), 16, 10)
+            .cast("long")
+            % 2
+        ).alias("arm"),
+    )
+    g = s.groupBy("event_type").agg(
+        F.sum((F.col("arm") == 0).cast("long")).alias("n_a"),
+        F.sum((F.col("arm") == 1).cast("long")).alias("n_b"),
+    )
+    return g.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.expr(
+            "(n_a - n_b) * (n_a - n_b) * 1000000 div (n_a + n_b)"
+        ).alias("chi2_e6"),
+        F.expr(
+            "cast((n_a - n_b) * (n_a - n_b) * 1000000 div (n_a + n_b)"
+            " > 3841000 as bigint)"
+        ).alias("srm_flag"),
+    )

@@ -273,6 +273,8 @@ ROUND11_HOLDBACK: frozenset[str] = frozenset(
         "llm_context_length_quota",
         "sql_regexp_extract_all",
         "ts_coupon_collector",
+        "llm_prompt_template_render",
+        "agg_srm_check",
     }
 )
 

@@ -155,6 +155,8 @@ ALLOWED_BNLJ = {
     # crossed onto the bounded source frame
     "llm_context_length_quota",  # 1-row token total crossed onto the
     # 4-bucket quota frame (with the literal target VALUES dimension)
+    "llm_prompt_template_render",  # 3-row literal template dimension
+    # (LocalRelation) broadcast-crossed onto one corpus scan
 }
 
 

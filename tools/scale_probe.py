@@ -279,6 +279,8 @@ ROUND11 = {
     "q_length_quota": "llm_context_length_quota",
     "q_regex_all": "sql_regexp_extract_all",
     "q_coupon": "ts_coupon_collector",
+    "q_template_render": "llm_prompt_template_render",
+    "q_srm": "agg_srm_check",
 }
 
 # Round-10 holdback tranche (ops/round10.py, built during round 9):
