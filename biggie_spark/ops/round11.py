@@ -1923,3 +1923,197 @@ def agg_srm_check(spark, sf_dir):
             " > 3841000 as bigint)"
         ).alias("srm_flag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave G: shuffle-skew audit, HDR latency histogram, UUIDv5 minting
+
+_SKEW_PARTS = (32, 64, 128)
+
+
+@register(
+    "agg_partition_skew_audit",
+    oracle=f"""
+    WITH g AS (SELECT unnest([{",".join(map(str, _SKEW_PARTS))}]) AS p),
+    h AS (SELECT p, CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                         1, 6)) AS BIGINT) % p AS pt
+          FROM events, g),
+    c AS (SELECT p, pt, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY p, pt)
+    SELECT p AS n_partitions,
+           CAST(count(*) AS BIGINT) AS partitions_used,
+           CAST(max(n) AS BIGINT) AS max_rows,
+           CAST(sum(n) // count(*) AS BIGINT) AS mean_rows,
+           CAST(max(n) * 1000 // (sum(n) // count(*)) AS BIGINT)
+             AS skew_e3
+    FROM c GROUP BY p
+    """,
+)
+def agg_partition_skew_audit(spark, sf_dir):
+    """Shuffle-partition skew audit — the table an engineer reads before
+    setting spark.sql.shuffle.partitions for a keyed workload: for each
+    candidate partition count, how many partitions the key hash actually
+    occupies, the largest partition, and the straggler factor max/mean
+    e3 (1000 = perfectly balanced; the straggler partition IS the stage
+    wall-clock on a real cluster).  On this corpus the user-key space is
+    small enough that widening 32 -> 128 partitions first WORSENS skew
+    before occupancy catches up — exactly the non-monotonicity the
+    round-9 shuffle-partition sweep measured from the outside, here
+    measured from the data itself.
+
+    Shape: the candidate grid is a literal dimension crossed onto one
+    scan; the histogram is bounded by sum(grid); corpus size enters only
+    through the counts."""
+    g = spark.range(len(_SKEW_PARTS)).select(
+        F.element_at(
+            F.array(*[F.lit(p) for p in _SKEW_PARTS]), (F.col("id") + 1).cast("int")
+        ).alias("p")
+    )
+    h = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "p",
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 6),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("p")
+            ).alias("pt"),
+        )
+    )
+    c = h.groupBy("p", "pt").agg(F.count("*").alias("n"))
+    return c.groupBy(F.col("p").alias("n_partitions")).agg(
+        F.count("*").alias("partitions_used"),
+        F.max("n").alias("max_rows"),
+        F.expr("sum(n) div count(*)").alias("mean_rows"),
+        F.expr("max(n) * 1000 div (sum(n) div count(*))").alias("skew_e3"),
+    )
+
+
+# HDR-style log-spaced bucket ladder over integer cents (2 significant
+# bits per octave group): 17 buckets cover the 1..49002-cent value range.
+_HDR_CASE = """
+    CASE WHEN v < 64 THEN v {d} 16
+         WHEN v < 256 THEN 4 + (v - 64) {d} 64
+         WHEN v < 1024 THEN 7 + (v - 256) {d} 256
+         WHEN v < 4096 THEN 10 + (v - 1024) {d} 1024
+         WHEN v < 16384 THEN 13 + (v - 4096) {d} 4096
+         ELSE 16 END
+"""
+
+
+@register(
+    "agg_hdr_histogram",
+    oracle=f"""
+    WITH c AS (SELECT event_type,
+                      CAST(round(value * 100, 0) AS BIGINT) AS v
+               FROM events),
+    b AS (SELECT event_type, v, {_HDR_CASE.format(d="//")} AS bucket
+          FROM c)
+    SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(v) AS BIGINT) AS min_cents,
+           CAST(max(v) AS BIGINT) AS max_cents
+    FROM b GROUP BY event_type, bucket
+    """,
+)
+def agg_hdr_histogram(spark, sf_dir):
+    """HDR-style log-spaced latency histogram — the observability
+    primitive behind every latency dashboard (HdrHistogram's
+    fixed-relative-error buckets, here a pure-integer CASE ladder with
+    ~2 significant bits per range: no log() anywhere, so the bucketing
+    is exact and engine-portable): per (event type, bucket) the count
+    and the bucket's observed value envelope.  Unlike equi-width
+    histograms this keeps resolution at the fast end AND covers the
+    tail in a bounded 17-bucket frame — mergeable across shards by
+    simple addition, which is what makes it the 100 TB-safe percentile
+    substrate (exact grid percentiles ride agg_percentile_grid; this is
+    the streaming-friendly fixed-layout sibling).
+
+    Shape: one scan with the ladder fused, one bounded groupBy."""
+    c = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("v")
+    )
+    b = c.select(
+        "event_type",
+        "v",
+        F.expr(_HDR_CASE.format(d="div")).cast("long").alias("bucket"),
+    )
+    return b.groupBy("event_type", "bucket").agg(
+        F.count("*").alias("n"),
+        F.min("v").alias("min_cents"),
+        F.max("v").alias("max_cents"),
+    )
+
+
+@register(
+    "fn_uuid5_mint",
+    oracle="""
+    WITH u AS (SELECT doc_id, lang,
+                      md5('biggie:doc:' || CAST(doc_id AS VARCHAR)) AS h
+               FROM documents),
+    m AS (SELECT doc_id, lang,
+                 substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-5' ||
+                 substr(h, 15, 3) || '-' ||
+                 substr('89ab', CAST(('0x' || substr(h, 17, 1)) AS BIGINT)
+                                % 4 + 1, 1) ||
+                 substr(h, 18, 3) || '-' || substr(h, 21, 12) AS uuid
+          FROM u)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_minted,
+           CAST(count(DISTINCT uuid) AS BIGINT) AS n_distinct,
+           min(uuid) AS min_uuid,
+           CAST(sum(CASE WHEN substr(uuid, 15, 1) = '5' THEN 1 ELSE 0 END)
+             AS BIGINT) AS version_ok
+    FROM m GROUP BY lang
+    """,
+)
+def fn_uuid5_mint(spark, sf_dir):
+    """Deterministic UUIDv5-style ID minting — the stable-identifier
+    primitive a pipeline uses so re-ingesting the same record mints the
+    same ID (name-based UUIDs, RFC 4122 §4.3 layout: MD5 of a
+    namespaced name with the version nibble forced to 5 and the variant
+    nibble into 89ab): per language the minted count, the distinct count
+    (collision check — must equal), the lexicographic min UUID (pins the
+    exact string layout, hyphens and all), and the version-nibble
+    conformance count.  Pure string/arithmetic ops, identical text
+    semantics on both engines.
+
+    Shape: one projection + one groupBy(lang) — the mint is exactly
+    what a write path would fuse into its output projection."""
+    u = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.md5(
+            F.concat(F.lit("biggie:doc:"), F.col("doc_id").cast("string"))
+        ).alias("h"),
+    )
+    m = u.select(
+        "lang",
+        F.concat(
+            F.substring("h", 1, 8),
+            F.lit("-"),
+            F.substring("h", 9, 4),
+            F.lit("-5"),
+            F.substring("h", 15, 3),
+            F.lit("-"),
+            F.substring(
+                F.lit("89ab"),
+                (F.conv(F.substring("h", 17, 1), 16, 10).cast("int") % 4) + 1,
+                1,
+            ),
+            F.substring("h", 18, 3),
+            F.lit("-"),
+            F.substring("h", 21, 12),
+        ).alias("uuid"),
+    )
+    return m.groupBy("lang").agg(
+        F.count("*").alias("n_minted"),
+        F.countDistinct("uuid").alias("n_distinct"),
+        F.min("uuid").alias("min_uuid"),
+        F.sum(
+            (F.substring("uuid", 15, 1) == "5").cast("long")
+        ).alias("version_ok"),
+    )

@@ -275,6 +275,9 @@ ROUND11_HOLDBACK: frozenset[str] = frozenset(
         "ts_coupon_collector",
         "llm_prompt_template_render",
         "agg_srm_check",
+        "agg_partition_skew_audit",
+        "agg_hdr_histogram",
+        "fn_uuid5_mint",
     }
 )
 

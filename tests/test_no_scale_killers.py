@@ -157,6 +157,8 @@ ALLOWED_BNLJ = {
     # 4-bucket quota frame (with the literal target VALUES dimension)
     "llm_prompt_template_render",  # 3-row literal template dimension
     # (LocalRelation) broadcast-crossed onto one corpus scan
+    "agg_partition_skew_audit",  # 3-point literal partition-count grid
+    # (spark.range LocalRelation) broadcast-crossed onto one scan
 }
 
 

@@ -281,6 +281,9 @@ ROUND11 = {
     "q_coupon": "ts_coupon_collector",
     "q_template_render": "llm_prompt_template_render",
     "q_srm": "agg_srm_check",
+    "q_skew_audit": "agg_partition_skew_audit",
+    "q_hdr": "agg_hdr_histogram",
+    "q_uuid5": "fn_uuid5_mint",
 }
 
 # Round-10 holdback tranche (ops/round10.py, built during round 9):
