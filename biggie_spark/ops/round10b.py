@@ -765,9 +765,16 @@ def stream_lang_gate_static(spark, sf_dir):
     so the identical plan runs under readStream in append mode (the
     cheapest streaming shape there is).  The batch oracle is the gate
     op's per-doc frame before its aggregate."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", tokens(F.col("text")).alias("tk")
-    )
+    return _lang_gate_plan(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_gate_plan(docs):
+    """The per-record gate plan, shared VERBATIM by the registered batch
+    twin above and the live readStream drain
+    (biggie_spark/streaming_demo.py demo_lang_gate_static; drain == batch
+    pinned by tests/test_streaming_demo.py) — one stateless projection,
+    append-safe."""
+    d = docs.select("doc_id", tokens(F.col("text")).alias("tk"))
     stops = F.array(*[F.lit(w) for w in _GATE_STOPS])
     return d.select(
         "doc_id",

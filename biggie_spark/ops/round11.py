@@ -218,10 +218,18 @@ def stream_expectations_static(spark, sf_dir):
     discipline): one stateless projection, no aggregation, so the
     identical plan runs under readStream in append mode and the batch
     aggregate (agg_expectations_audit) is exactly its groupBy."""
+    return _expectations_record_plan(load_table(spark, sf_dir, "events"))
+
+
+def _expectations_record_plan(events):
+    """The per-record violation-flag plan, shared VERBATIM by the batch
+    twin above and the live readStream drain (streaming_demo.py
+    demo_expectations_static; drain == batch pinned by
+    tests/test_streaming_demo.py)."""
     k = F.get_json_object("props", "$.k").cast("long")
     viol_v = (F.col("value") > 90).cast("long")
     viol_p = ((k < 10) | (k >= 90)).cast("long")
-    return load_table(spark, sf_dir, "events").select(
+    return events.select(
         "event_id",
         viol_v.alias("viol_value"),
         viol_p.alias("viol_props"),

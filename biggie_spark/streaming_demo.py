@@ -413,3 +413,37 @@ def demo_spec_accept_static(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     top = _spec_top_vocab(load_table(spark, sf_dir, "documents"))
     return _drain(_spec_accept_plan(docs_stream, top), "update")
+
+
+def demo_lang_gate_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of stream_lang_gate_static run LIVE: documents
+    arrive as a file-source stream; each record's confidence/tier row is
+    a stateless projection — append mode, the cheapest streaming shape.
+    Shares _lang_gate_plan verbatim with the registered batch twin."""
+    apply_runtime_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    docs_stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    from biggie_spark.ops.round10b import _lang_gate_plan
+
+    return _drain(_lang_gate_plan(docs_stream), "append")
+
+
+def demo_expectations_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of stream_expectations_static run LIVE: events
+    arrive as a file-source stream; each record's violation flags are a
+    stateless projection — append mode.  Shares
+    _expectations_record_plan verbatim with the batch twin."""
+    apply_runtime_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev_stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    from biggie_spark.ops.round11 import _expectations_record_plan
+
+    return _drain(_expectations_record_plan(ev_stream), "append")

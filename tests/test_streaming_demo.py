@@ -343,3 +343,27 @@ def test_streaming_spec_accept_static_matches_batch(spark, sf_dir):
     live = _rows(demo_spec_accept_static(spark, sf_dir))
     batch = _rows(QUERIES["stream_spec_accept_static"](spark, sf_dir))
     assert live == batch
+
+
+def test_streaming_lang_gate_matches_batch(spark, sf_dir):
+    """Round-10b: the live readStream drain of the language-confidence
+    gate must equal the batch twin row-for-row (same _lang_gate_plan,
+    streaming source, append mode)."""
+    from biggie_spark.registry import QUERIES
+    from biggie_spark.streaming_demo import demo_lang_gate_static
+
+    live = _rows(demo_lang_gate_static(spark, sf_dir))
+    batch = _rows(QUERIES["stream_lang_gate_static"](spark, sf_dir))
+    assert live == batch
+
+
+def test_streaming_expectations_matches_batch(spark, sf_dir):
+    """Round-11: the live readStream drain of the per-record expectations
+    flags must equal the batch twin row-for-row (same
+    _expectations_record_plan, streaming source, append mode)."""
+    from biggie_spark.registry import QUERIES
+    from biggie_spark.streaming_demo import demo_expectations_static
+
+    live = _rows(demo_expectations_static(spark, sf_dir))
+    batch = _rows(QUERIES["stream_expectations_static"](spark, sf_dir))
+    assert live == batch
