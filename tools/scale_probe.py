@@ -284,6 +284,10 @@ ROUND11 = {
     "q_skew_audit": "agg_partition_skew_audit",
     "q_hdr": "agg_hdr_histogram",
     "q_uuid5": "fn_uuid5_mint",
+    "q_capture": "agg_capture_recapture",
+    "q_fano": "ts_fano_dispersion",
+    "q_bitmap": "fn_bitmap_popcount_join",
+    "q_offset": "sql_offset_fetch",
 }
 
 # Round-10 holdback tranche (ops/round10.py, built during round 9):
