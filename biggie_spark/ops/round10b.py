@@ -876,7 +876,8 @@ _SHARDS = 16
     SELECT shard,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-           CAST(sum(pos * (doc_id % 97)) AS BIGINT) AS order_checksum,
+           CAST(sum((pos % 100003) * (doc_id % 97)) AS BIGINT)
+             AS order_checksum,
            CAST(min(doc_id) AS BIGINT) AS min_doc,
            CAST(max(doc_id) AS BIGINT) AS max_doc
     FROM p GROUP BY shard
@@ -895,9 +896,12 @@ def llm_shard_manifest_persisted(spark, sf_dir):
     The op re-reads the artifact with an explicit schema, RAISES unless a
     single-shard probe (worker 3's read) shows the shard inside the
     scan's PartitionFilters, and reports per-shard stats INCLUDING an
-    order-sensitive checksum sum(pos * (doc_id % 97)) — a value that
+    order-sensitive checksum sum((pos % 100003) * (doc_id % 97)) — a
+    value that
     changes if the within-shard order materialized wrong, which row
-    counts and token sums cannot see.
+    counts and token sums cannot see; both factors are reduced mod
+    small primes BEFORE the product so the sum stays inside int64 at
+    any shard size (a raw pos factor overflows past ~6e8 docs/shard).
 
     Shape at 100 TB: assignment is a pure projection; the within-shard
     rank is a window PARTITIONED BY shard (parallel across shards, never
@@ -934,9 +938,9 @@ def llm_shard_manifest_persisted(spark, sf_dir):
             .agg(
                 F.count("*").alias("n_docs"),
                 F.sum("n_tok").alias("n_tokens"),
-                F.sum(F.col("pos") * (F.col("doc_id") % 97)).alias(
-                    "order_checksum"
-                ),
+                F.sum(
+                    (F.col("pos") % 100003) * (F.col("doc_id") % 97)
+                ).alias("order_checksum"),
                 F.min("doc_id").alias("min_doc"),
                 F.max("doc_id").alias("max_doc"),
             )
