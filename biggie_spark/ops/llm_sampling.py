@@ -22,7 +22,14 @@ from biggie_spark.registry import register
 from biggie_spark.util import tokens
 
 _STRAT_K = 20  # docs kept per language stratum
-_VOCAB_K = 50  # vocabulary size for coverage
+# Vocabulary size for the coverage cut.  Round-10 vacuity fix: the corpus
+# has only 31 distinct tokens, so the original K=50 put EVERY token in
+# vocab and oov_e4 was the constant 0 for every language — a dead column
+# riding its old green row (caught by the promoted rule-3 audit review).
+# K=12 leaves ~58% of token mass out-of-vocab with per-lang spread at
+# every SF (same cut llm_vocab_oov_persisted uses); the op is un-greened
+# via stale_before=11 and re-scores from ROUND11_HOLDBACK.
+_VOCAB_K = 12
 _SHARDS = 8  # training shards
 
 
@@ -69,7 +76,7 @@ def llm_stratified_sample(spark, sf_dir):
     """,
 )
 def llm_vocab_coverage(spark, sf_dir):
-    """Vocabulary coverage audit: build the top-{K} token vocabulary
+    """Vocabulary coverage audit: build the top-12 token vocabulary
     (frequency desc, token asc — a total order, so the cut is exact),
     then measure each language's out-of-vocabulary token rate.  The OOV
     ratio is integer-scaled (units 1e-4) via integer division.  The vocab

@@ -282,6 +282,9 @@ ROUND11_HOLDBACK: frozenset[str] = frozenset(
         "ts_fano_dispersion",
         "fn_bitmap_popcount_join",
         "sql_offset_fetch",
+        # round-10 vacuity fix: oov_e4 was constant 0 at the old K=50 cut
+        # (vocab > corpus vocabulary); re-scores under the live K=12 cut
+        "llm_vocab_coverage",
     }
 )
 
