@@ -2049,7 +2049,9 @@ def llm_dedup_incremental(spark, sf_dir):
     oracle="""
     WITH s AS (
       SELECT user_id, event_id,
-             CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+             CAST(sum(CASE WHEN event_type IN ('purchase', 'signup')
+                      THEN CAST(round(value * 100, 0) AS BIGINT)
+                      ELSE -CAST(round(value * 100, 0) AS BIGINT) END)
                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
                  AS bal
       FROM events WHERE user_id < 50),
@@ -2067,22 +2069,26 @@ def llm_dedup_incremental(spark, sf_dir):
     """,
 )
 def win_drawdown(spark, sf_dir):
-    """Maximum drawdown per user over the running value balance — the
-    risk metric (worst peak-to-trough drop) that needs TWO stacked
-    windows: a running sum, then a running max over it, then the max gap.
-    All exact integer cents; both windows share one per-user sort, so the
-    plan is a single shuffle on user_id with two window operators in one
-    stage."""
+    """Maximum drawdown per user over the running SIGNED cash-flow
+    balance (purchase/signup credit, everything else debits) — the risk
+    metric (worst peak-to-trough drop) that needs TWO stacked windows: a
+    running sum, then a running max over it, then the max gap.  Round-10
+    vacuity fix: the original unsigned balance was MONOTONE (event
+    values are strictly positive), so max_drawdown_cents was provably
+    the constant 0 for every user — a dead primary column the
+    constant-census caught; the signed flow makes drawdowns all-distinct
+    at every SF (measured 33502..191321 cents).  All exact integer
+    cents; both windows share one per-user sort, so the plan is a single
+    shuffle on user_id with two window operators in one stage."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    signed = F.when(
+        F.col("event_type").isin("purchase", "signup"),
+        F.round(F.col("value") * 100, 0).cast("long"),
+    ).otherwise(-F.round(F.col("value") * 100, 0).cast("long"))
     s = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id") < 50)
-        .select(
-            "user_id",
-            "event_id",
-            "ts",
-            F.round(F.col("value") * 100, 0).cast("long").alias("c"),
-        )
+        .select("user_id", "event_id", "ts", signed.alias("c"))
         .withColumn("bal", F.sum("c").over(w))
     )
     wp = (

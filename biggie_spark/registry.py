@@ -285,6 +285,9 @@ ROUND11_HOLDBACK: frozenset[str] = frozenset(
         # round-10 vacuity fix: oov_e4 was constant 0 at the old K=50 cut
         # (vocab > corpus vocabulary); re-scores under the live K=12 cut
         "llm_vocab_coverage",
+        # round-10 vacuity fix: unsigned balances were monotone so max
+        # drawdown was provably 0; re-scores under signed cash flow
+        "win_drawdown",
     }
 )
 
