@@ -213,12 +213,16 @@ def llm_byte_fallback(spark, sf_dir):
         F.count("*").alias("n_words"),
         F.sum(inv).alias("invocab_tokens"),
         F.sum(fb).cast("long").alias("fallback_bytes"),
-        (
-            (F.sum(inv) + F.sum(fb)) * 10000
-            / F.count("*")
-        )
-        .cast("long")
-        .alias("inflation_e4"),
+        # Integer `div`, not float `/` + cast (ADVICE r10): the oracle
+        # floor-divides in int64, and a double-rounded quotient can cross
+        # an integer boundary past ~2^53 tokens — same divergence class
+        # agg_kendall_tau_grid fixed in r10.  Operands are non-negative,
+        # so DuckDB's flooring `//` and Spark's truncating `div` agree.
+        F.expr(
+            "(sum(case when in_v is not null then 1 else 0 end)"
+            " + sum(case when in_v is null then octet_length(tok)"
+            "       else 0 end)) * 10000 div count(*)"
+        ).alias("inflation_e4"),
     )
 
 
@@ -639,7 +643,17 @@ def llm_lang_profile_divergence(spark, sf_dir):
     summed exactly, and divided ONCE at the end; the argmax orders by
     the same integer.  Shape: two token aggregates (per-lang and global
     profiles — both vocab-bounded), one broadcast join between them, one
-    groupBy(lang)."""
+    groupBy(lang).
+
+    Corpus-size bound (ADVICE r10): the cross-multiplied intermediate
+    grows as O(tokens^2) — |c_l*N - c_g*n_l| <= N^2, so int64 holds
+    exactly while the total token count N < 3.0e9 (N^2 < 2^63); the
+    overflow would be identical on both engines and therefore
+    hash-invisible.  Past that, pre-normalize one side to fixed-point
+    masses first (per-mille, the llm_mix_power_sweep pattern: c*1000
+    div n per side, diff of two <=1000 integers) — the divergence then
+    carries e3 precision instead of exact ratios, which is what a 100 TB
+    deployment wants anyway."""
     t, f = _token_freq(spark, sf_dir)
     cl = t.groupBy("lang", "tok").agg(F.count("*").alias("c"))
     nl = t.groupBy("lang").agg(F.count("*").alias("n"))

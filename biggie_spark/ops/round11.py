@@ -229,11 +229,20 @@ def _expectations_record_plan(events):
     k = F.get_json_object("props", "$.k").cast("long")
     viol_v = (F.col("value") > 90).cast("long")
     viol_p = ((k < 10) | (k >= 90)).cast("long")
+    # n_violations coalesces each flag to 0 (ADVICE r10): on a NULL
+    # payload ($.k missing) Spark's `viol_v + viol_p` would propagate
+    # NULL while the oracle's CASE WHEN ... ELSE 0 yields 0 — latent on
+    # this corpus (k always present) but a real divergence on malformed
+    # props.  The flag COLUMNS stay NULL-propagating on both engines
+    # (DuckDB CAST(NULL-cond AS BIGINT) is NULL too), so only the sum
+    # needs the gate.
     return events.select(
         "event_id",
         viol_v.alias("viol_value"),
         viol_p.alias("viol_props"),
-        (viol_v + viol_p).alias("n_violations"),
+        (F.coalesce(viol_v, F.lit(0)) + F.coalesce(viol_p, F.lit(0))).alias(
+            "n_violations"
+        ),
     )
 
 
@@ -614,8 +623,19 @@ def fn_feistel_permute(spark, sf_dir):
     floor-div/mod arithmetic.  Shape: pure projection + one bounded
     groupBy."""
     perm_expr = _feistel_sql("({a} ^ {b})").replace("//", " div ")
+    # Domain guard (ADVICE r10): the 10-bit-half Feistel is a bijection of
+    # [0, 2^20) ONLY — for doc_id >= 1048576 the left half exceeds 10 bits
+    # and the permutation silently stops being a bijection IDENTICALLY on
+    # both engines (hash-blind).  Fold an assert_true into the perm
+    # expression (coalesced to +0, un-prunable as aggregate input) so a
+    # corpus regression raises instead of corrupting the permutation.
+    guard = (
+        "+ coalesce(cast(assert_true(doc_id < 1048576, "
+        "'fn_feistel_permute: doc_id >= 2^20 breaks the 10-bit-half "
+        "Feistel bijection — widen the domain') as bigint), 0)"
+    )
     p = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.expr(f"cast({perm_expr} as bigint)").alias("perm")
+        "doc_id", F.expr(f"cast({perm_expr} as bigint) {guard}").alias("perm")
     )
     b = p.select(
         "doc_id", "perm", F.expr("perm * 16 div 1048576").alias("bucket")

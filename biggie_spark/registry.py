@@ -242,10 +242,11 @@ ROUND10_HOLDBACK: frozenset[str] = frozenset(
     }
 )
 
-# Round-11 holdback, same mechanics: if round 10 registers more new ops
-# than the window has spare slots (50 - 33 released = 17), the overflow
-# goes here so it cannot displace the released tier or earlier unscored
-# registrations.  A registry test asserts the 50-slot fit.
+# Round-11 RELEASE: the round-10 window cleared (CORRECTNESS_r10 50/50
+# green), so this formerly-held tranche now enters the round-11 scoring
+# window, placed AFTER the §2 contract tier per the ADVICE r9 placement
+# contract.  Includes the two round-10 vacuity-fixed re-queues
+# (llm_vocab_coverage, win_drawdown — stale_before=11 un-greened them).
 ROUND11_HOLDBACK: frozenset[str] = frozenset(
     {
         "agg_orphan_audit",
@@ -291,6 +292,12 @@ ROUND11_HOLDBACK: frozenset[str] = frozenset(
     }
 )
 
+# Round-12 holdback, same mechanics: the round-11 window has 50 - 36
+# released = 14 spare slots; any round-11 registration beyond those 14
+# parks here so it cannot displace the released tier or earlier unscored
+# registrations.  A registry test asserts the 50-slot fit.
+ROUND12_HOLDBACK: frozenset[str] = frozenset()
+
 
 def ordered_queries() -> dict[str, QueryFn]:
     """QUERIES reordered for the driver's bounded scoring window:
@@ -332,41 +339,44 @@ def ordered_queries() -> dict[str, QueryFn]:
 
     def tier(n: str) -> int:
         if n in green:
+            return 11
+        if n in ROUND12_HOLDBACK:
             return 10
-        if n in ROUND11_HOLDBACK:
-            return 9
         if n in sec2:
             return 0
         if n in ROUND10_HOLDBACK:
-            # Released this round — AFTER §2 (ADVICE r9 item 4): an
+            # Released round 10 — AFTER §2 (ADVICE r9 item 4): an
             # un-greened contract op keeps its guaranteed front slot, the
             # released tranche follows, and nothing registered later this
             # round can displace either.
             return 1
-        if n in verdict_rank:
+        if n in ROUND11_HOLDBACK:
+            # Released round 11, same placement contract.
             return 2
-        if n in r4_rank:
+        if n in verdict_rank:
             return 3
-        if n in r5_rank:
+        if n in r4_rank:
             return 4
-        if n in r6_rank:
+        if n in r5_rank:
             return 5
-        if n in r7_rank:
+        if n in r6_rank:
             return 6
-        return 7 if _priority(n) else 8
+        if n in r7_rank:
+            return 7
+        return 8 if _priority(n) else 9
 
     out: dict[str, QueryFn] = {}
-    for t in (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10):
+    for t in range(12):
         names = [n for n in QUERIES if tier(n) == t]
-        if t == 2:
+        if t == 3:
             names.sort(key=verdict_rank.__getitem__)
-        elif t == 3:
-            names.sort(key=r4_rank.__getitem__)
         elif t == 4:
-            names.sort(key=r5_rank.__getitem__)
+            names.sort(key=r4_rank.__getitem__)
         elif t == 5:
-            names.sort(key=r6_rank.__getitem__)
+            names.sort(key=r5_rank.__getitem__)
         elif t == 6:
+            names.sort(key=r6_rank.__getitem__)
+        elif t == 7:
             names.sort(key=r7_rank.__getitem__)
         out.update({n: QUERIES[n] for n in names})
     return out

@@ -117,48 +117,57 @@ def test_ledgered_rows_only_ops_leave_the_window():
     assert not stuck, f"ledgered rows-only ops burning window slots: {stuck}"
 
 
-def test_round10_released_ops_follow_sec2_in_the_window():
-    """Round 10: the round-9 window cleared (CORRECTNESS_r09 50/50 green),
-    so the formerly-held ROUND10 tranche is RELEASED.  Placement contract
-    (ADVICE r9 item 4): any un-greened §2 op precedes the released tier;
-    the released tier precedes every other unscored op; overflow new ops
-    park in ROUND11_HOLDBACK, which stays behind every other unscored op."""
-    from biggie_spark.registry import ROUND10_HOLDBACK, ROUND11_HOLDBACK
+def test_round11_released_ops_follow_sec2_in_the_window():
+    """Round 11: the round-10 window cleared (CORRECTNESS_r10 50/50 green),
+    so the formerly-held ROUND11 tranche is RELEASED.  Placement contract
+    (ADVICE r9 item 4): any un-greened §2 op precedes the released tiers;
+    the released tiers precede every other unscored op; overflow new ops
+    park in ROUND12_HOLDBACK, which stays behind every other unscored op."""
+    from biggie_spark.registry import (
+        ROUND10_HOLDBACK,
+        ROUND11_HOLDBACK,
+        ROUND12_HOLDBACK,
+    )
 
     ledger = json.loads(GREEN_LEDGER.read_text())
     green = set(ledger["green"]) | set(ledger.get("rows_only_scored", []))
     sec2 = set(json.loads(SEC2_CONTRACT.read_text())["sec2"])
     oq = list(ordered_queries())
     unscored = [n for n in oq if n not in green]
-    released = [n for n in unscored if n in ROUND10_HOLDBACK and n not in sec2]
+    released_tiers = ROUND10_HOLDBACK | ROUND11_HOLDBACK
+    released = [n for n in unscored if n in released_tiers and n not in sec2]
     others = [
-        n for n in unscored if n not in ROUND10_HOLDBACK and n not in sec2
+        n for n in unscored if n not in released_tiers and n not in sec2
     ]
-    others = [n for n in others if n not in ROUND11_HOLDBACK]
-    # un-greened §2 ops (if any ever appear) must precede the released tier
+    others = [n for n in others if n not in ROUND12_HOLDBACK]
+    # un-greened §2 ops (if any ever appear) must precede the released tiers
     pending_sec2 = [n for n in unscored if n in sec2]
     if pending_sec2 and released:
         assert max(oq.index(n) for n in pending_sec2) < min(
             oq.index(n) for n in released
-        ), "a released ROUND10 op precedes an un-greened §2 contract op"
+        ), "a released op precedes an un-greened §2 contract op"
     if released and others:
         last_released = max(oq.index(n) for n in released)
         first_other = min(oq.index(n) for n in others)
         assert last_released < first_other, (
-            "an unscored extension precedes a released ROUND10 op: "
+            "an unscored extension precedes a released op: "
             f"{[n for n in others if oq.index(n) < last_released]}"
         )
-    held11 = [n for n in unscored if n in ROUND11_HOLDBACK]
-    rest = [n for n in unscored if n not in ROUND11_HOLDBACK]
-    if held11 and rest:
-        assert min(oq.index(n) for n in held11) > max(oq.index(n) for n in rest)
+    held12 = [n for n in unscored if n in ROUND12_HOLDBACK]
+    rest = [n for n in unscored if n not in ROUND12_HOLDBACK]
+    if held12 and rest:
+        assert min(oq.index(n) for n in held12) > max(oq.index(n) for n in rest)
     # The window must never overflow past the driver's 50 slots with
     # unscored ops — that's exactly the displacement bug holdbacks prevent.
-    assert len(unscored) - len(held11) <= 50, (
-        f"{len(unscored) - len(held11)} unscored ops for a 50-slot window; "
-        "move the newest registrations into ROUND11_HOLDBACK"
+    assert len(unscored) - len(held12) <= 50, (
+        f"{len(unscored) - len(held12)} unscored ops for a 50-slot window; "
+        "move the newest registrations into ROUND12_HOLDBACK"
     )
-    missing = [n for n in ROUND10_HOLDBACK | ROUND11_HOLDBACK if n not in QUERIES]
+    missing = [
+        n
+        for n in released_tiers | ROUND12_HOLDBACK
+        if n not in QUERIES
+    ]
     assert not missing, f"holdback names unregistered ops: {missing}"
 
 
