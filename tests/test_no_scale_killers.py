@@ -159,6 +159,15 @@ ALLOWED_BNLJ = {
     # (LocalRelation) broadcast-crossed onto one corpus scan
     "agg_partition_skew_audit",  # 3-point literal partition-count grid
     # (spark.range LocalRelation) broadcast-crossed onto one scan
+    # round-12 wave-A additions — audited 2026-08-15:
+    "llm_ivf_recall_curve",  # K=16 centroid + 10-probe literal broadcasts
+    # (the ivf_assign / llm_knn_cosine patterns) + 3-row literal k grid
+    # theta-joined (rn <= k) onto the per-probe ranked frames
+    "llm_eval_quota_hamilton",  # 1-row corpus-total and 1-row leftover
+    # scalar frames crossed onto the 5-row per-stratum quota frame
+    "agg_quantile_treatment_effect",  # 9-row literal decile grid
+    # (LocalRelation) broadcast theta-joined (rn >= rank threshold) onto
+    # the per-arm ranked scan — replicated side fixed at 9 rows forever
 }
 
 

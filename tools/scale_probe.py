@@ -290,6 +290,27 @@ ROUND11 = {
     "q_offset": "sql_offset_fetch",
 }
 
+# Round-12 tranche (ops/round12.py, built during round 11): codec
+# accounting, determinism audit, IVF recall curve, Hilbert layout, CDC
+# dedup, causal analytics, eval allocation.  Natural sf0.01 -> sf0.1
+# step.  Expected: grid/curve ops ~flat (bounded probe frames); scans
+# (codec, CDC, DiD, QTE, varint) ~linear; cluster stats rides the
+# shingle-LSH edge pipeline (linear candidates).
+ROUND12 = {
+    "q_hilbert": "fn_hilbert_curve_d2",
+    "q_codec_dict": "snk_codec_dictionary_stats",
+    "q_varint": "snk_varint_delta_bytes",
+    "q_determinism": "agg_shard_determinism_audit",
+    "q_ivf_recall": "llm_ivf_recall_curve",
+    "q_cdc": "llm_cdc_chunk_boundaries",
+    "q_cluster_stats": "llm_dedup_cluster_stats",
+    "q_did": "agg_diff_in_diff",
+    "q_qte": "agg_quantile_treatment_effect",
+    "q_hamilton": "llm_eval_quota_hamilton",
+    "q_feistel_sample": "llm_feistel_subsample",
+    "q_ra_index": "graph_resource_alloc_index",
+}
+
 # Round-10 holdback tranche (ops/round10.py, built during round 9):
 # lakehouse layout, eval statistics, session analytics, SQL surface.
 # Natural sf0.01 -> sf0.1 step.  Expected: grid/stat ops ~flat;
@@ -1011,6 +1032,15 @@ def main() -> None:
         print("\n| round-9b op | sf0.01 | sf0.1 (10x rows) | ratio (ideal <= 10) |")
         print("|---|---|---|---|")
         for q in ROUND9B:
+            r = nat[q] / small[q]
+            print(f"| {q} | {small[q]:.3f}s | {nat[q]:.3f}s | {r:.1f}x |")
+        return
+    if "--round12-only" in sys.argv:
+        small = time_queries(spark, SRC_SMALL, ROUND12)
+        nat = time_queries(spark, SRC, ROUND12)
+        print("\n| round-12 op | sf0.01 | sf0.1 (10x rows) | ratio (ideal <= 10) |")
+        print("|---|---|---|---|")
+        for q in ROUND12:
             r = nat[q] / small[q]
             print(f"| {q} | {small[q]:.3f}s | {nat[q]:.3f}s | {r:.1f}x |")
         return
