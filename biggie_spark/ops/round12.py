@@ -39,6 +39,9 @@ spread validated in DuckDB at sf{0.001,0.01,0.1} before registration
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve via
+# func.__globals__ (see ops/round9.py note)
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -1178,4 +1181,210 @@ def graph_resource_alloc_index(spark, sf_dir):
         nonedge.orderBy(F.col("ra_e6").desc(), "u", "v")
         .limit(25)
         .select("u", "v", "ra_e6", F.col("cn").alias("common_neighbors"))
+    )
+
+# ---------------------------------------------------------------------------
+# multimodal: quadtree occupancy over the decoded image
+
+_QT_THR = 64  # absolute gray threshold: all-bg, partial AND all-fg probes live
+_QT_DEPTHS = (1, 2)
+
+
+@register(
+    "mm_image_quadtree_occupancy",
+    oracle=f"""
+    WITH probe AS (SELECT doc_id, 16 + doc_id % 8 AS w, 8 AS h,
+                          doc_id % 60 + 10 AS b
+                   FROM documents WHERE doc_id < 64),
+    px AS (SELECT doc_id, w, h, xx.x, yy.y,
+                  CASE WHEN b + xx.x + yy.y > {_QT_THR} THEN 1 ELSE 0 END
+                    AS fg
+           FROM probe, range(0, 23) xx(x), range(0, 8) yy(y)
+           WHERE xx.x < w),
+    d AS (SELECT unnest([{",".join(map(str, _QT_DEPTHS))}]) AS dep),
+    cells AS (SELECT doc_id, dep,
+                     (x * (1 << dep)) // w AS cx,
+                     (y * (1 << dep)) // h AS cy,
+                     count(*) AS n_px, sum(fg) AS n_fg
+              FROM px, d GROUP BY doc_id, dep, cx, cy)
+    SELECT doc_id, CAST(dep AS BIGINT) AS depth,
+           CAST(sum(n_fg) AS BIGINT) AS n_fg_px,
+           CAST(sum(CASE WHEN n_fg > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cells_occupied,
+           CAST(sum(CASE WHEN n_fg = n_px THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cells_full
+    FROM cells GROUP BY doc_id, dep
+    """,
+)
+def mm_image_quadtree_occupancy(spark, sf_dir):
+    """Quadtree occupancy census through the REAL PPM codec — the
+    spatial-index statistic behind tiled image storage and
+    sparse-region skipping (a cell that is all-background never needs
+    decoding; a full cell stores as one RLE token): threshold the
+    decoded gradient image at the absolute gray level 64 and count, at
+    quadtree depths 1 and 2 (4 and 16 cells, ceil-divided for the
+    non-power-of-two widths), the foreground pixels, the occupied cells
+    (any foreground) and the saturated cells (all foreground).  The
+    64-probe panel spans all three regimes — all-background (occ = 0),
+    partial, and all-foreground (full = 4/16) — measured 0..184 fg
+    pixels, 0..16 occupied cells.
+
+    Kernel: one Arrow-batched pandas_udf decodes the P6 payload (the
+    mm_image_otsu_threshold netpbm walk) and reduces each depth in
+    numpy; the oracle reproduces the gradient image in closed form over
+    the bounded pixel grid.  Per-image work is constant; the op is one
+    map-side pass at any corpus scale."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from biggie_spark.multimodal import encode_ppm
+
+    depths = list(_QT_DEPTHS)
+
+    @pandas_udf(
+        "struct<nfg array<bigint>, occ array<bigint>, fullc array<bigint>>"
+    )
+    def quad_udf(doc_id: pd.Series) -> pd.DataFrame:
+        rows = []
+        for did in doc_id:
+            w, h, b = 16 + int(did) % 8, 8, int(did) % 60 + 10
+            payload = encode_ppm(w, h, (b, b, b))
+            pos, toks = 2, []
+            while len(toks) < 3:
+                while payload[pos : pos + 1].isspace():
+                    pos += 1
+                if payload[pos : pos + 1] == b"#":
+                    while payload[pos : pos + 1] not in (b"\n", b""):
+                        pos += 1
+                    continue
+                start = pos
+                while not payload[pos : pos + 1].isspace():
+                    pos += 1
+                toks.append(int(payload[start:pos]))
+            pos += 1
+            ww, hh, _ = toks
+            px = np.frombuffer(
+                payload, dtype=np.uint8, count=ww * hh * 3, offset=pos
+            ).reshape(hh, ww, 3)[:, :, 0].astype(np.int64)
+            fg = px > _QT_THR  # rows = y, cols = x
+            nfg, occ, fullc = [], [], []
+            for dep in depths:
+                k = 1 << dep
+                ys, xs = np.indices(fg.shape)
+                cid = (xs * k) // ww * k + (ys * k) // hh
+                n_fg_cell = np.bincount(
+                    cid.ravel(), weights=fg.ravel(), minlength=k * k
+                )
+                n_px_cell = np.bincount(cid.ravel(), minlength=k * k)
+                nfg.append(int(fg.sum()))
+                occ.append(int((n_fg_cell > 0).sum()))
+                fullc.append(
+                    int(((n_px_cell > 0) & (n_fg_cell == n_px_cell)).sum())
+                )
+            rows.append({"nfg": nfg, "occ": occ, "fullc": fullc})
+        return pd.DataFrame(rows)
+
+    probe = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 64)
+        .select("doc_id")
+    )
+    feats = probe.select("doc_id", quad_udf("doc_id").alias("f"))
+    dgrid = F.array(*[F.lit(d) for d in depths])
+    return feats.select(
+        "doc_id",
+        F.posexplode(
+            F.arrays_zip(
+                dgrid.alias("dep"),
+                F.col("f.nfg").alias("nfg"),
+                F.col("f.occ").alias("occ"),
+                F.col("f.fullc").alias("fullc"),
+            )
+        ).alias("_i", "z"),
+    ).select(
+        "doc_id",
+        F.col("z.dep").cast("long").alias("depth"),
+        F.col("z.nfg").alias("n_fg_px"),
+        F.col("z.occ").alias("n_cells_occupied"),
+        F.col("z.fullc").alias("n_cells_full"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal: silence trim bounds over the decoded waveform
+
+_TRIM_THR = 28000  # |amplitude| floor for "loud" (measured: 17 distinct trims)
+
+
+@register(
+    "mm_audio_silence_trim",
+    oracle=f"""
+    WITH probe AS (SELECT v AS doc_id FROM range(64) p(v)),
+    t AS (SELECT doc_id, tt.t,
+                 CAST(((doc_id * 31 + tt.t) * 2654435761) % 65536 - 32768
+                   AS BIGINT) AS x
+          FROM probe, range(64) tt(t)),
+    loud AS (SELECT doc_id, min(t) AS first_loud, max(t) AS last_loud,
+                    count(*) AS n_loud
+             FROM t WHERE abs(x) >= {_TRIM_THR} GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(first_loud AS BIGINT) AS lead_trim,
+           CAST(63 - last_loud AS BIGINT) AS tail_trim,
+           CAST(last_loud - first_loud + 1 AS BIGINT) AS active_span,
+           CAST(n_loud AS BIGINT) AS n_loud
+    FROM loud
+    """,
+)
+def mm_audio_silence_trim(spark, sf_dir):
+    """Leading/trailing silence trim through the REAL WAV codec — the
+    first preprocessing step of every speech/audio ingest pipeline
+    (trimmed clips cost less to store, transcribe and embed): per clip,
+    the samples to cut from each end before the first/after the last
+    sample whose |amplitude| reaches the 28000 gate, the surviving
+    active span, and the loud-sample count.  The 64-clip panel spreads
+    trims across 0..18 samples per side (17 distinct values — measured
+    before registration; at the naive 8192 gate the pseudo-random
+    signal is 75% "loud" and the trim collapses to 0..1, the vacuity
+    trap this threshold dodges).
+
+    Kernel: the mm_audio_envelope_peaks shape — one Arrow-batched
+    encode (demo_pcm -> RIFF/WAVE) and one decode+reduce pandas_udf per
+    clip; the oracle reproduces the closed-form waveform and takes
+    min/max over the gated samples.  Map-side per clip at any scale."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from biggie_spark.multimodal import demo_pcm, encode_wav, wav_samples
+
+    @pandas_udf("binary")
+    def encode_udf(doc_id: pd.Series) -> pd.Series:
+        return pd.Series(
+            [encode_wav(demo_pcm(d).astype("<i2")) for d in doc_id]
+        )
+
+    @pandas_udf(
+        "struct<lead_trim bigint, tail_trim bigint, active_span bigint, "
+        "n_loud bigint>"
+    )
+    def trim_udf(payload: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in payload:
+            x = wav_samples(bytes(b)).astype(np.int64)
+            loud = np.abs(x) >= _TRIM_THR
+            idx = np.flatnonzero(loud)
+            first, last = int(idx[0]), int(idx[-1])
+            rows.append(
+                {
+                    "lead_trim": first,
+                    "tail_trim": len(x) - 1 - last,
+                    "active_span": last - first + 1,
+                    "n_loud": int(loud.sum()),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    probe = spark.range(64).select(F.col("id").alias("doc_id"))
+    enc = probe.select("doc_id", encode_udf("doc_id").alias("wav"))
+    return enc.select("doc_id", trim_udf("wav").alias("f")).select(
+        "doc_id", "f.lead_trim", "f.tail_trim", "f.active_span", "f.n_loud"
     )

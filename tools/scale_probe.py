@@ -309,6 +309,8 @@ ROUND12 = {
     "q_hamilton": "llm_eval_quota_hamilton",
     "q_feistel_sample": "llm_feistel_subsample",
     "q_ra_index": "graph_resource_alloc_index",
+    "q_quadtree": "mm_image_quadtree_occupancy",
+    "q_silence_trim": "mm_audio_silence_trim",
 }
 
 # Round-10 holdback tranche (ops/round10.py, built during round 9):
