@@ -105,6 +105,11 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = None
+    # 1-minute loadavg at measurement time (VERDICT r10 "What's wrong" #3:
+    # BENCH_r10.json was recorded on a loaded box and read +12% noise).
+    # Re-run rule: if loadavg > 2.0 the number is adjudication-grade only —
+    # re-run on a quiet box before committing it as the round artifact.
+    loadavg = round(os.getloadavg()[0], 2)
     print(
         json.dumps(
             {
@@ -113,9 +118,16 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "loadavg": loadavg,
             }
         )
     )
+    if loadavg > 2.0:
+        print(
+            f"WARNING: loadavg {loadavg} > 2.0 — timings are noise-prone; "
+            "re-run on a quiet box before recording this as BENCH_r{N}.json",
+            file=sys.stderr,
+        )
 
     if "--assert-budget" in sys.argv:
         # Caps are sf0.1-specific (BASELINE.md was measured there).
