@@ -296,7 +296,19 @@ ROUND11_HOLDBACK: frozenset[str] = frozenset(
 # released = 14 spare slots; any round-11 registration beyond those 14
 # parks here so it cannot displace the released tier or earlier unscored
 # registrations.  A registry test asserts the 50-slot fit.
-ROUND12_HOLDBACK: frozenset[str] = frozenset()
+ROUND12_HOLDBACK: frozenset[str] = frozenset(
+    {
+        # wave B (ops/round12b.py)
+        "ts_markov_stationary",
+        "agg_theil_decomposition",
+        "llm_ngram_entropy_rate",
+        "fn_geohash_neighbors",
+        "ts_runs_test",
+        "ts_peak_over_threshold",
+        "agg_nbinom_dispersion",
+        "graph_two_hop_reach",
+    }
+)
 
 
 def ordered_queries() -> dict[str, QueryFn]:

@@ -168,6 +168,14 @@ ALLOWED_BNLJ = {
     "agg_quantile_treatment_effect",  # 9-row literal decile grid
     # (LocalRelation) broadcast theta-joined (rn >= rank threshold) onto
     # the per-arm ranked scan — replicated side fixed at 9 rows forever
+    # round-12 wave-B additions — audited 2026-08-15:
+    "ts_markov_stationary",  # 1-row state-count scalar frame crossed
+    # onto the <=|types| states frame for the uniform init
+    "agg_theil_decomposition",  # 1-row corpus-total and 1-row between-
+    # term scalar frames crossed onto the 5-row per-lang frame
+    "fn_geohash_neighbors",  # 9-row literal (dx, dy) offset grid
+    # (spark.range LocalRelation) broadcast-crossed onto the <=1024-cell
+    # count frame — the stencil-to-equi-join contribution rewrite
 }
 
 

@@ -311,6 +311,15 @@ ROUND12 = {
     "q_ra_index": "graph_resource_alloc_index",
     "q_quadtree": "mm_image_quadtree_occupancy",
     "q_silence_trim": "mm_audio_silence_trim",
+    # wave B (ROUND12_HOLDBACK)
+    "q_markov_pi": "ts_markov_stationary",
+    "q_theil": "agg_theil_decomposition",
+    "q_entropy_rate": "llm_ngram_entropy_rate",
+    "q_geo_neighbors": "fn_geohash_neighbors",
+    "q_runs_test": "ts_runs_test",
+    "q_pot": "ts_peak_over_threshold",
+    "q_nbinom": "agg_nbinom_dispersion",
+    "q_two_hop": "graph_two_hop_reach",
 }
 
 # Round-10 holdback tranche (ops/round10.py, built during round 9):
