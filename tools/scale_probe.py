@@ -628,6 +628,100 @@ def incremental_exponents(spark) -> None:
             shutil.rmtree(base, ignore_errors=True)
 
 
+def heavy_100x(spark) -> None:
+    """VERDICT r10 item 7: extend the 100x PHYSICAL probe beyond the
+    window family to the two plans whose constants matter most at 100x —
+    ts_click_attribution's 7x-fanout bucketed equi-join and
+    graph_component_mass's convergence loop over the shingle-LSH edges.
+
+    Events replicate with event_id shifted by 100000 per copy (stays
+    inside the op's 2^20 stride guard; max id at sf0.1 is 99999) and
+    user_id shifted by OFF — per-user window sizes stay constant, so
+    linear wall-clock is the honest expectation.
+
+    Documents are CONTENT-keyed (the edges come from text shingles), so
+    byte-identical replication would grow the true answer K^2 (the
+    documented content-keyed caveat).  Each copy i instead gets a salt
+    token spliced in every 8th position: cross-copy shingle Jaccard
+    drops below the 0.8 verify threshold (copies stop being near-dups of
+    each other) while within-copy dup structure is preserved verbatim —
+    the true cluster count grows exactly K-fold."""
+    n_copies = K
+
+    # --- ts_click_attribution on 100x events -------------------------------
+    out = f"{OUT}_events100x"
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    ev = load_table(spark, SRC, "events")
+    copies = []
+    for i in range(n_copies):
+        copies.append(
+            ev.withColumn("event_id", F.col("event_id") + F.lit(i * 100000))
+            .withColumn("user_id", F.col("user_id") + F.lit(i * OFF))
+        )
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    t0 = time.time()
+    big.write.mode("overwrite").parquet(f"{out}/events.parquet")
+    n = spark.read.parquet(f"{out}/events.parquet").count()
+    print(f"built {n}-row 100x events in {time.time() - t0:.0f}s")
+
+    fn = QUERIES["ts_click_attribution"]
+    walls = {}
+    for label, d in (("sf0.1", SRC), ("100x", out)):
+        wall = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, d).write.format("noop").mode("overwrite").save()
+            wall = time.perf_counter() - t0
+        walls[label] = wall
+    print(
+        f"| ts_click_attribution | {walls['sf0.1']:.2f}s | "
+        f"{walls['100x']:.2f}s | {walls['100x'] / walls['sf0.1']:.1f}x "
+        f"(ideal <= 10 at 10x rows... this is 10x sf0.1 = 100x scoring SF) |"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+
+    # --- graph_component_mass on 100x salted documents ----------------------
+    out = f"{OUT}_docs100x"
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    docs = load_table(spark, SRC, "documents")
+    copies = []
+    for i in range(n_copies):
+        salted = docs.withColumn(
+            "text",
+            F.expr(
+                "array_join(flatten(transform(split(text, ' '), "
+                f"(t, j) -> case when j % 8 = 7 then array(t, 'zsalt{i}q') "
+                "else array(t) end)), ' ')"
+            ),
+        ).withColumn("doc_id", F.col("doc_id") + F.lit(i * 5000))
+        copies.append(salted)
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    t0 = time.time()
+    big.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    n = spark.read.parquet(f"{out}/documents.parquet").count()
+    print(f"built {n}-row 100x salted documents in {time.time() - t0:.0f}s")
+
+    fn = QUERIES["graph_component_mass"]
+    for label, d in (("sf0.1", SRC), ("100x", out)):
+        t0 = time.perf_counter()
+        rows = fn(spark, d).collect()
+        wall = time.perf_counter() - t0
+        tot = sum(r["n_clusters"] for r in rows)
+        print(
+            f"| graph_component_mass {label} | {wall:.2f}s | "
+            f"{tot} clusters | {sorted((r['cluster_size'], r['n_clusters']) for r in rows)} |"
+        )
+    shutil.rmtree(out, ignore_errors=True)
+
+
 def ann_recall_100x(spark) -> None:
     """VERDICT r8 item 5: ANN recall + IVF train/probe cost at the 100x
     corpus (~500k vectors — the 1M-vector-class scale).  Key-shifted
@@ -985,6 +1079,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     if "--ann-100x" in sys.argv:
         ann_recall_100x(spark)
+        return
+    if "--heavy-100x" in sys.argv:
+        heavy_100x(spark)
         return
     if "--ann-hard" in sys.argv:
         ann_recall_hard(spark)
