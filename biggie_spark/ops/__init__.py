@@ -51,3 +51,4 @@ from biggie_spark.ops import round10b  # noqa: E402,F401
 from biggie_spark.ops import round11  # noqa: E402,F401
 from biggie_spark.ops import round12  # noqa: E402,F401
 from biggie_spark.ops import round12b  # noqa: E402,F401
+from biggie_spark.ops import round12c  # noqa: E402,F401

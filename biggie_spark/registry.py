@@ -307,6 +307,15 @@ ROUND12_HOLDBACK: frozenset[str] = frozenset(
         "ts_peak_over_threshold",
         "agg_nbinom_dispersion",
         "graph_two_hop_reach",
+        # wave C (ops/round12c.py)
+        "graph_harmonic_centrality_k4",
+        "llm_pack_lower_bounds",
+        "sql_nulls_ordering",
+        "ts_velocity_acceleration",
+        "mm_audio_dc_offset",
+        "llm_softmax_temperature_sweep",
+        "llm_pps_systematic_sample",
+        "kv_tensor_cumsum_axis",
     }
 )
 

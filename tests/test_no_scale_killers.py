@@ -176,6 +176,12 @@ ALLOWED_BNLJ = {
     "fn_geohash_neighbors",  # 9-row literal (dx, dy) offset grid
     # (spark.range LocalRelation) broadcast-crossed onto the <=1024-cell
     # count frame — the stencil-to-equi-join contribution rewrite
+    # round-12 wave-C additions — audited 2026-08-15:
+    "llm_pack_lower_bounds",  # 3-row literal capacity grid (carrying the
+    # 1-row total) broadcast-crossed onto the catalog-sized manifest
+    "llm_softmax_temperature_sweep",  # 3-row literal temperature grid
+    # (spark.range LocalRelation) broadcast-crossed onto the bounded
+    # 20-probe x top-8 logit frame
 }
 
 

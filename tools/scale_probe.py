@@ -320,6 +320,15 @@ ROUND12 = {
     "q_pot": "ts_peak_over_threshold",
     "q_nbinom": "agg_nbinom_dispersion",
     "q_two_hop": "graph_two_hop_reach",
+    # wave C (ROUND12_HOLDBACK)
+    "q_harmonic": "graph_harmonic_centrality_k4",
+    "q_pack_bounds": "llm_pack_lower_bounds",
+    "q_nulls_order": "sql_nulls_ordering",
+    "q_vel_acc": "ts_velocity_acceleration",
+    "q_dc_offset": "mm_audio_dc_offset",
+    "q_temp_sweep": "llm_softmax_temperature_sweep",
+    "q_pps": "llm_pps_systematic_sample",
+    "q_tensor_scan": "kv_tensor_cumsum_axis",
 }
 
 # Round-10 holdback tranche (ops/round10.py, built during round 9):
