@@ -316,6 +316,15 @@ ROUND12_HOLDBACK: frozenset[str] = frozenset(
         "llm_softmax_temperature_sweep",
         "llm_pps_systematic_sample",
         "kv_tensor_cumsum_axis",
+        # wave D (ops/round12d.py)
+        "llm_cache_capacity_curve",
+        "ts_permutation_entropy",
+        "mm_image_bit_planes",
+        "stream_rate_limit_static",
+        "kv_postings_intersect",
+        "graph_degree_assortativity",
+        "ts_ljung_box",
+        "agg_standardized_mean_diff",
     }
 )
 

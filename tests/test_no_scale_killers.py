@@ -182,6 +182,12 @@ ALLOWED_BNLJ = {
     "llm_softmax_temperature_sweep",  # 3-row literal temperature grid
     # (spark.range LocalRelation) broadcast-crossed onto the bounded
     # 20-probe x top-8 logit frame
+    # round-12 wave-D additions — audited 2026-08-15:
+    "llm_cache_capacity_curve",  # 3-row literal capacity grid crossed
+    # onto the vocabulary-bounded prefix-frequency frame
+    "kv_postings_intersect",  # top-4 hot-term frame (rank-bounded)
+    # theta-joined r1 < r2 to build the 6 literal term pairs; the
+    # postings intersection itself is a doc_id equi-join
 }
 
 

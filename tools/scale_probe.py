@@ -329,6 +329,15 @@ ROUND12 = {
     "q_temp_sweep": "llm_softmax_temperature_sweep",
     "q_pps": "llm_pps_systematic_sample",
     "q_tensor_scan": "kv_tensor_cumsum_axis",
+    # wave D (ROUND12_HOLDBACK)
+    "q_cache_curve": "llm_cache_capacity_curve",
+    "q_perm_entropy": "ts_permutation_entropy",
+    "q_bit_planes": "mm_image_bit_planes",
+    "q_rate_limit": "stream_rate_limit_static",
+    "q_postings": "kv_postings_intersect",
+    "q_assortativity": "graph_degree_assortativity",
+    "q_ljung_box": "ts_ljung_box",
+    "q_smd": "agg_standardized_mean_diff",
 }
 
 # Round-10 holdback tranche (ops/round10.py, built during round 9):
