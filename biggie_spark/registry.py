@@ -325,6 +325,15 @@ ROUND12_HOLDBACK: frozenset[str] = frozenset(
         "graph_degree_assortativity",
         "ts_ljung_box",
         "agg_standardized_mean_diff",
+        # wave E (ops/round12e.py)
+        "llm_policy_kl_budget",
+        "llm_heavy_changers",
+        "sql_pivot_multi_agg",
+        "ts_haar_energy",
+        "agg_beta_binomial_posterior",
+        "llm_simhash_hamming_radius",
+        "ts_pacf_lag2",
+        "llm_heaps_law_curve",
     }
 )
 

@@ -188,6 +188,13 @@ ALLOWED_BNLJ = {
     "kv_postings_intersect",  # top-4 hot-term frame (rank-bounded)
     # theta-joined r1 < r2 to build the 6 literal term pairs; the
     # postings intersection itself is a doc_id equi-join
+    # round-12 wave-E additions — audited 2026-08-15:
+    "llm_heavy_changers",  # 1-row corpus-max and 1-row half-total scalar
+    # frames crossed onto the vocabulary-bounded census
+    "llm_simhash_hamming_radius",  # 10-probe literal broadcast x corpus
+    # (the llm_knn_cosine pattern) + 4-row literal radius grid
+    "llm_heaps_law_curve",  # 1-row corpus-max scalar + 3-row literal
+    # prefix grid crossed onto one n-gram pass
 }
 
 

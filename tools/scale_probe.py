@@ -338,6 +338,15 @@ ROUND12 = {
     "q_assortativity": "graph_degree_assortativity",
     "q_ljung_box": "ts_ljung_box",
     "q_smd": "agg_standardized_mean_diff",
+    # wave E (ROUND12_HOLDBACK)
+    "q_kl_budget": "llm_policy_kl_budget",
+    "q_heavy_changers": "llm_heavy_changers",
+    "q_pivot_multi": "sql_pivot_multi_agg",
+    "q_haar": "ts_haar_energy",
+    "q_beta_binom": "agg_beta_binomial_posterior",
+    "q_hamming_radius": "llm_simhash_hamming_radius",
+    "q_pacf": "ts_pacf_lag2",
+    "q_heaps": "llm_heaps_law_curve",
 }
 
 # Round-10 holdback tranche (ops/round10.py, built during round 9):
