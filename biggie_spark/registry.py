@@ -334,6 +334,12 @@ ROUND12_HOLDBACK: frozenset[str] = frozenset(
         "llm_simhash_hamming_radius",
         "ts_pacf_lag2",
         "llm_heaps_law_curve",
+        # wave F (ops/round12f.py)
+        "agg_fleiss_kappa",
+        "diag_sortedness_audit",
+        "src_scan_json_malformed",
+        "ts_intervention_its",
+        "graph_local_bridges",
     }
 )
 

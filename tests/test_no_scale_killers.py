@@ -195,6 +195,9 @@ ALLOWED_BNLJ = {
     # (the llm_knn_cosine pattern) + 4-row literal radius grid
     "llm_heaps_law_curve",  # 1-row corpus-max scalar + 3-row literal
     # prefix grid crossed onto one n-gram pass
+    # round-12 wave-F additions — audited 2026-08-15:
+    "agg_fleiss_kappa",  # 1-row exact-median scalar frame crossed onto
+    # the event scan (the rater-threshold broadcast)
 }
 
 

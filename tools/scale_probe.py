@@ -347,6 +347,12 @@ ROUND12 = {
     "q_hamming_radius": "llm_simhash_hamming_radius",
     "q_pacf": "ts_pacf_lag2",
     "q_heaps": "llm_heaps_law_curve",
+    # wave F (ROUND12_HOLDBACK)
+    "q_fleiss": "agg_fleiss_kappa",
+    "q_sortedness": "diag_sortedness_audit",
+    "q_json_malformed": "src_scan_json_malformed",
+    "q_its": "ts_intervention_its",
+    "q_local_bridges": "graph_local_bridges",
 }
 
 # Round-10 holdback tranche (ops/round10.py, built during round 9):
