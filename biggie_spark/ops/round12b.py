@@ -125,11 +125,12 @@ def ts_markov_stationary(spark, sf_dir):
                FROM documents GROUP BY lang),
     tot AS (SELECT sum(ng) AS n, sum(sg) AS s FROM g),
     btw AS (SELECT round(sum((sg * 1.0 / s) *
-                             ln((sg * 1.0 / ng) / (s * 1.0 / n))), 6) AS tb
+                             ln((sg * 1.0 / ng) / (s * 1.0 / n))), 6) + 0
+              AS tb
             FROM g, tot)
     SELECT lang,
            CAST(ng AS BIGINT) AS n_docs,
-           round(sxlx / sg - ln(sg * 1.0 / ng), 4) AS theil_within_r4,
+           round(sxlx / sg - ln(sg * 1.0 / ng), 4) + 0 AS theil_within_r4,
            CAST(sg * 1000000 // (SELECT s FROM tot) AS BIGINT) AS weight_e6,
            (SELECT tb FROM btw) AS theil_between_r6
     FROM g
@@ -164,14 +165,18 @@ def agg_theil_decomposition(spark, sf_dir):
     btw = (
         g.crossJoin(F.broadcast(tot))
         .agg(
-            F.round(
-                F.sum(
-                    (F.col("sg") / F.col("s"))
-                    * F.log(
-                        (F.col("sg") / F.col("ng")) / (F.col("s") / F.col("n"))
-                    )
-                ),
-                6,
+            (
+                F.round(
+                    F.sum(
+                        (F.col("sg") / F.col("s"))
+                        * F.log(
+                            (F.col("sg") / F.col("ng"))
+                            / (F.col("s") / F.col("n"))
+                        )
+                    ),
+                    6,
+                )
+                + F.lit(0.0)  # -0.0 normalization (util.r4 convention)
             ).alias("tb")
         )
     )
@@ -181,10 +186,13 @@ def agg_theil_decomposition(spark, sf_dir):
         .select(
             "lang",
             F.col("ng").alias("n_docs"),
-            F.round(
-                F.col("sxlx") / F.col("sg")
-                - F.log(F.col("sg") / F.col("ng")),
-                4,
+            (
+                F.round(
+                    F.col("sxlx") / F.col("sg")
+                    - F.log(F.col("sg") / F.col("ng")),
+                    4,
+                )
+                + F.lit(0.0)
             ).alias("theil_within_r4"),
             F.expr("sg * 1000000 div s").alias("weight_e6"),
             F.col("tb").alias("theil_between_r6"),
@@ -213,9 +221,9 @@ def agg_theil_decomposition(spark, sf_dir):
     h2 AS (SELECT c2.lang, -sum((c * 1.0 / n2.n) * ln(c * 1.0 / ch.hc)) AS h
            FROM c2 JOIN ch USING (lang, w1) JOIN n2 USING (lang)
            GROUP BY c2.lang)
-    SELECT h1.lang, round(h1.h, 4) AS h_unigram_r4,
-           round(h2.h, 4) AS h_bigram_cond_r4,
-           round((h1.h - h2.h) / h1.h, 4) AS redundancy_r4
+    SELECT h1.lang, round(h1.h, 4) + 0 AS h_unigram_r4,
+           round(h2.h, 4) + 0 AS h_bigram_cond_r4,
+           round((h1.h - h2.h) / h1.h, 4) + 0 AS redundancy_r4
     FROM h1 JOIN h2 USING (lang)
     """,
 )

@@ -461,8 +461,8 @@ _SM_TOPK = 8
     sm AS (SELECT doc_id, t_e1, exp(c * 10.0 / t_e1) AS e FROM top8, temps),
     z AS (SELECT doc_id, t_e1, sum(e) AS z FROM sm GROUP BY doc_id, t_e1)
     SELECT sm.doc_id, CAST(sm.t_e1 AS BIGINT) AS t_e1,
-           round(-sum((e / z) * ln(e / z)), 4) AS entropy_r4,
-           round(max(e / z), 4) AS p_max_r4
+           round(-sum((e / z) * ln(e / z)), 4) + 0 AS entropy_r4,
+           round(max(e / z), 4) + 0 AS p_max_r4
     FROM sm JOIN z USING (doc_id, t_e1) GROUP BY sm.doc_id, sm.t_e1
     """,
 )

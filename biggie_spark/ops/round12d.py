@@ -148,7 +148,7 @@ _PE_PATTERN = (
     SELECT cnt.event_type,
            CAST(count(*) AS BIGINT) AS n_patterns,
            CAST(max(t) AS BIGINT) AS n_windows,
-           round(-sum((n * 1.0 / t) * ln(n * 1.0 / t)), 4)
+           round(-sum((n * 1.0 / t) * ln(n * 1.0 / t)), 4) + 0
              AS perm_entropy_r4
     FROM cnt JOIN tot USING (event_type) GROUP BY cnt.event_type
     """,
@@ -546,10 +546,10 @@ def graph_degree_assortativity(spark, sf_dir):
            FROM lg GROUP BY event_type)
     SELECT event_type,
            CAST(n AS BIGINT) AS n_days,
-           round(r1, 4) AS r1_r4, round(r2, 4) AS r2_r4,
-           round(r3, 4) AS r3_r4,
+           round(r1, 4) + 0 AS r1_r4, round(r2, 4) + 0 AS r2_r4,
+           round(r3, 4) + 0 AS r3_r4,
            round(n * (n + 2) * (r1 * r1 / (n - 1) + r2 * r2 / (n - 2)
-                                + r3 * r3 / (n - 3)), 4) AS q3_r4
+                                + r3 * r3 / (n - 3)), 4) + 0 AS q3_r4
     FROM rk
     """,
 )
@@ -636,8 +636,8 @@ def ts_ljung_box(spark, sf_dir):
     SELECT a.event_type,
            CAST(a.n AS BIGINT) AS n_treat,
            CAST(b.n AS BIGINT) AS n_ctrl,
-           round(a.mu - b.mu, 4) AS mean_diff_r4,
-           round((a.mu - b.mu) / sqrt((a.v + b.v) / 2), 4) AS smd_r4
+           round(a.mu - b.mu, 4) + 0 AS mean_diff_r4,
+           round((a.mu - b.mu) / sqrt((a.v + b.v) / 2), 4) + 0 AS smd_r4
     FROM s a JOIN s b
       ON a.event_type = b.event_type AND a.t = 1 AND b.t = 0
     """,

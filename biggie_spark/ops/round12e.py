@@ -551,9 +551,9 @@ def llm_simhash_hamming_radius(spark, sf_dir):
                   sum(e * e2) / sum(e * e) AS r2
            FROM lg GROUP BY event_type)
     SELECT event_type,
-           round(r1, 4) AS acf1_r4,
-           round(r2, 4) AS acf2_r4,
-           round((r2 - r1 * r1) / (1 - r1 * r1), 4) AS pacf2_r4
+           round(r1, 4) + 0 AS acf1_r4,
+           round(r2, 4) + 0 AS acf2_r4,
+           round((r2 - r1 * r1) / (1 - r1 * r1), 4) + 0 AS pacf2_r4
     FROM rk
     """,
 )

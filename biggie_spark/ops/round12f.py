@@ -63,10 +63,10 @@ from biggie_spark.util import lineage_cap, r4
                  avg(n1 / 3.0) AS p1
           FROM p)
     SELECT CAST(n_items AS BIGINT) AS n_items,
-           round(pbar, 4) AS p_observed_r4,
-           round(p1 * p1 + (1 - p1) * (1 - p1), 4) AS p_expected_r4,
+           round(pbar, 4) + 0 AS p_observed_r4,
+           round(p1 * p1 + (1 - p1) * (1 - p1), 4) + 0 AS p_expected_r4,
            round((pbar - (p1 * p1 + (1 - p1) * (1 - p1)))
-                 / (1 - (p1 * p1 + (1 - p1) * (1 - p1))), 4) AS kappa_r4
+                 / (1 - (p1 * p1 + (1 - p1) * (1 - p1))), 4) + 0 AS kappa_r4
     FROM s
     """,
 )

@@ -51,6 +51,8 @@ NEGZERO_ALLOW = {
     # zero in integers, pattern `* 100, 0` / `* 10000, 0` / `* 1000000, 0`
     # is stripped structurally below, not listed here.
     "agg_benford_digits",  # log10(1 + 1/d) > 0
+    "llm_policy_kl_budget",  # already normalized: greatest(round(..),0)+0.0
+    # wraps every KL column on BOTH engines (round12e.py)
     "agg_chi2_independence",  # sum of squares / e >= 0
     "agg_hll_portable",  # err_bp normalized; hll_est > 0
     "llm_tf_idf",  # ln((n+1)/(df+1)) >= 0 since df <= n
