@@ -55,3 +55,4 @@ from biggie_spark.ops import round12c  # noqa: E402,F401
 from biggie_spark.ops import round12d  # noqa: E402,F401
 from biggie_spark.ops import round12e  # noqa: E402,F401
 from biggie_spark.ops import round12f  # noqa: E402,F401
+from biggie_spark.ops import round12g  # noqa: E402,F401

@@ -340,6 +340,11 @@ ROUND12_HOLDBACK: frozenset[str] = frozenset(
         "src_scan_json_malformed",
         "ts_intervention_its",
         "graph_local_bridges",
+        # wave G (ops/round12g.py)
+        "snk_bloom_index_persisted",
+        "fn_merkle_tree_levels",
+        "agg_hoeffding_sample_bound",
+        "mm_image_erosion_3x3",
     }
 )
 

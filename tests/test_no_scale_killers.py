@@ -198,6 +198,9 @@ ALLOWED_BNLJ = {
     # round-12 wave-F additions — audited 2026-08-15:
     "agg_fleiss_kappa",  # 1-row exact-median scalar frame crossed onto
     # the event scan (the rater-threshold broadcast)
+    # round-12 wave-G additions — audited 2026-08-15:
+    "agg_hoeffding_sample_bound",  # 3-row literal sample-size grid
+    # crossed onto one scan + 1-row bounds scalar frame
 }
 
 
@@ -231,6 +234,9 @@ _COLLECT_ALLOWLIST = {
     # bounded by the block-count manifest (keyspace/128 rows: 4 at
     # sf0.001, ~40 at sf0.1; a zone-map is small by definition).
     "ops/round10.py": 1,
+    # round-12: snk_bloom_index_persisted collects the claimed shard ids
+    # to drive the pruned data read — bounded by the shard count (<= 8).
+    "ops/round12g.py": 1,
 }
 
 

@@ -53,6 +53,9 @@ NEGZERO_ALLOW = {
     "agg_benford_digits",  # log10(1 + 1/d) > 0
     "llm_policy_kl_budget",  # already normalized: greatest(round(..),0)+0.0
     # wraps every KL column on BOTH engines (round12e.py)
+    "agg_hoeffding_sample_bound",  # bound = (mx-mn)*sqrt(ln40/2n) is
+    # strictly positive (range > 0 whenever lengths vary; measured 21+);
+    # the signable abs_dev column already carries + 0
     "agg_chi2_independence",  # sum of squares / e >= 0
     "agg_hll_portable",  # err_bp normalized; hll_est > 0
     "llm_tf_idf",  # ln((n+1)/(df+1)) >= 0 since df <= n

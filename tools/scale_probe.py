@@ -353,6 +353,11 @@ ROUND12 = {
     "q_json_malformed": "src_scan_json_malformed",
     "q_its": "ts_intervention_its",
     "q_local_bridges": "graph_local_bridges",
+    # wave G (ROUND12_HOLDBACK)
+    "q_bloom_index": "snk_bloom_index_persisted",
+    "q_merkle": "fn_merkle_tree_levels",
+    "q_hoeffding": "agg_hoeffding_sample_bound",
+    "q_erosion": "mm_image_erosion_3x3",
 }
 
 # Round-10 holdback tranche (ops/round10.py, built during round 9):
