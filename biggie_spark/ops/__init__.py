@@ -56,3 +56,4 @@ from biggie_spark.ops import round12d  # noqa: E402,F401
 from biggie_spark.ops import round12e  # noqa: E402,F401
 from biggie_spark.ops import round12f  # noqa: E402,F401
 from biggie_spark.ops import round12g  # noqa: E402,F401
+from biggie_spark.ops import round12h  # noqa: E402,F401

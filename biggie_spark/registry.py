@@ -345,6 +345,11 @@ ROUND12_HOLDBACK: frozenset[str] = frozenset(
         "fn_merkle_tree_levels",
         "agg_hoeffding_sample_bound",
         "mm_image_erosion_3x3",
+        # wave H (ops/round12h.py)
+        "llm_bigram_perplexity_heldout",
+        "agg_hill_tail_index",
+        "graph_rich_club_coeff",
+        "llm_log_odds_fightin_words",
     }
 )
 

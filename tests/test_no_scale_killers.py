@@ -201,6 +201,15 @@ ALLOWED_BNLJ = {
     # round-12 wave-G additions — audited 2026-08-15:
     "agg_hoeffding_sample_bound",  # 3-row literal sample-size grid
     # crossed onto one scan + 1-row bounds scalar frame
+    # round-12 wave-H additions — audited 2026-08-15:
+    "llm_bigram_perplexity_heldout",  # 1-row vocab-size scalar frame
+    # crossed onto the eval-half join (the corpus-N pattern)
+    "agg_hill_tail_index",  # 3-row literal k grid theta-joined
+    # (rn <= k) onto the top-100-bounded ranked frame + 3-row ck frame
+    "graph_rich_club_coeff",  # 3-row literal degree grid theta-joined
+    # (d > k) onto the 500-row degree frame; rich sets broadcast
+    "llm_log_odds_fightin_words",  # 1-row corpus-total scalar frame
+    # crossed onto the vocabulary-bounded score frame
 }
 
 

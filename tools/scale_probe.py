@@ -358,6 +358,11 @@ ROUND12 = {
     "q_merkle": "fn_merkle_tree_levels",
     "q_hoeffding": "agg_hoeffding_sample_bound",
     "q_erosion": "mm_image_erosion_3x3",
+    # wave H (ROUND12_HOLDBACK)
+    "q_heldout_ppl": "llm_bigram_perplexity_heldout",
+    "q_hill": "agg_hill_tail_index",
+    "q_rich_club": "graph_rich_club_coeff",
+    "q_fightin": "llm_log_odds_fightin_words",
 }
 
 # Round-10 holdback tranche (ops/round10.py, built during round 9):
