@@ -60,13 +60,15 @@ _MS_INIT = 1_000_000_000_000  # e12 mass, the graph_pagerank convention
     t AS (SELECT prev, nxt, count(*) AS c FROM l WHERE prev IS NOT NULL
           GROUP BY prev, nxt),
     m AS (SELECT prev, sum(c) AS rt FROM t GROUP BY prev),
-    p AS (SELECT t.prev, t.nxt, t.c, m.rt FROM t JOIN m USING (prev)),
+    p AS (SELECT t.prev, t.nxt, t.c * 1000000 // m.rt AS prob_e6
+          FROM t JOIN m USING (prev)),
     states AS (SELECT DISTINCT nxt AS s FROM l),
     n AS (SELECT count(*) AS k FROM states),
     it(iter, s, pi) AS (
       SELECT 0, s, {_MS_INIT} // k FROM states, n
       UNION ALL
-      SELECT iter + 1, p.nxt, CAST(sum(it.pi * p.c // p.rt) AS BIGINT)
+      SELECT iter + 1, p.nxt,
+             CAST(sum(it.pi * p.prob_e6 // 1000000) AS BIGINT)
       FROM it JOIN p ON p.prev = it.s
       WHERE iter < {_MS_ITERS}
       GROUP BY iter + 1, p.nxt)
@@ -79,9 +81,15 @@ def ts_markov_stationary(spark, sf_dir):
     the long-run fraction of journey steps each event type absorbs, the
     number that turns ts_markov_transitions' MATRIX into a ranking
     (where do users end up spending their actions?): 8 power iterations
-    pi' = pi P in e12 integer arithmetic (pi * c div row_total per edge,
-    exact and engine-portable — the graph_pagerank discipline; flooring
-    leaks ~1e-10 of mass per iteration, documented there).  Measured:
+    pi' = pi P in e12 integer arithmetic over e6-quantized edge
+    probabilities (prob_e6 = c*1e6 div row_total, then pi * prob_e6 div
+    1e6 — the graph_pagerank discipline; flooring leaks ~1e-10 of mass
+    per iteration).  The quantized form is the SCALE-SAFE one: the
+    direct pi * c product overflows int64 once any edge carries more
+    than ~4.6e7 transitions (DuckDB silently widens to INT128, Spark
+    ANSI raises — the hash-blind divergence class), while pi * prob_e6
+    is bounded by 1e12 * 1e6 < 2^63 at ANY corpus size and prob_e6
+    itself holds to ~9e12 transitions per edge.  Measured:
     the five states separate by up to 2% of mass and the ordering
     changes across SFs — live signal, not the uniform fixed point.
 
@@ -99,7 +107,11 @@ def ts_markov_stationary(spark, sf_dir):
     )
     t = l.groupBy("prev", "nxt").agg(F.count("*").alias("c"))
     m = t.groupBy("prev").agg(F.sum("c").alias("rt"))
-    p = t.join(m, "prev").transform(lineage_cap)
+    p = (
+        t.join(m, "prev")
+        .select("prev", "nxt", F.expr("c * 1000000 div rt").alias("prob_e6"))
+        .transform(lineage_cap)
+    )
     states = l.select(F.col("nxt").alias("s")).distinct()
     k = states.agg(F.count("*").alias("k"))
     pi = states.crossJoin(F.broadcast(k)).select(
@@ -109,7 +121,7 @@ def ts_markov_stationary(spark, sf_dir):
         pi = (
             p.join(pi.withColumnRenamed("s", "prev"), "prev")
             .groupBy(F.col("nxt").alias("s"))
-            .agg(F.sum(F.expr("pi * c div rt")).alias("pi"))
+            .agg(F.sum(F.expr("pi * prob_e6 div 1000000")).alias("pi"))
         )
     return pi.select(F.col("s").alias("event_type"), F.col("pi").alias("pi_e12"))
 
@@ -421,7 +433,9 @@ def ts_runs_test(spark, sf_dir):
 
     Shape: one rank window for the median, one lag window for the sign
     changes — both partitioned by event type; the output is
-    |types| rows."""
+    |types| rows.  Int64 bound: exp_runs_e4's 2*n1*n0*1e4 numerator
+    holds to ~6.8e8 rows per type (n1*n0 ~ n²/4); past that, compute
+    the expectation at e0 and scale after dividing."""
     e = load_table(spark, sf_dir, "events").select(
         "event_type",
         "event_id",
@@ -594,7 +608,13 @@ def agg_nbinom_dispersion(spark, sf_dir):
     by SF).
 
     Shape: two hash aggregates (user-type counts, then type moments) —
-    the first is the only corpus-scale stage and combines map-side."""
+    the first is the only corpus-scale stage and combines map-side.
+    Int64 bound: the Bessel numerator n*Σc² holds while
+    users * (max per-user count)² < 9e14 (e.g. 1e9 users at <= 30
+    events/type each); past that, accumulate scc in DECIMAL(38,0) (the
+    fn_table_checksum convention) — overflow here is the hash-blind
+    DuckDB-widens/Spark-raises split, so the bound is documented rather
+    than silently assumed."""
     u = (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type", "user_id")

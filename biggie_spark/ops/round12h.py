@@ -79,7 +79,10 @@ def llm_bigram_perplexity_heldout(spark, sf_dir):
 
     Shape: one vocabulary-bounded bigram count on the train half, one
     broadcast-size head-count frame, one LEFT join over the eval half
-    (the unseen-bigram path is the join miss), one integer aggregate."""
+    (the unseen-bigram path is the join miss), one integer aggregate.
+    Int64 bound: |lp_e6| <= ~1.2e7 per bigram (|ln p| <= ln(corpus)),
+    so the exact sum holds to ~7.6e11 eval bigrams per language; past
+    that accumulate in DECIMAL(38,0)."""
     t = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.split(F.lower("text"), " ").alias("tk")
     )
