@@ -913,3 +913,92 @@ def test_ttl_expiry_is_single_scan_aggregate(spark, sf_dir):
     assert plan.count("Location: InMemoryFileIndex") == 1
     assert "Join" not in plan
     assert "partial_count" in plan
+
+
+# --- round-12 tranche plan pins --------------------------------------------
+
+
+def test_cdc_chunking_is_python_free_and_doc_partitioned(spark, sf_dir):
+    """llm_cdc_chunk_boundaries' boundary decisions are md5 arithmetic
+    inside codegen (no Python anywhere), and the chunk assembly windows
+    over the doc partition — map-side per document, the property that
+    lets CDC scale to 100 TB ingest."""
+    plan = plan_of(QUERIES["llm_cdc_chunk_boundaries"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "hashpartitioning(doc_id" in plan.replace(" ", "").replace(
+        "#", "#"
+    ) or "hashpartitioning(doc_id" in plan
+
+
+def test_codec_dictionary_stats_prunes_each_scan(spark, sf_dir):
+    """snk_codec_dictionary_stats reads exactly one column per audited
+    scan — a codec audit that reads whole rows would be wrong at any
+    scale."""
+    plan = plan_of(QUERIES["snk_codec_dictionary_stats"](spark, sf_dir))
+    schema_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert schema_lines, "expected parquet scans with ReadSchema"
+    for line in schema_lines:
+        # every audited scan projects a single column: the struct<...>
+        # carries no comma (a second column would add one)
+        assert "," not in line.split("struct<", 1)[-1], (
+            f"unpruned codec-audit scan: {line}"
+        )
+
+
+def test_determinism_audit_ranks_per_status_partition(spark, sf_dir):
+    """agg_shard_determinism_audit's rank windows partition by status
+    (never a global sort), and the checksum accumulates in
+    DECIMAL(38,0)."""
+    plan = plan_of(QUERIES["agg_shard_determinism_audit"](spark, sf_dir))
+    assert "hashpartitioning(st" in plan
+    assert "DecimalType(38,0)" in plan or "decimal(38,0)" in plan
+
+
+def test_ivf_recall_broadcasts_centroids_and_probes(spark, sf_dir):
+    """llm_ivf_recall_curve's centroid/probe frames broadcast; the
+    corpus is never the build side of any join."""
+    plan = plan_of(QUERIES["llm_ivf_recall_curve"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    # the truth-vs-candidate hit join on (probe_id, neighbor_id) may
+    # legitimately sort-merge; what must NOT happen is a cartesian pair
+    assert "CartesianProduct" not in plan
+
+
+def test_feistel_subsample_is_windowed_projection(spark, sf_dir):
+    """llm_feistel_subsample = one codegen projection (the unrolled
+    Feistel) + one per-lang rank window — no joins at all."""
+    plan = plan_of(QUERIES["llm_feistel_subsample"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "hashpartitioning(lang" in plan
+
+
+def test_geohash_neighbors_is_equi_join_stencil(spark, sf_dir):
+    """fn_geohash_neighbors' 3x3 stencil runs as the contribution
+    equi-join (groupBy on the shifted key) — the naive |dx|<=1 theta
+    join would appear as a BNLJ against a non-literal side."""
+    plan = plan_of(QUERIES["fn_geohash_neighbors"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the occupied-cell lookup joins hash-side (the stencil equi-join);
+    # the only nested loop is the 9-row literal offset grid (one node —
+    # the formatted plan prints each node in tree + detail sections)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_markov_stationary_iterates_on_bounded_matrix(spark, sf_dir):
+    """ts_markov_stationary's 8 power iterations run on the
+    localCheckpoint'd transition matrix — the events parquet appears
+    exactly once (the lag window), not once per iteration."""
+    plan = plan_of(QUERIES["ts_markov_stationary"](spark, sf_dir))
+    # two bounded reads (transition lag window + state census), NOT one
+    # per iteration — 8 iterations on the raw parquet would show ~10
+    assert plan.count("Location: InMemoryFileIndex") <= 2
+
+
+def test_bigram_perplexity_sums_integers(spark, sf_dir):
+    """llm_bigram_perplexity_heldout's corpus-scale reduction is an
+    integer partial_sum (the e6-quantized log-probs), never a float
+    sum — the partition-order-free discipline."""
+    plan = plan_of(QUERIES["llm_bigram_perplexity_heldout"](spark, sf_dir))
+    assert "partial_sum" in plan
+    assert "BatchEvalPython" not in plan
