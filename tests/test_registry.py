@@ -225,3 +225,8 @@ def test_vacuity_audit_covers_every_holdback_op():
     text11 = (tools / "vacuity_r11.md").read_text()
     missing = [n for n in sorted(ROUND11_HOLDBACK) if n not in text11]
     assert not missing, f"holdback ops missing from vacuity_r11.md: {missing}"
+    from biggie_spark.registry import ROUND12_HOLDBACK
+
+    text12 = (tools / "vacuity_r12.md").read_text()
+    missing = [n for n in sorted(ROUND12_HOLDBACK) if n not in text12]
+    assert not missing, f"holdback ops missing from vacuity_r12.md: {missing}"
