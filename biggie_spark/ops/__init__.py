@@ -57,3 +57,4 @@ from biggie_spark.ops import round12e  # noqa: E402,F401
 from biggie_spark.ops import round12f  # noqa: E402,F401
 from biggie_spark.ops import round12g  # noqa: E402,F401
 from biggie_spark.ops import round12h  # noqa: E402,F401
+from biggie_spark.ops import round12i  # noqa: E402,F401

@@ -350,6 +350,10 @@ ROUND12_HOLDBACK: frozenset[str] = frozenset(
         "agg_hill_tail_index",
         "graph_rich_club_coeff",
         "llm_log_odds_fightin_words",
+        # wave I (ops/round12i.py — capacity top-up from the r13 backlog)
+        "agg_pinball_loss_grid",
+        "graph_katz_bounded",
+        "fn_consistent_hash_ring",
     }
 )
 

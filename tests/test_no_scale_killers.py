@@ -210,6 +210,13 @@ ALLOWED_BNLJ = {
     # (d > k) onto the 500-row degree frame; rich sets broadcast
     "llm_log_odds_fightin_words",  # 1-row corpus-total scalar frame
     # crossed onto the vocabulary-bounded score frame
+    # round-12 wave-I additions — audited 2026-08-15:
+    "agg_pinball_loss_grid",  # 3-row literal tau grid theta-joined
+    # (rn >= ceil-rank) onto the ranked scan, then the 3-row quantile
+    # frame crossed onto one conditional aggregate
+    "fn_consistent_hash_ring",  # 4/5-row literal node-ring frames
+    # (spark.range LocalRelation) — the ring successor lookup every
+    # shard router runs; both sides bounded by the node count forever
 }
 
 

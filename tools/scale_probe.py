@@ -363,6 +363,10 @@ ROUND12 = {
     "q_hill": "agg_hill_tail_index",
     "q_rich_club": "graph_rich_club_coeff",
     "q_fightin": "llm_log_odds_fightin_words",
+    # wave I (ROUND12_HOLDBACK)
+    "q_pinball": "agg_pinball_loss_grid",
+    "q_katz": "graph_katz_bounded",
+    "q_hash_ring": "fn_consistent_hash_ring",
 }
 
 # Round-10 holdback tranche (ops/round10.py, built during round 9):
