@@ -357,6 +357,36 @@ ROUND12_HOLDBACK: frozenset[str] = frozenset(
     }
 )
 
+# Round-13 holdback, same mechanics one generation out: ROUND12_HOLDBACK
+# already fills the round-12 window (48 released + 2 vacuity re-queue
+# slots), so everything built during round 11 beyond that parks here and
+# scores in the round-13 window.  Tier: after ROUND12_HOLDBACK, before
+# already-green (a registry test asserts the round-12 window cannot be
+# displaced).  Spreads validated in DuckDB at sf{0.001,0.01,0.1} before
+# registration — tools/vacuity_r13.md carries the measured evidence.
+ROUND13_HOLDBACK: frozenset[str] = frozenset(
+    {
+        # wave A (ops/round13a.py — time-series statistics)
+        "ts_pettitt_change",
+        "ts_theil_sen",
+        "ts_page_hinkley",
+        "ts_turning_points",
+        "ts_rsi_sma",
+        "ts_bollinger_breach",
+        "ts_kaufman_er",
+        "ts_sample_entropy",
+        # wave B (ops/round13b.py — categorical / experimental statistics)
+        "agg_goodman_kruskal_lambda",
+        "agg_friedman_ranks",
+        "agg_cochran_q",
+        "agg_brier_reliability",
+        "llm_krippendorff_alpha",
+        "agg_simpsons_reversal",
+        "agg_eta_squared",
+        "agg_abc_classification",
+    }
+)
+
 
 def ordered_queries() -> dict[str, QueryFn]:
     """QUERIES reordered for the driver's bounded scoring window:
@@ -398,6 +428,10 @@ def ordered_queries() -> dict[str, QueryFn]:
 
     def tier(n: str) -> int:
         if n in green:
+            return 12
+        if n in ROUND13_HOLDBACK:
+            # Parks one generation behind ROUND12_HOLDBACK so the round-12
+            # window (48 + 2 re-queue slots) can never be displaced.
             return 11
         if n in ROUND12_HOLDBACK:
             return 10
@@ -425,7 +459,7 @@ def ordered_queries() -> dict[str, QueryFn]:
         return 8 if _priority(n) else 9
 
     out: dict[str, QueryFn] = {}
-    for t in range(12):
+    for t in range(13):
         names = [n for n in QUERIES if tier(n) == t]
         if t == 3:
             names.sort(key=verdict_rank.__getitem__)

@@ -217,6 +217,20 @@ ALLOWED_BNLJ = {
     "fn_consistent_hash_ring",  # 4/5-row literal node-ring frames
     # (spark.range LocalRelation) — the ring successor lookup every
     # shard router runs; both sides bounded by the node count forever
+    # round-13 wave-A additions — audited 2026-08-16:
+    "ts_sample_entropy",  # template self-join theta (t2 > t1) with the
+    # broadcast side the CALENDAR-bounded global hourly template frame
+    # (<= 742 rows -> <= 275k pairs at any corpus size) + 1-row
+    # template-count scalar cross — raw events never enter the BNLJ
+    # round-13 wave-B additions — audited 2026-08-16:
+    "agg_goodman_kruskal_lambda",  # 1-row quartile-cut frame crossed
+    # onto the scan + 1-row lambda scalar crossed onto the 5-row frame
+    "agg_friedman_ranks",  # 1-row Friedman-Q scalar frame crossed onto
+    # the 5-row rank-sum frame
+    "agg_brier_reliability",  # 1-row corpus Brier scalar frame crossed
+    # onto the 10-bin reliability frame
+    "agg_simpsons_reversal",  # priority-pair theta self-joins (pr < p2)
+    # with broadcast sides bounded by the 5x3 dimension frames forever
 }
 
 

@@ -153,15 +153,29 @@ def test_round11_released_ops_follow_sec2_in_the_window():
             "an unscored extension precedes a released op: "
             f"{[n for n in others if oq.index(n) < last_released]}"
         )
+    from biggie_spark.registry import ROUND13_HOLDBACK
+
     held12 = [n for n in unscored if n in ROUND12_HOLDBACK]
-    rest = [n for n in unscored if n not in ROUND12_HOLDBACK]
+    held13 = [n for n in unscored if n in ROUND13_HOLDBACK]
+    rest = [
+        n
+        for n in unscored
+        if n not in ROUND12_HOLDBACK and n not in ROUND13_HOLDBACK
+    ]
     if held12 and rest:
         assert min(oq.index(n) for n in held12) > max(oq.index(n) for n in rest)
+    # ROUND13 parks one generation behind ROUND12: it must never displace
+    # any round-12 window op.
+    if held12 and held13:
+        assert min(oq.index(n) for n in held13) > max(
+            oq.index(n) for n in held12
+        ), "a ROUND13_HOLDBACK op precedes a ROUND12_HOLDBACK op"
+    assert not (set(held12) & set(held13)), "op in both holdbacks"
     # The window must never overflow past the driver's 50 slots with
     # unscored ops — that's exactly the displacement bug holdbacks prevent.
-    assert len(unscored) - len(held12) <= 50, (
-        f"{len(unscored) - len(held12)} unscored ops for a 50-slot window; "
-        "move the newest registrations into ROUND12_HOLDBACK"
+    assert len(unscored) - len(held12) - len(held13) <= 50, (
+        f"{len(unscored) - len(held12) - len(held13)} unscored ops for a "
+        "50-slot window; move the newest registrations into a holdback"
     )
     missing = [
         n
