@@ -384,6 +384,15 @@ ROUND13_HOLDBACK: frozenset[str] = frozenset(
         "agg_simpsons_reversal",
         "agg_eta_squared",
         "agg_abc_classification",
+        # wave C (ops/round13c.py — engine diagnostics + function parity)
+        "diag_card_est_error",
+        "diag_join_order_cost",
+        "diag_hist_selectivity",
+        "fn_rendezvous_hash",
+        "fn_business_days",
+        "fn_dod_bits",
+        "fn_width_bucket_parity",
+        "sql_bitagg_parity",
     }
 )
 

@@ -231,6 +231,17 @@ ALLOWED_BNLJ = {
     # onto the 10-bin reliability frame
     "agg_simpsons_reversal",  # priority-pair theta self-joins (pr < p2)
     # with broadcast sides bounded by the 5x3 dimension frames forever
+    # round-13 wave-C additions — audited 2026-08-16:
+    "diag_card_est_error",  # 1-row corpus-N scalar frame crossed onto
+    # the 120-cell census (margins join by equi-keys)
+    "diag_join_order_cost",  # six 1-row COUNT scalar frames chained by
+    # scalar crosses into the 3-row literal plan dimension
+    "diag_hist_selectivity",  # 7-point literal threshold panel crossed
+    # onto the 20-row histogram and onto the scan (conditional count)
+    "fn_rendezvous_hash",  # 4/5-row literal node grids crossed onto the
+    # key scan — the per-key HRW argmax every shard router computes
+    "fn_dod_bits",  # 1-row total scalar frame crossed onto the 5-class
+    # census
 }
 
 
