@@ -1,0 +1,865 @@
+"""Round-13 tranche, wave D (MT-eval metrics, language-model smoothing,
+index codecs, graph link prediction) — built during round 11, parked in
+ROUND13_HOLDBACK.
+
+Families:
+
+* MT / generation eval — chrF (character n-gram F2), BLEU n-gram
+  components with brevity ratio, self-BLEU diversity per source.
+* LM smoothing — Good–Turing trigram frequency-of-frequency structure
+  (hapax mass, smoothed counts).
+* index codecs — Elias gamma/delta vs varint bit accounting over
+  posting-list gaps (bit lengths via binary-string length, no float
+  log2 — libm log2 is not correctly-rounded-guaranteed).
+* graph — Jaccard link prediction on the shared 500-node graph,
+  supplier co-part projection histogram from lineitem.
+* funnel — first-passage time distribution (view -> purchase).
+
+Spreads validated in DuckDB at sf{0.001,0.01,0.1} before registration —
+measured evidence in tools/vacuity_r13.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from biggie_spark.io import load_table
+from biggie_spark.registry import register
+
+# Deterministic same-lang pairing shared by the chrF/BLEU ops: order each
+# lang by doc_id, pair rank 1-2, 3-4, ... up to rank 10 (5 pairs/lang).
+_PAIR_DUCK = """
+    dd AS (SELECT doc_id, lang, text,
+                  row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+           FROM documents),
+    pr AS (SELECT a.lang, a.doc_id AS ref_id, b.doc_id AS hyp_id,
+                  a.text AS rtxt, b.text AS htxt
+           FROM dd a JOIN dd b
+           ON a.lang = b.lang AND b.rn = a.rn + 1 AND a.rn % 2 = 1
+           WHERE a.rn <= 10)
+"""
+
+
+def _pairs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    dd = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy("doc_id"))
+        .alias("rn"),
+    )
+    b = dd.select(
+        F.col("lang").alias("lang2"),
+        F.col("doc_id").alias("hyp_id"),
+        F.col("text").alias("htxt"),
+        F.col("rn").alias("rn2"),
+    )
+    return (
+        dd.filter((F.col("rn") % 2 == 1) & (F.col("rn") <= 10))
+        .join(
+            b,
+            (F.col("lang") == F.col("lang2"))
+            & (F.col("rn2") == F.col("rn") + 1),
+        )
+        .select(
+            "lang",
+            F.col("doc_id").alias("ref_id"),
+            "hyp_id",
+            F.col("text").alias("rtxt"),
+            "htxt",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MT eval: chrF (character trigram F2)
+
+
+@register(
+    "llm_chrf_lite",
+    oracle=f"""
+    WITH {_PAIR_DUCK},
+    rc AS (SELECT ref_id, hyp_id, g, count(*) AS c FROM (
+            SELECT ref_id, hyp_id,
+                   unnest(list_transform(range(1, len(rtxt)-1),
+                          i -> substr(rtxt, i, 3))) AS g
+            FROM pr) GROUP BY 1, 2, 3),
+    hc AS (SELECT lang, ref_id, hyp_id, g, count(*) AS c FROM (
+            SELECT lang, ref_id, hyp_id,
+                   unnest(list_transform(range(1, len(htxt)-1),
+                          i -> substr(htxt, i, 3))) AS g
+            FROM pr) GROUP BY 1, 2, 3, 4),
+    ov AS (SELECT hc.lang, hc.ref_id, hc.hyp_id,
+                  sum(least(coalesce(rc.c, 0), hc.c)) AS clip,
+                  sum(hc.c) AS nh
+           FROM hc LEFT JOIN rc ON rc.ref_id = hc.ref_id
+                AND rc.hyp_id = hc.hyp_id AND rc.g = hc.g
+           GROUP BY 1, 2, 3),
+    rt AS (SELECT ref_id, hyp_id, sum(c) AS nr FROM rc GROUP BY 1, 2)
+    SELECT ov.lang, CAST(ov.ref_id AS BIGINT) AS ref_id,
+           CAST(ov.hyp_id AS BIGINT) AS hyp_id,
+           CAST(ov.clip*10000//ov.nh AS BIGINT) AS prec_e4,
+           CAST(ov.clip*10000//rt.nr AS BIGINT) AS recall_e4,
+           CAST(5*ov.clip*10000//(4*rt.nr + ov.nh) AS BIGINT) AS chrf2_e4
+    FROM ov JOIN rt ON rt.ref_id = ov.ref_id AND rt.hyp_id = ov.hyp_id
+    """,
+)
+def llm_chrf_lite(spark, sf_dir):
+    """chrF — the character n-gram F-score MT metric (tokenization-free,
+    the WMT-standard complement to BLEU), on character trigrams of the
+    deterministic same-lang doc pairing (rank 1-2, 3-4, ... per lang):
+    clipped precision, recall, and the beta=2 F-score via the exact
+    identity F2 = 5PR/(4P+R) = 5*clip/(4*nr+nh) — one nonnegative
+    integer division, no intermediate float ratio.  Measured: prec_e4
+    spans 1250..7923, recall 3455..8909 across pairs/SFs; chrF2 leans
+    toward recall by construction (beta=2 weighs recall double).
+
+    Shape: n-gram expansion is list_transform/explode per pair (10
+    pairs per lang — the pairing bounds the whole op at 5|langs|
+    pairs regardless of corpus size); two grouped counts + one
+    equi-join on the n-gram key."""
+    pr = _pairs(spark, sf_dir)
+    rg = pr.select(
+        "ref_id",
+        "hyp_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(rtxt)-2),"
+                " i -> substring(rtxt, i, 3))"
+            )
+        ).alias("g"),
+    )
+    hg = pr.select(
+        "lang",
+        "ref_id",
+        "hyp_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(htxt)-2),"
+                " i -> substring(htxt, i, 3))"
+            )
+        ).alias("g"),
+    )
+    rc = rg.groupBy("ref_id", "hyp_id", "g").agg(F.count("*").alias("c"))
+    hc = hg.groupBy("lang", "ref_id", "hyp_id", "g").agg(
+        F.count("*").alias("c")
+    )
+    rcb = rc.select(
+        F.col("ref_id").alias("r2"),
+        F.col("hyp_id").alias("h2"),
+        F.col("g").alias("g2"),
+        F.col("c").alias("cr"),
+    )
+    ov = (
+        hc.join(
+            rcb,
+            (F.col("ref_id") == F.col("r2"))
+            & (F.col("hyp_id") == F.col("h2"))
+            & (F.col("g") == F.col("g2")),
+            "left",
+        )
+        .groupBy("lang", "ref_id", "hyp_id")
+        .agg(
+            F.sum(F.least(F.coalesce(F.col("cr"), F.lit(0)), F.col("c"))).alias(
+                "clip"
+            ),
+            F.sum("c").alias("nh"),
+        )
+    )
+    rt = rc.groupBy(
+        F.col("ref_id").alias("r3"), F.col("hyp_id").alias("h3")
+    ).agg(F.sum("c").alias("nr"))
+    return (
+        ov.join(
+            rt,
+            (F.col("ref_id") == F.col("r3")) & (F.col("hyp_id") == F.col("h3")),
+        )
+        .select(
+            "lang",
+            F.col("ref_id").cast("long").alias("ref_id"),
+            F.col("hyp_id").cast("long").alias("hyp_id"),
+            F.expr("cast(clip*10000 div nh as bigint)").alias("prec_e4"),
+            F.expr("cast(clip*10000 div nr as bigint)").alias("recall_e4"),
+            F.expr("cast(5*clip*10000 div (4*nr + nh) as bigint)").alias(
+                "chrf2_e4"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MT eval: BLEU n-gram components
+
+
+@register(
+    "llm_bleu_components",
+    oracle=f"""
+    WITH {_PAIR_DUCK},
+    pt AS (SELECT lang, ref_id, hyp_id,
+                  string_split(rtxt, ' ') AS rt,
+                  string_split(htxt, ' ') AS ht
+           FROM pr),
+    u1h AS (SELECT ref_id, hyp_id, g, count(*) AS c FROM (
+             SELECT ref_id, hyp_id, unnest(ht) AS g FROM pt) GROUP BY 1,2,3),
+    u1r AS (SELECT ref_id, hyp_id, g, count(*) AS c FROM (
+             SELECT ref_id, hyp_id, unnest(rt) AS g FROM pt) GROUP BY 1,2,3),
+    u2h AS (SELECT ref_id, hyp_id, g, count(*) AS c FROM (
+             SELECT ref_id, hyp_id,
+                    unnest(list_transform(range(1, len(ht)),
+                           i -> ht[i] || ' ' || ht[i+1])) AS g
+             FROM pt) GROUP BY 1,2,3),
+    u2r AS (SELECT ref_id, hyp_id, g, count(*) AS c FROM (
+             SELECT ref_id, hyp_id,
+                    unnest(list_transform(range(1, len(rt)),
+                           i -> rt[i] || ' ' || rt[i+1])) AS g
+             FROM pt) GROUP BY 1,2,3),
+    p1 AS (SELECT u1h.ref_id, u1h.hyp_id,
+                  sum(least(u1h.c, coalesce(u1r.c, 0))) AS clip,
+                  sum(u1h.c) AS tot
+           FROM u1h LEFT JOIN u1r ON u1r.ref_id = u1h.ref_id
+                AND u1r.hyp_id = u1h.hyp_id AND u1r.g = u1h.g
+           GROUP BY 1, 2),
+    p2 AS (SELECT u2h.ref_id, u2h.hyp_id,
+                  sum(least(u2h.c, coalesce(u2r.c, 0))) AS clip,
+                  sum(u2h.c) AS tot
+           FROM u2h LEFT JOIN u2r ON u2r.ref_id = u2h.ref_id
+                AND u2r.hyp_id = u2h.hyp_id AND u2r.g = u2h.g
+           GROUP BY 1, 2),
+    ln AS (SELECT ref_id, hyp_id, lang, len(rt) AS lr, len(ht) AS lh FROM pt)
+    SELECT ln.lang, CAST(ln.ref_id AS BIGINT) AS ref_id,
+           CAST(ln.hyp_id AS BIGINT) AS hyp_id,
+           CAST(p1.clip*10000//p1.tot AS BIGINT) AS p1_e4,
+           CAST(p2.clip*10000//p2.tot AS BIGINT) AS p2_e4,
+           CAST(floor(sqrt(CAST((p1.clip*10000//p1.tot)
+                * (p2.clip*10000//p2.tot) AS DOUBLE))) AS BIGINT)
+             AS bleu2_core_e4,
+           CAST(ln.lh*10000//ln.lr AS BIGINT) AS length_ratio_e4
+    FROM ln JOIN p1 ON p1.ref_id = ln.ref_id AND p1.hyp_id = ln.hyp_id
+            JOIN p2 ON p2.ref_id = ln.ref_id AND p2.hyp_id = ln.hyp_id
+    """,
+)
+def llm_bleu_components(spark, sf_dir):
+    """BLEU components — the clipped n-gram precisions (n=1,2) the BLEU
+    score is built from, plus the geometric-mean core and the
+    hypothesis/reference length ratio (the brevity-penalty input),
+    over the same deterministic pairing as llm_chrf_lite.  The
+    geometric mean sqrt(p1*p2) is floor-of-IEEE-sqrt on an exact
+    integer product — sqrt IS correctly rounded per IEEE 754 (unlike
+    log2), so the engines agree bit-for-bit; the exp-based brevity
+    penalty is deliberately NOT computed (length_ratio_e4 carries the
+    same information exactly).  Measured: p2_e4 spans 0..1627 with
+    exact-zero pairs present at every SF (the no-shared-bigram case
+    exercises the coalesce path); p1 and length ratio live everywhere.
+
+    Shape: identical to chrF — pairing-bounded n-gram joins."""
+    pr = _pairs(spark, sf_dir)
+    pt = pr.select(
+        "lang",
+        "ref_id",
+        "hyp_id",
+        F.split("rtxt", " ").alias("rt"),
+        F.split("htxt", " ").alias("ht"),
+    )
+
+    def grams(col, n):
+        if n == 1:
+            return F.explode(F.col(col))
+        return F.explode(
+            F.expr(
+                f"transform(sequence(1, size({col})-1),"
+                f" i -> concat(element_at({col}, i), ' ',"
+                f" element_at({col}, i+1)))"
+            )
+        )
+
+    def clipped(n):
+        h = pt.select("ref_id", "hyp_id", grams("ht", n).alias("g")).groupBy(
+            "ref_id", "hyp_id", "g"
+        ).agg(F.count("*").alias("c"))
+        r = (
+            pt.select("ref_id", "hyp_id", grams("rt", n).alias("g"))
+            .groupBy("ref_id", "hyp_id", "g")
+            .agg(F.count("*").alias("cr"))
+            .select(
+                F.col("ref_id").alias("r2"),
+                F.col("hyp_id").alias("h2"),
+                F.col("g").alias("g2"),
+                "cr",
+            )
+        )
+        return (
+            h.join(
+                r,
+                (F.col("ref_id") == F.col("r2"))
+                & (F.col("hyp_id") == F.col("h2"))
+                & (F.col("g") == F.col("g2")),
+                "left",
+            )
+            .groupBy("ref_id", "hyp_id")
+            .agg(
+                F.sum(
+                    F.least(F.col("c"), F.coalesce(F.col("cr"), F.lit(0)))
+                ).alias("clip"),
+                F.sum("c").alias("tot"),
+            )
+        )
+
+    p1 = clipped(1).select(
+        F.col("ref_id").alias("ra"),
+        F.col("hyp_id").alias("ha"),
+        F.expr("clip*10000 div tot").alias("p1_e4"),
+    )
+    p2 = clipped(2).select(
+        F.col("ref_id").alias("rb"),
+        F.col("hyp_id").alias("hb"),
+        F.expr("clip*10000 div tot").alias("p2_e4"),
+    )
+    ln = pt.select(
+        "lang", "ref_id", "hyp_id", F.size("rt").alias("lr"), F.size("ht").alias("lh")
+    )
+    return (
+        ln.join(p1, (F.col("ref_id") == F.col("ra")) & (F.col("hyp_id") == F.col("ha")))
+        .join(p2, (F.col("ref_id") == F.col("rb")) & (F.col("hyp_id") == F.col("hb")))
+        .select(
+            "lang",
+            F.col("ref_id").cast("long").alias("ref_id"),
+            F.col("hyp_id").cast("long").alias("hyp_id"),
+            F.col("p1_e4").cast("long").alias("p1_e4"),
+            F.col("p2_e4").cast("long").alias("p2_e4"),
+            F.floor(F.sqrt((F.col("p1_e4") * F.col("p2_e4")).cast("double")))
+            .cast("long")
+            .alias("bleu2_core_e4"),
+            F.expr("cast(lh*10000 div lr as bigint)").alias("length_ratio_e4"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# generation diversity: self-BLEU per source
+
+
+@register(
+    "llm_self_bleu",
+    oracle="""
+    WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks,
+                      row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                        AS rn
+               FROM documents),
+    f AS (SELECT * FROM d WHERE rn <= 5),
+    pr AS (SELECT a.source, a.doc_id AS i1, b.doc_id AS i2,
+                  a.toks AS t1, b.toks AS t2
+           FROM f a JOIN f b ON a.source = b.source AND a.rn < b.rn),
+    u1 AS (SELECT source, i1, i2, g, count(*) AS c FROM (
+            SELECT source, i1, i2, unnest(t2) AS g FROM pr) GROUP BY 1,2,3,4),
+    r1 AS (SELECT i1, i2, g, count(*) AS c FROM (
+            SELECT i1, i2, unnest(t1) AS g FROM pr) GROUP BY 1,2,3),
+    ov AS (SELECT u1.source, u1.i1, u1.i2,
+                  sum(least(u1.c, coalesce(r1.c, 0))) AS clip,
+                  sum(u1.c) AS tot
+           FROM u1 LEFT JOIN r1 ON r1.i1 = u1.i1 AND r1.i2 = u1.i2
+                AND r1.g = u1.g
+           GROUP BY 1, 2, 3)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(clip*10000//tot)//count(*) AS BIGINT) AS mean_p1_e4,
+           CAST(min(clip*10000//tot) AS BIGINT) AS min_p1_e4,
+           CAST(max(clip*10000//tot) AS BIGINT) AS max_p1_e4
+    FROM ov GROUP BY 1
+    """,
+)
+def llm_self_bleu(spark, sf_dir):
+    """Self-BLEU diversity — the within-corpus homogeneity metric
+    generation papers report (high self-BLEU = mode collapse): clipped
+    unigram precision between every pair of the first 5 docs per
+    source (10 pairs x 20 sources, deterministic by doc_id rank).
+    Per source: mean/min/max pair precision in e4.  Measured: source
+    means spread 3687..7898 across SFs, pair minima 975..1363, and
+    some maxima hit exactly 10000 — the corpus's known near-dup
+    copies surface as perfect unigram containment, so the op doubles
+    as a per-source contamination flag; the spread shifts by SF
+    (different first-5 docs as the corpus grows).
+
+    Shape: pairing-bounded (200 pairs max regardless of corpus
+    size); one n-gram equi-join + one census."""
+    d = load_table(spark, sf_dir, "documents")
+    f = (
+        d.select(
+            "doc_id",
+            "source",
+            F.split("text", " ").alias("toks"),
+            F.row_number()
+            .over(Window.partitionBy("source").orderBy("doc_id"))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+    fb = f.select(
+        F.col("source").alias("s2"),
+        F.col("doc_id").alias("i2"),
+        F.col("toks").alias("t2"),
+        F.col("rn").alias("rn2"),
+    )
+    pr = f.join(
+        fb, (F.col("source") == F.col("s2")) & (F.col("rn") < F.col("rn2"))
+    ).select(
+        "source", F.col("doc_id").alias("i1"), "i2", F.col("toks").alias("t1"), "t2"
+    )
+    u1 = pr.select("source", "i1", "i2", F.explode("t2").alias("g")).groupBy(
+        "source", "i1", "i2", "g"
+    ).agg(F.count("*").alias("c"))
+    r1 = (
+        pr.select("i1", "i2", F.explode("t1").alias("g"))
+        .groupBy("i1", "i2", "g")
+        .agg(F.count("*").alias("cr"))
+        .select(
+            F.col("i1").alias("j1"),
+            F.col("i2").alias("j2"),
+            F.col("g").alias("g2"),
+            "cr",
+        )
+    )
+    ov = (
+        u1.join(
+            r1,
+            (F.col("i1") == F.col("j1"))
+            & (F.col("i2") == F.col("j2"))
+            & (F.col("g") == F.col("g2")),
+            "left",
+        )
+        .groupBy("source", "i1", "i2")
+        .agg(
+            F.sum(F.least(F.col("c"), F.coalesce(F.col("cr"), F.lit(0)))).alias(
+                "clip"
+            ),
+            F.sum("c").alias("tot"),
+        )
+    )
+    return ov.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.expr("cast(sum(clip*10000 div tot) div count(*) as bigint)").alias(
+            "mean_p1_e4"
+        ),
+        F.expr("cast(min(clip*10000 div tot) as bigint)").alias("min_p1_e4"),
+        F.expr("cast(max(clip*10000 div tot) as bigint)").alias("max_p1_e4"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LM smoothing: Good–Turing trigram structure
+
+
+@register(
+    "llm_good_turing_trigram",
+    oracle="""
+    WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+    tg AS (SELECT g, count(*) AS r FROM (
+            SELECT unnest(list_transform(range(1, len(toks)-1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+            FROM t) GROUP BY 1),
+    ff AS (SELECT r, count(*) AS nr FROM tg GROUP BY 1),
+    n AS (SELECT sum(r*nr) AS total FROM ff),
+    rows_ AS (SELECT rr FROM (SELECT unnest([1, 2, 3]) AS rr))
+    SELECT CAST(rr AS BIGINT) AS r,
+           CAST(coalesce((SELECT nr FROM ff WHERE ff.r = rr), 0) AS BIGINT)
+             AS n_r,
+           CAST(coalesce((SELECT nr FROM ff WHERE ff.r = rr + 1), 0)
+                AS BIGINT) AS n_r1,
+           CAST((rr + 1) * coalesce((SELECT nr FROM ff WHERE ff.r = rr + 1), 0)
+                * 10000 // (SELECT nr FROM ff WHERE ff.r = rr) AS BIGINT)
+             AS rstar_e4,
+           CAST((SELECT nr FROM ff WHERE ff.r = 1) * 1000000
+                // (SELECT total FROM n) AS BIGINT) AS p0_e6,
+           CAST((SELECT count(*) FROM tg) AS BIGINT) AS n_types,
+           CAST((SELECT total FROM n) AS BIGINT) AS n_tokens
+    FROM rows_
+    """,
+)
+def llm_good_turing_trigram(spark, sf_dir):
+    """Good–Turing frequency-of-frequencies over token TRIGRAMS — the
+    smoothing structure (Katz backoff's backbone): N_r counts, the
+    smoothed count r* = (r+1)N_{r+1}/N_r for r=1..3, and the missing
+    mass p0 = N_1/N that Good–Turing reserves for unseen trigrams.
+    Trigrams, NOT bigrams: the 31-token vocabulary saturates bigram
+    space at sf0.1 (N_1 = 0, rstar division dies — the rejected
+    candidate in tools/vacuity_r13.md); the 29791-type trigram space
+    keeps hapaxes alive at every SF.  Measured: N_1 = 9402/9424/207,
+    p0_e6 = 556k../559k../2.4k.. collapsing two decades as the corpus
+    covers the space — the Good–Turing story in one curve; rstar_e4
+    varies at every r and SF.
+
+    Shape: one n-gram expansion pass, a vocabulary-bounded (<= 29791
+    rows) frequency frame, a 3-row literal r dimension."""
+    d = load_table(spark, sf_dir, "documents")
+    tg = (
+        d.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' '))-2),"
+                    " i -> concat(element_at(split(text, ' '), i), ' ',"
+                    " element_at(split(text, ' '), i+1), ' ',"
+                    " element_at(split(text, ' '), i+2)))"
+                )
+            ).alias("g")
+        )
+        .groupBy("g")
+        .agg(F.count("*").alias("r"))
+    )
+    ff = tg.groupBy("r").agg(F.count("*").alias("nr"))
+    n = ff.groupBy().agg(F.sum(F.col("r") * F.col("nr")).alias("total"))
+    types = tg.groupBy().agg(F.count("*").alias("n_types"))
+    rows_ = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("rr")
+    )
+    ffb = ff.select(F.col("r").alias("fr"), "nr")
+    ffb1 = ff.select(F.col("r").alias("fr1"), F.col("nr").alias("nr1"))
+    n1 = ff.filter(F.col("r") == 1).select(F.col("nr").alias("hapax"))
+    return (
+        rows_.join(F.broadcast(ffb), F.col("rr") == F.col("fr"), "left")
+        .join(F.broadcast(ffb1), F.col("rr") + 1 == F.col("fr1"), "left")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(types))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            F.col("rr").cast("long").alias("r"),
+            F.coalesce(F.col("nr"), F.lit(0)).cast("long").alias("n_r"),
+            F.coalesce(F.col("nr1"), F.lit(0)).cast("long").alias("n_r1"),
+            F.expr(
+                "cast((rr + 1) * coalesce(nr1, 0) * 10000 div nr as bigint)"
+            ).alias("rstar_e4"),
+            F.expr("cast(hapax * 1000000 div total as bigint)").alias("p0_e6"),
+            F.col("n_types").cast("long").alias("n_types"),
+            F.col("total").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# index codecs: Elias gamma/delta vs varint bit accounting
+
+
+@register(
+    "fn_intcode_size_census",
+    oracle="""
+    WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+                        AS tok
+               FROM documents),
+    g AS (SELECT tok,
+                 doc_id - lag(doc_id) OVER (PARTITION BY tok ORDER BY doc_id)
+                   AS gap
+          FROM t),
+    b AS (SELECT gap, length(format('{:b}', gap)) AS blen
+          FROM g WHERE gap IS NOT NULL),
+    codes AS (
+      SELECT 'gamma' AS code, sum(2*blen - 1) AS total_bits,
+             count(*) AS n_gaps, max(gap) AS max_gap
+      FROM b
+      UNION ALL
+      SELECT 'delta', sum(blen + 2*length(format('{:b}', blen)) - 1),
+             count(*), max(gap)
+      FROM b
+      UNION ALL
+      SELECT 'varint', sum(CASE WHEN gap < 128 THEN 8
+                                WHEN gap < 16384 THEN 16
+                                ELSE 24 END),
+             count(*), max(gap)
+      FROM b)
+    SELECT code, CAST(total_bits AS BIGINT) AS total_bits,
+           CAST(total_bits*10000//n_gaps AS BIGINT) AS bits_per_gap_e4,
+           CAST(n_gaps AS BIGINT) AS n_gaps,
+           CAST(max_gap AS BIGINT) AS max_gap
+    FROM codes
+    """,
+)
+def fn_intcode_size_census(spark, sf_dir):
+    """Integer-code size census over posting-list gaps — the codec
+    bake-off every search index runs (Elias gamma vs Elias delta vs
+    byte-aligned varint on doc-id deltas): per code, the exact encoded
+    bit total and mean bits/gap over every (token, doc_id) posting
+    gap.  Bit lengths come from the BINARY-STRING length (DuckDB
+    format('{:b}'), Spark conv(_, 10, 2)) — floor(log2) via float is
+    rejected because libm log2 is not correctly-rounded-guaranteed at
+    2^k boundaries.  Measured: gamma beats varint ~5.4x on these
+    dense postings (17220 vs 93696 bits at sf0.001) and delta pays
+    its length-of-length premium on small gaps (31382) — exactly the
+    small-gap regime inversion the Witten/Moffat/Bell tables predict;
+    all columns scale-vary (60 distinct gaps, max 96 at sf0.1).
+
+    Shape: one distinct-(token, doc) pass, one lag window partitioned
+    by token (31-token vocabulary keeps the frame bounded), a 3-row
+    code dimension."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    )
+    g = t.select(
+        "tok",
+        (
+            F.col("doc_id")
+            - F.lag("doc_id").over(Window.partitionBy("tok").orderBy("doc_id"))
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    b = g.select(
+        "gap", F.length(F.conv(F.col("gap").cast("string"), 10, 2)).alias("blen")
+    )
+    gamma = b.groupBy().agg(
+        F.lit("gamma").alias("code"),
+        F.sum(2 * F.col("blen") - 1).alias("total_bits"),
+        F.count("*").alias("n_gaps"),
+        F.max("gap").alias("max_gap"),
+    )
+    delta = b.groupBy().agg(
+        F.lit("delta").alias("code"),
+        F.sum(
+            F.col("blen")
+            + 2 * F.length(F.conv(F.col("blen").cast("string"), 10, 2))
+            - 1
+        ).alias("total_bits"),
+        F.count("*").alias("n_gaps"),
+        F.max("gap").alias("max_gap"),
+    )
+    varint = b.groupBy().agg(
+        F.lit("varint").alias("code"),
+        F.sum(
+            F.when(F.col("gap") < 128, 8)
+            .when(F.col("gap") < 16384, 16)
+            .otherwise(24)
+        ).alias("total_bits"),
+        F.count("*").alias("n_gaps"),
+        F.max("gap").alias("max_gap"),
+    )
+    codes = gamma.unionByName(delta).unionByName(varint)
+    return codes.select(
+        "code",
+        F.col("total_bits").cast("long").alias("total_bits"),
+        F.expr("cast(total_bits*10000 div n_gaps as bigint)").alias(
+            "bits_per_gap_e4"
+        ),
+        F.col("n_gaps").cast("long").alias("n_gaps"),
+        F.col("max_gap").cast("long").alias("max_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph: Jaccard link prediction
+
+_JLP_N = 500
+
+
+@register(
+    "graph_jaccard_link_pred",
+    oracle=f"""
+    WITH nodes AS (SELECT doc_id AS nv FROM documents
+                   WHERE doc_id < {_JLP_N}),
+    e AS (SELECT nv AS src, (nv*2+1)%{_JLP_N} AS dst FROM nodes
+          UNION ALL SELECT nv, (nv*3+7)%{_JLP_N} FROM nodes
+          UNION ALL SELECT nv, (nv*nv+3)%{_JLP_N} FROM nodes),
+    sym AS (SELECT DISTINCT src, dst FROM (
+             SELECT src, dst FROM e WHERE src <> dst
+             UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
+    deg AS (SELECT src AS dv, count(*) AS dd FROM sym GROUP BY 1),
+    cn AS (SELECT a.src AS u, b.src AS w, count(*) AS c
+           FROM sym a JOIN sym b ON a.dst = b.dst AND a.src < b.src
+           WHERE NOT EXISTS (SELECT 1 FROM sym s
+                             WHERE s.src = a.src AND s.dst = b.src)
+           GROUP BY 1, 2),
+    j AS (SELECT u, w, c,
+                 c*1000000//(du.dd + dw.dd - c) AS jac_e6
+          FROM cn JOIN deg du ON du.dv = cn.u JOIN deg dw ON dw.dv = cn.w)
+    SELECT CAST(u AS BIGINT) AS u, CAST(w AS BIGINT) AS v,
+           CAST(c AS BIGINT) AS common_neighbors,
+           CAST(jac_e6 AS BIGINT) AS jaccard_e6
+    FROM j ORDER BY jac_e6 DESC, u, w LIMIT 25
+    """,
+)
+def graph_jaccard_link_pred(spark, sf_dir):
+    """Jaccard link prediction — the neighborhood-overlap score
+    |N(u) n N(v)| / |N(u) u N(v)| for NON-adjacent pairs, the
+    normalized complement of graph_common_neighbors (raw counts favor
+    hubs; Jaccard discounts them by the union — a different top-k than
+    both CN and the resource-allocation index).  Candidates via the
+    shared-neighbor equi-join with an anti-join to drop existing
+    edges; the score is one nonnegative integer division.  Measured:
+    7727 candidate pairs, 47 distinct Jaccard levels spanning
+    25641..428571 e6 — constant across SFs (the shared doc_id<500
+    graph, the two_hop_reach family precedent).
+
+    Shape: neighbor equi-join on the bounded graph + left-anti edge
+    join; top-25 via TakeOrderedAndProject."""
+    nodes = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _JLP_N)
+        .select(F.col("doc_id").alias("nv"))
+    )
+    e = (
+        nodes.select(F.col("nv").alias("src"), ((F.col("nv") * 2 + 1) % _JLP_N).alias("dst"))
+        .unionAll(
+            nodes.select(F.col("nv").alias("src"), ((F.col("nv") * 3 + 7) % _JLP_N).alias("dst"))
+        )
+        .unionAll(
+            nodes.select(
+                F.col("nv").alias("src"),
+                ((F.col("nv") * F.col("nv") + 3) % _JLP_N).alias("dst"),
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    sym = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = sym.groupBy(F.col("src").alias("dv")).agg(F.count("*").alias("dd"))
+    sb = sym.select(F.col("src").alias("w"), F.col("dst").alias("dst2"))
+    cn = (
+        sym.join(sb, (F.col("dst") == F.col("dst2")) & (F.col("src") < F.col("w")))
+        .select(F.col("src").alias("u"), "w")
+        .join(
+            sym.select(
+                F.col("src").alias("u"), F.col("dst").alias("w")
+            ),
+            ["u", "w"],
+            "left_anti",
+        )
+        .groupBy("u", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    du = deg.select(F.col("dv").alias("u"), F.col("dd").alias("du"))
+    dw = deg.select(F.col("dv").alias("w"), F.col("dd").alias("dw"))
+    j = cn.join(F.broadcast(du), "u").join(F.broadcast(dw), "w").select(
+        "u",
+        "w",
+        "c",
+        F.expr("c*1000000 div (du + dw - c)").alias("jac_e6"),
+    )
+    return (
+        j.orderBy(F.col("jac_e6").desc(), "u", "w")
+        .limit(25)
+        .select(
+            F.col("u").cast("long").alias("u"),
+            F.col("w").cast("long").alias("v"),
+            F.col("c").cast("long").alias("common_neighbors"),
+            F.col("jac_e6").cast("long").alias("jaccard_e6"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph: supplier co-part projection histogram
+
+
+@register(
+    "graph_supplier_copart",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+                FROM lineitem),
+    pair AS (SELECT a.s AS s1, b.s AS s2, count(*) AS shared
+             FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+             GROUP BY 1, 2)
+    SELECT CAST(shared AS BIGINT) AS shared_parts,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pair GROUP BY 1
+    """,
+)
+def graph_supplier_copart(spark, sf_dir):
+    """Supplier co-part projection histogram — the bipartite projection
+    (suppliers linked through shared parts) summarized as its edge-
+    weight distribution: how many supplier pairs share exactly k parts.
+    Computed the scale-correct way — pairs are generated PER PART
+    (sum over parts of (suppliers-per-part choose 2), bounded by the
+    per-part supplier fanout) and then grouped, never by a supplier
+    cross-join; the output is bounded by the max co-part count.
+    Measured: the histogram shape inverts with SF — sparse long-tail
+    at sf0.001 (45 pairs, 14 levels, max 191 shared), saturating at
+    sf0.1 where EVERY supplier pair shares 19..42 parts (499500 pairs,
+    39 levels) — the bipartite densification curve, live on both axes.
+
+    Shape: one distinct pass, one part equi-join with s1 < s2, two
+    grouped aggregates — the projection never materializes a
+    supplier x supplier cross product."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    pb = ps.select(F.col("p").alias("p2"), F.col("s").alias("s2"))
+    pair = (
+        ps.join(pb, (F.col("p") == F.col("p2")) & (F.col("s") < F.col("s2")))
+        .groupBy(F.col("s").alias("s1"), "s2")
+        .agg(F.count("*").alias("shared"))
+    )
+    return pair.groupBy(F.col("shared").cast("long").alias("shared_parts")).agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# funnel: first-passage time distribution
+
+
+@register(
+    "ts_first_passage",
+    oracle="""
+    WITH f AS (SELECT user_id,
+                      min(ts) FILTER (event_type = 'view') AS tv,
+                      min(ts) FILTER (event_type = 'purchase') AS tp
+               FROM events GROUP BY 1),
+    p AS (SELECT date_diff('second', tv, tp) AS gap
+          FROM f WHERE tv IS NOT NULL AND tp IS NOT NULL AND tp > tv),
+    r AS (SELECT gap, row_number() OVER (ORDER BY gap) AS rn,
+                 count(*) OVER () AS n
+          FROM p)
+    SELECT CAST(max(n) AS BIGINT) AS n_converted,
+           CAST(min(gap) AS BIGINT) AS min_s,
+           CAST(max(CASE WHEN rn = (n+3)//4 THEN gap END) AS BIGINT) AS q1_s,
+           CAST(max(CASE WHEN rn = (n+1)//2 THEN gap END) AS BIGINT) AS med_s,
+           CAST(max(CASE WHEN rn = (3*n+1)//4 THEN gap END) AS BIGINT) AS q3_s,
+           CAST(max(gap) AS BIGINT) AS max_s
+    FROM r
+    """,
+)
+def ts_first_passage(spark, sf_dir):
+    """First-passage time (first view -> first purchase) — the
+    conversion-latency distribution behind funnel SLAs, complementing
+    ts_funnel's step counts with the TIME dimension: per user, seconds
+    between the first view and the first later purchase; quartiles are
+    rank-picked exact elements (deterministic under ties).  Measured:
+    converters 7/77/740 and the latency distribution shifts right with
+    density (median 84525 -> 130299 s, max 363k -> 1.69M s) — every
+    column varies by SF.
+
+    Shape: one per-user min rollup (map-side), one global rank window
+    over the converter frame (bounded by |users|, and in practice by
+    the conversion rate)."""
+    e = load_table(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("tv"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "tp"
+        ),
+    )
+    p = f.filter(
+        F.col("tv").isNotNull()
+        & F.col("tp").isNotNull()
+        & (F.col("tp") > F.col("tv"))
+    ).select(
+        (F.expr("unix_seconds(tp)") - F.expr("unix_seconds(tv)")).alias("gap")
+    )
+    r = p.select(
+        "gap",
+        F.row_number().over(Window.orderBy("gap")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    return r.groupBy().agg(
+        F.max("n").cast("long").alias("n_converted"),
+        F.min("gap").cast("long").alias("min_s"),
+        F.max(F.when(F.col("rn") == F.expr("(n+3) div 4"), F.col("gap")))
+        .cast("long")
+        .alias("q1_s"),
+        F.max(F.when(F.col("rn") == F.expr("(n+1) div 2"), F.col("gap")))
+        .cast("long")
+        .alias("med_s"),
+        F.max(F.when(F.col("rn") == F.expr("(3*n+1) div 4"), F.col("gap")))
+        .cast("long")
+        .alias("q3_s"),
+        F.max("gap").cast("long").alias("max_s"),
+    )

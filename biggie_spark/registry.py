@@ -393,6 +393,15 @@ ROUND13_HOLDBACK: frozenset[str] = frozenset(
         "fn_dod_bits",
         "fn_width_bucket_parity",
         "sql_bitagg_parity",
+        # wave D (ops/round13d.py — MT eval, LM smoothing, codecs, graph)
+        "llm_chrf_lite",
+        "llm_bleu_components",
+        "llm_self_bleu",
+        "llm_good_turing_trigram",
+        "fn_intcode_size_census",
+        "graph_jaccard_link_pred",
+        "graph_supplier_copart",
+        "ts_first_passage",
     }
 )
 

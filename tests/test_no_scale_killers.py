@@ -242,6 +242,10 @@ ALLOWED_BNLJ = {
     # key scan — the per-key HRW argmax every shard router computes
     "fn_dod_bits",  # 1-row total scalar frame crossed onto the 5-class
     # census
+    # round-13 wave-D additions — audited 2026-08-16:
+    "llm_good_turing_trigram",  # 3-row literal r dimension theta-joined
+    # (rr+1 = fr1) onto the vocabulary-bounded frequency-of-frequency
+    # frame + three 1-row scalar crosses (total, types, hapax)
 }
 
 
