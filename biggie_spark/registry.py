@@ -402,6 +402,14 @@ ROUND13_HOLDBACK: frozenset[str] = frozenset(
         "graph_jaccard_link_pred",
         "graph_supplier_copart",
         "ts_first_passage",
+        # wave E (ops/round13e.py — survival, forecasting, streaming, kv)
+        "ts_hazard_buckets",
+        "ts_backtest_drift",
+        "win_mad_rolling",
+        "stream_breach_alerts_static",
+        "kv_tensor_argmax_axis",
+        "kv_tensor_outer_product",
+        "src_parquet_footer_stats",
     }
 )
 

@@ -447,3 +447,15 @@ def demo_expectations_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biggie_spark.ops.round11 import _expectations_record_plan
 
     return _drain(_expectations_record_plan(ev_stream), "append")
+
+
+def demo_breach_alerts_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of stream_breach_alerts_static run LIVE: week-2+
+    events arrive as a file-source stream, ONE hourly windowed aggregate
+    (update mode — windows finalize at the AvailableNow drain), breach
+    flags via the stream-static broadcast join to the week-1 baseline.
+    Shares _breach_static_plan verbatim with the batch twin."""
+    ev = _events_stream(spark, sf_dir)
+    from biggie_spark.ops.round13e import _breach_static_plan
+
+    return _drain(_breach_static_plan(spark, sf_dir, ev), "update")

@@ -367,3 +367,15 @@ def test_streaming_expectations_matches_batch(spark, sf_dir):
     live = _rows(demo_expectations_static(spark, sf_dir))
     batch = _rows(QUERIES["stream_expectations_static"](spark, sf_dir))
     assert live == batch
+
+
+def test_streaming_breach_alerts_static_matches_batch(spark, sf_dir):
+    """Round-13: the live readStream drain of the hourly breach-alert
+    table (one windowed aggregate + stream-static baseline join) must
+    equal the batch twin row-for-row."""
+    from biggie_spark.registry import QUERIES
+    from biggie_spark.streaming_demo import demo_breach_alerts_static
+
+    live = _rows(demo_breach_alerts_static(spark, sf_dir))
+    batch = _rows(QUERIES["stream_breach_alerts_static"](spark, sf_dir))
+    assert live == batch
