@@ -410,6 +410,11 @@ ROUND13_HOLDBACK: frozenset[str] = frozenset(
         "kv_tensor_argmax_axis",
         "kv_tensor_outer_product",
         "src_parquet_footer_stats",
+        # wave F (ops/round13f.py — multimodal kernels via real codecs)
+        "mm_image_morph_gradient",
+        "mm_image_median_denoise",
+        "mm_image_hog_octants",
+        "mm_audio_decimate_box4",
     }
 )
 
