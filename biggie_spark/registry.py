@@ -415,6 +415,12 @@ ROUND13_HOLDBACK: frozenset[str] = frozenset(
         "mm_image_median_denoise",
         "mm_image_hog_octants",
         "mm_audio_decimate_box4",
+        # wave G (ops/round13g.py — ordered stats, ordinal assoc, bits)
+        "agg_page_trend",
+        "agg_gk_gamma",
+        "agg_kruskal_wallis",
+        "kv_tensor_band_trace",
+        "fn_gray_code_audit",
     }
 )
 

@@ -246,6 +246,13 @@ ALLOWED_BNLJ = {
     "llm_good_turing_trigram",  # 3-row literal r dimension theta-joined
     # (rr+1 = fr1) onto the vocabulary-bounded frequency-of-frequency
     # frame + three 1-row scalar crosses (total, types, hapax)
+    # round-13 wave-G additions — audited 2026-08-16:
+    "agg_page_trend",  # 1-row Page-L scalar frame crossed onto the
+    # 5-row rank-sum frame (the agg_friedman_ranks shape)
+    "agg_gk_gamma",  # 16-cell census theta self-join (row-pair order)
+    # with the broadcast side bounded by the 16-cell frame forever
+    "agg_kruskal_wallis",  # 1-row H scalar frame crossed onto the
+    # 5-row group frame; ranks come from the value census, not rows
 }
 
 
