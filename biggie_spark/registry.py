@@ -424,6 +424,23 @@ ROUND13_HOLDBACK: frozenset[str] = frozenset(
     }
 )
 
+# Round-14 holdback — three generations out (ROUND13_HOLDBACK already
+# fills the round-13 window at 48 + 2 spare); built during round 11 from
+# the pre-validated tools/backlog_r14.md designs.
+ROUND14_HOLDBACK: frozenset[str] = frozenset(
+    {
+        # wave A (ops/round14a.py)
+        "agg_mantel_haenszel",
+        "ts_matrix_profile",
+        "agg_c_index",
+        "fn_hamming74_audit",
+        "agg_trimmed_mean",
+        "agg_ece_calibration",
+        "diag_filter_order_cost",
+        "ts_variance_ratio",
+    }
+)
+
 
 def ordered_queries() -> dict[str, QueryFn]:
     """QUERIES reordered for the driver's bounded scoring window:
@@ -465,6 +482,9 @@ def ordered_queries() -> dict[str, QueryFn]:
 
     def tier(n: str) -> int:
         if n in green:
+            return 13
+        if n in ROUND14_HOLDBACK:
+            # Three generations out: behind ROUND13, ahead only of greens.
             return 12
         if n in ROUND13_HOLDBACK:
             # Parks one generation behind ROUND12_HOLDBACK so the round-12
@@ -496,7 +516,7 @@ def ordered_queries() -> dict[str, QueryFn]:
         return 8 if _priority(n) else 9
 
     out: dict[str, QueryFn] = {}
-    for t in range(13):
+    for t in range(14):
         names = [n for n in QUERIES if tier(n) == t]
         if t == 3:
             names.sort(key=verdict_rank.__getitem__)

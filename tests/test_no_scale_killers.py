@@ -253,6 +253,18 @@ ALLOWED_BNLJ = {
     # with the broadcast side bounded by the 16-cell frame forever
     "agg_kruskal_wallis",  # 1-row H scalar frame crossed onto the
     # 5-row group frame; ranks come from the value census, not rows
+    # round-14 wave-A additions — audited 2026-08-16:
+    "agg_mantel_haenszel",  # 1-row pooled-OR scalar frame crossed onto
+    # the 30-stratum census
+    "ts_matrix_profile",  # template self-join theta (t2 > t1+3) with
+    # the broadcast side the calendar-bounded subsequence frame (<= 714
+    # rows -> <= 255k pairs forever) + 1-row motif/discord scalar
+    # crosses — the ts_sample_entropy shape
+    "agg_c_index",  # converter-pair theta join, broadcast side bounded
+    # by the conversion rate (740 converters at sf0.1); the
+    # rank-arithmetic alternative is documented in tools/backlog_r14.md
+    "agg_ece_calibration",  # 1-row corpus-N scalar frame crossed onto
+    # the 10-bin reliability frame
 }
 
 

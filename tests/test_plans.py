@@ -1002,3 +1002,55 @@ def test_bigram_perplexity_sums_integers(spark, sf_dir):
     plan = plan_of(QUERIES["llm_bigram_perplexity_heldout"](spark, sf_dir))
     assert "partial_sum" in plan
     assert "BatchEvalPython" not in plan
+
+
+# --- round-13 flagship plan pins (round-13 tranche, built round 11) ---------
+
+
+def test_breach_alerts_is_single_agg_broadcast_join(spark, sf_dir):
+    """stream_breach_alerts_static = ONE hash aggregate on the stream
+    side (the streaming-legality property) + a broadcast join to the
+    1-row-per-series baseline — the raw events never shuffle for the
+    join, which is what lets the identical plan run under readStream."""
+    plan = plan_of(QUERIES["stream_breach_alerts_static"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan  # map-side combine on the hourly agg
+
+
+def test_kruskal_wallis_ranks_from_value_census(spark, sf_dir):
+    """agg_kruskal_wallis computes midranks from the DISTINCT-value
+    census (a bounded cumulative window), never a row-level rank window
+    — no global sort of the corpus appears in the plan."""
+    plan = plan_of(QUERIES["agg_kruskal_wallis"](spark, sf_dir))
+    # the only window runs over the value census; a corpus-wide rank
+    # would partition nothing and sort the full scan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mad_rolling_is_single_exchange_window(spark, sf_dir):
+    """win_mad_rolling = hourly rollup + ONE per-series frame window
+    with the median/MAD sort inside the row (array_sort in codegen) —
+    no second shuffle, no Python."""
+    plan = plan_of(QUERIES["win_mad_rolling"](spark, sf_dir))
+    assert "array_sort" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_footer_stats_reads_no_data_pages(spark, sf_dir):
+    """src_parquet_footer_stats touches footers through mapInPandas over
+    the FILE LIST — the lineitem parquet itself never appears as a scan
+    relation in the plan (the op reads kilobytes at any table size)."""
+    plan = plan_of(QUERIES["src_parquet_footer_stats"](spark, sf_dir))
+    assert "lineitem.parquet" not in plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_theil_sen_pairs_are_series_keyed(spark, sf_dir):
+    """ts_theil_sen's pair join is an equi-join on the series key over
+    the calendar-bounded hourly frame — never a cartesian of the raw
+    events."""
+    plan = plan_of(QUERIES["ts_theil_sen"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Location: InMemoryFileIndex") <= 2

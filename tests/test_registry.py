@@ -153,33 +153,38 @@ def test_round11_released_ops_follow_sec2_in_the_window():
             "an unscored extension precedes a released op: "
             f"{[n for n in others if oq.index(n) < last_released]}"
         )
-    from biggie_spark.registry import ROUND13_HOLDBACK
+    from biggie_spark.registry import ROUND13_HOLDBACK, ROUND14_HOLDBACK
 
     held12 = [n for n in unscored if n in ROUND12_HOLDBACK]
     held13 = [n for n in unscored if n in ROUND13_HOLDBACK]
-    rest = [
-        n
-        for n in unscored
-        if n not in ROUND12_HOLDBACK and n not in ROUND13_HOLDBACK
-    ]
+    held14 = [n for n in unscored if n in ROUND14_HOLDBACK]
+    held_any = ROUND12_HOLDBACK | ROUND13_HOLDBACK | ROUND14_HOLDBACK
+    rest = [n for n in unscored if n not in held_any]
     if held12 and rest:
         assert min(oq.index(n) for n in held12) > max(oq.index(n) for n in rest)
-    # ROUND13 parks one generation behind ROUND12: it must never displace
-    # any round-12 window op.
+    # Each holdback generation parks strictly behind the previous one: a
+    # later tranche must never displace an earlier window.
     if held12 and held13:
         assert min(oq.index(n) for n in held13) > max(
             oq.index(n) for n in held12
         ), "a ROUND13_HOLDBACK op precedes a ROUND12_HOLDBACK op"
+    if held13 and held14:
+        assert min(oq.index(n) for n in held14) > max(
+            oq.index(n) for n in held13
+        ), "a ROUND14_HOLDBACK op precedes a ROUND13_HOLDBACK op"
     assert not (set(held12) & set(held13)), "op in both holdbacks"
+    assert not (set(held13) & set(held14)), "op in both holdbacks"
+    assert not (set(held12) & set(held14)), "op in both holdbacks"
     # The window must never overflow past the driver's 50 slots with
     # unscored ops — that's exactly the displacement bug holdbacks prevent.
-    assert len(unscored) - len(held12) - len(held13) <= 50, (
-        f"{len(unscored) - len(held12) - len(held13)} unscored ops for a "
-        "50-slot window; move the newest registrations into a holdback"
+    n_pending = len(unscored) - len(held12) - len(held13) - len(held14)
+    assert n_pending <= 50, (
+        f"{n_pending} unscored ops for a 50-slot window; move the newest "
+        "registrations into a holdback"
     )
     missing = [
         n
-        for n in released_tiers | ROUND12_HOLDBACK
+        for n in released_tiers | held_any
         if n not in QUERIES
     ]
     assert not missing, f"holdback names unregistered ops: {missing}"
@@ -244,3 +249,11 @@ def test_vacuity_audit_covers_every_holdback_op():
     text12 = (tools / "vacuity_r12.md").read_text()
     missing = [n for n in sorted(ROUND12_HOLDBACK) if n not in text12]
     assert not missing, f"holdback ops missing from vacuity_r12.md: {missing}"
+    from biggie_spark.registry import ROUND13_HOLDBACK, ROUND14_HOLDBACK
+
+    text13 = (tools / "vacuity_r13.md").read_text()
+    missing = [n for n in sorted(ROUND13_HOLDBACK) if n not in text13]
+    assert not missing, f"holdback ops missing from vacuity_r13.md: {missing}"
+    text14 = (tools / "vacuity_r14.md").read_text()
+    missing = [n for n in sorted(ROUND14_HOLDBACK) if n not in text14]
+    assert not missing, f"holdback ops missing from vacuity_r14.md: {missing}"
