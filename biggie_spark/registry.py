@@ -438,6 +438,14 @@ ROUND14_HOLDBACK: frozenset[str] = frozenset(
         "agg_ece_calibration",
         "diag_filter_order_cost",
         "ts_variance_ratio",
+        # wave B (ops/round14b.py)
+        "ts_dtw_daily",
+        "agg_herfindahl",
+        "agg_raking_ipf",
+        "agg_jackknife_variance",
+        "llm_cluster_purity",
+        "llm_adjusted_rand",
+        "mm_image_kmeans_1d",
     }
 )
 

@@ -265,6 +265,17 @@ ALLOWED_BNLJ = {
     # rank-arithmetic alternative is documented in tools/backlog_r14.md
     "agg_ece_calibration",  # 1-row corpus-N scalar frame crossed onto
     # the 10-bin reliability frame
+    # round-14 wave-B additions — audited 2026-08-16:
+    "agg_raking_ipf",  # 1-row margin-target frame crossed onto the
+    # 20-cell census (3 bounded window passes) + 1-row residual cross
+    "agg_jackknife_variance",  # 1-row total and 1-row mean scalar
+    # frames crossed onto the 30-block frame
+    "llm_cluster_purity",  # 10-probe literal broadcast x corpus (the
+    # llm_knn_cosine pattern) + 1-row purity scalar cross
+    "llm_adjusted_rand",  # same probe broadcast + three 1-row pair-
+    # mass scalar crosses
+    "mm_image_kmeans_1d",  # 1-row centroid frame crossed onto the
+    # 85-bin histogram, once per bounded Lloyd iteration
 }
 
 
