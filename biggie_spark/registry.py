@@ -446,6 +446,11 @@ ROUND14_HOLDBACK: frozenset[str] = frozenset(
         "llm_cluster_purity",
         "llm_adjusted_rand",
         "mm_image_kmeans_1d",
+        # wave C (ops/round14c.py)
+        "llm_token_burstiness",
+        "win_sharpe_rolling",
+        "ts_recurrence_quant",
+        "fn_verhoeff_check",
     }
 )
 

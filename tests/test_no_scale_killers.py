@@ -276,6 +276,10 @@ ALLOWED_BNLJ = {
     # mass scalar crosses
     "mm_image_kmeans_1d",  # 1-row centroid frame crossed onto the
     # 85-bin histogram, once per bounded Lloyd iteration
+    # round-14 wave-C additions — audited 2026-08-16:
+    "ts_recurrence_quant",  # recurrence pair theta join with the
+    # broadcast side the calendar-bounded hourly frame (<= 744 rows,
+    # the ts_sample_entropy shape) + two 1-row scalar crosses
 }
 
 
