@@ -451,6 +451,14 @@ ROUND14_HOLDBACK: frozenset[str] = frozenset(
         "win_sharpe_rolling",
         "ts_recurrence_quant",
         "fn_verhoeff_check",
+        # wave D (ops/round14d.py)
+        "agg_youden_threshold",
+        "agg_lift_gains",
+        "agg_energy_distance",
+        "agg_cvm_twosample",
+        "ts_poincare_sd",
+        "graph_attr_assortativity",
+        "kv_tensor_horner",
     }
 )
 

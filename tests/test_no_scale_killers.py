@@ -280,6 +280,15 @@ ALLOWED_BNLJ = {
     "ts_recurrence_quant",  # recurrence pair theta join with the
     # broadcast side the calendar-bounded hourly frame (<= 744 rows,
     # the ts_sample_entropy shape) + two 1-row scalar crosses
+    # round-14 wave-D additions — audited 2026-08-16:
+    "agg_youden_threshold",  # 1-row P/N totals crossed onto the
+    # 100-row threshold frame + 1-row argmax scalar cross
+    "agg_cvm_twosample",  # two 1-row per-group U frames crossed for
+    # the final statistic assembly
+    "agg_lift_gains",  # 1-row N/P scalar window frames on the ranked
+    # scan (no join; the BNLJ is the rank-global count frame)
+    "graph_attr_assortativity",  # 1-row configuration-model expectation
+    # frame crossed onto the 1-row observed census (bounded graph)
 }
 
 
