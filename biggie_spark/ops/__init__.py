@@ -69,3 +69,4 @@ from biggie_spark.ops import round14a  # noqa: E402,F401
 from biggie_spark.ops import round14b  # noqa: E402,F401
 from biggie_spark.ops import round14c  # noqa: E402,F401
 from biggie_spark.ops import round14d  # noqa: E402,F401
+from biggie_spark.ops import round14e  # noqa: E402,F401

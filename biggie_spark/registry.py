@@ -459,6 +459,12 @@ ROUND14_HOLDBACK: frozenset[str] = frozenset(
         "ts_poincare_sd",
         "graph_attr_assortativity",
         "kv_tensor_horner",
+        # wave E (ops/round14e.py)
+        "agg_oaxaca_blinder",
+        "agg_propensity_strata",
+        "agg_bland_altman",
+        "ts_alert_debounce",
+        "llm_minhash_est_error",
     }
 )
 

@@ -289,6 +289,13 @@ ALLOWED_BNLJ = {
     # scan (no join; the BNLJ is the rank-global count frame)
     "graph_attr_assortativity",  # 1-row configuration-model expectation
     # frame crossed onto the 1-row observed census (bounded graph)
+    # round-14 wave-E additions — audited 2026-08-16:
+    "agg_oaxaca_blinder",  # two 1-row per-group fit frames crossed for
+    # the decomposition assembly
+    "agg_propensity_strata",  # 1-row pooled-ATE scalar frame crossed
+    # onto the 10-stratum census
+    "llm_minhash_est_error",  # 16-row literal hash-slot grid broadcast
+    # onto the pairing-bounded token frame (40-doc panel)
 }
 
 
