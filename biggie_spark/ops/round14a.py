@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from biggie_spark.io import load_table
 from biggie_spark.registry import register
+from biggie_spark.util import lineage_cap
 
 # ---------------------------------------------------------------------------
 # Mantel–Haenszel common odds ratio
@@ -197,6 +198,10 @@ def ts_matrix_profile(spark, sf_dir):
         .unionAll(p.select(F.col("t2").alias("t"), "d2"))
         .groupBy("t")
         .agg(F.min("d2").alias("nn"))
+        # three downstream branches (extrema, motif-t, discord-t) re-derive
+        # this frame; cap the lineage so the pair join runs once, not 3x
+        # (80 scan nodes in the uncapped plan — the plan-pin catch)
+        .transform(lineage_cap)
     )
     x = mp.groupBy().agg(
         F.min("nn").alias("motif_d2"),

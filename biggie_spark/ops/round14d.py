@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from biggie_spark.io import load_table
 from biggie_spark.registry import register
+from biggie_spark.util import lineage_cap
 
 # ---------------------------------------------------------------------------
 # classifier eval: Youden-J optimal threshold
@@ -79,8 +80,14 @@ def agg_youden_threshold(spark, sf_dir):
         F.sum("so").over(wd).alias("tp"),
         F.sum("sn").over(wd).alias("fp"),
     )
-    j = cum.crossJoin(F.broadcast(tot)).select(
-        "thr", F.expr("tp*10000 div p - fp*10000 div neg").alias("j_e4")
+    j = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "thr", F.expr("tp*10000 div p - fp*10000 div neg").alias("j_e4")
+        )
+        # the extrema and argmax branches both re-derive the J curve; cap
+        # so the census + window run once (6 scans uncapped)
+        .transform(lineage_cap)
     )
     mx = j.groupBy().agg(
         F.max("j_e4").alias("j_max"),

@@ -1054,3 +1054,42 @@ def test_theil_sen_pairs_are_series_keyed(spark, sf_dir):
     plan = plan_of(QUERIES["ts_theil_sen"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert plan.count("Location: InMemoryFileIndex") <= 2
+
+
+# --- round-14 flagship plan pins (round-14 tranche, built round 11) ---------
+
+
+def test_dtw_daily_is_python_free_fold(spark, sf_dir):
+    """ts_dtw_daily's nested DP fold runs entirely in JVM expressions —
+    no Python evaluator anywhere, and the day-pair join is an equi-join
+    (dy+1), never a cartesian."""
+    plan = plan_of(QUERIES["ts_dtw_daily"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "aggregate(" in plan  # the higher-order fold survives codegen
+
+
+def test_verhoeff_fold_is_python_free(spark, sf_dir):
+    """fn_verhoeff_check's D5 group folds are pure expressions over
+    literal tables — no UDF, no join in the whole plan."""
+    plan = plan_of(QUERIES["fn_verhoeff_check"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_matrix_profile_pairs_ride_bounded_broadcast(spark, sf_dir):
+    """ts_matrix_profile's pair join broadcasts the calendar-bounded
+    subsequence frame; the raw events appear once (the hourly rollup),
+    not per stage."""
+    plan = plan_of(QUERIES["ts_matrix_profile"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert plan.count("Location: InMemoryFileIndex") <= 2
+
+
+def test_youden_sweep_is_single_cumulative_window(spark, sf_dir):
+    """agg_youden_threshold sweeps thresholds with ONE cumulative window
+    over the score census — the per-threshold-subquery shape (100 scans)
+    must never appear."""
+    plan = plan_of(QUERIES["agg_youden_threshold"](spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") <= 2
+    assert "BatchEvalPython" not in plan
