@@ -70,3 +70,4 @@ from biggie_spark.ops import round14b  # noqa: E402,F401
 from biggie_spark.ops import round14c  # noqa: E402,F401
 from biggie_spark.ops import round14d  # noqa: E402,F401
 from biggie_spark.ops import round14e  # noqa: E402,F401
+from biggie_spark.ops import round14f  # noqa: E402,F401

@@ -465,6 +465,10 @@ ROUND14_HOLDBACK: frozenset[str] = frozenset(
         "agg_bland_altman",
         "ts_alert_debounce",
         "llm_minhash_est_error",
+        # wave F (ops/round14f.py)
+        "fn_soundex_parity",
+        "agg_survival_quantiles",
+        "win_cusum_daily",
     }
 )
 
