@@ -71,12 +71,43 @@ HEADLINE_MODULES = (
 )
 
 
+# Quiet-box protocol (VERDICT r11 "What's wrong" #1: BENCH_r11.json was
+# recorded at loadavg 2.92, violating the >2.0 re-run rule the tool itself
+# printed).  The JSON line is the adjudication artifact, so emitting it
+# from a loaded box is exactly what the rule exists to prevent — the tool
+# now REFUSES instead of warning.  Escapes, in order: (1) a bounded
+# pre-flight wait for the box to quiet down, (2) up to two warm
+# re-measurements (queries are already warm, so a re-measure is cheap),
+# (3) SPARK_GRAFT_FORCE_BENCH=1 emits anyway for non-artifact exploratory
+# runs (the env var is greppable in the artifact via "forced": true).
+LOADAVG_MAX = 2.0
+
+
+def _wait_for_quiet(max_wait_sec: float) -> float:
+    """Block until 1-min loadavg <= LOADAVG_MAX or the wait budget runs
+    out; returns the last observed loadavg."""
+    deadline = time.monotonic() + max_wait_sec
+    load = os.getloadavg()[0]
+    while load > LOADAVG_MAX and time.monotonic() < deadline:
+        print(
+            f"bench: loadavg {load:.2f} > {LOADAVG_MAX} — waiting for a "
+            "quiet box (quiet-box protocol, VERDICT r11 #1)",
+            file=sys.stderr,
+        )
+        time.sleep(15)
+        load = os.getloadavg()[0]
+    return load
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import importlib
 
     for m in HEADLINE_MODULES:
         importlib.import_module(m)
+    forced = os.environ.get("SPARK_GRAFT_FORCE_BENCH") == "1"
+    if not forced:
+        _wait_for_quiet(float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "300")))
     spark = get_spark(app_name="biggie-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     # AQE stays ON in the session default (the 100 TB identity: runtime
@@ -91,43 +122,57 @@ def main() -> None:
         "spark.sql.adaptive.enabled", os.environ.get("SPARK_GRAFT_AQE", "false")
     )
 
-    timings: dict[str, float] = {}
-    for bench_name, op in HEADLINE.items():
-        fn = QUERIES[op]
-        warm = None
-        for _ in range(2):  # cold then warm; report warm (BASELINE.md protocol)
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
-            warm = time.perf_counter() - t0
-        timings[bench_name] = round(warm, 3)
+    def measure() -> dict[str, float]:
+        out: dict[str, float] = {}
+        for bench_name, op in HEADLINE.items():
+            fn = QUERIES[op]
+            warm = None
+            for _ in range(2):  # cold then warm; report warm (BASELINE.md)
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).collect()
+                warm = time.perf_counter() - t0
+            out[bench_name] = round(warm, 3)
+        return out
+
+    # Measure; if the box loaded up DURING the run, re-measure (everything
+    # is warm by then, so a retry costs ~5 s) up to twice before refusing.
+    timings = measure()
+    loadavg = round(os.getloadavg()[0], 2)
+    for _ in range(2):
+        if loadavg <= LOADAVG_MAX or forced:
+            break
+        loadavg = round(_wait_for_quiet(120), 2)
+        if loadavg > LOADAVG_MAX:
+            break  # still loaded; don't burn time on a doomed re-measure
+        timings = measure()
+        loadavg = round(os.getloadavg()[0], 2)
 
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = None
-    # 1-minute loadavg at measurement time (VERDICT r10 "What's wrong" #3:
-    # BENCH_r10.json was recorded on a loaded box and read +12% noise).
-    # Re-run rule: if loadavg > 2.0 the number is adjudication-grade only —
-    # re-run on a quiet box before committing it as the round artifact.
-    loadavg = round(os.getloadavg()[0], 2)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_9q_total_warm",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "loadavg": loadavg,
-            }
-        )
-    )
-    if loadavg > 2.0:
+    if loadavg > LOADAVG_MAX and not forced:
+        # REFUSE (VERDICT r11 #1): no JSON on stdout means no artifact —
+        # strictly better than an artifact the rule says to distrust.
         print(
-            f"WARNING: loadavg {loadavg} > 2.0 — timings are noise-prone; "
-            "re-run on a quiet box before recording this as BENCH_r{N}.json",
+            f"bench: REFUSING to emit — loadavg {loadavg} > {LOADAVG_MAX} "
+            "after pre-flight wait and 2 re-measure attempts. Re-run on a "
+            "quiet box, or set SPARK_GRAFT_FORCE_BENCH=1 for a non-artifact "
+            "exploratory number.",
             file=sys.stderr,
         )
+        sys.exit(3)
+    record = {
+        "metric": "headline_9q_total_warm",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "loadavg": loadavg,
+    }
+    if forced:
+        record["forced"] = True
+    print(json.dumps(record))
 
     if "--assert-budget" in sys.argv:
         # Caps are sf0.1-specific (BASELINE.md was measured there).

@@ -482,13 +482,20 @@ def ordered_queries() -> dict[str, QueryFn]:
     extension re-scores.
 
     "Green" for tiering purposes = hash-green (ledger key ``green``) OR
-    rows-only-scored (key ``rows_only_scored``): a no-oracle-by-design op
-    that already has its rows-only driver row can never upgrade it, so
-    re-scoring it would waste a window slot every round forever
-    (fn_sample was doing exactly that)."""
+    rows-only-scored (key ``rows_only_scored``) OR retired-no-signal
+    (key ``retired_no_signal``): a no-oracle-by-design op can never earn
+    an upgradable row, so a window slot on one is wasted every round
+    forever (fn_sample was doing exactly that).  The two retired keys
+    differ only in honesty about history — rows_only_scored ops DID get
+    a weaker driver row once; retired_no_signal ops never got any row
+    (their verification is the hash-green deterministic twins)."""
     try:
         ledger = json.loads(GREEN_LEDGER.read_text())
-        green = set(ledger["green"]) | set(ledger.get("rows_only_scored", []))
+        green = (
+            set(ledger["green"])
+            | set(ledger.get("rows_only_scored", []))
+            | set(ledger.get("retired_no_signal", []))
+        )
     except (OSError, ValueError, KeyError):
         green = set()
     try:

@@ -52,8 +52,13 @@ def test_ordered_queries_is_permutation():
 def test_window_prioritizes_nongreen_contract_ops():
     ledger = json.loads(GREEN_LEDGER.read_text())
     # "done" for window purposes = hash-green OR rows-only-scored (a
-    # no-oracle-by-design op whose rows-only row can never upgrade)
-    green = set(ledger["green"]) | set(ledger.get("rows_only_scored", []))
+    # no-oracle-by-design op whose rows-only row can never upgrade) OR
+    # retired-no-signal (no-oracle op with no row — same zero-signal math)
+    green = (
+        set(ledger["green"])
+        | set(ledger.get("rows_only_scored", []))
+        | set(ledger.get("retired_no_signal", []))
+    )
     sec2 = set(json.loads(SEC2_CONTRACT.read_text())["sec2"])
     oq = list(ordered_queries())
     window = oq[:50]
@@ -73,6 +78,33 @@ def test_rows_only_scored_ops_really_have_no_oracle():
     ledger = json.loads(GREEN_LEDGER.read_text())
     bad = [n for n in ledger.get("rows_only_scored", []) if n in ORACLES]
     assert not bad, f"oracle-bearing ops in rows_only_scored: {bad}"
+
+
+def test_retired_no_signal_key_is_honest():
+    """Round-11 verdict 'What's wrong' #2: ops with NO driver row of any
+    kind must not ride a key that claims a scoring happened.  The split:
+    rows_only_scored = a rows-only driver row exists in some CORRECTNESS
+    file; retired_no_signal = no row ever.  Both must be no-oracle ops."""
+    import glob
+
+    ledger = json.loads(GREEN_LEDGER.read_text())
+    retired = set(ledger.get("retired_no_signal", []))
+    rows_only = set(ledger.get("rows_only_scored", []))
+    assert not (retired & rows_only), "op in both retired keys"
+    bad = [n for n in retired if n in ORACLES]
+    assert not bad, f"oracle-bearing ops in retired_no_signal: {bad}"
+    # every name the driver EVER produced a row for
+    scored: set[str] = set()
+    root = Path(__file__).resolve().parent.parent
+    for p in glob.glob(str(root / "CORRECTNESS_r*.json")):
+        scored |= set(json.load(open(p)))
+    lying = [n for n in retired if n in scored]
+    assert not lying, f"retired_no_signal ops that DO have a driver row: {lying}"
+    unscored_rows_only = [n for n in rows_only if n not in scored]
+    assert not unscored_rows_only, (
+        f"rows_only_scored ops with no driver row (belong in "
+        f"retired_no_signal): {unscored_rows_only}"
+    )
 
 
 def test_window_ops_have_oracle_or_documented_weak():
@@ -130,7 +162,11 @@ def test_round11_released_ops_follow_sec2_in_the_window():
     )
 
     ledger = json.loads(GREEN_LEDGER.read_text())
-    green = set(ledger["green"]) | set(ledger.get("rows_only_scored", []))
+    green = (
+        set(ledger["green"])
+        | set(ledger.get("rows_only_scored", []))
+        | set(ledger.get("retired_no_signal", []))
+    )
     sec2 = set(json.loads(SEC2_CONTRACT.read_text())["sec2"])
     oq = list(ordered_queries())
     unscored = [n for n in oq if n not in green]

@@ -379,3 +379,231 @@ def test_streaming_breach_alerts_static_matches_batch(spark, sf_dir):
     live = _rows(demo_breach_alerts_static(spark, sf_dir))
     batch = _rows(QUERIES["stream_breach_alerts_static"](spark, sf_dir))
     assert live == batch
+
+# ---------------------------------------------------------------------------
+# Round-12 (VERDICT r11 next-round #5): micro-batch equivalence gates.
+# The single-AvailableNow tests above prove the demos incrementalize over
+# ONE batch; these two split the input across MULTIPLE micro-batches so the
+# engine's real cross-batch state semantics are on the hook — watermark
+# advancement must finalize exactly the right windows at the right batch,
+# and session state must MERGE across the batch boundary — with the result
+# tied back to the scored batch twin.
+#
+# Measured engine truth this suite also pins (Spark 4.1.2, empirically
+# verified with 30- and 300-day-late batches): the windowed-aggregation
+# operator does NOT drop late input rows — numRowsDroppedByWatermark stays
+# 0 and a late row lands in (and immediately finalizes out of) state.  The
+# Structured Streaming guarantee is one-sided ("too-late data may or may
+# not be aggregated"); the watermark deterministically governs
+# FINALIZATION, not input admission.  stream_watermark_late's batch twin
+# models the strict drop semantics a pipeline gets by filtering explicitly;
+# the streaming gate below asserts the finalization side plus the no-drop
+# behavior, so a Spark upgrade that starts dropping fails this test loudly
+# and forces a semantics review of the batch twin.
+# ---------------------------------------------------------------------------
+
+
+def _two_file_source(spark, sf_dir, tmp_path, first_pred, second_pred):
+    """Write two parquet files of the events table into one directory with
+    ascending mtimes so maxFilesPerTrigger=1 streams them as two ordered
+    micro-batches.  Returns (source_dir, schema)."""
+    import os
+    import shutil
+
+    from biggie_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    src = tmp_path / "events.parquet"
+    src.mkdir()
+    for i, pred in enumerate((first_pred, second_pred)):
+        stage = tmp_path / f"stage{i}"
+        ev.filter(pred(ev)).coalesce(1).write.parquet(str(stage))
+        part = next(p for p in stage.iterdir() if p.name.endswith(".parquet"))
+        dest = src / f"batch{i}.parquet"
+        shutil.move(str(part), str(dest))
+        # FileStreamSource (latestFirst=false) takes files oldest-mtime
+        # first; pin the order explicitly rather than trusting write time.
+        os.utime(dest, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+    return src, ev.schema
+
+
+def test_streaming_watermark_finalization_matches_batch_twin(
+    spark, sf_dir, tmp_path
+):
+    """stream_watermark_late under REAL multi-batch watermark state.
+
+    Arrival: batch 0 = on-time rows (ts >= max-7d, incl. the global max),
+    batch 1 = rows >2h older than the cutoff (guard band keeps
+    window-straddlers out of the DATASET entirely).  Deterministic engine
+    behavior this pins, batch by batch:
+
+    * batch 0 appends NOTHING (watermark still epoch; no window closed);
+    * batch 1's late windows finalize IMMEDIATELY (their end < the
+      watermark advanced by batch 0 = max-7d) — and are NOT dropped on
+      input (measured Spark 4.1.2 one-sided-guarantee behavior);
+    * the final no-data batch closes nothing more (every on-time window
+      ends above the final watermark).
+
+    Tie-back to the scored twin: appended counts + stream_watermark_late's
+    on-time counts == per-user totals, exactly."""
+    import datetime
+
+    from biggie_spark.io import load_table
+
+    mx = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    cutoff = mx - datetime.timedelta(days=7)
+    guard = cutoff - datetime.timedelta(hours=2)
+    src, schema = _two_file_source(
+        spark,
+        sf_dir,
+        tmp_path,
+        lambda ev: ev.ts >= F.lit(cutoff),
+        lambda ev: ev.ts < F.lit(guard),
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "7 days")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    per_batch: list[list] = []
+
+    def sink(batch_df, batch_id):
+        per_batch.append(batch_df.collect())
+
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    dropped = sum(
+        s.get("numRowsDroppedByWatermark", 0) or 0
+        for p in q.recentProgress
+        for s in (p.get("stateOperators") or [])
+    )
+    q.stop()
+
+    late_rows = spark.read.parquet(str(src / "batch1.parquet")).count()
+    assert late_rows > 0, "guard band swallowed the whole late slice"
+    # batch 0: watermark at epoch, nothing finalized yet
+    assert per_batch and not per_batch[0], (
+        "append emitted before the watermark advanced"
+    )
+    # the late windows all finalized (none stuck in state, none dropped)
+    finalized: dict[int, int] = {}
+    for rows in per_batch[1:]:
+        for r in rows:
+            finalized[r.user_id] = finalized.get(r.user_id, 0) + r.n
+    assert sum(finalized.values()) == late_rows, (
+        "finalized count != late-slice rows — engine dropped or held rows"
+    )
+    # pin the measured one-sided-guarantee behavior (see block comment)
+    assert dropped == 0, (
+        f"Spark began dropping late rows ({dropped}) — revisit "
+        "stream_watermark_late's strict batch-twin semantics"
+    )
+    # tie-back: streamed late counts + scored twin's on-time counts
+    # == per-user totals over the same two files
+    on_time = {
+        r.user_id: r.n_on_time
+        for r in QUERIES["stream_watermark_late"](spark, str(tmp_path)).collect()
+    }
+    totals = {
+        r.user_id: r.n
+        for r in spark.read.parquet(str(src))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {
+        u: finalized.get(u, 0) + on_time.get(u, 0) for u in totals
+    } == totals
+
+
+def test_streaming_session_foreachbatch_merges_across_batches(
+    spark, sf_dir, tmp_path
+):
+    """stream_session equivalence under a batch boundary that SPLITS a live
+    session: the cut is placed INSIDE a known sub-30-min event pair, so that
+    user's session is open state after batch 0 and MUST merge with batch-1
+    rows.  The final complete-mode foreachBatch snapshot must equal the
+    scored batch twin — byte-equal session boundaries, counts and sums."""
+    from pyspark.sql import Window
+
+    from biggie_spark.io import load_table
+    from biggie_spark.util import r4
+
+    ev = load_table(spark, sf_dir, "events")
+    # find the widest strictly-positive gap under the 30-min session gap —
+    # cutting inside it guarantees a session straddles the batch boundary
+    w = Window.partitionBy("user_id").orderBy("ts")
+    pair = (
+        ev.select("user_id", "ts")
+        .withColumn("nxt", F.lead("ts").over(w))
+        .withColumn(
+            "gap", F.col("nxt").cast("double") - F.col("ts").cast("double")
+        )
+        .filter((F.col("gap") > 0) & (F.col("gap") < 1800))
+        .orderBy(F.desc("gap"))
+        .limit(1)
+        .collect()
+    )
+    assert pair, "corpus has no multi-event session to split"
+    cut = pair[0].ts.timestamp() + pair[0].gap / 2.0
+    src, schema = _two_file_source(
+        spark,
+        sf_dir,
+        tmp_path,
+        lambda e: e.ts.cast("double") <= F.lit(cut),
+        lambda e: e.ts.cast("double") > F.lit(cut),
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"), r4(F.sum("value")).alias("sum_val"))
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").alias("session_start"),
+            F.unix_timestamp("w.end").alias("session_end"),
+            "n",
+            "sum_val",
+        )
+    )
+    snapshots: list[list[tuple]] = []
+
+    def sink(batch_df, batch_id):
+        snapshots.append([tuple(r) for r in batch_df.collect()])
+
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    q.stop()
+    assert len(snapshots) >= 2, "source did not split into micro-batches"
+
+    cols = ["user_id", "session_start", "session_end", "n", "sum_val"]
+    live = normalize_rows(snapshots[-1], cols)
+    batch_twin = QUERIES["stream_session"](spark, str(tmp_path)).select(*cols)
+    assert live == _rows(batch_twin)
+    # merge actually happened: the split user's straddling session kept its
+    # start (batch 0 held the earlier rows) and grew its event count
+    first = {(r[0], r[1]): r[3] for r in snapshots[0]}
+    final = {(r[0], r[1]): r[3] for r in snapshots[-1]}
+    grew = [k for k in first if final.get(k, 0) > first[k]]
+    assert grew, "no session merged across the micro-batch boundary"

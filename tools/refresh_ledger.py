@@ -4,12 +4,18 @@ Run this FIRST THING each round (the round-3 verdict's #1 lesson: a stale
 ledger makes ordered_queries() waste its bounded scoring window re-scoring
 already-green ops while never-scored extensions stay unscored forever).
 
-* ``green``            — ops with a hash-green row in ANY round.
-* ``rows_only_scored`` — no-oracle-by-design ops (sketches, RNG sampling,
-  ANN), retired from the window UNCONDITIONALLY — driver row or not: the
-  driver records ``err: no_oracle`` with no rows fallback for these, so a
-  window slot spent on one yields zero signal this round and every round
-  (round-5 advice: this retirement is by design, not an oversight).
+* ``green``             — ops with a hash-green row in ANY round.
+* ``rows_only_scored``  — no-oracle-by-design ops (sketches, RNG sampling,
+  ANN) that DID receive a driver row (``err: no_oracle`` but
+  ``spark_rows > 0`` recorded): the weaker rows-only signal exists and can
+  never upgrade, so re-scoring wastes a window slot every round.
+* ``retired_no_signal`` — no-oracle-by-design ops with NO driver row of
+  any kind (round-11 verdict "What's wrong" #2: the old ledger filed
+  these under ``rows_only_scored``, claiming a scoring that never
+  happened).  Retired for the same zero-signal reason, but the key is
+  now honest.  Each has a fully-oracled deterministic twin that IS
+  hash-green: ``agg_approx_quantile`` → ``agg_quantiles``,
+  ``agg_hll_sketch_union`` → ``agg_hll_portable``.
 
 An op with an oracle whose row failed (rows/schema/hash mismatch) stays
 OUT of both lists so it re-enters the window after a fix.
@@ -58,19 +64,23 @@ def main() -> None:
                 # row (spark_rows > 0): permanently scored
                 if (r.get("spark_rows") or 0) > 0:
                     rows_only.add(name)
-    # Round-4 lesson (VERDICT r4 item 3, observed in CORRECTNESS_r04): for
-    # an op with no oracle_sql() entry the driver records `err: no_oracle`
-    # WITHOUT any rows fallback — a window slot spent on it yields zero
-    # signal, this round and every round.  So every registered no-oracle op
-    # is retired from the window unconditionally; their verification lives
-    # in the internal gates (recall floors in tests/test_ann.py etc.).
-    rows_only |= {n for n in QUERIES if n not in ORACLES}
+    # Round-4 lesson (VERDICT r4 item 3): for an op with no oracle_sql()
+    # entry a window slot yields zero UPGRADABLE signal, this round and
+    # every round — so every registered no-oracle op is retired from the
+    # window.  Round-11 verdict fix: ops that never even got the weaker
+    # rows-only row go under a separate, honest key instead of being
+    # filed as "scored".  Their verification lives in the internal gates
+    # (recall floors in tests/test_ann.py etc.) and in hash-green
+    # deterministic twins (agg_quantiles, agg_hll_portable,
+    # fn_sample_hash).
     rows_only -= green
+    retired = {n for n in QUERIES if n not in ORACLES} - green - rows_only
 
     new = {
         "_": old["_"],
         "green": sorted(green),
         "rows_only_scored": sorted(rows_only),
+        "retired_no_signal": sorted(retired),
     }
     if stale_before:
         new["_stale"] = old.get("_stale", "")
@@ -80,7 +90,7 @@ def main() -> None:
     print(
         f"green: {len(old.get('green', []))} -> {len(green)} (+{len(added_g)}); "
         f"rows_only: {len(old.get('rows_only_scored', []))} -> {len(rows_only)} "
-        f"(+{len(added_r)})"
+        f"(+{len(added_r)}); retired_no_signal: {len(retired)}"
     )
     if added_g:
         print("new green:", ", ".join(sorted(added_g)))
