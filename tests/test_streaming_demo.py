@@ -607,3 +607,80 @@ def test_streaming_session_foreachbatch_merges_across_batches(
     final = {(r[0], r[1]): r[3] for r in snapshots[-1]}
     grew = [k for k in first if final.get(k, 0) > first[k]]
     assert grew, "no session merged across the micro-batch boundary"
+
+
+def test_streaming_dedup_state_suppresses_across_batches(
+    spark, sf_dir, tmp_path
+):
+    """stream_dedup_watermark's streaming twin under a batch boundary: keys
+    first seen in batch 0 must be SUPPRESSED by state when they recur in
+    batch 1 (emitted key sets disjoint per batch), and the union of emitted
+    keys must equal the scored batch twin's key set."""
+    import datetime
+
+    from biggie_spark.io import load_table
+
+    # cut EARLY (5th percentile): the key domain (users x 5 event types) is
+    # small enough that by the median every key has been seen, which would
+    # leave batch 1 with nothing new to emit — an early cut gives batch 1
+    # both recurring keys (suppression visible) and first-seen keys
+    # (emission visible)
+    p05 = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.expr("percentile_approx(cast(ts as double), 0.05)"))
+        .collect()[0][0]
+    )
+    cut = datetime.datetime.fromtimestamp(p05)
+    src, schema = _two_file_source(
+        spark,
+        sf_dir,
+        tmp_path,
+        lambda e: e.ts <= F.lit(cut),
+        lambda e: e.ts > F.lit(cut),
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = (
+        stream.withWatermark("ts", "10 minutes")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    per_batch: list[set] = []
+
+    def sink(batch_df, batch_id):
+        per_batch.append({(r.user_id, r.event_type) for r in batch_df.collect()})
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    q.stop()
+    nonempty = [s for s in per_batch if s]
+    assert len(nonempty) >= 2, "second micro-batch emitted no new keys"
+    assert not (nonempty[0] & nonempty[1]), (
+        "a key recurred across batches — dedup state failed to suppress it"
+    )
+    # suppression actually had work to do: batch 1's INPUT must contain
+    # keys already emitted in batch 0
+    recurring = nonempty[0] & {
+        (r.user_id, r.event_type)
+        for r in spark.read.parquet(str(src / "batch1.parquet"))
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert recurring, "cut produced no cross-batch duplicate keys"
+    live = set().union(*per_batch)
+    twin = {
+        (r.user_id, r.event_type)
+        for r in QUERIES["stream_dedup_watermark"](spark, str(tmp_path))
+        .select("user_id", "event_type")
+        .collect()
+    }
+    assert live == twin
