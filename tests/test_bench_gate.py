@@ -1,0 +1,52 @@
+"""bench.py quiet-box gate (VERDICT r11 "What's wrong" #1): the round
+artifact must never be recorded on a loaded box.  These tests pin the
+pre-flight wait logic without starting Spark."""
+
+from __future__ import annotations
+
+import importlib
+import sys
+
+
+def _bench():
+    sys.path.insert(0, "/root/repo")
+    return importlib.import_module("bench")
+
+
+def test_wait_for_quiet_returns_immediately_on_quiet_box(monkeypatch):
+    bench = _bench()
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.5, 0.5, 0.5))
+    slept = []
+    monkeypatch.setattr(bench.time, "sleep", slept.append)
+    load = bench._wait_for_quiet(60)
+    assert load == 0.5
+    assert not slept, "waited despite a quiet box"
+
+
+def test_wait_for_quiet_blocks_until_quiet(monkeypatch):
+    bench = _bench()
+    loads = iter([3.0, 2.5, 1.1])
+    last = [3.0]
+
+    def getload():
+        return (last[0], 0, 0)
+
+    def fake_sleep(_):
+        last[0] = next(loads)
+
+    monkeypatch.setattr(bench.os, "getloadavg", getload)
+    monkeypatch.setattr(bench.time, "sleep", fake_sleep)
+    clock = iter(range(100))
+    monkeypatch.setattr(bench.time, "monotonic", lambda: next(clock))
+    load = bench._wait_for_quiet(60)
+    assert load == 1.1, "returned before the box quieted"
+
+
+def test_wait_for_quiet_gives_up_at_deadline(monkeypatch):
+    bench = _bench()
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (9.9, 0, 0))
+    monkeypatch.setattr(bench.time, "sleep", lambda _: None)
+    clock = iter(range(0, 1000, 10))
+    monkeypatch.setattr(bench.time, "monotonic", lambda: next(clock))
+    load = bench._wait_for_quiet(50)
+    assert load == 9.9, "deadline exceeded but load misreported"

@@ -293,3 +293,51 @@ def test_vacuity_audit_covers_every_holdback_op():
     text14 = (tools / "vacuity_r14.md").read_text()
     missing = [n for n in sorted(ROUND14_HOLDBACK) if n not in text14]
     assert not missing, f"holdback ops missing from vacuity_r14.md: {missing}"
+
+
+def test_future_windows_release_in_generation_order():
+    """Forward displacement invariant: simulate the round-12 window going
+    green — the round-13 window must then be exactly the ROUND13_HOLDBACK
+    tranche followed by ROUND14 spares, and simulating r13 green must
+    surface ROUND14 next.  Catches a tier-ordering regression BEFORE it
+    wastes a real driver window (the r12 window is the last one whose
+    composition a stale test would still cover)."""
+    from biggie_spark.registry import (
+        ROUND12_HOLDBACK,
+        ROUND13_HOLDBACK,
+        ROUND14_HOLDBACK,
+    )
+
+    ledger = json.loads(GREEN_LEDGER.read_text())
+    done = (
+        set(ledger["green"])
+        | set(ledger.get("rows_only_scored", []))
+        | set(ledger.get("retired_no_signal", []))
+    )
+    oq = list(ordered_queries())
+
+    def window_after(greened: set[str]) -> list[str]:
+        pending = [n for n in oq if n not in done | greened]
+        return pending[:50]
+
+    # after r12's window greens: next 50 = all 48 ROUND13 ops + 2 ROUND14
+    w12 = set(window_after(set()))  # current window, becomes green in r12
+    w13 = window_after(w12)
+    assert set(w13) >= (ROUND13_HOLDBACK - w12), (
+        "round-13 tranche not fully inside the post-r12 window"
+    )
+    spill13 = [n for n in w13 if n not in ROUND13_HOLDBACK]
+    assert all(n in ROUND14_HOLDBACK for n in spill13), (
+        f"post-r12 window spares are not ROUND14 ops: {spill13}"
+    )
+    # after r13 greens: remainder of ROUND14 comes next, nothing else
+    w14 = window_after(w12 | set(w13))
+    expect14 = ROUND14_HOLDBACK - set(w13)
+    assert set(w14) == expect14, (
+        f"post-r13 window != remaining ROUND14 tranche: "
+        f"extra={set(w14) - expect14}, missing={expect14 - set(w14)}"
+    )
+    # and the r12 window itself is the ROUND12 tranche + ROUND13 spares
+    assert set(w12) >= ROUND12_HOLDBACK - done
+    spill12 = [n for n in w12 if n not in ROUND12_HOLDBACK]
+    assert all(n in ROUND13_HOLDBACK for n in spill12)
