@@ -1,0 +1,212 @@
+"""btable ACID table format (biggie_spark/tablefmt.py): create/append/
+time-travel/delete/merge semantics, atomic-commit conflict behavior,
+copy-on-write file-level surgery, and stats-based data skipping."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from biggie_spark.tablefmt import (
+    BTable,
+    CommitConflict,
+    SchemaMismatch,
+    _maybe_matches,
+)
+
+
+def _mk(spark, tmp_path, n=100, parts=4):
+    df = (
+        spark.range(n)
+        .repartition(parts)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10).alias("v"),
+            F.concat(F.lit("g"), F.pmod("id", 5)).alias("grp"),
+        )
+    )
+    return BTable.create(spark, str(tmp_path / "t"), df)
+
+
+def _rows(df):
+    return sorted((r.k, r.v, r.grp) for r in df.collect())
+
+
+def test_create_read_roundtrip_and_history(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    got = _rows(t.read(spark))
+    assert len(got) == 100
+    assert got[0] == (0, 0, "g0") and got[99] == (99, 990, "g4")
+    h = t.history()
+    assert [c["op"] for c in h] == ["create"]
+    assert h[0]["added"] >= 1 and h[0]["removed"] == 0
+    with pytest.raises(FileExistsError):
+        BTable.create(spark, str(tmp_path / "t"), t.read(spark))
+
+
+def test_append_and_time_travel(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=50)
+    extra = spark.createDataFrame(
+        [(1000 + i, i, "gx") for i in range(5)], "k bigint, v bigint, grp string"
+    )
+    v1 = t.append(spark, extra)
+    assert v1 == 1
+    assert t.read(spark).count() == 55
+    assert t.read(spark, version=0).count() == 50, "time travel broken"
+    assert {r.grp for r in t.read(spark, version=1).collect()} >= {"gx"}
+    with pytest.raises(ValueError):
+        t.read(spark, version=7)
+
+
+def test_append_enforces_schema(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=10)
+    bad = spark.createDataFrame([(1, "x")], "k bigint, extra string")
+    with pytest.raises(SchemaMismatch):
+        t.append(spark, bad)
+    assert t.snapshot().version == 0, "failed append must not commit"
+
+
+def test_delete_is_copy_on_write_file_surgery(spark, tmp_path):
+    # force key-disjoint files so the delete provably touches a subset
+    base = str(tmp_path / "t")
+    dfs = [
+        spark.createDataFrame(
+            [(i, i * 10, f"g{i % 5}") for i in range(lo, lo + 25)],
+            "k bigint, v bigint, grp string",
+        ).coalesce(1)
+        for lo in (0, 25, 50, 75)
+    ]
+    t = BTable.create(spark, base, dfs[0])
+    for d in dfs[1:]:
+        t.append(spark, d)
+    before = set(t.snapshot().files)
+    assert len(before) == 4
+    v = t.delete(spark, "k >= 25 AND k < 30")
+    snap = t.snapshot()
+    assert v == snap.version == 4
+    untouched = before & set(snap.files)
+    assert len(untouched) == 3, "delete rewrote files it didn't need to"
+    assert t.read(spark).count() == 95
+    assert t.read(spark).filter("k >= 25 AND k < 30").count() == 0
+    # pre-delete snapshot still readable (time travel over removed files)
+    assert t.read(spark, version=3).count() == 100
+
+
+def test_delete_no_match_is_noop(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=20)
+    v = t.delete(spark, "k > 100000")
+    assert v == 0 and t.read(spark).count() == 20
+    assert [c["op"] for c in t.history()] == ["create"]
+
+
+def test_merge_upsert(spark, tmp_path):
+    base = str(tmp_path / "t")
+    dfs = [
+        spark.createDataFrame(
+            [(i, i * 10, f"g{i % 5}") for i in range(lo, lo + 25)],
+            "k bigint, v bigint, grp string",
+        ).coalesce(1)
+        for lo in (0, 25, 50, 75)
+    ]
+    t = BTable.create(spark, base, dfs[0])
+    for d in dfs[1:]:
+        t.append(spark, d)
+    before = set(t.snapshot().files)
+    source = spark.createDataFrame(
+        [(5, -1, "upd"), (26, -2, "upd"), (200, -3, "new")],
+        "k bigint, v bigint, grp string",
+    )
+    t.merge(spark, source, on="k")
+    got = {r.k: (r.v, r.grp) for r in t.read(spark).collect()}
+    assert len(got) == 101
+    assert got[5] == (-1, "upd") and got[26] == (-2, "upd")
+    assert got[200] == (-3, "new")
+    assert got[6] == (60, "g1"), "non-matched row in a touched file changed"
+    # COW surgery: the two files holding k=5 and k=26 were rewritten, the
+    # other two survive
+    untouched = before & set(t.snapshot().files)
+    assert len(untouched) == 2, "merge rewrote more files than it hit"
+    # matched-delete + ignore-inserts variant
+    t.merge(
+        spark,
+        source,
+        on="k",
+        when_matched="delete",
+        when_not_matched="ignore",
+    )
+    left = {r.k for r in t.read(spark).collect()}
+    assert 5 not in left and 26 not in left and 200 not in left
+    assert len(left) == 98
+
+
+def test_commit_conflict_left_no_partial_state(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=10)
+    # the loser reads its snapshot FIRST (this is the optimistic read)...
+    snap = t.snapshot()
+    extra = spark.createDataFrame(
+        [(99, 990, "gx")], "k bigint, v bigint, grp string"
+    )
+    loser_adds = t._write_files(spark, extra)  # data staged, not committed
+    # ...then a concurrent winner claims the next version
+    winner = os.path.join(t.path, "_log", f"{snap.version + 1:08d}.json")
+    with open(winner, "w") as f:
+        f.write(
+            f'{{"version": {snap.version + 1}, "op": "append", '
+            '"add": [], "remove": []}'
+        )
+    with pytest.raises(CommitConflict):
+        t._commit(
+            expected_version=snap.version,
+            doc={"op": "append", "add": loser_adds},
+        )
+    # loser's commit must not be visible; table reads at the winner's state
+    assert t.snapshot().version == snap.version + 1
+    assert t.read(spark).count() == 10, "orphaned staged files became visible"
+    assert not [
+        p
+        for p in os.listdir(os.path.join(t.path, "_log"))
+        if p.startswith(".tmp-")
+    ], "staged temp commit leaked"
+
+
+def test_data_skipping_prunes_files(spark, tmp_path):
+    base = str(tmp_path / "t")
+    dfs = [
+        spark.createDataFrame(
+            [(i, i * 10, "g") for i in range(lo, lo + 25)],
+            "k bigint, v bigint, grp string",
+        ).coalesce(1)
+        for lo in (0, 25, 50, 75)
+    ]
+    t = BTable.create(spark, base, dfs[0])
+    for d in dfs[1:]:
+        t.append(spark, d)
+    assert t.scan_file_count() == 4
+    assert t.scan_file_count("k >= 80") == 1
+    assert t.scan_file_count("k == 30") == 1
+    assert t.scan_file_count("k >= 20 AND k < 30") == 2
+    # string stats prune too: no file's [min,max] range can contain 'zzz'
+    assert t.scan_file_count("grp == 'zzz'") == 0
+    assert t.read(spark, where="grp == 'zzz'").count() == 0  # empty-scan read
+    # pruned read returns the same rows as an unpruned filter
+    assert t.read(spark, where="k >= 80").count() == 20
+    assert (
+        _rows(t.read(spark, where="k >= 20 AND k < 30"))
+        == _rows(t.read(spark).filter("k >= 20 AND k < 30"))
+    )
+
+
+def test_maybe_matches_is_conservative():
+    stats = {"k": [10, 20], "s": ["aa", "mm"]}
+    assert _maybe_matches(stats, "k >= 15")
+    assert not _maybe_matches(stats, "k > 20")
+    assert not _maybe_matches(stats, "k < 10")
+    assert _maybe_matches(stats, "k <= 10")
+    assert not _maybe_matches(stats, "k == 5")
+    assert _maybe_matches(stats, "s == 'bb'")
+    assert not _maybe_matches(stats, "s == 'zz'")
+    # unparseable clauses must not prune
+    assert _maybe_matches(stats, "k % 2 = 0 OR weird(s)")
+    assert _maybe_matches({}, "k == 5")
