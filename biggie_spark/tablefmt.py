@@ -301,6 +301,71 @@ class BTable:
             doc={"op": "merge", "remove": touched, "add": adds},
         )
 
+    # ------------------------------------------------------- maintenance
+
+    def optimize(self, spark: SparkSession, small_file_rows: int = 100_000) -> int:
+        """Compaction (OPTIMIZE): bin-pack data files smaller than
+        ``small_file_rows`` into one rewrite.  Pure layout change — the
+        logical table is untouched and every old version stays readable
+        (the small files are only logically removed).  At scale this is
+        the small-file remedy for streaming/CDC ingest, run per partition
+        range; here the bin target is a single file per call."""
+        snap = self.snapshot()
+        small = [
+            rel
+            for rel, a in snap.files.items()
+            if a.get("rows", 0) < small_file_rows
+        ]
+        if len(small) < 2:
+            return snap.version  # nothing worth packing
+        df = spark.read.schema(_schema(snap)).parquet(
+            *[os.path.join(self.path, rel) for rel in small]
+        ).coalesce(1)
+        adds = self._write_files(spark, df)
+        return self._commit(
+            expected_version=snap.version,
+            doc={"op": "optimize", "remove": small, "add": adds},
+        )
+
+    def vacuum(self, keep_versions: int = 2) -> list[str]:
+        """Physically delete data files unreferenced by the newest
+        ``keep_versions`` snapshots (incl. staged orphans from failed
+        commits).  Time travel older than the retention floor becomes
+        unreadable — the same contract as Delta's VACUUM.  Returns the
+        deleted relative paths."""
+        commits = _read_log(self.path)
+        latest = commits[-1]["version"]
+        floor = max(0, latest - keep_versions + 1)
+        keep: set[str] = set()
+        for v in range(floor, latest + 1):
+            keep |= set(_replay(commits, v).files)
+        deleted = []
+        data_root = os.path.join(self.path, _DATA_DIR)
+        for dirpath, _, names in os.walk(data_root):
+            for name in names:
+                full = os.path.join(dirpath, name)
+                rel = os.path.relpath(full, self.path)
+                if rel not in keep and name.endswith(".parquet"):
+                    os.unlink(full)
+                    deleted.append(rel)
+        return deleted
+
+    def add_column(self, spark: SparkSession, name: str, ddl_type: str) -> int:
+        """Schema evolution: append a nullable column (metadata-only
+        commit — no data file is touched).  Files written before the
+        change read back with the column as NULL (parquet missing-column
+        fill under an explicit read schema)."""
+        snap = self.snapshot()
+        old = _schema(snap)
+        if name in old.fieldNames():
+            raise ValueError(f"column {name!r} already exists")
+        new_field = spark.createDataFrame([], f"{name} {ddl_type}").schema[0]
+        new = StructType(list(old.fields) + [new_field])
+        return self._commit(
+            expected_version=snap.version,
+            doc={"op": "alter", "schema": new.json()},
+        )
+
     # ----------------------------------------------------------- helpers
 
     def _check_schema(self, spark, df: DataFrame, snap: Snapshot) -> None:

@@ -210,3 +210,144 @@ def test_maybe_matches_is_conservative():
     # unparseable clauses must not prune
     assert _maybe_matches(stats, "k % 2 = 0 OR weird(s)")
     assert _maybe_matches({}, "k == 5")
+
+
+def test_streaming_cdc_upsert_sink(spark, tmp_path):
+    """The production lakehouse pattern: a CDC stream upserted into a
+    btable via foreachBatch + MERGE.  Two micro-batches of row images
+    (later batch overwrites earlier keys); the final table state must be
+    last-writer-wins per key, the log must show one merge per non-empty
+    batch, and every intermediate version must stay time-travel readable."""
+    import shutil
+
+    t = BTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame(
+            [(i, 0, "base") for i in range(10)], "k bigint, v bigint, grp string"
+        ),
+    )
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    batches = [
+        [(3, 100, "b0"), (20, 100, "b0")],   # update k=3, insert k=20
+        [(3, 200, "b1"), (21, 200, "b1")],   # re-update k=3, insert k=21
+    ]
+    for i, rows in enumerate(batches):
+        stage = tmp_path / f"stage{i}"
+        spark.createDataFrame(
+            rows, "k bigint, v bigint, grp string"
+        ).coalesce(1).write.parquet(str(stage))
+        part = next(p for p in stage.iterdir() if p.name.endswith(".parquet"))
+        dest = src / f"b{i}.parquet"
+        shutil.move(str(part), str(dest))
+        os.utime(dest, (1_000_000 + i * 1000,) * 2)
+
+    stream = (
+        spark.readStream.schema("k bigint, v bigint, grp string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+
+    def upsert(batch_df, batch_id):
+        if not batch_df.isEmpty():
+            t.merge(batch_df.sparkSession, batch_df, on="k")
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    q.stop()
+
+    got = {r.k: (r.v, r.grp) for r in t.read(spark).collect()}
+    assert len(got) == 12
+    assert got[3] == (200, "b1"), "last writer must win"
+    assert got[20] == (100, "b0") and got[21] == (200, "b1")
+    assert got[0] == (0, "base")
+    ops = [c["op"] for c in t.history()]
+    assert ops == ["create", "merge", "merge"]
+    # every intermediate state remains time-travel readable
+    v1 = {r.k: r.v for r in t.read(spark, version=1).collect()}
+    assert v1[3] == 100 and 21 not in v1 and len(v1) == 11
+    assert t.read(spark, version=0).count() == 10
+
+
+def test_optimize_compacts_without_changing_data(spark, tmp_path):
+    t = BTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame(
+            [(0, 0, "g")], "k bigint, v bigint, grp string"
+        ),
+    )
+    for i in range(1, 6):  # five 1-row appends = classic CDC small files
+        t.append(
+            spark,
+            spark.createDataFrame(
+                [(i, i * 10, "g")], "k bigint, v bigint, grp string"
+            ),
+        )
+    pre = _rows(t.read(spark))
+    assert t.scan_file_count() == 6
+    v = t.optimize(spark)
+    assert t.scan_file_count() == 1, "compaction left small files behind"
+    assert _rows(t.read(spark)) == pre, "OPTIMIZE changed the logical table"
+    assert t.history()[-1]["op"] == "optimize"
+    # pre-compaction versions still readable (removal is logical)
+    assert t.read(spark, version=v - 1).count() == 6
+    # idempotent: a second call finds nothing to pack
+    assert t.optimize(spark) == v
+
+
+def test_vacuum_reclaims_and_respects_retention(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=20, parts=2)
+    t.delete(spark, "k < 10")           # v1: rewrites a file
+    t.append(
+        spark,
+        spark.createDataFrame(
+            [(100, 1, "g")], "k bigint, v bigint, grp string"
+        ),
+    )                                    # v2
+    pre = _rows(t.read(spark))
+    deleted = t.vacuum(keep_versions=2)  # keeps v1 and v2 files
+    assert deleted, "vacuum found nothing although v0 files were removed"
+    assert _rows(t.read(spark)) == pre, "vacuum changed the live table"
+    assert t.read(spark, version=1).count() == 10, "retained version broken"
+    import pyspark.errors
+
+    with pytest.raises(Exception):
+        t.read(spark, version=0).count()  # beyond retention: gone by design
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=5, parts=1)
+    v = t.add_column(spark, "score", "double")
+    got = t.read(spark)
+    assert got.schema["score"].dataType.typeName() == "double"
+    assert all(r.score is None for r in got.collect()), (
+        "pre-evolution files must read the new column as NULL"
+    )
+    # appends must now carry the new column — old schema is rejected
+    with pytest.raises(SchemaMismatch):
+        t.append(
+            spark,
+            spark.createDataFrame(
+                [(7, 70, "g2")], "k bigint, v bigint, grp string"
+            ),
+        )
+    t.append(
+        spark,
+        spark.createDataFrame(
+            [(7, 70, "g2", 0.5)],
+            "k bigint, v bigint, grp string, score double",
+        ),
+    )
+    rows = {r.k: r.score for r in t.read(spark).collect()}
+    assert rows[7] == 0.5 and rows[0] is None
+    # time travel BEFORE the alter returns the old schema
+    assert "score" not in t.read(spark, version=v - 1).columns
+    with pytest.raises(ValueError):
+        t.add_column(spark, "score", "double")
