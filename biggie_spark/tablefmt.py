@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 from dataclasses import dataclass, field
 from typing import Any
@@ -69,16 +70,38 @@ def _log_path(table: str, version: int) -> str:
     return os.path.join(table, _LOG_DIR, f"{version:08d}.json")
 
 
+_COMMIT_RE = re.compile(r"^\d{8}\.json$")
+_CHECKPOINT_RE = re.compile(r"^(\d{8})\.checkpoint\.json$")
+_CHECKPOINT_EVERY = 10  # snapshot the replay every N commits
+
+
 def _read_log(table: str) -> list[dict[str, Any]]:
     log_dir = os.path.join(table, _LOG_DIR)
     if not os.path.isdir(log_dir):
         raise FileNotFoundError(f"not a btable (no {_LOG_DIR}/): {table}")
     commits = []
+    # strict name match: .tmp-* staging files and *.checkpoint.json replay
+    # caches must never parse as commits
     for name in sorted(os.listdir(log_dir)):
-        if name.endswith(".json"):
+        if _COMMIT_RE.match(name):
             with open(os.path.join(log_dir, name)) as f:
                 commits.append(json.load(f))
     return commits
+
+
+def _latest_checkpoint(table: str, max_version: int) -> dict[str, Any] | None:
+    """Newest replay checkpoint at or below ``max_version``, if any."""
+    log_dir = os.path.join(table, _LOG_DIR)
+    best = None
+    for name in os.listdir(log_dir):
+        m = _CHECKPOINT_RE.match(name)
+        if m and int(m.group(1)) <= max_version:
+            if best is None or int(m.group(1)) > best[0]:
+                best = (int(m.group(1)), name)
+    if best is None:
+        return None
+    with open(os.path.join(log_dir, best[1])) as f:
+        return json.load(f)
 
 
 @dataclass
@@ -93,13 +116,31 @@ class Snapshot:
         return [os.path.join(table, rel) for rel in sorted(self.files)]
 
 
-def _replay(commits: list[dict[str, Any]], version: int | None) -> Snapshot:
+def _replay(
+    commits: list[dict[str, Any]],
+    version: int | None,
+    base: dict[str, Any] | None = None,
+) -> Snapshot:
+    """Snapshot at ``version`` (latest if None); ``base`` is an optional
+    checkpoint dict to start the replay from instead of commit 0."""
     if not commits:
         raise FileNotFoundError("empty commit log")
     last = commits[-1]["version"] if version is None else version
-    snap = Snapshot(version=last, schema_json=commits[0]["schema"])
-    seen = False
+    if base is not None and base["version"] <= last:
+        snap = Snapshot(
+            version=last,
+            schema_json=base["schema"],
+            files=dict(base["files"]),
+        )
+        floor = base["version"]
+        seen = base["version"] == last
+    else:
+        snap = Snapshot(version=last, schema_json=commits[0]["schema"])
+        floor = -1
+        seen = False
     for c in commits:
+        if c["version"] <= floor:
+            continue
         if c["version"] > last:
             break
         seen = seen or c["version"] == last
@@ -160,7 +201,10 @@ class BTable:
         return df.filter(where) if where is not None else df
 
     def snapshot(self, version: int | None = None) -> Snapshot:
-        return _replay(_read_log(self.path), version)
+        commits = _read_log(self.path)
+        last = commits[-1]["version"] if commits else 0
+        target = last if version is None else version
+        return _replay(commits, version, _latest_checkpoint(self.path, target))
 
     def history(self) -> list[dict[str, Any]]:
         return [
@@ -187,31 +231,59 @@ class BTable:
 
     # --------------------------------------------------------------- dml
 
-    def append(self, spark: SparkSession, df: DataFrame) -> int:
-        snap = self.snapshot()
-        self._check_schema(spark, df, snap)
-        adds = self._write_files(spark, df)
-        return self._commit(
-            expected_version=snap.version, doc={"op": "append", "add": adds}
-        )
+    def _with_retry(self, attempt, retries: int) -> int:
+        """Optimistic-concurrency retry: each DML body re-reads the
+        snapshot at entry, so losing a commit race is recovered by simply
+        re-running the body against the winner's state (the staged files
+        of the losing attempt are orphans — invisible to every reader and
+        reclaimed by vacuum)."""
+        for i in range(retries + 1):
+            try:
+                return attempt()
+            except CommitConflict:
+                if i == retries:
+                    raise
+        raise AssertionError("unreachable")
 
-    def delete(self, spark: SparkSession, where: str) -> int:
+    def append(self, spark: SparkSession, df: DataFrame, retries: int = 0) -> int:
+        def attempt() -> int:
+            snap = self.snapshot()
+            self._check_schema(spark, df, snap)
+            adds = self._write_files(spark, df)
+            return self._commit(
+                expected_version=snap.version,
+                doc={"op": "append", "add": adds},
+            )
+
+        return self._with_retry(attempt, retries)
+
+    def delete(self, spark: SparkSession, where: str, retries: int = 0) -> int:
         """Copy-on-write delete: rewrite only the files whose stats range
         intersects ``where`` AND that actually contain matching rows."""
-        snap = self.snapshot()
-        candidates = [
-            rel
-            for rel, a in snap.files.items()
-            if _maybe_matches(a.get("stats", {}), where)
-        ]
-        touched, kept_df = self._split_touched(spark, snap, candidates, where)
-        if not touched:
-            return snap.version  # no-op: nothing matched
-        adds = self._write_files(spark, kept_df) if kept_df is not None else []
-        return self._commit(
-            expected_version=snap.version,
-            doc={"op": "delete", "remove": touched, "add": adds},
-        )
+
+        def attempt() -> int:
+            snap = self.snapshot()
+            candidates = [
+                rel
+                for rel, a in snap.files.items()
+                if _maybe_matches(a.get("stats", {}), where)
+            ]
+            touched, kept_df = self._split_touched(
+                spark, snap, candidates, where
+            )
+            if not touched:
+                return snap.version  # no-op: nothing matched
+            adds = (
+                self._write_files(spark, kept_df)
+                if kept_df is not None
+                else []
+            )
+            return self._commit(
+                expected_version=snap.version,
+                doc={"op": "delete", "remove": touched, "add": adds},
+            )
+
+        return self._with_retry(attempt, retries)
 
     def merge(
         self,
@@ -220,6 +292,7 @@ class BTable:
         on: str,
         when_matched: str = "update",
         when_not_matched: str = "insert",
+        retries: int = 0,
     ) -> int:
         """Upsert MERGE (Delta-style copy-on-write):
 
@@ -233,10 +306,20 @@ class BTable:
         Source must carry the full table schema (it supplies the new row
         images).  At scale the source-key frame is the small side — it is
         broadcast into both the file-hit probe and the rewrite join."""
+        source = source.localCheckpoint(eager=True)  # pin: read many times
+        lo, hi = source.agg(F.min(on), F.max(on)).collect()[0]
+        return self._with_retry(
+            lambda: self._merge_once(
+                spark, source, on, when_matched, when_not_matched, lo, hi
+            ),
+            retries,
+        )
+
+    def _merge_once(
+        self, spark, source, on, when_matched, when_not_matched, lo, hi
+    ) -> int:
         snap = self.snapshot()
         self._check_schema(spark, source, snap)
-        source = source.localCheckpoint(eager=True)  # pin: read twice below
-        lo, hi = source.agg(F.min(on), F.max(on)).collect()[0]
         candidates = [
             rel
             for rel, a in snap.files.items()
@@ -244,7 +327,6 @@ class BTable:
             or _range_intersects(a.get("stats", {}).get(on), lo, hi)
         ]
         keys = source.select(on).distinct()
-        where_hit = None  # exact hit test via semi-join, not a predicate
         touched: list[str] = []
         rewritten = None
         if candidates:
@@ -465,7 +547,34 @@ class BTable:
             ) from None
         finally:
             os.unlink(tmp)
+        if version > 0 and version % _CHECKPOINT_EVERY == 0:
+            self._write_checkpoint(version)
         return version
+
+    def _write_checkpoint(self, version: int) -> None:
+        """Cache the replayed snapshot so later reads start from here
+        instead of commit 0 (the _delta_log checkpoint idea) — replay cost
+        stays bounded by _CHECKPOINT_EVERY commits at any table age.
+        Best-effort: checkpoints are derived data, a failed write only
+        costs replay speed, never correctness."""
+        try:
+            snap = _replay(_read_log(self.path), version)
+            doc = {
+                "version": version,
+                "schema": snap.schema_json,
+                "files": snap.files,
+            }
+            cp = os.path.join(
+                self.path, _LOG_DIR, f"{version:08d}.checkpoint.json"
+            )
+            tmp = cp + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump(doc, f)
+            os.replace(tmp, cp)  # derived data: last writer wins is fine
+        except OSError as exc:  # pragma: no cover - disk-full style faults
+            import sys
+
+            print(f"btable: checkpoint {version} skipped: {exc}", file=sys.stderr)
 
 
 def _schema(snap: Snapshot) -> StructType:

@@ -351,3 +351,73 @@ def test_schema_evolution_add_column(spark, tmp_path):
     assert "score" not in t.read(spark, version=v - 1).columns
     with pytest.raises(ValueError):
         t.add_column(spark, "score", "double")
+
+
+def test_merge_retry_survives_commit_race(spark, tmp_path, monkeypatch):
+    """A merge that loses the commit race must retry against the winner's
+    snapshot and land its change on the NEW state (not clobber it)."""
+    import biggie_spark.tablefmt as tf
+
+    t = _mk(spark, tmp_path, n=10, parts=1)
+    source = spark.createDataFrame(
+        [(3, -1, "upd")], "k bigint, v bigint, grp string"
+    )
+    real_commit = tf.BTable._commit
+    raced = {"done": False}
+
+    def racing_commit(self, expected_version, doc):
+        if not raced["done"] and doc["op"] == "merge":
+            raced["done"] = True
+            # concurrent writer sneaks in an append before our claim
+            extra = spark.createDataFrame(
+                [(500, 5, "race")], "k bigint, v bigint, grp string"
+            )
+            real_commit(
+                self,
+                expected_version,
+                {"op": "append", "add": self._write_files(spark, extra)},
+            )
+        return real_commit(self, expected_version, doc)
+
+    monkeypatch.setattr(tf.BTable, "_commit", racing_commit)
+    v = t.merge(spark, source, on="k", retries=2)
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    assert got[3] == -1, "merge lost after retry"
+    assert got[500] == 5, "retry clobbered the racing winner's append"
+    assert v == t.snapshot().version == 2  # append (1) + merge (2)
+    with pytest.raises(CommitConflict):
+        raced["done"] = False
+        t.merge(spark, source, on="k", retries=0)  # no budget -> surfaces
+
+
+def test_checkpoint_bounds_replay_and_preserves_history(spark, tmp_path):
+    import os as _os
+
+    import biggie_spark.tablefmt as tf
+
+    t = BTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame([(0, 0, "g")], "k bigint, v bigint, grp string"),
+    )
+    for i in range(1, 13):  # versions 1..12 -> checkpoint at 10
+        t.append(
+            spark,
+            spark.createDataFrame(
+                [(i, i, "g")], "k bigint, v bigint, grp string"
+            ),
+        )
+    log = _os.path.join(t.path, "_log")
+    cps = [n for n in _os.listdir(log) if n.endswith(".checkpoint.json")]
+    assert cps == ["00000010.checkpoint.json"]
+    # checkpointed snapshot == raw replay, at head and at arbitrary versions
+    commits = tf._read_log(t.path)
+    for v in (None, 12, 11, 10, 9, 3):
+        with_cp = t.snapshot(v)
+        raw = tf._replay(commits, v)
+        assert with_cp.version == raw.version
+        assert with_cp.files == raw.files, f"checkpoint replay diverged at {v}"
+    assert t.read(spark, version=9).count() == 10
+    assert t.read(spark).count() == 13
+    # a torn/stale checkpoint must never parse as a commit
+    assert len(commits) == 13
