@@ -76,6 +76,19 @@ class Engine:
             raise KeyError(f"no default key for {name!r}; pass key=")
         return Stash(self.spark, self.table(name), key)
 
+    def btable(self, path: str):
+        """Handle on an ACID btable (biggie_spark/tablefmt.py): snapshot
+        reads, time travel, MERGE/DELETE, OPTIMIZE/VACUUM — the
+        transactional writer surface next to the read-only `table()`."""
+        from biggie_spark.tablefmt import BTable
+
+        return BTable(path)
+
+    def btable_create(self, path: str, df: DataFrame):
+        from biggie_spark.tablefmt import BTable
+
+        return BTable.create(self.spark, path, df)
+
     def knn(self, probe_ids: list[int], k: int = 5) -> DataFrame:
         """Exact cosine top-k for the given probe vectors (shared kernel
         with the llm_knn_cosine operator)."""

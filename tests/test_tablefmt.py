@@ -421,3 +421,23 @@ def test_checkpoint_bounds_replay_and_preserves_history(spark, tmp_path):
     assert t.read(spark).count() == 13
     # a torn/stale checkpoint must never parse as a commit
     assert len(commits) == 13
+
+
+def test_engine_facade_btable_roundtrip(spark, sf_dir, tmp_path):
+    """User-facing path: Engine.btable_create / Engine.btable drive the
+    same table the low-level API sees."""
+    from biggie_spark.engine import Engine
+
+    e = Engine.connect(sf_dir, spark)
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b")], "k bigint, v bigint, grp string"
+    )
+    e.btable_create(str(tmp_path / "t"), df)
+    t = e.btable(str(tmp_path / "t"))
+    assert t.read(spark).count() == 2
+    t.merge(
+        spark,
+        spark.createDataFrame([(2, 99, "b2")], "k bigint, v bigint, grp string"),
+        on="k",
+    )
+    assert {r.k: r.v for r in t.read(spark).collect()} == {1: 10, 2: 99}
