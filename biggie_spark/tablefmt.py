@@ -165,17 +165,51 @@ class BTable:
     # ---------------------------------------------------------------- io
 
     @staticmethod
-    def create(spark: SparkSession, path: str, df: DataFrame) -> "BTable":
+    def create(
+        spark: SparkSession,
+        path: str,
+        df: DataFrame,
+        cluster_by: list[str] | None = None,
+        cluster_file_rows: int = 1_000_000,
+    ) -> "BTable":
+        """``cluster_by`` records clustering columns in the log: every
+        write (create/append/optimize rewrites) hash-repartitions and
+        range-sorts on them first, so data files become value-homogeneous
+        and the min/max stats pruning gets partition-pruning sharpness
+        WITHOUT a hive directory layout — the liquid-clustering idea: the
+        clustering choice is metadata, re-clusterable by OPTIMIZE, never
+        baked into paths."""
         if os.path.exists(os.path.join(path, _LOG_DIR)):
             raise FileExistsError(f"btable already exists: {path}")
+        if cluster_by:
+            missing = [c for c in cluster_by if c not in df.columns]
+            if missing:
+                raise ValueError(f"cluster_by columns not in schema: {missing}")
         os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
         t = BTable(path)
+        t._cluster_by = list(cluster_by or [])
+        t._cluster_file_rows = cluster_file_rows
         adds = t._write_files(spark, df)
-        t._commit(
-            expected_version=-1,
-            doc={"op": "create", "schema": df.schema.json(), "add": adds},
-        )
+        doc = {"op": "create", "schema": df.schema.json(), "add": adds}
+        if cluster_by:
+            doc["cluster_by"] = list(cluster_by)
+            doc["cluster_file_rows"] = cluster_file_rows
+        t._commit(expected_version=-1, doc=doc)
         return t
+
+    @property
+    def cluster_by(self) -> list[str]:
+        if getattr(self, "_cluster_by", None) is None:
+            commits = _read_log(self.path)
+            cb: list[str] = []
+            rows = 1_000_000
+            for c in commits:
+                if "cluster_by" in c:
+                    cb = c["cluster_by"]
+                    rows = c.get("cluster_file_rows", rows)
+            self._cluster_by = cb
+            self._cluster_file_rows = rows
+        return self._cluster_by
 
     def read(
         self,
@@ -461,10 +495,22 @@ class BTable:
     def _write_files(self, spark, df: DataFrame) -> list[dict[str, Any]]:
         """Write df as a new immutable commit directory; return add actions
         with per-file row counts and min/max stats (one aggregate over the
-        just-written files only)."""
+        just-written files only).  Clustered tables range-repartition +
+        sort on the clustering columns first, so each file covers a narrow
+        value range and stats pruning stays sharp."""
         commit_id = uuid.uuid4().hex[:12]
         rel_dir = os.path.join(_DATA_DIR, commit_id)
         out_dir = os.path.join(self.path, rel_dir)
+        cb = self.cluster_by
+        if cb:
+            # explicit partition count sized by rows-per-file: AQE would
+            # otherwise coalesce small writes into one file and erase the
+            # clustering granularity pruning depends on
+            n = max(
+                1,
+                -(-df.count() // getattr(self, "_cluster_file_rows", 1_000_000)),
+            )
+            df = df.repartitionByRange(n, *cb).sortWithinPartitions(*cb)
         df.write.parquet(out_dir)
         written = spark.read.schema(df.schema).parquet(out_dir)
         cols = [

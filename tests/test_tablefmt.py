@@ -441,3 +441,46 @@ def test_engine_facade_btable_roundtrip(spark, sf_dir, tmp_path):
         on="k",
     )
     assert {r.k: r.v for r in t.read(spark).collect()} == {1: 10, 2: 99}
+
+
+def test_cluster_by_gives_partition_sharp_pruning(spark, tmp_path):
+    """Liquid-clustering: a cluster_by table range-splits + sorts writes on
+    the clustering key, so equality/range predicates prune to a narrow
+    file slice on stats alone — hive-partition sharpness, no directory
+    layout.  OPTIMIZE re-clusters small files under the same metadata."""
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("v"),
+        F.concat(F.lit("g"), F.pmod("id", 10)).alias("grp"),
+    )
+    # deliberately scramble so clustering has to do real work
+    df = df.repartition(8)
+    t = BTable.create(
+        spark, str(tmp_path / "t"), df, cluster_by=["k"], cluster_file_rows=100
+    )
+    assert t.cluster_by == ["k"]
+    total = t.scan_file_count()
+    assert total > 1, "need multiple files for pruning to mean anything"
+    point = t.scan_file_count("k == 500")
+    assert point == 1, f"point lookup scans {point}/{total} files"
+    rng = t.scan_file_count("k >= 900")
+    assert rng < total / 2, f"range scan hits {rng}/{total} files"
+    assert _rows(t.read(spark, where="k == 500")) == _rows(
+        t.read(spark).filter("k == 500")
+    )
+    # appends inherit the clustering (fresh handle re-reads it from the log)
+    t2 = BTable(str(tmp_path / "t"))
+    t2.append(
+        spark,
+        spark.range(1000, 2000)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7).alias("v"),
+            F.concat(F.lit("g"), F.pmod("id", 10)).alias("grp"),
+        )
+        .repartition(8),
+    )
+    assert t2.scan_file_count("k == 1500") <= 2
+    # unknown clustering column rejected at create
+    with pytest.raises(ValueError):
+        BTable.create(spark, str(tmp_path / "t3"), df, cluster_by=["nope"])
