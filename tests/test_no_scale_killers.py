@@ -332,6 +332,15 @@ _COLLECT_ALLOWLIST = {
     # round-12: snk_bloom_index_persisted collects the claimed shard ids
     # to drive the pruned data read — bounded by the shard count (<= 8).
     "ops/round12g.py": 1,
+    # round-12 btable (audited in SCALE.md "btable metadata plane"): all
+    # four sites are metadata-plane, bounded by FILE counts, never rows —
+    # (1) per-file min/max stats collected into the commit log (one row
+    # per file written in THIS commit; the add actions must reach the
+    # driver to be logged, same shape as Delta's per-file stats),
+    # (2) merge's source key-range min/max (1 row),
+    # (3) merge's hit-file list and (4) delete's hit-file list (one row
+    # per candidate data file, after stats-range pruning).
+    "tablefmt.py": 4,
 }
 
 
