@@ -45,6 +45,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import time
 import uuid
 from dataclasses import dataclass, field
 from typing import Any
@@ -240,11 +241,53 @@ class BTable:
         target = last if version is None else version
         return _replay(commits, version, _latest_checkpoint(self.path, target))
 
+    def version_as_of(self, ts: float) -> int:
+        """Newest version whose commit time is <= ``ts`` (unix seconds) —
+        timestamp-flavored time travel: read(version=version_as_of(ts))."""
+        best = None
+        for c in _read_log(self.path):
+            if c.get("ts") is not None and c["ts"] <= ts:
+                best = c["version"]
+        if best is None:
+            raise ValueError(f"no commit at or before ts={ts}")
+        return best
+
+    def restore(self, version: int) -> int:
+        """RESTORE: roll the table back to an old version with a NEW
+        commit (add back that snapshot's files, remove the current ones).
+        History is preserved — the rolled-back states stay time-travel
+        readable, and restore itself is just another atomic commit."""
+        target = self.snapshot(version)
+        cur = self.snapshot()
+        if target.files == cur.files and target.schema_json == cur.schema_json:
+            return cur.version
+        gone = [
+            rel
+            for rel in target.files
+            if not os.path.exists(os.path.join(self.path, rel))
+        ]
+        if gone:
+            raise FileNotFoundError(
+                f"cannot restore to v{version}: {len(gone)} data files were "
+                f"vacuumed (e.g. {gone[0]})"
+            )
+        doc: dict[str, Any] = {
+            "op": "restore",
+            "schema": target.schema_json,
+            "remove": sorted(set(cur.files) - set(target.files)),
+            "add": [
+                target.files[rel]
+                for rel in sorted(set(target.files) - set(cur.files))
+            ],
+        }
+        return self._commit(expected_version=cur.version, doc=doc)
+
     def history(self) -> list[dict[str, Any]]:
         return [
             {
                 "version": c["version"],
                 "op": c["op"],
+                "ts": c.get("ts"),
                 "added": len(c.get("add", [])),
                 "removed": len(c.get("remove", [])),
             }
@@ -576,7 +619,7 @@ class BTable:
 
     def _commit(self, expected_version: int, doc: dict[str, Any]) -> int:
         version = expected_version + 1
-        doc = {"version": version, **doc}
+        doc = {"version": version, "ts": time.time(), **doc}
         tmp = os.path.join(
             self.path, _LOG_DIR, f".tmp-{uuid.uuid4().hex}.json"
         )

@@ -484,3 +484,47 @@ def test_cluster_by_gives_partition_sharp_pruning(spark, tmp_path):
     # unknown clustering column rejected at create
     with pytest.raises(ValueError):
         BTable.create(spark, str(tmp_path / "t3"), df, cluster_by=["nope"])
+
+
+def test_restore_rolls_back_with_history_preserved(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=10, parts=1)
+    t.delete(spark, "k < 5")                       # v1
+    t.append(
+        spark,
+        spark.createDataFrame(
+            [(50, 1, "x")], "k bigint, v bigint, grp string"
+        ),
+    )                                              # v2
+    pre = _rows(t.read(spark, version=0))
+    v = t.restore(0)                               # v3 = state of v0
+    assert v == 3
+    assert _rows(t.read(spark)) == pre
+    assert [c["op"] for c in t.history()] == [
+        "create", "delete", "append", "restore",
+    ]
+    # the rolled-back intermediate states remain time-travel readable
+    assert t.read(spark, version=2).count() == 6
+    # restoring to the current state is a no-op (no new commit)
+    assert t.restore(3) == 3 and t.snapshot().version == 3
+    # restore to a vacuumed version must refuse loudly
+    t.delete(spark, "k >= 9")                      # v4: drop v3's file
+    t.vacuum(keep_versions=1)
+    with pytest.raises(FileNotFoundError):
+        t.restore(1)
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    import time as _time
+
+    t = _mk(spark, tmp_path, n=5, parts=1)
+    ts_after_create = _time.time()
+    _time.sleep(0.05)
+    t.append(
+        spark,
+        spark.createDataFrame([(99, 0, "x")], "k bigint, v bigint, grp string"),
+    )
+    assert t.version_as_of(ts_after_create) == 0
+    assert t.version_as_of(_time.time()) == 1
+    assert t.read(spark, version=t.version_as_of(ts_after_create)).count() == 5
+    with pytest.raises(ValueError):
+        t.version_as_of(0.0)  # before the table existed
