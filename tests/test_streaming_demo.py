@@ -684,3 +684,101 @@ def test_streaming_dedup_state_suppresses_across_batches(
         .collect()
     }
     assert live == twin
+
+
+def test_streaming_custom_state_accumulates_across_batches(
+    spark, sf_dir, tmp_path
+):
+    """applyInPandasWithState under a batch boundary: per-user GroupState
+    (count, sum) must carry over — batch-0 emissions equal batch-0-only
+    aggregates, and each user's LAST emission equals the full-input batch
+    aggregate, proving the state store accumulated across micro-batches
+    rather than restarting."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from biggie_spark.io import load_table
+
+    median = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.expr("percentile_approx(cast(ts as double), 0.5)"))
+        .collect()[0][0]
+    )
+    src, schema = _two_file_source(
+        spark,
+        sf_dir,
+        tmp_path,
+        lambda e: e.ts.cast("double") <= F.lit(median),
+        lambda e: e.ts.cast("double") > F.lit(median),
+    )
+
+    def track(key, pdfs, state: GroupState):
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n": [n], "sum_val": [round(total, 4)]}
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .select("user_id", "value")
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType="user_id bigint, n bigint, sum_val double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    per_batch: list[dict] = []
+
+    def sink(batch_df, batch_id):
+        rows = {r.user_id: (r.n, r.sum_val) for r in batch_df.collect()}
+        if rows:
+            per_batch.append(rows)
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    q.stop()
+    assert len(per_batch) == 2, "expected exactly two data micro-batches"
+
+    ev = load_table(spark, sf_dir, "events")
+    full = {
+        r.user_id: (r.n, round(r.s, 4))
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    half = {
+        r.user_id: (r.n, round(r.s, 4))
+        for r in ev.filter(F.col("ts").cast("double") <= F.lit(median))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    # batch 0 saw only the first half
+    assert {u: v[0] for u, v in per_batch[0].items()} == {
+        u: v[0] for u, v in half.items()
+    }
+    # final emission per user == full aggregate (state accumulated)
+    final = dict(per_batch[0])
+    final.update(per_batch[1])
+    assert {u: v[0] for u, v in final.items()} == {
+        u: v[0] for u, v in full.items()
+    }
+    for u, (n, s) in final.items():
+        assert abs(s - full[u][1]) < 1e-6
+    # at least one user actually spanned the boundary
+    grew = [u for u in per_batch[1] if u in per_batch[0]]
+    assert grew, "no user's state carried across the batch boundary"
