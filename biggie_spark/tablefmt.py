@@ -223,10 +223,11 @@ class BTable:
         snap = self.snapshot(version)
         files = snap.files
         if where is not None:
+            sch = _schema(snap)
             files = {
                 rel: a
                 for rel, a in files.items()
-                if _maybe_matches(a.get("stats", {}), where)
+                if _maybe_matches(a.get("stats", {}), where, sch)
             }
         paths = [os.path.join(self.path, rel) for rel in sorted(files)]
         if not paths:
@@ -300,10 +301,11 @@ class BTable:
         snap = self.snapshot()
         if where is None:
             return len(snap.files)
+        sch = _schema(snap)
         return sum(
             1
             for a in snap.files.values()
-            if _maybe_matches(a.get("stats", {}), where)
+            if _maybe_matches(a.get("stats", {}), where, sch)
         )
 
     # --------------------------------------------------------------- dml
@@ -340,10 +342,11 @@ class BTable:
 
         def attempt() -> int:
             snap = self.snapshot()
+            sch = _schema(snap)
             candidates = [
                 rel
                 for rel, a in snap.files.items()
-                if _maybe_matches(a.get("stats", {}), where)
+                if _maybe_matches(a.get("stats", {}), where, sch)
             ]
             touched, kept_df = self._split_touched(
                 spark, snap, candidates, where
@@ -382,30 +385,58 @@ class BTable:
 
         Source must carry the full table schema (it supplies the new row
         images).  At scale the source-key frame is the small side — it is
-        broadcast into both the file-hit probe and the rewrite join."""
-        source = source.localCheckpoint(eager=True)  # pin: read many times
-        lo, hi = source.agg(F.min(on), F.max(on)).collect()[0]
-        return self._with_retry(
-            lambda: self._merge_once(
-                spark, source, on, when_matched, when_not_matched, lo, hi
-            ),
-            retries,
-        )
+        broadcast into both the file-hit probe and the rewrite join.
+
+        Raises ``ValueError`` on duplicate source keys: with multiple row
+        images per key the rewrite would keep EVERY matching image
+        (duplicating target rows) — Delta's MERGE raises on multi-match
+        for the same reason (ADVICE r12)."""
+        source = source.persist()  # pin: read many times per attempt
+        try:
+            n, n_keys, n_null, lo, hi = source.agg(
+                F.count(F.lit(1)),
+                F.count_distinct(on),
+                F.sum(F.col(on).isNull().cast("long")),
+                F.min(on),
+                F.max(on),
+            ).collect()[0]
+            if n == 0:
+                return self.snapshot().version  # empty source: no-op
+            if n_keys + (n_null or 0) != n:
+                raise ValueError(
+                    f"merge source has {n} rows but only {n_keys} distinct "
+                    f"{on!r} keys — multiple row images per key would write "
+                    "duplicate rows; dedup the source first"
+                )
+            return self._with_retry(
+                lambda: self._merge_once(
+                    spark, source, on, when_matched, when_not_matched, lo, hi
+                ),
+                retries,
+            )
+        finally:
+            source.unpersist()
 
     def _merge_once(
         self, spark, source, on, when_matched, when_not_matched, lo, hi
     ) -> int:
         snap = self.snapshot()
         self._check_schema(spark, source, snap)
-        candidates = [
-            rel
-            for rel, a in snap.files.items()
+        # lo is None => every non-null source key is absent (all-null keys,
+        # which never equi-match): no file can be hit, nothing to rewrite
+        candidates = (
+            []
             if lo is None
-            or _range_intersects(a.get("stats", {}).get(on), lo, hi)
-        ]
+            else [
+                rel
+                for rel, a in snap.files.items()
+                if _range_intersects(a.get("stats", {}).get(on), lo, hi)
+            ]
+        )
         keys = source.select(on).distinct()
         touched: list[str] = []
         rewritten = None
+        cand_df = None
         if candidates:
             cand_df = spark.read.schema(_schema(snap)).parquet(
                 *[os.path.join(self.path, rel) for rel in candidates]
@@ -438,10 +469,16 @@ class BTable:
                 raise ValueError(f"when_matched={when_matched!r}")
         inserts = None
         if when_not_matched == "insert":
-            target_keys = (
-                self.read(spark, version=snap.version).select(on).distinct()
-            )
-            inserts = source.join(target_keys, on, "left_anti")
+            # every source key lies in [lo, hi], so any target row sharing
+            # a source key lives in a candidate file — scanning ONLY the
+            # candidates for target keys is exact, and it is what keeps a
+            # 0.1%-of-keys merge reading ~0.1% of the table (ADVICE r12:
+            # the old path re-read the ENTIRE snapshot here)
+            if cand_df is None:
+                inserts = source
+            else:
+                target_keys = cand_df.select(on).distinct()
+                inserts = source.join(target_keys, on, "left_anti")
         elif when_not_matched != "ignore":
             raise ValueError(f"when_not_matched={when_not_matched!r}")
 
@@ -486,27 +523,46 @@ class BTable:
             doc={"op": "optimize", "remove": small, "add": adds},
         )
 
-    def vacuum(self, keep_versions: int = 2) -> list[str]:
+    def vacuum(
+        self,
+        keep_versions: int = 2,
+        retention_seconds: float = 24 * 3600,
+    ) -> list[str]:
         """Physically delete data files unreferenced by the newest
-        ``keep_versions`` snapshots (incl. staged orphans from failed
-        commits).  Time travel older than the retention floor becomes
-        unreadable — the same contract as Delta's VACUUM.  Returns the
-        deleted relative paths."""
+        ``keep_versions`` snapshots.  Time travel older than the retention
+        floor becomes unreadable — the same contract as Delta's VACUUM.
+        Returns the deleted relative paths.
+
+        ``retention_seconds`` (mtime-based, default 24 h — the same safety
+        valve as Delta's ``retentionHours``) spares recently-written files
+        even when unreferenced: a concurrent writer stages data files
+        BEFORE its commit claims a log version, so an age-0 vacuum could
+        delete a racing writer's staged files and let its commit then
+        succeed pointing at nothing — silent corruption (ADVICE r12).
+        Pass ``retention_seconds=0`` only when no concurrent writer can
+        exist (single-writer maintenance windows)."""
         commits = _read_log(self.path)
         latest = commits[-1]["version"]
         floor = max(0, latest - keep_versions + 1)
         keep: set[str] = set()
         for v in range(floor, latest + 1):
             keep |= set(_replay(commits, v).files)
+        now = time.time()
         deleted = []
         data_root = os.path.join(self.path, _DATA_DIR)
         for dirpath, _, names in os.walk(data_root):
             for name in names:
                 full = os.path.join(dirpath, name)
                 rel = os.path.relpath(full, self.path)
-                if rel not in keep and name.endswith(".parquet"):
+                if rel in keep or not name.endswith(".parquet"):
+                    continue
+                try:
+                    if now - os.path.getmtime(full) < retention_seconds:
+                        continue  # possibly a concurrent writer's staging
                     os.unlink(full)
-                    deleted.append(rel)
+                except FileNotFoundError:
+                    continue  # another vacuum raced us; already gone
+                deleted.append(rel)
         return deleted
 
     def add_column(self, spark: SparkSession, name: str, ddl_type: str) -> int:
@@ -666,8 +722,32 @@ class BTable:
             print(f"btable: checkpoint {version} skipped: {exc}", file=sys.stderr)
 
 
+def _nullable(dt):
+    """Deep-copy a DataType with every field/element forced nullable."""
+    from pyspark.sql.types import ArrayType, MapType, StructField
+
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(f.name, _nullable(f.dataType), True, f.metadata)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(_nullable(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(dt.keyType, _nullable(dt.valueType), True)
+    return dt
+
+
 def _schema(snap: Snapshot) -> StructType:
-    return StructType.fromJson(json.loads(snap.schema_json))
+    """Read schema for a snapshot — all fields forced nullable, matching
+    what Spark's own parquet inference would report.  ``_check_schema``
+    compares ``simpleString()`` (type shape, not nullability), so an
+    append of a nullable frame is accepted; applying a non-nullable logged
+    schema via ``spark.read.schema`` would be a lie Spark never validates,
+    and the optimizer may miscompile IS NULL over it (ADVICE r12)."""
+    return _nullable(StructType.fromJson(json.loads(snap.schema_json)))
 
 
 def _plain(v):
@@ -682,42 +762,170 @@ def _plain(v):
 def _range_intersects(rng, lo, hi) -> bool:
     if rng is None or rng[0] is None or rng[1] is None:
         return True  # no stats -> must scan
-    return not (rng[1] < lo or rng[0] > hi)
+    if hasattr(lo, "isoformat"):
+        # merge keys of date/timestamp type: stats were stored isoformat
+        # by _plain, so compare in parsed-datetime space, not str-vs-obj
+        import datetime as _dt
+
+        s_lo, s_hi = _parse_temporal(str(rng[0])), _parse_temporal(str(rng[1]))
+        if s_lo is None or s_hi is None:
+            return True
+        if not isinstance(lo, _dt.datetime):  # a datetime.date key
+            lo = _dt.datetime(lo.year, lo.month, lo.day)
+            hi = _dt.datetime(hi.year, hi.month, hi.day)
+        return not (s_hi < lo or s_lo > hi)
+    try:
+        return not (rng[1] < lo or rng[0] > hi)
+    except TypeError:
+        return True  # incomparable stat/key types -> must scan
 
 
-_OPS = ("<=", ">=", "==", "=", "<", ">")
+# A prunable clause must parse COMPLETELY as `col OP literal` — residual
+# tokens (OR, arithmetic, function calls) make the whole clause must-scan.
+_CLAUSE_RE = re.compile(
+    r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(<=|>=|==|=|<|>)\s*"
+    r"(?:'([^']*)'|\"([^\"]*)\"|(-?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?))\s*$"
+)
+_ISO_RE = re.compile(r"^\d{4}-\d{2}-\d{2}([T ].+)?$")
 
 
-def _maybe_matches(stats: dict[str, Any], where: str) -> bool:
+def _split_top_and(where: str) -> list[str]:
+    """Split on top-level `` AND `` only — never inside quotes or parens,
+    so a string literal containing ``AND`` can't manufacture a fake
+    conjunct that then prunes a live file."""
+    parts: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    quote: str | None = None
+    i, n = 0, len(where)
+    while i < n:
+        ch = where[i]
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in "'\"":
+            quote = ch
+            buf.append(ch)
+            i += 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if depth == 0 and where[i : i + 5].upper() == " AND ":
+            parts.append("".join(buf))
+            buf = []
+            i += 5
+            continue
+        buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return parts
+
+
+def _strip_parens(clause: str) -> str:
+    clause = clause.strip()
+    while clause.startswith("(") and clause.endswith(")"):
+        inner, depth = clause[1:-1], 0
+        for ch in inner:  # only strip if the outer pair is balanced
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth < 0:
+                    return clause
+        clause = inner.strip()
+    return clause
+
+
+def _parse_temporal(s: str):
+    """ISO date/datetime → datetime, accepting both the 'T' separator the
+    stats use (datetime.isoformat) and the space Spark SQL literals use.
+    None if unparseable — callers treat that as must-scan."""
+    import datetime as _dt
+
+    try:
+        return _dt.datetime.fromisoformat(s.strip().replace(" ", "T"))
+    except ValueError:
+        return None
+
+
+def _clause_excludes(stats: dict[str, Any], clause: str, schema) -> bool:
+    """True iff the fully-parsed clause PROVES no row of the file can
+    match.  Any parse or type doubt returns False (scan)."""
+    m = _CLAUSE_RE.match(_strip_parens(clause))
+    if not m:
+        return False
+    col, op, sq, dq, num = m.groups()
+    rng = stats.get(col)
+    if rng is None or rng[0] is None or rng[1] is None:
+        return False
+    lo, hi = rng
+    ftype = None
+    if schema is not None:
+        try:
+            ftype = schema[col].dataType.typeName()
+        except KeyError:
+            return False
+    if num is not None:
+        # numeric literal: compare in float space — int() truncation of a
+        # fractional literal ('k < 10.5' -> k < 10) false-pruned boundary
+        # files (ADVICE r12)
+        if not isinstance(lo, (int, float)) or isinstance(lo, bool):
+            return False
+        val, flo, fhi = float(num), float(lo), float(hi)
+    else:
+        lit = sq if sq is not None else dq
+        if not isinstance(lo, str) or not isinstance(hi, str):
+            return False
+        if ftype == "string":
+            val, flo, fhi = lit, lo, hi
+        elif ftype in ("date", "timestamp"):
+            lo_t, hi_t, val_t = (
+                _parse_temporal(lo),
+                _parse_temporal(hi),
+                _parse_temporal(lit),
+            )
+            if lo_t is None or hi_t is None or val_t is None:
+                return False
+            if ftype == "date":
+                # Spark casts the literal to date (truncation) before
+                # comparing against a date column
+                lo_t, hi_t, val_t = lo_t.date(), hi_t.date(), val_t.date()
+            val, flo, fhi = val_t, lo_t, hi_t
+        elif ftype is None:
+            # no schema (unit-test path): lexicographic is only safe when
+            # neither side is temporal-shaped — stats store timestamps as
+            # isoformat ('T') while SQL literals use a space, and comparing
+            # those lexicographically false-pruned same-day ranges
+            if _ISO_RE.match(lo) or _ISO_RE.match(hi) or _ISO_RE.match(lit):
+                return False
+            val, flo, fhi = lit, lo, hi
+        else:
+            return False
+    if op in ("==", "="):
+        return val < flo or val > fhi
+    if op == "<":
+        return flo >= val
+    if op == "<=":
+        return flo > val
+    if op == ">":
+        return fhi <= val
+    return fhi < val  # op == ">="
+
+
+def _maybe_matches(stats: dict[str, Any], where: str, schema=None) -> bool:
     """Conservative file-pruning test: may this file contain a row matching
-    ``where``?  Understands conjunctions of simple ``col OP literal``
-    comparisons (the data-skipping workhorse); anything it can't parse
-    means "must scan" — pruning is an optimization, never a filter."""
-    for clause in where.split(" AND "):
-        clause = clause.strip().strip("()")
-        for op in _OPS:
-            if op in clause:
-                col, lit = clause.split(op, 1)
-                col, lit = col.strip(), lit.strip().strip("'\"")
-                rng = stats.get(col)
-                if rng is None or rng[0] is None or rng[1] is None:
-                    break
-                try:
-                    lo, hi = rng
-                    val: Any = type(lo)(float(lit)) if isinstance(
-                        lo, (int, float)
-                    ) else lit
-                except (TypeError, ValueError):
-                    break
-                if op in ("==", "=") and (val < lo or val > hi):
-                    return False
-                if op == "<" and lo >= val:
-                    return False
-                if op == "<=" and lo > val:
-                    return False
-                if op == ">" and hi <= val:
-                    return False
-                if op == ">=" and hi < val:
-                    return False
-                break
-    return True
+    ``where``?  Prunes ONLY on top-level conjuncts that parse completely as
+    ``col OP literal`` (full-match — an OR swallowed into a half-parsed
+    clause was false-pruning files, ADVICE r12); anything else means
+    "must scan" — pruning is an optimization, never a filter.  ``schema``
+    (a StructType) resolves column types so timestamp/date stats compare
+    temporally instead of lexicographically."""
+    return not any(
+        _clause_excludes(stats, clause, schema)
+        for clause in _split_top_and(where)
+    )

@@ -210,6 +210,53 @@ def test_maybe_matches_is_conservative():
     # unparseable clauses must not prune
     assert _maybe_matches(stats, "k % 2 = 0 OR weird(s)")
     assert _maybe_matches({}, "k == 5")
+    # --- ADVICE r12 false-prune regressions ---
+    # (1) an OR clause must never prune: the old parser swallowed
+    # " OR s == 'aa'" into the == literal and pruned on the mangled value
+    assert _maybe_matches(stats, "s == 'zzz' OR s == 'aa'")
+    assert _maybe_matches(stats, "k == 5 OR k == 15")
+    assert _maybe_matches(stats, "(s == 'zzz') OR (k == 15)")
+    # conjunct NEXT TO an OR-clause still prunes
+    assert not _maybe_matches(stats, "k > 20 AND (s == 'a' OR s == 'b')")
+    # a literal containing ' AND ' is ONE clause (quote-aware split): it
+    # prunes/scans on the whole literal, never on a fabricated conjunct
+    assert _maybe_matches(stats, "s == 'bb AND k > 999'")  # in range: scan
+    assert not _maybe_matches(stats, "s == 'zz AND k < 5'")  # out of range
+    # (2) timestamp stats are isoformat ('T') but SQL literals use a
+    # space — lexicographic comparison false-pruned same-day ranges
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    sch = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("k", LongType()),
+            StructField("s", StringType()),
+        ]
+    )
+    ts_stats = {"ts": ["2024-03-05T00:00:00", "2024-03-05T23:00:00"]}
+    assert _maybe_matches(ts_stats, "ts >= '2024-03-05 12:00:00'", sch)
+    assert _maybe_matches(ts_stats, "ts <= '2024-03-05 12:00:00'", sch)
+    assert not _maybe_matches(ts_stats, "ts > '2024-03-06 00:00:00'", sch)
+    assert not _maybe_matches(ts_stats, "ts < '2024-03-05 00:00:00'", sch)
+    # without a schema, temporal-shaped string stats must not prune at all
+    assert _maybe_matches(ts_stats, "ts < '2024-03-05 00:00:00'")
+    # (3) fractional literals on int columns: int() truncation turned
+    # 'k < 10.5' into k < 10 and pruned the file with min k=10
+    assert _maybe_matches(stats, "k < 10.5")
+    assert _maybe_matches(stats, "k > 19.5")
+    assert not _maybe_matches(stats, "k < 9.5")
+    assert not _maybe_matches(stats, "k > 20.5")
+    # schema-aware string compare still prunes lexicographically
+    assert not _maybe_matches(stats, "s == 'zz'", sch)
+    assert _maybe_matches(stats, "s == 'bb'", sch)
+    # column absent from the schema -> must scan
+    assert _maybe_matches(stats, "ghost == 5", sch)
 
 
 def test_streaming_cdc_upsert_sink(spark, tmp_path):
@@ -312,7 +359,12 @@ def test_vacuum_reclaims_and_respects_retention(spark, tmp_path):
         ),
     )                                    # v2
     pre = _rows(t.read(spark))
-    deleted = t.vacuum(keep_versions=2)  # keeps v1 and v2 files
+    # default retention spares young unreferenced files: an age-0 vacuum
+    # could delete a concurrent writer's staged-but-uncommitted data files
+    # (ADVICE r12) — everything here is seconds old, so nothing may go
+    assert t.vacuum(keep_versions=2) == []
+    assert t.read(spark, version=1).count() == 10
+    deleted = t.vacuum(keep_versions=2, retention_seconds=0)
     assert deleted, "vacuum found nothing although v0 files were removed"
     assert _rows(t.read(spark)) == pre, "vacuum changed the live table"
     assert t.read(spark, version=1).count() == 10, "retained version broken"
@@ -508,7 +560,7 @@ def test_restore_rolls_back_with_history_preserved(spark, tmp_path):
     assert t.restore(3) == 3 and t.snapshot().version == 3
     # restore to a vacuumed version must refuse loudly
     t.delete(spark, "k >= 9")                      # v4: drop v3's file
-    t.vacuum(keep_versions=1)
+    t.vacuum(keep_versions=1, retention_seconds=0)
     with pytest.raises(FileNotFoundError):
         t.restore(1)
 
@@ -528,3 +580,153 @@ def test_timestamp_time_travel(spark, tmp_path):
     assert t.read(spark, version=t.version_as_of(ts_after_create)).count() == 5
     with pytest.raises(ValueError):
         t.version_as_of(0.0)  # before the table existed
+
+
+def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
+    """ADVICE r12: with multiple row images per key the rewrite kept every
+    matching image (duplicating target rows); Delta raises — so do we."""
+    t = _mk(spark, tmp_path, n=10, parts=1)
+    dup = spark.createDataFrame(
+        [(1, -1, "a"), (1, -2, "b"), (50, 0, "n")],
+        "k bigint, v bigint, grp string",
+    )
+    with pytest.raises(ValueError, match="distinct"):
+        t.merge(spark, dup, on="k")
+    assert t.snapshot().version == 0, "failed merge must not commit"
+    assert t.read(spark).count() == 10
+
+
+def test_merge_empty_source_is_noop(spark, tmp_path):
+    """ADVICE r12: an empty source made lo=None which turned EVERY file
+    into a rewrite candidate; now it early-returns without a commit."""
+    t = _mk(spark, tmp_path, n=10, parts=1)
+    empty = spark.createDataFrame([], "k bigint, v bigint, grp string")
+    assert t.merge(spark, empty, on="k") == 0
+    assert t.snapshot().version == 0
+    assert t.read(spark).count() == 10
+
+
+def test_merge_null_keys_insert_without_duplicate_raise(spark, tmp_path):
+    """NULL source keys never equi-match a target row: they insert (Delta
+    when-not-matched semantics) and must not trip the duplicate-key check
+    (count_distinct ignores NULLs)."""
+    t = _mk(spark, tmp_path, n=5, parts=1)
+    src = spark.createDataFrame(
+        [(None, -1, "nul"), (2, -2, "upd")], "k bigint, v bigint, grp string"
+    )
+    t.merge(spark, src, on="k")
+    got = {r.k: r.grp for r in t.read(spark).collect()}
+    assert got[2] == "upd" and got[None] == "nul" and len(got) == 6
+
+
+def test_pruned_read_and_delete_correct_on_tricky_predicates(spark, tmp_path):
+    """End-to-end regressions for the ADVICE r12 false-prune bugs: OR
+    clauses, same-day timestamp ranges ('T' stats vs space literals), and
+    fractional literals on int columns — read(where=) must return exactly
+    filter()'s rows and delete() must remove exactly the matching rows."""
+    import datetime as dt
+
+    base = str(tmp_path / "t")
+    rows = [
+        (k, dt.datetime(2024, 3, 4 + k // 10, (k * 3) % 24, 0, 0), f"g{k % 3}")
+        for k in range(20)
+    ]
+    dfs = [
+        spark.createDataFrame(rows[i : i + 5], "k bigint, ts timestamp, grp string")
+        .coalesce(1)
+        for i in (0, 5, 10, 15)
+    ]
+    t = BTable.create(spark, base, dfs[0])
+    for d in dfs[1:]:
+        t.append(spark, d)
+    assert t.scan_file_count() == 4
+
+    full = t.read(spark)
+    for where in [
+        "grp == 'zzz' OR grp == 'g0'",            # OR swallowed into literal
+        "ts >= '2024-03-04 06:00:00' AND ts <= '2024-03-04 18:00:00'",
+        "k < 10.5",                                # fractional on int column
+        "k > 4.5 AND k <= 14.5",
+        "(k >= 3 AND k < 17) AND (grp == 'g1' OR grp == 'g2')",
+    ]:
+        got = sorted(r.k for r in t.read(spark, where=where).collect())
+        want = sorted(r.k for r in full.filter(where).collect())
+        assert got == want, f"pruned read wrong for {where!r}"
+
+    # conjuncts still prune: a file covering k in [15,19] is skipped
+    assert t.scan_file_count("k < 10.5") < 4
+    assert t.scan_file_count("ts < '2024-03-04 03:00:00'") < 4
+
+    # delete through a same-day timestamp range must not silently skip rows
+    want_left = sorted(
+        r.k for r in full.filter("NOT (ts <= '2024-03-04 09:00:00')").collect()
+    )
+    t.delete(spark, "ts <= '2024-03-04 09:00:00'")
+    assert sorted(r.k for r in t.read(spark).collect()) == want_left
+
+
+def test_merge_on_timestamp_key_prunes_and_updates(spark, tmp_path):
+    """Merge keyed on a timestamp column: stats are isoformat strings but
+    the source min/max are datetimes — the candidate-range probe must
+    compare temporally (not str-vs-datetime) and still prune files."""
+    import datetime as dt
+
+    base = str(tmp_path / "t")
+    dfs = [
+        spark.createDataFrame(
+            [
+                (dt.datetime(2024, 3, day, h, 0, 0), day * 100 + h)
+                for h in range(6)
+            ],
+            "ts timestamp, v bigint",
+        ).coalesce(1)
+        for day in (1, 2, 3, 4)
+    ]
+    t = BTable.create(spark, base, dfs[0])
+    for d in dfs[1:]:
+        t.append(spark, d)
+    before = set(t.snapshot().files)
+    src = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 3, 2, 3, 0, 0), -1),   # update (day-2 file)
+            (dt.datetime(2024, 3, 9, 0, 0, 0), -2),   # insert
+        ],
+        "ts timestamp, v bigint",
+    )
+    t.merge(spark, src, on="ts")
+    got = {r.ts: r.v for r in t.read(spark).collect()}
+    assert got[dt.datetime(2024, 3, 2, 3, 0, 0)] == -1
+    assert got[dt.datetime(2024, 3, 9, 0, 0, 0)] == -2
+    assert len(got) == 25
+    # only the day-2 file was rewritten
+    assert len(before & set(t.snapshot().files)) == 3
+
+
+def test_append_nullable_into_declared_nonnullable(spark, tmp_path):
+    """ADVICE r12: the logged schema may say non-nullable (createDataFrame
+    from local rows does), but parquet + a second append can carry NULLs;
+    reads must apply an all-nullable schema so IS NULL predicates compile
+    against the truth."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    strict = StructType(
+        [
+            StructField("k", LongType(), False),
+            StructField("s", StringType(), False),
+        ]
+    )
+    df = spark.createDataFrame([(1, "a"), (2, "b")], strict)
+    assert not df.schema["s"].nullable
+    t = BTable.create(spark, str(tmp_path / "t"), df)
+    t.append(
+        spark, spark.createDataFrame([(3, None)], "k bigint, s string")
+    )
+    got = t.read(spark)
+    assert got.schema["s"].nullable, "read schema must not lie about nulls"
+    assert got.filter("s IS NULL").count() == 1
+    assert got.count() == 3
