@@ -71,3 +71,4 @@ from biggie_spark.ops import round14c  # noqa: E402,F401
 from biggie_spark.ops import round14d  # noqa: E402,F401
 from biggie_spark.ops import round14e  # noqa: E402,F401
 from biggie_spark.ops import round14f  # noqa: E402,F401
+from biggie_spark.ops import btable_ops  # noqa: E402,F401

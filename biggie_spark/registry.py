@@ -469,6 +469,20 @@ ROUND14_HOLDBACK: frozenset[str] = frozenset(
         "fn_soundex_parity",
         "agg_survival_quantiles",
         "win_cusum_daily",
+        # wave G (ops/btable_ops.py) — the btable ACID surfaces, registered
+        # in round 13 per VERDICT r12 item 2 (the module shipped in r12
+        # with zero driver rows); they fit the round-14 window's spare
+        # slots (30 unscored + 9 = 39 <= 50), so the no-net-new rule's
+        # intent — backlog fits one window — still holds.
+        "bt_commit_replay_read",
+        "bt_time_travel_read",
+        "bt_restore_roundtrip",
+        "bt_tricky_where_read",
+        "bt_delete_tsrange_state",
+        "bt_stats_skipped_read",
+        "bt_merge_upsert_state",
+        "bt_schema_evolution_read",
+        "bt_optimize_compact_state",
     }
 )
 

@@ -296,12 +296,13 @@ def test_vacuity_audit_covers_every_holdback_op():
 
 
 def test_future_windows_release_in_generation_order():
-    """Forward displacement invariant: simulate the round-12 window going
-    green — the round-13 window must then be exactly the ROUND13_HOLDBACK
-    tranche followed by ROUND14 spares, and simulating r13 green must
-    surface ROUND14 next.  Catches a tier-ordering regression BEFORE it
-    wastes a real driver window (the r12 window is the last one whose
-    composition a stale test would still cover)."""
+    """Forward displacement invariant, LEDGER-RELATIVE (the original
+    hardcoded the r12 ledger state and went stale the moment the r12 rows
+    were folded in): whatever the ledger says now, the current window must
+    be the oldest unscored holdback generation (plus next-generation
+    spares filling the tail), and simulating it green must surface exactly
+    the next generation.  Catches a tier-ordering regression BEFORE it
+    wastes a real driver window."""
     from biggie_spark.registry import (
         ROUND12_HOLDBACK,
         ROUND13_HOLDBACK,
@@ -315,29 +316,42 @@ def test_future_windows_release_in_generation_order():
         | set(ledger.get("retired_no_signal", []))
     )
     oq = list(ordered_queries())
+    generations = [ROUND12_HOLDBACK, ROUND13_HOLDBACK, ROUND14_HOLDBACK]
 
     def window_after(greened: set[str]) -> list[str]:
         pending = [n for n in oq if n not in done | greened]
         return pending[:50]
 
-    # after r12's window greens: next 50 = all 48 ROUND13 ops + 2 ROUND14
-    w12 = set(window_after(set()))  # current window, becomes green in r12
-    w13 = window_after(w12)
-    assert set(w13) >= (ROUND13_HOLDBACK - w12), (
-        "round-13 tranche not fully inside the post-r12 window"
+    greened: set[str] = set()
+    pending_gens = [g for g in generations if (g - done)]
+    for i, gen in enumerate(pending_gens):
+        w = set(window_after(greened))
+        if not w:
+            break
+        remaining_gen = gen - done - greened
+        # the window must contain the WHOLE oldest pending generation
+        # (or, if the generation overflows 50, nothing but it)
+        if len(remaining_gen) <= 50:
+            assert w >= remaining_gen, (
+                f"generation {i}: tranche not fully inside its window: "
+                f"{sorted(remaining_gen - w)[:5]}"
+            )
+            spill = w - remaining_gen
+            later = set().union(*pending_gens[i + 1 :]) if i + 1 < len(
+                pending_gens
+            ) else set()
+            assert spill <= later, (
+                f"generation {i}: window spares are not next-generation "
+                f"ops: {sorted(spill - later)[:5]}"
+            )
+        else:
+            assert w <= remaining_gen, (
+                f"generation {i}: a later op displaced an overflowing "
+                f"tranche: {sorted(w - remaining_gen)[:5]}"
+            )
+        greened |= w
+    # after every generation greens, nothing unscored may remain
+    assert not window_after(greened), (
+        "unscored ops outside all holdback generations survived the "
+        f"simulation: {window_after(greened)[:5]}"
     )
-    spill13 = [n for n in w13 if n not in ROUND13_HOLDBACK]
-    assert all(n in ROUND14_HOLDBACK for n in spill13), (
-        f"post-r12 window spares are not ROUND14 ops: {spill13}"
-    )
-    # after r13 greens: remainder of ROUND14 comes next, nothing else
-    w14 = window_after(w12 | set(w13))
-    expect14 = ROUND14_HOLDBACK - set(w13)
-    assert set(w14) == expect14, (
-        f"post-r13 window != remaining ROUND14 tranche: "
-        f"extra={set(w14) - expect14}, missing={expect14 - set(w14)}"
-    )
-    # and the r12 window itself is the ROUND12 tranche + ROUND13 spares
-    assert set(w12) >= ROUND12_HOLDBACK - done
-    spill12 = [n for n in w12 if n not in ROUND12_HOLDBACK]
-    assert all(n in ROUND13_HOLDBACK for n in spill12)
