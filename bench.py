@@ -122,21 +122,36 @@ def main() -> None:
         "spark.sql.adaptive.enabled", os.environ.get("SPARK_GRAFT_AQE", "false")
     )
 
-    def measure() -> dict[str, float]:
-        out: dict[str, float] = {}
+    # Repeat protocol (VERDICT r12 item 4): single warm measurements carry
+    # ±10% session noise (SCALE.md r12-close: ±0.8 s total spread on an
+    # idle box), which made the r12 q_topk +12% / q_window +9% upticks
+    # unadjudicable.  Default: 3 warm runs per query; the artifact reports
+    # the per-query MEDIAN (the comparable number) plus min/max spread so a
+    # swing can be read against real variance instead of guessed at.
+    if "--repeat" in sys.argv:
+        repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
+    else:
+        repeat = int(os.environ.get("SPARK_GRAFT_REPEAT", "3"))
+
+    def measure() -> tuple[dict[str, float], dict[str, list[float]]]:
+        med: dict[str, float] = {}
+        spread: dict[str, list[float]] = {}
         for bench_name, op in HEADLINE.items():
             fn = QUERIES[op]
-            warm = None
-            for _ in range(2):  # cold then warm; report warm (BASELINE.md)
+            fn(spark, sf_dir).collect()  # cold pass, untimed (BASELINE.md)
+            warms = []
+            for _ in range(max(1, repeat)):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).collect()
-                warm = time.perf_counter() - t0
-            out[bench_name] = round(warm, 3)
-        return out
+                warms.append(time.perf_counter() - t0)
+            warms.sort()
+            med[bench_name] = round(warms[len(warms) // 2], 3)
+            spread[bench_name] = [round(warms[0], 3), round(warms[-1], 3)]
+        return med, spread
 
     # Measure; if the box loaded up DURING the run, re-measure (everything
     # is warm by then, so a retry costs ~5 s) up to twice before refusing.
-    timings = measure()
+    timings, spread = measure()
     loadavg = round(os.getloadavg()[0], 2)
     for _ in range(2):
         if loadavg <= LOADAVG_MAX or forced:
@@ -144,7 +159,7 @@ def main() -> None:
         loadavg = round(_wait_for_quiet(120), 2)
         if loadavg > LOADAVG_MAX:
             break  # still loaded; don't burn time on a doomed re-measure
-        timings = measure()
+        timings, spread = measure()
         loadavg = round(os.getloadavg()[0], 2)
 
     try:
@@ -166,7 +181,9 @@ def main() -> None:
         "metric": "headline_9q_total_warm",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": timings,  # per-query MEDIAN of `repeat` warm runs
+        "repeat": repeat,
+        "spread": spread,  # per-query [min, max] across the warm runs
         "sf": sf,
         "loadavg": loadavg,
     }

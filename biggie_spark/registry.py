@@ -104,7 +104,7 @@ ROUND4_PRIORITY = (
 # Round-5 verdict list (VERDICT r4 item 3): deterministic ANN-family
 # substages with full oracles, replacing the three no-oracle end-to-end ANN
 # ops that burned window slots in r4 (driver recorded `err: no_oracle` with
-# no rows fallback — they are now ledger-`rows_only_scored` so they never
+# no rows fallback — they are now ledger-`no_oracle_by_design` so they never
 # re-enter the window).
 ROUND5_PRIORITY = (
     "ann_simhash_codes",
@@ -496,18 +496,18 @@ def ordered_queries() -> dict[str, QueryFn]:
     extension re-scores.
 
     "Green" for tiering purposes = hash-green (ledger key ``green``) OR
-    rows-only-scored (key ``rows_only_scored``) OR retired-no-signal
+    rows-only-scored (key ``no_oracle_by_design``) OR retired-no-signal
     (key ``retired_no_signal``): a no-oracle-by-design op can never earn
     an upgradable row, so a window slot on one is wasted every round
     forever (fn_sample was doing exactly that).  The two retired keys
-    differ only in honesty about history — rows_only_scored ops DID get
+    differ only in honesty about history — no_oracle_by_design ops DID get
     a weaker driver row once; retired_no_signal ops never got any row
     (their verification is the hash-green deterministic twins)."""
     try:
         ledger = json.loads(GREEN_LEDGER.read_text())
         green = (
             set(ledger["green"])
-            | set(ledger.get("rows_only_scored", []))
+            | set(ledger.get("no_oracle_by_design", ledger.get("rows_only_scored", [])))
             | set(ledger.get("retired_no_signal", []))
         )
     except (OSError, ValueError, KeyError):

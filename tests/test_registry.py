@@ -56,7 +56,7 @@ def test_window_prioritizes_nongreen_contract_ops():
     # retired-no-signal (no-oracle op with no row — same zero-signal math)
     green = (
         set(ledger["green"])
-        | set(ledger.get("rows_only_scored", []))
+        | set(ledger.get("no_oracle_by_design", []))
         | set(ledger.get("retired_no_signal", []))
     )
     sec2 = set(json.loads(SEC2_CONTRACT.read_text())["sec2"])
@@ -72,24 +72,24 @@ def test_window_prioritizes_nongreen_contract_ops():
     assert not greens_in_window or n_nongreen < 50
 
 
-def test_rows_only_scored_ops_really_have_no_oracle():
-    """Only no-oracle-by-design ops may ride the rows_only_scored tier —
+def test_no_oracle_by_design_ops_really_have_no_oracle():
+    """Only no-oracle-by-design ops may ride the no_oracle_by_design tier —
     an oracle-bearing op parked there would silently skip its hash row."""
     ledger = json.loads(GREEN_LEDGER.read_text())
-    bad = [n for n in ledger.get("rows_only_scored", []) if n in ORACLES]
-    assert not bad, f"oracle-bearing ops in rows_only_scored: {bad}"
+    bad = [n for n in ledger.get("no_oracle_by_design", []) if n in ORACLES]
+    assert not bad, f"oracle-bearing ops in no_oracle_by_design: {bad}"
 
 
 def test_retired_no_signal_key_is_honest():
     """Round-11 verdict 'What's wrong' #2: ops with NO driver row of any
     kind must not ride a key that claims a scoring happened.  The split:
-    rows_only_scored = a rows-only driver row exists in some CORRECTNESS
+    no_oracle_by_design = a rows-only driver row exists in some CORRECTNESS
     file; retired_no_signal = no row ever.  Both must be no-oracle ops."""
     import glob
 
     ledger = json.loads(GREEN_LEDGER.read_text())
     retired = set(ledger.get("retired_no_signal", []))
-    rows_only = set(ledger.get("rows_only_scored", []))
+    rows_only = set(ledger.get("no_oracle_by_design", []))
     assert not (retired & rows_only), "op in both retired keys"
     bad = [n for n in retired if n in ORACLES]
     assert not bad, f"oracle-bearing ops in retired_no_signal: {bad}"
@@ -102,7 +102,7 @@ def test_retired_no_signal_key_is_honest():
     assert not lying, f"retired_no_signal ops that DO have a driver row: {lying}"
     unscored_rows_only = [n for n in rows_only if n not in scored]
     assert not unscored_rows_only, (
-        f"rows_only_scored ops with no driver row (belong in "
+        f"no_oracle_by_design ops with no driver row (belong in "
         f"retired_no_signal): {unscored_rows_only}"
     )
 
@@ -136,14 +136,14 @@ def test_malformed_contract_warns(tmp_path, monkeypatch):
 
 def test_ledgered_rows_only_ops_leave_the_window():
     """VERDICT r4 item 3: the driver records `err: no_oracle` with NO rows
-    fallback for no-oracle ops, so once an op is ledger-`rows_only_scored`
+    fallback for no-oracle ops, so once an op is ledger-`no_oracle_by_design`
     it must never re-enter the bounded scoring window — each occurrence
     burns a slot for zero driver signal."""
     import json
 
     from biggie_spark.registry import GREEN_LEDGER
 
-    rows_only = set(json.loads(GREEN_LEDGER.read_text())["rows_only_scored"])
+    rows_only = set(json.loads(GREEN_LEDGER.read_text())["no_oracle_by_design"])
     window = list(ordered_queries())[:50]
     stuck = [n for n in window if n in rows_only]
     assert not stuck, f"ledgered rows-only ops burning window slots: {stuck}"
@@ -164,7 +164,7 @@ def test_round11_released_ops_follow_sec2_in_the_window():
     ledger = json.loads(GREEN_LEDGER.read_text())
     green = (
         set(ledger["green"])
-        | set(ledger.get("rows_only_scored", []))
+        | set(ledger.get("no_oracle_by_design", []))
         | set(ledger.get("retired_no_signal", []))
     )
     sec2 = set(json.loads(SEC2_CONTRACT.read_text())["sec2"])
@@ -312,7 +312,7 @@ def test_future_windows_release_in_generation_order():
     ledger = json.loads(GREEN_LEDGER.read_text())
     done = (
         set(ledger["green"])
-        | set(ledger.get("rows_only_scored", []))
+        | set(ledger.get("no_oracle_by_design", []))
         | set(ledger.get("retired_no_signal", []))
     )
     oq = list(ordered_queries())

@@ -5,13 +5,13 @@ ledger makes ordered_queries() waste its bounded scoring window re-scoring
 already-green ops while never-scored extensions stay unscored forever).
 
 * ``green``             — ops with a hash-green row in ANY round.
-* ``rows_only_scored``  — no-oracle-by-design ops (sketches, RNG sampling,
+* ``no_oracle_by_design``  — no-oracle-by-design ops (sketches, RNG sampling,
   ANN) that DID receive a driver row (``err: no_oracle`` but
   ``spark_rows > 0`` recorded): the weaker rows-only signal exists and can
   never upgrade, so re-scoring wastes a window slot every round.
 * ``retired_no_signal`` — no-oracle-by-design ops with NO driver row of
   any kind (round-11 verdict "What's wrong" #2: the old ledger filed
-  these under ``rows_only_scored``, claiming a scoring that never
+  these under ``no_oracle_by_design``, claiming a scoring that never
   happened).  Retired for the same zero-signal reason, but the key is
   now honest.  Each has a fully-oracled deterministic twin that IS
   hash-green: ``agg_approx_quantile`` → ``agg_quantiles``,
@@ -79,17 +79,17 @@ def main() -> None:
     new = {
         "_": old["_"],
         "green": sorted(green),
-        "rows_only_scored": sorted(rows_only),
+        "no_oracle_by_design": sorted(rows_only),
         "retired_no_signal": sorted(retired),
     }
     if stale_before:
         new["_stale"] = old.get("_stale", "")
         new["stale_before"] = stale_before
     added_g = green - set(old.get("green", []))
-    added_r = rows_only - set(old.get("rows_only_scored", []))
+    added_r = rows_only - set(old.get("no_oracle_by_design", []))
     print(
         f"green: {len(old.get('green', []))} -> {len(green)} (+{len(added_g)}); "
-        f"rows_only: {len(old.get('rows_only_scored', []))} -> {len(rows_only)} "
+        f"rows_only: {len(old.get('no_oracle_by_design', []))} -> {len(rows_only)} "
         f"(+{len(added_r)}); retired_no_signal: {len(retired)}"
     )
     if added_g:
