@@ -730,3 +730,60 @@ def test_append_nullable_into_declared_nonnullable(spark, tmp_path):
     assert got.schema["s"].nullable, "read schema must not lie about nulls"
     assert got.filter("s IS NULL").count() == 1
     assert got.count() == 3
+
+
+def test_concurrent_writer_race_exactly_one_winner_per_version(spark, tmp_path):
+    """Adversarial ACID check (VERDICT r12 stretch): four writers race
+    appends through the os.link commit claim under REAL thread
+    concurrency.  Required outcome: every append eventually lands (the
+    losers' optimistic retries re-read the winner's snapshot), the four
+    commits claim four DISTINCT consecutive versions, no commit is lost
+    or duplicated, and every intermediate snapshot is readable and
+    monotone — i.e. no torn state is ever visible."""
+    import threading
+
+    t = _mk(spark, tmp_path, n=10, parts=1)
+    results: list[tuple[int, int]] = []
+    errors: list[tuple[int, BaseException]] = []
+    barrier = threading.Barrier(4)
+
+    def writer(i: int) -> None:
+        df = spark.createDataFrame(
+            [(1000 + i, i, f"w{i}")], "k bigint, v bigint, grp string"
+        )
+        try:
+            barrier.wait(timeout=60)
+            v = BTable(t.path).append(spark, df, retries=20)
+            results.append((i, v))
+        except BaseException as exc:  # surface into the main thread
+            errors.append((i, exc))
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errors, f"writers failed: {errors}"
+    assert len(results) == 4
+    # four distinct consecutive versions, exactly one winner each
+    assert sorted(v for _, v in results) == [1, 2, 3, 4]
+    # all four rows landed exactly once
+    got = t.read(spark)
+    assert got.count() == 14
+    assert sorted(
+        r.k for r in got.filter("k >= 1000").collect()
+    ) == [1000, 1001, 1002, 1003]
+    # every snapshot along the way is readable and monotone (no torn state)
+    for v in range(5):
+        assert t.read(spark, version=v).count() == 10 + v
+    # the log carries exactly 5 commits with unique versions
+    hist = t.history()
+    assert [c["version"] for c in hist] == [0, 1, 2, 3, 4]
+    assert [c["op"] for c in hist] == ["create"] + ["append"] * 4
+    # no staged temp files leaked from the losing attempts
+    leaked = [
+        p
+        for p in os.listdir(os.path.join(t.path, "_log"))
+        if p.startswith(".tmp-")
+    ]
+    assert not leaked, f"staged commits leaked: {leaked}"
