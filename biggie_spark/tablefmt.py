@@ -315,7 +315,7 @@ class BTable:
         snapshot at entry, so losing a commit race is recovered by simply
         re-running the body against the winner's state (the staged files
         of the losing attempt are orphans — invisible to every reader and
-        reclaimed by vacuum)."""
+        reclaimed by vacuum once they age past its retention window)."""
         for i in range(retries + 1):
             try:
                 return attempt()

@@ -341,6 +341,13 @@ _COLLECT_ALLOWLIST = {
     # (3) merge's hit-file list and (4) delete's hit-file list (one row
     # per candidate data file, after stats-range pruning).
     "tablefmt.py": 4,
+    # round-13 btable scored surfaces (SCALE.md "Round-13: tablefmt
+    # hardening"): every site collects a BOUNDED AGGREGATE result
+    # (<= ~60 rows — per-region / per-version / per-predicate counts) so
+    # the scratch btable directory can be deleted before the driver
+    # collects the returned frame; _materialize is the shared audited
+    # helper, the other five are per-version/per-predicate 1-row aggs.
+    "ops/btable_ops.py": 6,
 }
 
 
