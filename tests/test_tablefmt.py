@@ -787,3 +787,69 @@ def test_concurrent_writer_race_exactly_one_winner_per_version(spark, tmp_path):
         if p.startswith(".tmp-")
     ]
     assert not leaked, f"staged commits leaked: {leaked}"
+
+
+def test_vacuum_retention_protects_staged_concurrent_writer(spark, tmp_path):
+    """The exact ADVICE r12 corruption scenario, end to end: writer B
+    stages its data files (_write_files) but has NOT yet committed when a
+    vacuum runs.  With the default retention the staged files survive, B's
+    commit succeeds, and the table reads B's rows; with retention 0 the
+    old behavior would have deleted B's files and left a committed
+    snapshot pointing at nothing."""
+    t = _mk(spark, tmp_path, n=10, parts=1)
+    snap = t.snapshot()
+    staged = t._write_files(
+        spark,
+        spark.createDataFrame(
+            [(500, 1, "gx")], "k bigint, v bigint, grp string"
+        ),
+    )
+    # concurrent vacuum between B's staging and B's commit
+    assert t.vacuum(keep_versions=2) == [], (
+        "default-retention vacuum deleted seconds-old staged files"
+    )
+    t._commit(expected_version=snap.version, doc={"op": "append", "add": staged})
+    got = t.read(spark)
+    assert got.count() == 11
+    assert got.filter("k = 500").count() == 1, "staged rows lost after commit"
+
+
+def test_concurrent_merge_race_disjoint_keys_both_apply(spark, tmp_path):
+    """Two MERGEs on disjoint key ranges race the commit claim: exactly
+    one wins each version, the loser's optimistic retry re-runs against
+    the winner's snapshot, and the final table carries BOTH upserts —
+    serializability for disjoint writers, not just appends."""
+    import threading
+
+    t = _mk(spark, tmp_path, n=20, parts=2)
+    srcs = {
+        "a": spark.createDataFrame(
+            [(2, -2, "ma"), (100, -100, "ia")], "k bigint, v bigint, grp string"
+        ),
+        "b": spark.createDataFrame(
+            [(15, -15, "mb"), (200, -200, "ib")], "k bigint, v bigint, grp string"
+        ),
+    }
+    errors = []
+    barrier = threading.Barrier(2)
+
+    def merger(name):
+        try:
+            barrier.wait(timeout=60)
+            BTable(t.path).merge(spark, srcs[name], on="k", retries=20)
+        except BaseException as exc:
+            errors.append((name, exc))
+
+    threads = [threading.Thread(target=merger, args=(n,)) for n in srcs]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errors, f"mergers failed: {errors}"
+    got = {r.k: (r.v, r.grp) for r in t.read(spark).collect()}
+    assert len(got) == 22  # 20 base + 2 inserts
+    assert got[2] == (-2, "ma") and got[100] == (-100, "ia")
+    assert got[15] == (-15, "mb") and got[200] == (-200, "ib")
+    # untouched rows intact
+    assert got[3] == (30, "g3")
+    assert [c["version"] for c in t.history()] == [0, 1, 2]
