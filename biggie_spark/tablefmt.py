@@ -227,7 +227,8 @@ class BTable:
             files = {
                 rel: a
                 for rel, a in files.items()
-                if _maybe_matches(a.get("stats", {}), where, sch)
+                if _maybe_matches(a.get("stats", {}), where, sch,
+                  a.get("nulls"), a.get("rows"))
             }
         paths = [os.path.join(self.path, rel) for rel in sorted(files)]
         if not paths:
@@ -305,7 +306,8 @@ class BTable:
         return sum(
             1
             for a in snap.files.values()
-            if _maybe_matches(a.get("stats", {}), where, sch)
+            if _maybe_matches(a.get("stats", {}), where, sch,
+                  a.get("nulls"), a.get("rows"))
         )
 
     # --------------------------------------------------------------- dml
@@ -346,7 +348,8 @@ class BTable:
             candidates = [
                 rel
                 for rel, a in snap.files.items()
-                if _maybe_matches(a.get("stats", {}), where, sch)
+                if _maybe_matches(a.get("stats", {}), where, sch,
+                  a.get("nulls"), a.get("rows"))
             ]
             touched, kept_df = self._split_touched(
                 spark, snap, candidates, where
@@ -621,7 +624,14 @@ class BTable:
         ][:_STATS_COLS_MAX]
         aggs = [F.count(F.lit(1)).alias("_n")]
         for c in cols:
-            aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+            aggs += [
+                F.min(c).alias(f"_min_{c}"),
+                F.max(c).alias(f"_max_{c}"),
+                # per-file null counts (Delta's nullCount): lets IS NULL /
+                # IS NOT NULL prune, and an all-null file prune ANY
+                # comparison (NULL op literal is never true)
+                F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}"),
+            ]
         rows = (
             written.withColumn("_f", F.input_file_name())
             .groupBy("_f")
@@ -640,6 +650,7 @@ class BTable:
                     "path": os.path.join(rel_dir, fname),
                     "rows": r["_n"],
                     "stats": stats,
+                    "nulls": {c: r[f"_null_{c}"] for c in cols},
                 }
             )
         return adds
@@ -853,13 +864,40 @@ def _parse_temporal(s: str):
         return None
 
 
-def _clause_excludes(stats: dict[str, Any], clause: str, schema) -> bool:
+_NULL_RE = re.compile(
+    r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s+IS\s+(NOT\s+)?NULL\s*$", re.IGNORECASE
+)
+
+
+def _clause_excludes(
+    stats: dict[str, Any], clause: str, schema, nulls=None, rows=None
+) -> bool:
     """True iff the fully-parsed clause PROVES no row of the file can
-    match.  Any parse or type doubt returns False (scan)."""
-    m = _CLAUSE_RE.match(_strip_parens(clause))
+    match.  Any parse or type doubt returns False (scan).  ``nulls`` is
+    the per-column null-count map from the add action (Delta nullCount),
+    ``rows`` the file row count — both optional (old logs lack them)."""
+    clause = _strip_parens(clause)
+    nm = _NULL_RE.match(clause)
+    if nm:
+        col, is_not = nm.group(1), bool(nm.group(2))
+        n = (nulls or {}).get(col)
+        if n is None:
+            return False
+        # IS NULL excluded iff the file has zero nulls;
+        # IS NOT NULL excluded iff EVERY row is null
+        return n == 0 if not is_not else (rows is not None and n == rows)
+    m = _CLAUSE_RE.match(clause)
     if not m:
         return False
     col, op, sq, dq, num = m.groups()
+    # all-null column: `col OP literal` is NULL for every row -> never true
+    if (
+        nulls is not None
+        and rows is not None
+        and nulls.get(col) == rows
+        and rows > 0
+    ):
+        return True
     rng = stats.get(col)
     if rng is None or rng[0] is None or rng[1] is None:
         return False
@@ -917,15 +955,18 @@ def _clause_excludes(stats: dict[str, Any], clause: str, schema) -> bool:
     return fhi < val  # op == ">="
 
 
-def _maybe_matches(stats: dict[str, Any], where: str, schema=None) -> bool:
+def _maybe_matches(
+    stats: dict[str, Any], where: str, schema=None, nulls=None, rows=None
+) -> bool:
     """Conservative file-pruning test: may this file contain a row matching
     ``where``?  Prunes ONLY on top-level conjuncts that parse completely as
-    ``col OP literal`` (full-match — an OR swallowed into a half-parsed
-    clause was false-pruning files, ADVICE r12); anything else means
-    "must scan" — pruning is an optimization, never a filter.  ``schema``
-    (a StructType) resolves column types so timestamp/date stats compare
-    temporally instead of lexicographically."""
+    ``col OP literal`` or ``col IS [NOT] NULL`` (full-match — an OR
+    swallowed into a half-parsed clause was false-pruning files, ADVICE
+    r12); anything else means "must scan" — pruning is an optimization,
+    never a filter.  ``schema`` (a StructType) resolves column types so
+    timestamp/date stats compare temporally instead of lexicographically;
+    ``nulls``/``rows`` (per-file null counts) drive the IS NULL rules."""
     return not any(
-        _clause_excludes(stats, clause, schema)
+        _clause_excludes(stats, clause, schema, nulls, rows)
         for clause in _split_top_and(where)
     )

@@ -853,3 +853,65 @@ def test_concurrent_merge_race_disjoint_keys_both_apply(spark, tmp_path):
     # untouched rows intact
     assert got[3] == (30, "g3")
     assert [c["version"] for c in t.history()] == [0, 1, 2]
+
+
+def test_null_count_stats_prune_is_null_predicates(spark, tmp_path):
+    """Per-file null counts (Delta's nullCount idea): IS NULL prunes
+    zero-null files, IS NOT NULL prunes all-null files, and an all-null
+    file prunes ANY comparison (NULL op literal is never true) — while
+    read(where=) contents stay exactly filter()'s rows."""
+    base = str(tmp_path / "t")
+    dfs = [
+        spark.createDataFrame(
+            [(i, None if i % 2 else str(i)) for i in range(0, 10)],
+            "k bigint, s string",
+        ),                                           # mixed nulls
+        spark.createDataFrame(
+            [(i, str(i)) for i in range(10, 20)], "k bigint, s string"
+        ),                                           # no nulls
+        spark.createDataFrame(
+            [(i, None) for i in range(20, 30)], "k bigint, s string"
+        ),                                           # all null
+    ]
+    t = BTable.create(spark, base, dfs[0].coalesce(1))
+    for d in dfs[1:]:
+        t.append(spark, d.coalesce(1))
+    assert t.scan_file_count() == 3
+    assert t.scan_file_count("s IS NULL") == 2        # no-null file pruned
+    assert t.scan_file_count("s IS NOT NULL") == 2    # all-null file pruned
+    # an all-null file can't satisfy any comparison on that column
+    assert t.scan_file_count("s == '25'") == 1        # only the 10..19 file
+    assert t.scan_file_count("s >= '0'") == 2
+    # conjunct composition
+    assert t.scan_file_count("k >= 20 AND s IS NOT NULL") == 0
+    # contents match an unpruned filter for every shape
+    full = t.read(spark)
+    for where in ["s IS NULL", "s IS NOT NULL", "s == '25'",
+                  "k >= 20 AND s IS NOT NULL", "s IS NULL OR k == 10"]:
+        got = sorted(r.k for r in t.read(spark, where=where).collect())
+        want = sorted(r.k for r in full.filter(where).collect())
+        assert got == want, f"pruned read wrong for {where!r}"
+    # OR with IS NULL never prunes (single unparseable clause)
+    assert t.scan_file_count("s IS NULL OR k == 10") == 3
+
+
+def test_maybe_matches_null_rules_unit():
+    from biggie_spark.tablefmt import _maybe_matches as mm
+
+    stats = {"k": [10, 20], "s": [None, None]}
+    nulls = {"k": 0, "s": 5}
+    # IS NULL pruned only when null count is known-zero
+    assert not mm(stats, "k IS NULL", None, nulls, 5)
+    assert mm(stats, "s IS NULL", None, nulls, 5)
+    assert mm(stats, "k IS NOT NULL", None, nulls, 5)
+    assert not mm(stats, "s IS NOT NULL", None, nulls, 5)
+    # case-insensitive
+    assert not mm(stats, "k is null", None, nulls, 5)
+    # all-null column excludes any comparison
+    assert not mm(stats, "s == 'x'", None, nulls, 5)
+    assert not mm(stats, "s >= 'a'", None, nulls, 5)
+    # unknown null counts (old logs) -> must scan
+    assert mm(stats, "k IS NULL")
+    assert mm(stats, "s == 'x'")
+    # zero-row file: the all-null shortcut must not fire on rows == 0
+    assert mm({"k": [None, None]}, "k == 5", None, {"k": 0}, 0)
