@@ -867,6 +867,82 @@ def _parse_temporal(s: str):
 _NULL_RE = re.compile(
     r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s+IS\s+(NOT\s+)?NULL\s*$", re.IGNORECASE
 )
+_IN_RE = re.compile(
+    r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s+IN\s*\((.+)\)\s*$", re.IGNORECASE
+)
+_LIT_RE = re.compile(
+    r"^\s*(?:'([^']*)'|\"([^\"]*)\"|"
+    r"(-?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?))\s*$"
+)
+
+
+def _split_top_commas(s: str) -> list[str] | None:
+    """Split an IN-list body on commas outside quotes; None if a paren
+    appears (nested expressions are not prunable literals)."""
+    parts: list[str] = []
+    buf: list[str] = []
+    quote: str | None = None
+    for ch in s:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            buf.append(ch)
+            continue
+        if ch in "()":
+            return None
+        if ch == ",":
+            parts.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    if quote:
+        return None
+    parts.append("".join(buf))
+    return parts
+
+
+def _typed_bounds(lo, hi, sq, dq, num, ftype):
+    """Resolve one parsed literal against [lo, hi] stats under the column
+    type rules shared by every comparison shape; None means type doubt
+    (caller must scan)."""
+    if num is not None:
+        # numeric literal: compare in float space — int() truncation of a
+        # fractional literal ('k < 10.5' -> k < 10) false-pruned boundary
+        # files (ADVICE r12)
+        if not isinstance(lo, (int, float)) or isinstance(lo, bool):
+            return None
+        return float(num), float(lo), float(hi)
+    lit = sq if sq is not None else dq
+    if not isinstance(lo, str) or not isinstance(hi, str):
+        return None
+    if ftype == "string":
+        return lit, lo, hi
+    if ftype in ("date", "timestamp"):
+        lo_t, hi_t, val_t = (
+            _parse_temporal(lo),
+            _parse_temporal(hi),
+            _parse_temporal(lit),
+        )
+        if lo_t is None or hi_t is None or val_t is None:
+            return None
+        if ftype == "date":
+            # Spark casts the literal to date (truncation) before
+            # comparing against a date column
+            return val_t.date(), lo_t.date(), hi_t.date()
+        return val_t, lo_t, hi_t
+    if ftype is None:
+        # no schema (unit-test path): lexicographic is only safe when
+        # neither side is temporal-shaped — stats store timestamps as
+        # isoformat ('T') while SQL literals use a space, and comparing
+        # those lexicographically false-pruned same-day ranges
+        if _ISO_RE.match(lo) or _ISO_RE.match(hi) or _ISO_RE.match(lit):
+            return None
+        return lit, lo, hi
+    return None
 
 
 def _clause_excludes(
@@ -886,64 +962,58 @@ def _clause_excludes(
         # IS NULL excluded iff the file has zero nulls;
         # IS NOT NULL excluded iff EVERY row is null
         return n == 0 if not is_not else (rows is not None and n == rows)
-    m = _CLAUSE_RE.match(clause)
-    if not m:
+    im = _IN_RE.match(clause)
+    m = None if im else _CLAUSE_RE.match(clause)
+    if im is None and m is None:
         return False
-    col, op, sq, dq, num = m.groups()
-    # all-null column: `col OP literal` is NULL for every row -> never true
-    if (
-        nulls is not None
-        and rows is not None
-        and nulls.get(col) == rows
-        and rows > 0
-    ):
-        return True
-    rng = stats.get(col)
-    if rng is None or rng[0] is None or rng[1] is None:
-        return False
-    lo, hi = rng
+    col = (im or m).group(1)
+
+    def all_null_file() -> bool:
+        # `col OP literal` / `col IN (...)` is NULL for every row of an
+        # all-null file -> never true
+        return (
+            nulls is not None
+            and rows is not None
+            and nulls.get(col) == rows
+            and rows > 0
+        )
+
     ftype = None
     if schema is not None:
         try:
             ftype = schema[col].dataType.typeName()
         except KeyError:
             return False
-    if num is not None:
-        # numeric literal: compare in float space — int() truncation of a
-        # fractional literal ('k < 10.5' -> k < 10) false-pruned boundary
-        # files (ADVICE r12)
-        if not isinstance(lo, (int, float)) or isinstance(lo, bool):
+    if all_null_file():
+        return True
+    rng = stats.get(col)
+    if rng is None or rng[0] is None or rng[1] is None:
+        return False
+    lo, hi = rng
+
+    if im is not None:
+        items = _split_top_commas(im.group(2))
+        if items is None or not items:
             return False
-        val, flo, fhi = float(num), float(lo), float(hi)
-    else:
-        lit = sq if sq is not None else dq
-        if not isinstance(lo, str) or not isinstance(hi, str):
-            return False
-        if ftype == "string":
-            val, flo, fhi = lit, lo, hi
-        elif ftype in ("date", "timestamp"):
-            lo_t, hi_t, val_t = (
-                _parse_temporal(lo),
-                _parse_temporal(hi),
-                _parse_temporal(lit),
-            )
-            if lo_t is None or hi_t is None or val_t is None:
+        # IN excluded iff EVERY literal falls outside [lo, hi]; any
+        # unparseable item means the list may match -> scan
+        for item in items:
+            lm = _LIT_RE.match(item)
+            if lm is None:
                 return False
-            if ftype == "date":
-                # Spark casts the literal to date (truncation) before
-                # comparing against a date column
-                lo_t, hi_t, val_t = lo_t.date(), hi_t.date(), val_t.date()
-            val, flo, fhi = val_t, lo_t, hi_t
-        elif ftype is None:
-            # no schema (unit-test path): lexicographic is only safe when
-            # neither side is temporal-shaped — stats store timestamps as
-            # isoformat ('T') while SQL literals use a space, and comparing
-            # those lexicographically false-pruned same-day ranges
-            if _ISO_RE.match(lo) or _ISO_RE.match(hi) or _ISO_RE.match(lit):
+            bounds = _typed_bounds(lo, hi, *lm.groups(), ftype)
+            if bounds is None:
                 return False
-            val, flo, fhi = lit, lo, hi
-        else:
-            return False
+            val, flo, fhi = bounds
+            if flo <= val <= fhi:
+                return False
+        return True
+
+    op, sq, dq, num = m.group(2), m.group(3), m.group(4), m.group(5)
+    bounds = _typed_bounds(lo, hi, sq, dq, num, ftype)
+    if bounds is None:
+        return False
+    val, flo, fhi = bounds
     if op in ("==", "="):
         return val < flo or val > fhi
     if op == "<":

@@ -915,3 +915,47 @@ def test_maybe_matches_null_rules_unit():
     assert mm(stats, "s == 'x'")
     # zero-row file: the all-null shortcut must not fire on rows == 0
     assert mm({"k": [None, None]}, "k == 5", None, {"k": 0}, 0)
+
+
+def test_in_list_pruning(spark, tmp_path):
+    """`col IN (...)` prunes a file only when EVERY literal misses its
+    [min,max] range; any unparseable item, nested paren, or NOT IN means
+    scan.  Contents stay identical to an unpruned filter."""
+    from biggie_spark.tablefmt import _maybe_matches as mm
+
+    stats = {"k": [10, 20], "s": ["aa", "mm"]}
+    assert not mm(stats, "k IN (1, 2, 3)")
+    assert mm(stats, "k IN (1, 15)")           # 15 in range
+    assert mm(stats, "k IN (10)")              # boundary
+    assert not mm(stats, "k IN (9.5, 20.5)")   # fractional, both outside
+    assert mm(stats, "k IN (19.5, 99)")        # 19.5 inside
+    assert not mm(stats, "s IN ('zz', 'a')")
+    assert mm(stats, "s IN ('zz', 'bb')")
+    assert mm(stats, "s IN ('a,b')") or True   # comma inside literal: just no crash
+    assert mm(stats, "k IN (1, weird())")      # unparseable item -> scan
+    assert mm(stats, "k NOT IN (1)")           # NOT IN never prunes
+    assert mm(stats, "k IN (SELECT 1)")        # nested expr -> scan
+    # case-insensitive keyword
+    assert not mm(stats, "k in (1, 2)")
+    # all-null column excludes IN too
+    assert not mm(stats, "s IN ('bb')", None, {"s": 5}, 5)
+
+    # integration: key-disjoint files
+    base = str(tmp_path / "t")
+    dfs = [
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(lo, lo + 25)], "k bigint, s string"
+        ).coalesce(1)
+        for lo in (0, 25, 50, 75)
+    ]
+    t = BTable.create(spark, base, dfs[0])
+    for d in dfs[1:]:
+        t.append(spark, d)
+    assert t.scan_file_count("k IN (3, 5)") == 1
+    assert t.scan_file_count("k IN (3, 30, 90)") == 3
+    assert t.scan_file_count("k IN (200, 300)") == 0
+    full = t.read(spark)
+    for where in ["k IN (3, 30, 90)", "k IN (200)", "s IN ('v3', 'v77')"]:
+        got = sorted(r.k for r in t.read(spark, where=where).collect())
+        want = sorted(r.k for r in full.filter(where).collect())
+        assert got == want, f"pruned read wrong for {where!r}"
