@@ -296,6 +296,74 @@ class BTable:
             for c in _read_log(self.path)
         ]
 
+    def changes(
+        self,
+        spark: SparkSession,
+        version_from: int,
+        version_to: int | None = None,
+    ) -> DataFrame:
+        """Change data feed: every row change in commits
+        ``(version_from, version_to]`` — the incremental-pipeline hook
+        (Delta's table_changes).  Granularity is FILE-level, the same as
+        Delta without CDC files: an added file's rows emit as
+        ``_change_type='insert'``, a removed file's rows as ``'delete'``,
+        so a copy-on-write rewrite emits delete for every old-file row
+        and insert for every kept row.  The invariant consumers rely on
+        holds exactly: state(to) = state(from) - deletes + inserts as
+        multisets.  Rows carry ``_commit_version`` so a consumer can
+        checkpoint its progress by version.
+
+        All files are read under the version_to schema (missing columns
+        null-filled), matching what read() would report.  Raises
+        FileNotFoundError if a needed file was vacuumed away."""
+        commits = _read_log(self.path)
+        last = commits[-1]["version"] if version_to is None else version_to
+        snap = self.snapshot(last)  # validates the version + pins schema
+        sch = _schema(snap)
+        by_version = {c["version"]: c for c in commits}
+        # removed files' add actions live in EARLIER commits: track paths
+        frames = []
+        for v in range(version_from + 1, last + 1):
+            c = by_version.get(v)
+            if c is None:
+                continue
+            for kind, rels in (
+                ("insert", [a["path"] for a in c.get("add", [])]),
+                ("delete", c.get("remove", [])),
+            ):
+                missing = [
+                    rel
+                    for rel in rels
+                    if not os.path.exists(os.path.join(self.path, rel))
+                ]
+                if missing:
+                    raise FileNotFoundError(
+                        f"changes({version_from}, {last}): {len(missing)} "
+                        f"data files vacuumed (e.g. {missing[0]})"
+                    )
+                if rels:
+                    frames.append(
+                        spark.read.schema(sch)
+                        .parquet(*[os.path.join(self.path, r) for r in rels])
+                        .withColumn("_change_type", F.lit(kind))
+                        .withColumn("_commit_version", F.lit(v).cast("long"))
+                    )
+        if not frames:
+            from pyspark.sql.types import LongType, StringType, StructField
+
+            empty = StructType(
+                list(sch.fields)
+                + [
+                    StructField("_change_type", StringType()),
+                    StructField("_commit_version", LongType()),
+                ]
+            )
+            return spark.createDataFrame([], empty)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
     def scan_file_count(self, where: str | None = None) -> int:
         """How many data files a read(where=...) would scan — the data-
         skipping observability hook tests assert on."""
@@ -326,17 +394,66 @@ class BTable:
                     raise
         raise AssertionError("unreachable")
 
-    def append(self, spark: SparkSession, df: DataFrame, retries: int = 0) -> int:
+    def append(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        retries: int = 0,
+        merge_schema: bool = False,
+    ) -> int:
+        """``merge_schema=True`` is Delta's mergeSchema: columns the table
+        lacks are appended to the table schema (nullable) in the SAME
+        commit, and columns the frame lacks are null-filled — a type
+        conflict on a shared name still raises.  Default stays strict."""
+
         def attempt() -> int:
             snap = self.snapshot()
-            self._check_schema(spark, df, snap)
-            adds = self._write_files(spark, df)
-            return self._commit(
-                expected_version=snap.version,
-                doc={"op": "append", "add": adds},
-            )
+            schema_json = None
+            out = df
+            if merge_schema:
+                out, schema_json = self._evolve(df, snap)
+            else:
+                self._check_schema(spark, df, snap)
+            adds = self._write_files(spark, out)
+            doc: dict[str, Any] = {"op": "append", "add": adds}
+            if schema_json is not None:
+                doc["schema"] = schema_json
+            return self._commit(expected_version=snap.version, doc=doc)
 
         return self._with_retry(attempt, retries)
+
+    def _evolve(self, df: DataFrame, snap: Snapshot):
+        """(frame aligned to the widened schema, widened schema json or
+        None if the table schema is unchanged)."""
+        from pyspark.sql.types import StructField
+
+        table = _schema(snap)
+        by_name = {f.name: f for f in table.fields}
+        for f in df.schema.fields:
+            have = by_name.get(f.name)
+            if have is not None and (
+                have.dataType.simpleString() != f.dataType.simpleString()
+            ):
+                raise SchemaMismatch(
+                    f"column {f.name!r}: table type "
+                    f"{have.dataType.simpleString()} != write type "
+                    f"{f.dataType.simpleString()} (mergeSchema widens, "
+                    "never rewrites types)"
+                )
+        new_fields = [
+            StructField(f.name, _nullable(f.dataType), True, f.metadata)
+            for f in df.schema.fields
+            if f.name not in by_name
+        ]
+        full = StructType(list(table.fields) + new_fields)
+        cols = [
+            F.col(f.name).cast(f.dataType)
+            if f.name in df.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in full.fields
+        ]
+        aligned = df.select(*cols)
+        return aligned, (full.json() if new_fields else None)
 
     def delete(self, spark: SparkSession, where: str, retries: int = 0) -> int:
         """Copy-on-write delete: rewrite only the files whose stats range

@@ -959,3 +959,116 @@ def test_in_list_pruning(spark, tmp_path):
         got = sorted(r.k for r in t.read(spark, where=where).collect())
         want = sorted(r.k for r in full.filter(where).collect())
         assert got == want, f"pruned read wrong for {where!r}"
+
+
+def test_change_data_feed_multiset_invariant(spark, tmp_path):
+    """changes(from, to) is the incremental-pipeline hook: file-granular
+    insert/delete rows per commit, carrying _commit_version.  The binding
+    invariant: state(to) == state(from) - deletes + inserts as MULTISETS,
+    across appends, COW deletes and merges."""
+    t = _mk(spark, tmp_path, n=20, parts=2)                       # v0
+    t.append(
+        spark,
+        spark.createDataFrame(
+            [(100, 1, "ga"), (101, 2, "gb")], "k bigint, v bigint, grp string"
+        ),
+    )                                                              # v1
+    t.delete(spark, "k < 5")                                       # v2
+    t.merge(
+        spark,
+        spark.createDataFrame(
+            [(7, -7, "upd"), (300, -300, "new")],
+            "k bigint, v bigint, grp string",
+        ),
+        on="k",
+    )                                                              # v3
+
+    cdf = t.changes(spark, 0)
+    assert set(cdf.columns) == {"k", "v", "grp", "_change_type",
+                                "_commit_version"}
+    # v1 append: inserts only
+    v1 = cdf.filter("_commit_version = 1")
+    assert {r._change_type for r in v1.collect()} == {"insert"}
+    assert v1.count() == 2
+    # v2 COW delete: whole-file deletes + survivor re-inserts
+    v2 = dict(
+        cdf.filter("_commit_version = 2")
+        .groupBy("_change_type").count().collect()
+    )
+    assert v2.get("delete", 0) > 0
+    # multiset replay: v0 state - deletes + inserts == v3 state
+    def multiset(df):
+        return {
+            (r.k, r.v, r.grp): r["count"]
+            for r in df.groupBy("k", "v", "grp").count().collect()
+        }
+
+    state0 = multiset(t.read(spark, version=0))
+    state3 = multiset(t.read(spark, version=3))
+    replay = dict(state0)
+    for r in cdf.collect():
+        key = (r.k, r.v, r.grp)
+        if r._change_type == "delete":
+            replay[key] = replay.get(key, 0) - 1
+            if replay[key] == 0:
+                del replay[key]
+        else:
+            replay[key] = replay.get(key, 0) + 1
+    assert replay == state3, "CDF replay does not reproduce the target state"
+    # bounded window + checkpoint-by-version: (2, 3] sees only the merge
+    w = t.changes(spark, 2, 3)
+    assert {r._commit_version for r in w.collect()} == {3}
+    # empty window
+    assert t.changes(spark, 3, 3).count() == 0
+    # vacuumed history refuses loudly
+    t.delete(spark, "k >= 19 AND k < 20")                          # v4
+    t.vacuum(keep_versions=1, retention_seconds=0)
+    with pytest.raises(FileNotFoundError):
+        t.changes(spark, 0).count()
+
+
+def test_append_merge_schema_widens_and_nullfills(spark, tmp_path):
+    """Delta mergeSchema semantics: new columns widen the table schema in
+    the same commit (old files read back NULL), missing columns
+    null-fill, and a type conflict on a shared name raises."""
+    t = BTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame([(1, 10), (2, 20)], "k bigint, v bigint"),
+    )
+    # widen with a new column
+    t.append(
+        spark,
+        spark.createDataFrame([(3, 30, "x")], "k bigint, v bigint, w string"),
+        merge_schema=True,
+    )
+    got = t.read(spark)
+    assert got.schema["w"].dataType.typeName() == "string"
+    rows = {r.k: (r.v, r.w) for r in got.collect()}
+    assert rows == {1: (10, None), 2: (20, None), 3: (30, "x")}
+    # append a frame MISSING v: null-filled
+    t.append(
+        spark,
+        spark.createDataFrame([(4, "y")], "k bigint, w string"),
+        merge_schema=True,
+    )
+    rows = {r.k: (r.v, r.w) for r in t.read(spark).collect()}
+    assert rows[4] == (None, "y")
+    # schema history: the widening commit carries the new schema; the
+    # null-fill append does NOT re-log one
+    log_schemas = ["schema" in c for c in __import__(
+        "biggie_spark.tablefmt", fromlist=["_read_log"]
+    )._read_log(t.path)]
+    assert log_schemas == [True, True, False]
+    # pre-widening version still reads with the OLD schema
+    assert "w" not in t.read(spark, version=0).columns
+    # type conflict raises
+    with pytest.raises(SchemaMismatch, match="mergeSchema widens"):
+        t.append(
+            spark,
+            spark.createDataFrame([(5, 1.5)], "k bigint, v double"),
+            merge_schema=True,
+        )
+    # strict default still enforces exact schema
+    with pytest.raises(SchemaMismatch):
+        t.append(spark, spark.createDataFrame([(6,)], "k bigint"))
