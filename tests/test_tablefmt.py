@@ -1072,3 +1072,56 @@ def test_append_merge_schema_widens_and_nullfills(spark, tmp_path):
     # strict default still enforces exact schema
     with pytest.raises(SchemaMismatch):
         t.append(spark, spark.createDataFrame([(6,)], "k bigint"))
+
+
+def test_cdf_incremental_consumer_matches_full_recompute(spark, tmp_path):
+    """The CDF consumption pattern a 100 TB pipeline runs: a consumer
+    checkpoints _commit_version and maintains a per-group SUM by applying
+    only the change feed (insert adds, delete subtracts) — never
+    rescanning the table.  After every commit the incrementally-held
+    aggregate must equal a full recompute."""
+    t = _mk(spark, tmp_path, n=30, parts=2)                        # v0
+    held = {
+        r.grp: r.s
+        for r in t.read(spark).groupBy("grp").agg(F.sum("v").alias("s")).collect()
+    }
+    seen_version = 0
+    for step in range(3):
+        if step == 0:
+            t.append(
+                spark,
+                spark.createDataFrame(
+                    [(100, 7, "g0"), (101, 9, "g1")],
+                    "k bigint, v bigint, grp string",
+                ),
+            )
+        elif step == 1:
+            t.delete(spark, "k % 10 == 3")
+        else:
+            t.merge(
+                spark,
+                spark.createDataFrame(
+                    [(5, -555, "g0"), (400, 11, "gx")],
+                    "k bigint, v bigint, grp string",
+                ),
+                on="k",
+            )
+        latest = t.snapshot().version
+        delta = t.changes(spark, seen_version, latest)
+        for r in (
+            delta.groupBy("grp", "_change_type")
+            .agg(F.sum("v").alias("s"))
+            .collect()
+        ):
+            sign = 1 if r._change_type == "insert" else -1
+            held[r.grp] = held.get(r.grp, 0) + sign * r.s
+        seen_version = latest
+        full = {
+            r.grp: r.s
+            for r in t.read(spark)
+            .groupBy("grp")
+            .agg(F.sum("v").alias("s"))
+            .collect()
+        }
+        for g, s in full.items():
+            assert held.get(g) == s, (step, g, held.get(g), s)
