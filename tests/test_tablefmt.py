@@ -1125,3 +1125,50 @@ def test_cdf_incremental_consumer_matches_full_recompute(spark, tmp_path):
         }
         for g, s in full.items():
             assert held.get(g) == s, (step, g, held.get(g), s)
+
+
+def test_cdf_across_schema_evolution(spark, tmp_path):
+    """changes() after a mergeSchema widening: pre-widening change rows
+    read back under the version_to schema (new column NULL), so a feed
+    consumer sees ONE stable schema for the whole window."""
+    t = BTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame([(1, 10)], "k bigint, v bigint"),
+    )
+    t.append(
+        spark,
+        spark.createDataFrame([(2, 20, "x")], "k bigint, v bigint, w string"),
+        merge_schema=True,
+    )
+    cdf = t.changes(spark, 0)
+    assert set(cdf.columns) == {"k", "v", "w", "_change_type",
+                                "_commit_version"}
+    rows = {(r.k): (r.w, r._change_type, r._commit_version)
+            for r in cdf.collect()}
+    assert rows == {2: ("x", "insert", 1)}
+    # full-history feed includes the pre-widening create under the
+    # widened schema, null-filled
+    cdf_all = t.changes(spark, -1)
+    got = {r.k: r.w for r in cdf_all.filter("_commit_version = 0").collect()}
+    assert got == {1: None}
+
+
+def test_engine_facade_surfaces_cdf_and_merge_schema(spark, sf_dir, tmp_path):
+    """The Engine.btable handle carries the round-13 capabilities the
+    docs advertise: changes() and append(merge_schema=True)."""
+    from biggie_spark.engine import Engine
+
+    e = Engine.connect(sf_dir, spark)
+    e.btable_create(
+        str(tmp_path / "t"),
+        spark.createDataFrame([(1, 10)], "k bigint, v bigint"),
+    )
+    t = e.btable(str(tmp_path / "t"))
+    t.append(
+        spark,
+        spark.createDataFrame([(2, "y")], "k bigint, w string"),
+        merge_schema=True,
+    )
+    assert t.read(spark).filter("w IS NOT NULL").count() == 1
+    assert t.changes(spark, 0).filter("_change_type = 'insert'").count() == 1
