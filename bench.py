@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -69,6 +70,13 @@ HEADLINE_MODULES = (
     "biggie_spark.ops.llm",
     "biggie_spark.ops.scalars",
 )
+
+
+def _median(warms: list[float]) -> float:
+    """Per-query artifact median.  statistics.median, not warms[len//2]:
+    for even --repeat counts the middle-index element is the UPPER middle,
+    not the median the artifact field documents (ADVICE r13)."""
+    return round(statistics.median(warms), 3)
 
 
 # Quiet-box protocol (VERDICT r11 "What's wrong" #1: BENCH_r11.json was
@@ -145,7 +153,7 @@ def main() -> None:
                 fn(spark, sf_dir).collect()
                 warms.append(time.perf_counter() - t0)
             warms.sort()
-            med[bench_name] = round(warms[len(warms) // 2], 3)
+            med[bench_name] = _median(warms)
             spread[bench_name] = [round(warms[0], 3), round(warms[-1], 3)]
         return med, spread
 

@@ -47,6 +47,7 @@ import os
 import re
 import time
 import uuid
+from fractions import Fraction
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -915,6 +916,7 @@ _CLAUSE_RE = re.compile(
     r"(?:'([^']*)'|\"([^\"]*)\"|(-?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?))\s*$"
 )
 _ISO_RE = re.compile(r"^\d{4}-\d{2}-\d{2}([T ].+)?$")
+_INT_LIT_RE = re.compile(r"-?\d+")
 
 
 def _split_top_and(where: str) -> list[str]:
@@ -976,9 +978,15 @@ def _parse_temporal(s: str):
     import datetime as _dt
 
     try:
-        return _dt.datetime.fromisoformat(s.strip().replace(" ", "T"))
+        parsed = _dt.datetime.fromisoformat(s.strip().replace(" ", "T"))
     except ValueError:
         return None
+    if parsed.tzinfo is not None:
+        # Stats bounds are naive; comparing them against an aware literal
+        # ('ts >= 2024-01-01 00:00:00+00:00') raised TypeError and crashed
+        # read()/delete() instead of conservatively scanning (ADVICE r13).
+        return None
+    return parsed
 
 
 _NULL_RE = re.compile(
@@ -1027,12 +1035,20 @@ def _typed_bounds(lo, hi, sq, dq, num, ftype):
     type rules shared by every comparison shape; None means type doubt
     (caller must scan)."""
     if num is not None:
-        # numeric literal: compare in float space — int() truncation of a
-        # fractional literal ('k < 10.5' -> k < 10) false-pruned boundary
-        # files (ADVICE r12)
+        # numeric literal: compare EXACTLY.  float space loses precision for
+        # bigint stats above 2^53 ('k > 9007199254740992' false-pruned the
+        # file holding k=9007199254740993, ADVICE r13), and int() truncation
+        # of a fractional literal ('k < 10.5' -> k < 10) false-pruned
+        # boundary files (ADVICE r12).  Integer literals stay int; fractional
+        # / exponent literals become Fraction of the literal TEXT — Python
+        # compares int/Fraction/float cross-type exactly.
         if not isinstance(lo, (int, float)) or isinstance(lo, bool):
             return None
-        return float(num), float(lo), float(hi)
+        try:
+            val = int(num) if _INT_LIT_RE.fullmatch(num) else Fraction(num)
+        except (ValueError, ZeroDivisionError):
+            return None
+        return val, lo, hi
     lit = sq if sq is not None else dq
     if not isinstance(lo, str) or not isinstance(hi, str):
         return None
@@ -1153,6 +1169,13 @@ def _maybe_matches(
     never a filter.  ``schema`` (a StructType) resolves column types so
     timestamp/date stats compare temporally instead of lexicographically;
     ``nulls``/``rows`` (per-file null counts) drive the IS NULL rules."""
+    if "\\" in where:
+        # A backslash can escape a quote inside a string literal
+        # (Spark SQL: 'a\' AND k == 999 AND x == \'b' is ONE literal), which
+        # defeats the quote tracking in _split_top_and and manufactures fake
+        # conjuncts that false-prune live files (ADVICE r13).  Escapes are
+        # rare in pruning predicates; must-scan is the conservative answer.
+        return True
     return not any(
         _clause_excludes(stats, clause, schema, nulls, rows)
         for clause in _split_top_and(where)

@@ -50,3 +50,15 @@ def test_wait_for_quiet_gives_up_at_deadline(monkeypatch):
     monkeypatch.setattr(bench.time, "monotonic", lambda: next(clock))
     load = bench._wait_for_quiet(50)
     assert load == 9.9, "deadline exceeded but load misreported"
+
+
+def test_median_is_true_median_for_even_repeat_counts():
+    # ADVICE r13: warms[len//2] is the UPPER middle for even --repeat
+    # values; the artifact field is documented as the per-query median.
+    bench = _bench()
+    assert bench._median([1.0, 2.0]) == 1.5
+    assert bench._median([1.0, 2.0, 10.0, 11.0]) == 6.0
+    # odd counts unchanged
+    assert bench._median([1.0, 2.0, 10.0]) == 2.0
+    # rounding matches the artifact's 3-decimal convention
+    assert bench._median([0.1232, 0.1236]) == 0.123

@@ -259,6 +259,39 @@ def test_maybe_matches_is_conservative():
     assert _maybe_matches(stats, "ghost == 5", sch)
 
 
+def test_maybe_matches_advice_r13_regressions():
+    stats = {"k": [10, 20], "s": ["aa", "mm"]}
+    # (1) backslash-escaped quote hides ' AND ' inside ONE literal; the
+    # quote-tracking split saw three conjuncts and the fake `k == 999`
+    # false-pruned a live file.  Any backslash -> must scan.
+    assert _maybe_matches(stats, r"s == 'a\' AND k == 999 AND x == \'b'")
+    assert _maybe_matches(stats, r"s == 'zz\\'")  # even a benign escape scans
+    # (2) bigint stats above 2^53: float(9007199254740993) ==
+    # float(9007199254740992), so 'k > 9007199254740992' false-pruned the
+    # file whose only row is k = 2^53 + 1.  Comparison must be exact.
+    big = {"k": [9007199254740993, 9007199254740993]}
+    assert _maybe_matches(big, "k > 9007199254740992")
+    assert not _maybe_matches(big, "k > 9007199254740993")  # still prunes
+    assert _maybe_matches(big, "k == 9007199254740993")
+    assert not _maybe_matches(big, "k == 9007199254740992")
+    # fractional literals keep exactness via Fraction (no float round-trip)
+    assert _maybe_matches(big, "k < 9007199254740993.5")
+    assert not _maybe_matches(big, "k < 9007199254740992.5")
+    # exponent literals still parse and prune
+    assert not _maybe_matches(stats, "k > 1e3")
+    assert _maybe_matches(stats, "k < 1.5e1")
+    # (3) tz-aware timestamp literal: naive-vs-aware comparison raised
+    # TypeError and crashed read()/delete(); must conservatively scan.
+    from pyspark.sql.types import StructField, StructType, TimestampType
+
+    tsch = StructType([StructField("ts", TimestampType())])
+    ts_stats = {"ts": ["2024-03-05T00:00:00", "2024-03-05T23:00:00"]}
+    assert _maybe_matches(ts_stats, "ts >= '2024-01-01 00:00:00+00:00'", tsch)
+    assert _maybe_matches(ts_stats, "ts < '2099-01-01 00:00:00+00:00'", tsch)
+    # naive literals still prune around the aware-literal fix
+    assert not _maybe_matches(ts_stats, "ts > '2024-03-06 00:00:00'", tsch)
+
+
 def test_streaming_cdc_upsert_sink(spark, tmp_path):
     """The production lakehouse pattern: a CDC stream upserted into a
     btable via foreachBatch + MERGE.  Two micro-batches of row images
