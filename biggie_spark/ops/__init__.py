@@ -72,3 +72,4 @@ from biggie_spark.ops import round14d  # noqa: E402,F401
 from biggie_spark.ops import round14e  # noqa: E402,F401
 from biggie_spark.ops import round14f  # noqa: E402,F401
 from biggie_spark.ops import btable_ops  # noqa: E402,F401
+from biggie_spark.ops import btable_cdf  # noqa: E402,F401

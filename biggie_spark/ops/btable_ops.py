@@ -338,6 +338,30 @@ _SKIP_BASE_SQL = """
     FROM nation, (SELECT UNNEST([1, 2, 3, 4]) AS day) d
 """
 
+def _four_day_table(spark: SparkSession, sf_dir: str, tmp: str) -> BTable:
+    """The structural data-skipping table: four single-file commits, one
+    per synthetic day, derived from `nation` so the file layout — k ranges
+    [100d, 100d+24], near-disjoint ts ranges, a shared grp range — is
+    identical at every SF.  Shared by bt_stats_skipped_read and the wave-H
+    IN-list pruning op (ops/btable_cdf.py)."""
+    nat = _nation(spark, sf_dir)
+    days = [
+        nat.select(
+            (F.col("n_nationkey") + 100 * d).alias("k"),
+            F.expr(
+                f"timestamp'2024-03-0{d} 00:00:00'"
+                " + make_interval(0, 0, 0, 0, 0, n_nationkey * 2, 0)"
+            ).alias("ts"),
+            F.col("n_name").alias("grp"),
+        )
+        for d in (1, 2, 3, 4)
+    ]
+    t = BTable.create(spark, f"{tmp}/t", days[0].coalesce(1))
+    for d in days[1:]:
+        t.append(spark, d.coalesce(1))
+    return t
+
+
 _SKIP_PREDS = [
     # label, spark where, duckdb where, expected files scanned (of 4)
     (
@@ -380,21 +404,7 @@ def bt_stats_skipped_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     class) hash red."""
     tmp = _scratch()
     try:
-        nat = _nation(spark, sf_dir)
-        days = [
-            nat.select(
-                (F.col("n_nationkey") + 100 * d).alias("k"),
-                F.expr(
-                    f"timestamp'2024-03-0{d} 00:00:00'"
-                    " + make_interval(0, 0, 0, 0, 0, n_nationkey * 2, 0)"
-                ).alias("ts"),
-                F.col("n_name").alias("grp"),
-            )
-            for d in (1, 2, 3, 4)
-        ]
-        t = BTable.create(spark, f"{tmp}/t", days[0].coalesce(1))
-        for d in days[1:]:
-            t.append(spark, d.coalesce(1))
+        t = _four_day_table(spark, sf_dir, tmp)
         rows = []
         for label, sw, _, _ in _SKIP_PREDS:
             scanned = t.scan_file_count(sw)

@@ -486,6 +486,24 @@ ROUND14_HOLDBACK: frozenset[str] = frozenset(
     }
 )
 
+# Round-15 holdback — wave H, the btable surfaces round 13 built but did
+# not register (VERDICT r13 "Next round" item 3 sanctions <= 11 ops;
+# designs pre-validated in tools/backlog_r15.md).  Parks strictly behind
+# the round-14 window so the final 39-op backlog tranche cannot be
+# displaced.
+ROUND15_HOLDBACK: frozenset[str] = frozenset(
+    {
+        # wave H (ops/btable_cdf.py) — CDF, pruning-state, mergeSchema,
+        # vacuum observability
+        "bt_changes_feed_read",
+        "bt_cdf_replay_state",
+        "bt_merge_schema_read",
+        "bt_in_pruned_read",
+        "bt_null_stats_skipped_read",
+        "bt_vacuum_observability",
+    }
+)
+
 
 def ordered_queries() -> dict[str, QueryFn]:
     """QUERIES reordered for the driver's bounded scoring window:
@@ -534,6 +552,10 @@ def ordered_queries() -> dict[str, QueryFn]:
 
     def tier(n: str) -> int:
         if n in green:
+            return 14
+        if n in ROUND15_HOLDBACK:
+            # Wave H: behind the final round-14 backlog tranche, ahead only
+            # of greens.
             return 13
         if n in ROUND14_HOLDBACK:
             # Three generations out: behind ROUND13, ahead only of greens.
@@ -568,7 +590,7 @@ def ordered_queries() -> dict[str, QueryFn]:
         return 8 if _priority(n) else 9
 
     out: dict[str, QueryFn] = {}
-    for t in range(14):
+    for t in range(15):
         names = [n for n in QUERIES if tier(n) == t]
         if t == 3:
             names.sort(key=verdict_rank.__getitem__)

@@ -189,12 +189,22 @@ def test_round11_released_ops_follow_sec2_in_the_window():
             "an unscored extension precedes a released op: "
             f"{[n for n in others if oq.index(n) < last_released]}"
         )
-    from biggie_spark.registry import ROUND13_HOLDBACK, ROUND14_HOLDBACK
+    from biggie_spark.registry import (
+        ROUND13_HOLDBACK,
+        ROUND14_HOLDBACK,
+        ROUND15_HOLDBACK,
+    )
 
     held12 = [n for n in unscored if n in ROUND12_HOLDBACK]
     held13 = [n for n in unscored if n in ROUND13_HOLDBACK]
     held14 = [n for n in unscored if n in ROUND14_HOLDBACK]
-    held_any = ROUND12_HOLDBACK | ROUND13_HOLDBACK | ROUND14_HOLDBACK
+    held15 = [n for n in unscored if n in ROUND15_HOLDBACK]
+    held_any = (
+        ROUND12_HOLDBACK
+        | ROUND13_HOLDBACK
+        | ROUND14_HOLDBACK
+        | ROUND15_HOLDBACK
+    )
     rest = [n for n in unscored if n not in held_any]
     if held12 and rest:
         assert min(oq.index(n) for n in held12) > max(oq.index(n) for n in rest)
@@ -208,12 +218,27 @@ def test_round11_released_ops_follow_sec2_in_the_window():
         assert min(oq.index(n) for n in held14) > max(
             oq.index(n) for n in held13
         ), "a ROUND14_HOLDBACK op precedes a ROUND13_HOLDBACK op"
-    assert not (set(held12) & set(held13)), "op in both holdbacks"
-    assert not (set(held13) & set(held14)), "op in both holdbacks"
-    assert not (set(held12) & set(held14)), "op in both holdbacks"
+    if held14 and held15:
+        assert min(oq.index(n) for n in held15) > max(
+            oq.index(n) for n in held14
+        ), "a ROUND15_HOLDBACK op precedes a ROUND14_HOLDBACK op"
+    for a, b in (
+        (held12, held13),
+        (held13, held14),
+        (held12, held14),
+        (held12, held15),
+        (held13, held15),
+        (held14, held15),
+    ):
+        assert not (set(a) & set(b)), "op in two holdbacks"
+    # Wave H stays within the sanctioned cap (VERDICT r13 item 3/4): round
+    # 14 ships <= 11 net-new registered ops, all in ROUND15_HOLDBACK.
+    assert len(ROUND15_HOLDBACK) <= 11, "wave H exceeds the sanctioned cap"
     # The window must never overflow past the driver's 50 slots with
     # unscored ops — that's exactly the displacement bug holdbacks prevent.
-    n_pending = len(unscored) - len(held12) - len(held13) - len(held14)
+    n_pending = (
+        len(unscored) - len(held12) - len(held13) - len(held14) - len(held15)
+    )
     assert n_pending <= 50, (
         f"{n_pending} unscored ops for a 50-slot window; move the newest "
         "registrations into a holdback"
@@ -293,6 +318,11 @@ def test_vacuity_audit_covers_every_holdback_op():
     text14 = (tools / "vacuity_r14.md").read_text()
     missing = [n for n in sorted(ROUND14_HOLDBACK) if n not in text14]
     assert not missing, f"holdback ops missing from vacuity_r14.md: {missing}"
+    from biggie_spark.registry import ROUND15_HOLDBACK
+
+    text15 = (tools / "vacuity_r15.md").read_text()
+    missing = [n for n in sorted(ROUND15_HOLDBACK) if n not in text15]
+    assert not missing, f"holdback ops missing from vacuity_r15.md: {missing}"
 
 
 def test_future_windows_release_in_generation_order():
@@ -307,6 +337,7 @@ def test_future_windows_release_in_generation_order():
         ROUND12_HOLDBACK,
         ROUND13_HOLDBACK,
         ROUND14_HOLDBACK,
+        ROUND15_HOLDBACK,
     )
 
     ledger = json.loads(GREEN_LEDGER.read_text())
@@ -316,7 +347,12 @@ def test_future_windows_release_in_generation_order():
         | set(ledger.get("retired_no_signal", []))
     )
     oq = list(ordered_queries())
-    generations = [ROUND12_HOLDBACK, ROUND13_HOLDBACK, ROUND14_HOLDBACK]
+    generations = [
+        ROUND12_HOLDBACK,
+        ROUND13_HOLDBACK,
+        ROUND14_HOLDBACK,
+        ROUND15_HOLDBACK,
+    ]
 
     def window_after(greened: set[str]) -> list[str]:
         pending = [n for n in oq if n not in done | greened]
