@@ -348,6 +348,13 @@ _COLLECT_ALLOWLIST = {
     # collects the returned frame; _materialize is the shared audited
     # helper, the other five are per-version/per-predicate 1-row aggs.
     "ops/btable_ops.py": 6,
+    # round-14 wave H (SCALE.md "Round-14: wave-H btable surfaces"): same
+    # audited shape as btable_ops — (1)/(2) the per-predicate loops in
+    # bt_in_pruned_read / bt_null_stats_skipped_read collect a 1-row
+    # aggregate per predicate (5 and 4 predicates, fixed lists), (3)
+    # bt_vacuum_observability's single 1-row final aggregate.  The
+    # scratch-table results must be pinned driver-side before cleanup.
+    "ops/btable_cdf.py": 3,
 }
 
 
