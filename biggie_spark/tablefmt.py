@@ -60,6 +60,18 @@ _DATA_DIR = "data"
 _STATS_COLS_MAX = 32  # cap stats collection for very wide tables
 
 
+def _session_tz(spark: SparkSession | None) -> str | None:
+    """The live session timezone (how naive timestamp literals in a
+    ``where`` will be interpreted by the filter); None -> timestamp
+    pruning must-scans."""
+    if spark is None:
+        return None
+    try:
+        return spark.conf.get("spark.sql.session.timeZone")
+    except Exception:
+        return None
+
+
 class CommitConflict(RuntimeError):
     """Another writer claimed the target version first; re-read and retry."""
 
@@ -225,11 +237,12 @@ class BTable:
         files = snap.files
         if where is not None:
             sch = _schema(snap)
+            tz = _session_tz(spark)
             files = {
                 rel: a
                 for rel, a in files.items()
                 if _maybe_matches(a.get("stats", {}), where, sch,
-                  a.get("nulls"), a.get("rows"))
+                  a.get("nulls"), a.get("rows"), tz)
             }
         paths = [os.path.join(self.path, rel) for rel in sorted(files)]
         if not paths:
@@ -372,11 +385,12 @@ class BTable:
         if where is None:
             return len(snap.files)
         sch = _schema(snap)
+        tz = _session_tz(SparkSession.getActiveSession())
         return sum(
             1
             for a in snap.files.values()
             if _maybe_matches(a.get("stats", {}), where, sch,
-                  a.get("nulls"), a.get("rows"))
+                  a.get("nulls"), a.get("rows"), tz)
         )
 
     # --------------------------------------------------------------- dml
@@ -463,11 +477,12 @@ class BTable:
         def attempt() -> int:
             snap = self.snapshot()
             sch = _schema(snap)
+            tz = _session_tz(spark)
             candidates = [
                 rel
                 for rel, a in snap.files.items()
                 if _maybe_matches(a.get("stats", {}), where, sch,
-                  a.get("nulls"), a.get("rows"))
+                  a.get("nulls"), a.get("rows"), tz)
             ]
             touched, kept_df = self._split_touched(
                 spark, snap, candidates, where
@@ -514,12 +529,20 @@ class BTable:
         for the same reason (ADVICE r12)."""
         source = source.persist()  # pin: read many times per attempt
         try:
+            # Timestamp merge keys: collect the key range as epoch micros
+            # (JVM-side, timezone-free) so it compares exactly against the
+            # epoch-micros file stats — collect() of a raw TimestampType
+            # renders in the PYTHON process timezone, which shifts the
+            # range when it differs from the session tz (same bug class as
+            # the _write_files stats fix).
+            is_ts = source.schema[on].dataType.typeName() == "timestamp"
+            key = F.unix_micros(F.col(on)) if is_ts else F.col(on)
             n, n_keys, n_null, lo, hi = source.agg(
                 F.count(F.lit(1)),
                 F.count_distinct(on),
                 F.sum(F.col(on).isNull().cast("long")),
-                F.min(on),
-                F.max(on),
+                F.min(key),
+                F.max(key),
             ).collect()[0]
             if n == 0:
                 return self.snapshot().version  # empty source: no-op
@@ -733,6 +756,7 @@ class BTable:
             df = df.repartitionByRange(n, *cb).sortWithinPartitions(*cb)
         df.write.parquet(out_dir)
         written = spark.read.schema(df.schema).parquet(out_dir)
+        types = {f.name: f.dataType.typeName() for f in written.schema.fields}
         cols = [
             f.name
             for f in written.schema.fields
@@ -742,9 +766,21 @@ class BTable:
         ][:_STATS_COLS_MAX]
         aggs = [F.count(F.lit(1)).alias("_n")]
         for c in cols:
+            if types[c] == "timestamp":
+                # Timestamp stats as EPOCH MICROS, computed JVM-side:
+                # collect() renders TimestampType in the PYTHON process's
+                # local timezone, not the session timezone — under
+                # TZ=Pacific/Kiritimati with a UTC session the stats came
+                # back shifted +14 h and a tight same-day file was
+                # false-pruned (round-14 hostile-TZ battery).  Micros are
+                # timezone-free; the prune path converts literals with the
+                # live session tz (_lit_micros).
+                mn, mx = F.unix_micros(F.min(c)), F.unix_micros(F.max(c))
+            else:
+                mn, mx = F.min(c), F.max(c)
             aggs += [
-                F.min(c).alias(f"_min_{c}"),
-                F.max(c).alias(f"_max_{c}"),
+                mn.alias(f"_min_{c}"),
+                mx.alias(f"_max_{c}"),
                 # per-file null counts (Delta's nullCount): lets IS NULL /
                 # IS NOT NULL prune, and an all-null file prune ANY
                 # comparison (NULL op literal is never true)
@@ -989,6 +1025,30 @@ def _parse_temporal(s: str):
     return parsed
 
 
+def _lit_micros(s: str, tz: str | None) -> int | None:
+    """Naive timestamp literal -> epoch micros under the SESSION timezone
+    ``tz`` (how Spark's filter will interpret it); None means must-scan.
+    A literal falling in a DST gap or overlap is ambiguous (fold 0 and 1
+    disagree) and engines may resolve it differently — must-scan rather
+    than risk a false prune for a twice-a-year edge."""
+    if tz is None:
+        return None
+    dt = _parse_temporal(s)
+    if dt is None:
+        return None
+    try:
+        from zoneinfo import ZoneInfo
+
+        zi = ZoneInfo(tz)
+    except Exception:
+        return None
+    t0 = dt.replace(tzinfo=zi, fold=0).timestamp()
+    t1 = dt.replace(tzinfo=zi, fold=1).timestamp()
+    if t0 != t1:
+        return None
+    return int(round(t0 * 1_000_000))
+
+
 _NULL_RE = re.compile(
     r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s+IS\s+(NOT\s+)?NULL\s*$", re.IGNORECASE
 )
@@ -1030,10 +1090,20 @@ def _split_top_commas(s: str) -> list[str] | None:
     return parts
 
 
-def _typed_bounds(lo, hi, sq, dq, num, ftype):
+def _typed_bounds(lo, hi, sq, dq, num, ftype, tz=None):
     """Resolve one parsed literal against [lo, hi] stats under the column
     type rules shared by every comparison shape; None means type doubt
-    (caller must scan)."""
+    (caller must scan).  ``tz`` is the live session timezone, needed to
+    convert a naive timestamp literal against epoch-micros stats."""
+    if ftype == "timestamp" and isinstance(lo, int) and isinstance(hi, int):
+        # current-format stats: epoch micros (timezone-free, exact)
+        lit = sq if sq is not None else dq
+        if lit is None:
+            return None
+        val = _lit_micros(lit, tz)
+        if val is None:
+            return None
+        return val, lo, hi
     if num is not None:
         # numeric literal: compare EXACTLY.  float space loses precision for
         # bigint stats above 2^53 ('k > 9007199254740992' false-pruned the
@@ -1079,7 +1149,7 @@ def _typed_bounds(lo, hi, sq, dq, num, ftype):
 
 
 def _clause_excludes(
-    stats: dict[str, Any], clause: str, schema, nulls=None, rows=None
+    stats: dict[str, Any], clause: str, schema, nulls=None, rows=None, tz=None
 ) -> bool:
     """True iff the fully-parsed clause PROVES no row of the file can
     match.  Any parse or type doubt returns False (scan).  ``nulls`` is
@@ -1134,7 +1204,7 @@ def _clause_excludes(
             lm = _LIT_RE.match(item)
             if lm is None:
                 return False
-            bounds = _typed_bounds(lo, hi, *lm.groups(), ftype)
+            bounds = _typed_bounds(lo, hi, *lm.groups(), ftype, tz)
             if bounds is None:
                 return False
             val, flo, fhi = bounds
@@ -1143,7 +1213,7 @@ def _clause_excludes(
         return True
 
     op, sq, dq, num = m.group(2), m.group(3), m.group(4), m.group(5)
-    bounds = _typed_bounds(lo, hi, sq, dq, num, ftype)
+    bounds = _typed_bounds(lo, hi, sq, dq, num, ftype, tz)
     if bounds is None:
         return False
     val, flo, fhi = bounds
@@ -1159,7 +1229,8 @@ def _clause_excludes(
 
 
 def _maybe_matches(
-    stats: dict[str, Any], where: str, schema=None, nulls=None, rows=None
+    stats: dict[str, Any], where: str, schema=None, nulls=None, rows=None,
+    tz=None,
 ) -> bool:
     """Conservative file-pruning test: may this file contain a row matching
     ``where``?  Prunes ONLY on top-level conjuncts that parse completely as
@@ -1177,6 +1248,6 @@ def _maybe_matches(
         # rare in pruning predicates; must-scan is the conservative answer.
         return True
     return not any(
-        _clause_excludes(stats, clause, schema, nulls, rows)
+        _clause_excludes(stats, clause, schema, nulls, rows, tz)
         for clause in _split_top_and(where)
     )

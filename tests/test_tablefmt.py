@@ -292,6 +292,79 @@ def test_maybe_matches_advice_r13_regressions():
     assert not _maybe_matches(ts_stats, "ts > '2024-03-06 00:00:00'", tsch)
 
 
+def test_epoch_micros_timestamp_stats_prune_tz_exact():
+    """Round-14 hostile-TZ fix: timestamp stats are epoch micros (JVM-side,
+    timezone-free); the prune path converts naive literals with the LIVE
+    session timezone, and must-scans on any ambiguity."""
+    from datetime import datetime, timezone
+
+    from pyspark.sql.types import StructField, StructType, TimestampType
+
+    sch = StructType([StructField("ts", TimestampType())])
+
+    def us(y, mo, d, h=0):
+        return int(datetime(y, mo, d, h, tzinfo=timezone.utc).timestamp() * 1e6)
+
+    stats = {"ts": [us(2024, 3, 2), us(2024, 3, 2, 1)]}  # 00:00..01:00 UTC
+    # UTC session: literals inside/outside the hour prune exactly
+    assert _maybe_matches(stats, "ts >= '2024-03-02 00:10:00'", sch, tz="UTC")
+    assert not _maybe_matches(stats, "ts > '2024-03-02 01:00:00'", sch, tz="UTC")
+    assert not _maybe_matches(stats, "ts < '2024-03-02 00:00:00'", sch, tz="UTC")
+    # a +14 session tz shifts the literal's instant: 2024-03-02 14:10 local
+    # Kiritimati == 00:10 UTC -> still intersects; 00:10 local == the
+    # previous UTC day -> excluded
+    kir = "Pacific/Kiritimati"
+    assert _maybe_matches(stats, "ts >= '2024-03-02 14:10:00'", sch, tz=kir)
+    assert not _maybe_matches(stats, "ts <= '2024-03-02 00:10:00'", sch, tz=kir)
+    # unknown session tz -> must scan (never prune on a guess)
+    assert _maybe_matches(stats, "ts > '2024-03-02 01:00:00'", sch, tz=None)
+    assert _maybe_matches(stats, "ts > '2024-03-02 01:00:00'", sch, tz="No/Such")
+    # DST-ambiguous (fall-back overlap) and DST-gap literals -> must scan
+    ny = "America/New_York"
+    far = {"ts": [us(2030, 1, 1), us(2030, 1, 2)]}  # clearly disjoint stats
+    assert _maybe_matches(far, "ts <= '2024-11-03 01:30:00'", sch, tz=ny)
+    assert _maybe_matches(far, "ts <= '2024-03-10 02:30:00'", sch, tz=ny)
+    # an unambiguous literal under the same tz still prunes
+    assert not _maybe_matches(far, "ts <= '2024-11-03 03:30:00'", sch, tz=ny)
+
+
+def test_timestamp_pruning_survives_python_tz_mismatch(spark, tmp_path):
+    """END TO END regression for the round-14 hostile-TZ false prune: the
+    PYTHON process timezone differs from the (UTC-pinned) session timezone
+    — exactly the driver battery's TZ=Pacific/Kiritimati setup.  Before
+    the epoch-micros stats fix, collect() rendered the per-file ts stats
+    +14 h and a tight same-day read(where=) pruned away every live row."""
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    old = _os.environ.get("TZ")
+    _os.environ["TZ"] = "Pacific/Kiritimati"
+    _time.tzset()
+    try:
+        rows = spark.range(60).select(
+            F.col("id").alias("k"),
+            F.expr(
+                "timestamp'2024-03-02 00:00:00'"
+                " + make_interval(0, 0, 0, 0, 0, id, 0)"
+            ).alias("ts"),
+        )
+        t = BTable.create(spark, str(tmp_path / "t"), rows.coalesce(1))
+        w = "ts >= '2024-03-02 00:10:00' AND ts <= '2024-03-02 00:30:00'"
+        assert t.scan_file_count(w) == 1
+        assert t.read(spark, where=w).count() == 21
+        # and the delete path (same pruning) removes exactly those rows
+        t.delete(spark, w)
+        assert t.read(spark).count() == 39
+    finally:
+        if old is None:
+            _os.environ.pop("TZ", None)
+        else:
+            _os.environ["TZ"] = old
+        _time.tzset()
+
+
 def test_streaming_cdc_upsert_sink(spark, tmp_path):
     """The production lakehouse pattern: a CDC stream upserted into a
     btable via foreachBatch + MERGE.  Two micro-batches of row images
