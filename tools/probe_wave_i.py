@@ -1,0 +1,424 @@
+"""Wave-I candidate probes (tools/backlog_r16.md) — DESIGNS ONLY, nothing
+registered: round 14's sanctioned net-new surface is wave H and this file
+deliberately never imports biggie_spark.registry.register.
+
+Each probe is a (spark_fn, oracle_sql) pair in the exact shape a future
+`@register` would take, run through the driver-faithful compare
+(tests/compare.normalize_rows + md5, vanilla session) so a round-15/16
+builder can promote them by copy-paste with measured evidence:
+
+    python tools/probe_wave_i.py [sf_dir] [name ...]
+
+Candidates (all follow the ops/btable_ops.py determinism contract —
+fixed commit sequences, structural file layouts, bounded materialized
+aggregates):
+
+* bt_merge_delete_mode_state  — merge(when_matched='delete',
+  when_not_matched='ignore') = keyed anti-delete; unmatched source rows
+  must NOT insert.
+* bt_merge_ignore_mode_state  — merge(when_matched='update',
+  when_not_matched='ignore') = update-only images; unmatched source rows
+  dropped.
+* bt_merge_tskey_state        — MERGE keyed on a TIMESTAMP column
+  end-to-end: epoch-micros source-key range -> candidate files, exact
+  semi-join -> the single truly-hit file (files_removed asserted as a
+  literal), update + insert images folded relationally by the oracle.
+* bt_checkpoint_replay_read   — 13 commits (past the _CHECKPOINT_EVERY=10
+  cadence): current read resolves checkpoint@10 + 2 commits, a version-7
+  read resolves below the checkpoint; both must equal the full relational
+  fold, and the checkpoint file's existence is asserted as a column.
+* bt_cluster_pruned_read      — cluster_by=["k"] liquid-clustered create
+  over a 100-distinct-key uniform grid (nation-derived, SF-invariant,
+  skew-free as backlog_r16's trap note demands) with cluster_file_rows=25
+  -> exactly 4 range-disjoint files; point predicates assert
+  files_scanned=1, the full scan asserts 4, the mid-range predicate
+  asserts contents only (files_scanned sentinel -1 on both sides: range
+  boundaries come from the range partitioner's sampling and are NOT part
+  of the contract).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biggie_spark.io import load_table
+from biggie_spark.ops.btable_ops import (
+    _four_day_table,
+    _materialize,
+    _nation,
+    _scratch,
+)
+from biggie_spark.tablefmt import BTable
+from tests.compare import normalize_rows
+
+PROBES: dict[str, tuple] = {}
+
+
+def probe(name: str, oracle: str):
+    def deco(fn):
+        PROBES[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+_CUST_CENTS = "CAST(round(c_acctbal * 100, 0) AS BIGINT)"
+
+
+def _cust_base_src(spark: SparkSession, sf_dir: str):
+    """The bt_merge_upsert_state fixture: base = customers with key%10 in
+    0..4, source = new row images (negated balance, segment 'MERGED') for
+    key%10 in {4, 5} — 4 exercises when_matched, 5 when_not_matched."""
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    base = cust.filter("c_custkey % 10 < 5").select(
+        "c_custkey", "c_nationkey", cents.alias("bal_cents"), "c_mktsegment"
+    )
+    src = cust.filter("c_custkey % 10 IN (4, 5)").select(
+        "c_custkey",
+        "c_nationkey",
+        (-cents).alias("bal_cents"),
+        F.lit("MERGED").alias("c_mktsegment"),
+    )
+    return base, src
+
+
+def _bucket_agg(df: DataFrame) -> DataFrame:
+    return (
+        df.groupBy((F.col("c_custkey") % 10).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("bal_cents").alias("sum_bal"),
+            F.sum(
+                F.when(F.col("c_mktsegment") == "MERGED", 1).otherwise(0)
+            ).alias("n_merged"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@probe(
+    "bt_merge_delete_mode_state",
+    oracle=f"""
+    WITH fin AS (
+      SELECT c_custkey, {_CUST_CENTS} AS bal_cents, c_mktsegment
+      FROM customer WHERE c_custkey % 10 < 4
+    )
+    SELECT c_custkey % 10 AS bucket, COUNT(*) AS cnt,
+           CAST(SUM(bal_cents) AS BIGINT) AS sum_bal,
+           CAST(SUM(CASE WHEN c_mktsegment = 'MERGED' THEN 1 ELSE 0 END) AS BIGINT) AS n_merged
+    FROM fin GROUP BY bucket ORDER BY bucket
+    """,
+)
+def bt_merge_delete_mode_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge(when_matched='delete', when_not_matched='ignore') over the
+    upsert fixture: matched images (key%10==4) delete their target rows,
+    unmatched images (key%10==5) must vanish without inserting — the final
+    state is exactly base%10<4.  A leaked insert adds a bucket-5 row
+    (rows_match red); a missed delete keeps bucket 4 (hash red)."""
+    tmp = _scratch()
+    try:
+        base, src = _cust_base_src(spark, sf_dir)
+        t = BTable.create(spark, f"{tmp}/t", base.repartition(4))
+        t.merge(
+            spark, src, on="c_custkey",
+            when_matched="delete", when_not_matched="ignore",
+        )
+        return _materialize(_bucket_agg(t.read(spark)))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@probe(
+    "bt_merge_ignore_mode_state",
+    oracle=f"""
+    WITH base AS (
+      SELECT c_custkey, {_CUST_CENTS} AS bal_cents, c_mktsegment
+      FROM customer WHERE c_custkey % 10 < 5
+    ),
+    src AS (
+      SELECT c_custkey, -{_CUST_CENTS} AS bal_cents, 'MERGED' AS c_mktsegment
+      FROM customer WHERE c_custkey % 10 IN (4, 5)
+    ),
+    fin AS (
+      SELECT * FROM base WHERE c_custkey % 10 < 4
+      UNION ALL SELECT * FROM src WHERE c_custkey % 10 = 4
+    )
+    SELECT c_custkey % 10 AS bucket, COUNT(*) AS cnt,
+           CAST(SUM(bal_cents) AS BIGINT) AS sum_bal,
+           CAST(SUM(CASE WHEN c_mktsegment = 'MERGED' THEN 1 ELSE 0 END) AS BIGINT) AS n_merged
+    FROM fin GROUP BY bucket ORDER BY bucket
+    """,
+)
+def bt_merge_ignore_mode_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge(when_matched='update', when_not_matched='ignore'): bucket-4
+    rows take the new images (negated balance, 'MERGED'), bucket-5 source
+    rows are dropped — an insert leak shows as bucket-5 rows, a lost
+    update as n_merged=0 on bucket 4."""
+    tmp = _scratch()
+    try:
+        base, src = _cust_base_src(spark, sf_dir)
+        t = BTable.create(spark, f"{tmp}/t", base.repartition(4))
+        t.merge(
+            spark, src, on="c_custkey",
+            when_matched="update", when_not_matched="ignore",
+        )
+        return _materialize(_bucket_agg(t.read(spark)))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_ORC_DAY = (
+    "SELECT n_nationkey + 100 * {d} AS k, "
+    "TIMESTAMP '2024-03-0{d} 00:00:00' + n_nationkey * INTERVAL 2 MINUTE AS ts, "
+    "n_name AS grp FROM nation"
+)
+
+
+@probe(
+    "bt_merge_tskey_state",
+    oracle=f"""
+    WITH base AS (
+      {_ORC_DAY.format(d=1)} UNION ALL {_ORC_DAY.format(d=2)}
+      UNION ALL {_ORC_DAY.format(d=3)} UNION ALL {_ORC_DAY.format(d=4)}
+    ),
+    upd AS (
+      SELECT -(n_nationkey + 200) AS k,
+             TIMESTAMP '2024-03-02 00:00:00' + n_nationkey * INTERVAL 2 MINUTE AS ts,
+             n_name AS grp FROM nation
+    ),
+    ins AS ({_ORC_DAY.format(d=5)}),
+    fin AS (
+      SELECT * FROM base WHERE CAST(ts AS DATE) <> DATE '2024-03-02'
+      UNION ALL SELECT * FROM upd
+      UNION ALL SELECT * FROM ins
+    )
+    SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt,
+           CAST(SUM(k) AS BIGINT) AS sum_k, 1 AS files_removed
+    FROM fin GROUP BY day ORDER BY day
+    """,
+)
+def bt_merge_tskey_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE keyed on a TIMESTAMP column over the four-day structural
+    table: source = day-2 row images (k negated) + brand-new day-5 rows.
+    The epoch-micros source-key range spans days 2..5, so days 3 and 4 are
+    CANDIDATE files, but the exact semi-join must narrow the rewrite to
+    the single day-2 file — files_removed is asserted as the literal 1
+    from the merge commit's remove list (over-rewrite = 2+, under = 0,
+    both hash red).  Scores the round-14 epoch-micros stats path (TZ-free
+    key ranges) end to end through DML, not just reads."""
+    tmp = _scratch()
+    try:
+        t = _four_day_table(spark, sf_dir, tmp)
+        nat = _nation(spark, sf_dir)
+
+        def day(d: int, k_expr):
+            return nat.select(
+                k_expr.alias("k"),
+                F.expr(
+                    f"timestamp'2024-03-0{d} 00:00:00'"
+                    " + make_interval(0, 0, 0, 0, 0, n_nationkey * 2, 0)"
+                ).alias("ts"),
+                F.col("n_name").alias("grp"),
+            )
+
+        src = day(2, -(F.col("n_nationkey") + 200)).unionByName(
+            day(5, F.col("n_nationkey") + 500)
+        )
+        t.merge(spark, src, on="ts")
+        merge_doc = [c for c in t.history() if c["op"] == "merge"][-1]
+        n_removed = merge_doc["removed"]
+        return _materialize(
+            t.read(spark)
+            .groupBy(F.to_date("ts").alias("day"))
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("k").alias("sum_k"),
+            )
+            .withColumn("files_removed", F.lit(n_removed))
+            .orderBy("day")
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@probe(
+    "bt_checkpoint_replay_read",
+    oracle="""
+    WITH sl AS (
+      SELECT n_nationkey + 100 * r.i AS key, n_regionkey, r.i
+      FROM nation, range(0, 12) r(i)
+    )
+    SELECT 7 AS version, COUNT(*) AS cnt,
+           CAST(SUM(key) AS BIGINT) AS sum_key, 1 AS has_checkpoint
+    FROM sl WHERE i <= 7
+    UNION ALL
+    SELECT 12, COUNT(*), CAST(SUM(key) AS BIGINT), 1
+    FROM sl WHERE NOT (n_regionkey = 2)
+    ORDER BY version
+    """,
+)
+def bt_checkpoint_replay_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """13 fixed commits (create + 11 appends + a delete) cross the
+    _CHECKPOINT_EVERY=10 cadence: the current-version read must resolve
+    checkpoint@10 + commits 11..12, the version-7 time travel must resolve
+    BELOW the checkpoint (full replay prefix), and both must equal the
+    relational fold.  has_checkpoint pins that the cadence actually fired
+    — a silently-skipped checkpoint turns the op into a plain replay test
+    and hashes red."""
+    tmp = _scratch()
+    try:
+        nat = _nation(spark, sf_dir)
+
+        def sl(i: int):
+            return nat.select(
+                (F.col("n_nationkey") + 100 * i).alias("key"), "n_regionkey"
+            )
+
+        t = BTable.create(spark, f"{tmp}/t", sl(0).coalesce(1))
+        for i in range(1, 12):
+            t.append(spark, sl(i).coalesce(1))  # versions 1..11
+        t.delete(spark, "n_regionkey == 2")  # version 12
+        has_cp = int(
+            os.path.exists(
+                os.path.join(t.path, "_log", "00000010.checkpoint.json")
+            )
+        )
+        rows = []
+        for v in (7, 12):
+            r = t.read(spark, version=v).agg(
+                F.count(F.lit(1)), F.sum("key")
+            ).collect()[0]
+            rows.append((v, r[0], r[1], has_cp))
+        return spark.createDataFrame(
+            rows, "version int, cnt bigint, sum_key bigint, has_checkpoint int"
+        ).orderBy("version")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_CLUSTER_PREDS = [
+    # label, spark where, duckdb where, files scanned of 4 (-1 = contents
+    # only: range boundaries come from partitioner sampling, not contract)
+    ("full", "k <= 1000", "(k <= 1000)", 4),
+    ("mid_range", "k >= 28 AND k < 72", "(k >= 28 AND k < 72)", -1),
+    ("point_low", "k == 7", "(k = 7)", 1),
+    ("point_high", "k == 55", "(k = 55)", 1),
+]
+
+
+@probe(
+    "bt_cluster_pruned_read",
+    oracle=f"""
+    WITH grid AS (
+      SELECT n_nationkey * 4 + r.i AS k FROM nation, range(0, 4) r(i)
+    )
+    {" UNION ALL ".join(
+        f"SELECT '{label}' AS which, 4 AS files_total, "
+        f"{scanned} AS files_scanned, COUNT(*) AS cnt, "
+        f"CAST(SUM(k) AS BIGINT) AS sum_k FROM grid WHERE {dq}"
+        for label, _, dq, scanned in _CLUSTER_PREDS
+    )}
+    ORDER BY which
+    """,
+)
+def bt_cluster_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Liquid-clustered create: cluster_by=["k"] over a uniform
+    100-distinct-key grid (nation-derived — identical at every SF) with
+    cluster_file_rows=25 forces repartitionByRange(4, k) + in-file sort,
+    i.e. exactly 4 range-disjoint data files with sharp per-file k stats.
+    Point predicates must scan exactly 1 of 4 files (a point key lives in
+    exactly one range partition); the full scan pins files_total=4 so an
+    empty range partition (sampling skew) is caught as a layout break, not
+    silently absorbed.  The mid-range predicate asserts CONTENTS only
+    (sentinel -1): where its boundary files fall is the partitioner's
+    business."""
+    tmp = _scratch()
+    try:
+        nat = _nation(spark, sf_dir)
+        grid = nat.select(
+            F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i"),
+            "n_nationkey",
+        ).select((F.col("n_nationkey") * 4 + F.col("i")).alias("k"))
+        t = BTable.create(
+            spark, f"{tmp}/t", grid, cluster_by=["k"], cluster_file_rows=25
+        )
+        files_total = len(t.snapshot().files)
+        rows = []
+        for label, sw, _, scanned in _CLUSTER_PREDS:
+            n_scan = t.scan_file_count(sw) if scanned >= 0 else -1
+            r = t.read(spark, where=sw).agg(
+                F.count(F.lit(1)), F.sum("k")
+            ).collect()[0]
+            rows.append((label, files_total, n_scan, r[0], r[1]))
+        return spark.createDataFrame(
+            rows,
+            "which string, files_total int, files_scanned int, "
+            "cnt bigint, sum_k bigint",
+        ).orderBy("which")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("probe-wave-i")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for tb in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {tb} AS SELECT * FROM '{sf}/{tb}.parquet'")
+    n_pass = n_fail = 0
+    for name, (fn, oracle) in sorted(PROBES.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf)
+            srows = [tuple(r) for r in sdf.collect()]
+            cur = con.execute(oracle)
+            dcols = [d[0] for d in cur.description]
+            drows = cur.fetchall()
+            sh = hashlib.md5(
+                repr(normalize_rows(srows, sdf.columns)).encode()
+            ).hexdigest()
+            dh = hashlib.md5(
+                repr(normalize_rows(drows, dcols)).encode()
+            ).hexdigest()
+            ok = (
+                sorted(sdf.columns) == sorted(dcols)
+                and len(srows) == len(drows)
+                and sh == dh
+            )
+            print(
+                f"  {'PASS' if ok else 'FAIL'} {name}: rows={len(srows)} "
+                f"hash={'=' if sh == dh else '!='} ({time.time() - t0:.1f}s)"
+            )
+            n_pass += ok
+            n_fail += not ok
+        except Exception as ex:  # noqa: BLE001 - probe harness reports all
+            print(f"  ERROR {name}: {type(ex).__name__}: {str(ex)[:300]}")
+            n_fail += 1
+    print(f"pass={n_pass} fail={n_fail}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
