@@ -370,6 +370,207 @@ def bt_cluster_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+from pyspark.sql import Window  # noqa: E402
+
+from biggie_spark.util import r4  # noqa: E402
+
+
+@probe(
+    "agg_raking_4way",
+    oracle="""
+    WITH cell AS (SELECT event_type AS et,
+                         extract(hour FROM ts)//6 AS hq,
+                         (CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS dw,
+                         count(*)*1000000 AS w0
+                  FROM events GROUP BY 1, 2, 3),
+    n AS (SELECT sum(w0) AS tot, count(DISTINCT et) AS ke,
+                 count(DISTINCT hq) AS kh, count(DISTINCT dw) AS kd
+          FROM cell),
+    r1 AS (SELECT et, hq, dw,
+                  CAST(floor(CAST(w0 AS DOUBLE) * t / m) AS BIGINT) AS w
+           FROM (SELECT et, hq, dw, w0,
+                        sum(w0) OVER (PARTITION BY et, dw) AS m,
+                        (SELECT tot//(ke*kd) FROM n) AS t
+                 FROM cell)),
+    r2 AS (SELECT et, hq, dw,
+                  CAST(floor(CAST(w AS DOUBLE) * t / m) AS BIGINT) AS w
+           FROM (SELECT et, hq, dw, w,
+                        sum(w) OVER (PARTITION BY hq) AS m,
+                        (SELECT tot//kh FROM n) AS t
+                 FROM r1)),
+    r3 AS (SELECT et, hq, dw,
+                  CAST(floor(CAST(w AS DOUBLE) * t / m) AS BIGINT) AS w
+           FROM (SELECT et, hq, dw, w,
+                        sum(w) OVER (PARTITION BY et, dw) AS m,
+                        (SELECT tot//(ke*kd) FROM n) AS t
+                 FROM r2)),
+    r4_ AS (SELECT et, hq, dw,
+                   CAST(floor(CAST(w AS DOUBLE) * t / m) AS BIGINT) AS w
+            FROM (SELECT et, hq, dw, w,
+                         sum(w) OVER (PARTITION BY hq) AS m,
+                         (SELECT tot//kh FROM n) AS t
+                  FROM r3)),
+    res AS (SELECT max(abs(s - (SELECT tot//(ke*kd) FROM n))) AS pair_dev
+            FROM (SELECT et, dw, sum(w) AS s FROM r4_ GROUP BY 1, 2))
+    SELECT r4_.et AS event_type, CAST(r4_.dw AS BIGINT) AS dow_mod7,
+           CAST(r4_.hq AS BIGINT) AS hour_sextant,
+           CAST(r4_.w AS BIGINT) AS fitted_weight_e6,
+           CAST((SELECT pair_dev FROM res) AS BIGINT) AS residual_pair_dev
+    FROM r4_
+    """,
+)
+def agg_raking_4way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double raking: the agg_raking_ipf machinery extended to a PAIR
+    margin — cells over (event_type x hour-sextant x epoch-day-mod-7),
+    four alternating IPF passes fitting the JOINT (type x dow) margin and
+    the hour margin to uniform targets.  Day-of-week comes from epoch-day
+    mod 7 (datediff), never dayofweek(): Spark numbers Sunday=1, DuckDB
+    Sunday=0.  Every scale step is the identical-IEEE-double floor
+    (int64 products overflow at sf0.1 — the backlog_r15 standing rule);
+    the residual reports the unfitted pair-margin deviation after the
+    final hour pass — double raking's alternating-convergence signature.
+
+    Shape: one census scan, four bounded window passes over <=140 cells,
+    one 1-row residual broadcast."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("et"),
+        F.expr("hour(ts) div 6").alias("hq"),
+        F.expr("datediff(to_date(ts), date'1970-01-01') % 7").alias("dw"),
+    )
+    cell = e.groupBy("et", "hq", "dw").agg(
+        (F.count("*") * 1000000).alias("w0")
+    )
+    n = cell.groupBy().agg(
+        F.sum("w0").alias("tot"),
+        F.countDistinct("et").alias("ke"),
+        F.countDistinct("hq").alias("kh"),
+        F.countDistinct("dw").alias("kd"),
+    )
+
+    def ipf_step(df, part_cols, target_expr):
+        wprt = Window.partitionBy(*part_cols)
+        return (
+            df.withColumn("_m", F.sum("w").over(wprt))
+            .withColumn(
+                "w",
+                F.floor(
+                    F.col("w").cast("double")
+                    * F.expr(target_expr)
+                    / F.col("_m")
+                ).cast("long"),
+            )
+            .drop("_m")
+        )
+
+    base = cell.crossJoin(F.broadcast(n)).withColumn("w", F.col("w0"))
+    s1 = ipf_step(base, ("et", "dw"), "tot div (ke*kd)")
+    s2 = ipf_step(s1, ("hq",), "tot div kh")
+    s3 = ipf_step(s2, ("et", "dw"), "tot div (ke*kd)")
+    s4 = ipf_step(s3, ("hq",), "tot div kh")
+    res = (
+        s4.groupBy("et", "dw")
+        .agg(
+            F.sum("w").alias("s"),
+            F.max(F.expr("tot div (ke*kd)")).alias("tg"),
+        )
+        .groupBy()
+        .agg(F.max(F.abs(F.col("s") - F.col("tg"))).alias("pair_dev"))
+    )
+    return s4.crossJoin(F.broadcast(res)).select(
+        F.col("et").alias("event_type"),
+        F.col("dw").cast("long").alias("dow_mod7"),
+        F.col("hq").cast("long").alias("hour_sextant"),
+        F.col("w").cast("long").alias("fitted_weight_e6"),
+        F.col("pair_dev").cast("long").alias("residual_pair_dev"),
+    )
+
+
+_ENTROPY_K = 8
+
+
+@probe(
+    "ts_spectral_entropy",
+    oracle=f"""
+    WITH h AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY event_type, hr),
+    terms AS (SELECT h.event_type, h.hr, h.n, k.k,
+                     2 * pi() * k.k * h.hr / 24 AS th
+              FROM h, range(1, {_ENTROPY_K + 1}) k(k)),
+    r AS (SELECT event_type, k,
+                 CAST(sum(CAST(sign(n * cos(th)) *
+                      floor(abs(n * cos(th)) * 10 + 0.5) AS BIGINT))
+                   AS BIGINT) AS c,
+                 CAST(sum(CAST(sign(n * sin(th)) *
+                      floor(abs(n * sin(th)) * 10 + 0.5) AS BIGINT))
+                   AS BIGINT) AS s
+          FROM terms GROUP BY event_type, k),
+    e AS (SELECT event_type, k, c * c + s * s AS en
+          FROM r WHERE c * c + s * s > 0)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_bins_nonzero,
+           CAST(sum(en) AS BIGINT) AS total_energy_e2,
+           round(ln(sum(en)) - sum(en * ln(en)) / sum(en), 4) + 0
+             AS spectral_entropy_nats
+    FROM e GROUP BY event_type
+    """,
+)
+def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral entropy of the hour-of-day profile per event type — the
+    flatness-vs-peakedness summary of the seasonality spectrum (a flat
+    spectrum = noise-like traffic, one dominant bin = strong periodicity).
+    Composes the two proven cross-engine idioms and nothing else: the
+    ts_daily_spectrum integer-DFT discipline (every trig term rounded to
+    deci-units half-away BEFORE summation -> bin energies are exact
+    int64 on any engine/partitioning) and the llm_entropy_filter
+    entropy-over-integer-counts form H = ln(S) - sum(E·ln E)/S, r4 at the
+    boundary.  The backlog_r15 warning ("naive log2/FFT floats are not
+    cross-engine-stable") is about float accumulation INSIDE the DFT —
+    integer energies sidestep it; zero-energy bins are excluded on both
+    sides (Shannon 0·ln 0 = 0).
+
+    Shape: one aggregate onto the (type x 24) grid, an 8-row frequency
+    grid broadcast, two more bounded aggregates."""
+    h = load_table(spark, sf_dir, "events").groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hr")
+    ).agg(F.count("*").alias("n"))
+    ks = spark.range(1, _ENTROPY_K + 1).select(
+        F.col("id").cast("long").alias("k")
+    )
+    terms = h.crossJoin(F.broadcast(ks)).select(
+        "event_type",
+        "k",
+        (
+            F.lit(2)
+            * F.lit(3.141592653589793)
+            * F.col("k")
+            * F.col("hr")
+            / 24
+        ).alias("th"),
+        "n",
+    )
+
+    def deci(expr):
+        v = F.col("n") * expr
+        return (F.signum(v) * F.floor(F.abs(v) * 10 + 0.5)).cast("long")
+
+    r = terms.groupBy("event_type", "k").agg(
+        F.sum(deci(F.cos("th"))).alias("c"),
+        F.sum(deci(F.sin("th"))).alias("s"),
+    )
+    e = r.select(
+        "event_type",
+        (F.col("c") * F.col("c") + F.col("s") * F.col("s")).alias("en"),
+    ).filter(F.col("en") > 0)
+    tot = F.sum("en")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_bins_nonzero"),
+        tot.cast("long").alias("total_energy_e2"),
+        r4(
+            F.log(tot) - F.sum(F.col("en") * F.log("en")) / tot
+        ).alias("spectral_entropy_nats"),
+    )
+
+
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
