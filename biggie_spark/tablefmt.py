@@ -28,6 +28,12 @@ path + row count + per-column min/max stats) and ``remove`` entries
   files whose stats ranges intersect the touched keys (file-level
   pruning, then an exact semi-join confirms) — at 100 TB a merge that
   touches 0.1% of keys rewrites ~0.1% of files, not the table.
+* **Merge-on-read deletes (deletion vectors)**:
+  ``delete(..., mode='merge_on_read')`` touches NO data file — the
+  commit records per-file row-position ranges (coalesced runs, inline
+  in the log; the Delta 3.x DV idea with ranges instead of bitmap
+  sidecars) and reads anti-join them out.  Delete cost becomes
+  independent of file size; ``optimize()`` materializes the debt.
 * **Data skipping**: ``read(..., where=...)`` prunes files on the
   logged min/max stats before Spark ever lists them — the same
   scan-avoidance a lakehouse reader gets from footer stats, but
@@ -51,7 +57,7 @@ from fractions import Fraction
 from dataclasses import dataclass, field
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -118,13 +124,67 @@ def _latest_checkpoint(table: str, max_version: int) -> dict[str, Any] | None:
         return json.load(f)
 
 
+# --------------------------------------------------------------- deletion
+# vectors: per-file row-position ranges, the merge-on-read delete format.
+# A DV is a sorted list of disjoint half-open [start, end) parquet
+# row-index ranges; rows covered by a live file's DV are logically
+# deleted without rewriting the file.  Stored INLINE in the commit doc as
+# coalesced ranges (delete predicates produce run-shaped position sets,
+# so ranges compress them to metadata scale; the production-format analog
+# is Delta's roaring-bitmap DV sidecar — same semantics, denser encoding).
+
+
+def _rng_coalesce(ranges: list) -> list:
+    """Sort + merge overlapping/adjacent half-open ranges."""
+    out: list = []
+    for s, e in sorted((int(s), int(e)) for s, e in ranges):
+        if s >= e:
+            continue
+        if out and s <= out[-1][1]:
+            out[-1][1] = max(out[-1][1], e)
+        else:
+            out.append([s, e])
+    return out
+
+
+def _rng_union(a: list, b: list) -> list:
+    return _rng_coalesce(list(a) + list(b))
+
+
+def _rng_subtract(a: list, b: list) -> list:
+    """Rows in ``a`` not in ``b`` (both coalesced half-open range lists)."""
+    out: list = []
+    bi = 0
+    b = _rng_coalesce(b)
+    for s, e in _rng_coalesce(a):
+        cur = s
+        while bi < len(b) and b[bi][1] <= cur:
+            bi += 1
+        j = bi
+        while j < len(b) and b[j][0] < e:
+            if b[j][0] > cur:
+                out.append([cur, b[j][0]])
+            cur = max(cur, b[j][1])
+            j += 1
+        if cur < e:
+            out.append([cur, e])
+    return out
+
+
+def _rng_count(ranges: list) -> int:
+    return sum(e - s for s, e in ranges)
+
+
 @dataclass
 class Snapshot:
-    """Resolved table state at a version: live files + their stats."""
+    """Resolved table state at a version: live files + their stats, plus
+    per-file deletion vectors (rel path -> coalesced [start,end) row-index
+    ranges of logically-deleted rows)."""
 
     version: int
     schema_json: str
     files: dict[str, dict[str, Any]] = field(default_factory=dict)
+    dvs: dict[str, list] = field(default_factory=dict)
 
     def paths(self, table: str) -> list[str]:
         return [os.path.join(table, rel) for rel in sorted(self.files)]
@@ -145,6 +205,7 @@ def _replay(
             version=last,
             schema_json=base["schema"],
             files=dict(base["files"]),
+            dvs={rel: list(r) for rel, r in base.get("dvs", {}).items()},
         )
         floor = base["version"]
         seen = base["version"] == last
@@ -160,10 +221,15 @@ def _replay(
         seen = seen or c["version"] == last
         if "schema" in c:
             snap.schema_json = c["schema"]
+        if c.get("dv_reset"):  # RESTORE: DV state is replaced, not unioned
+            snap.dvs = {}
         for rel in c.get("remove", []):
             snap.files.pop(rel, None)
+            snap.dvs.pop(rel, None)  # a rewritten file's DV dies with it
         for add in c.get("add", []):
             snap.files[add["path"]] = add
+        for rel, rngs in c.get("dv", {}).items():
+            snap.dvs[rel] = _rng_union(snap.dvs.get(rel, []), rngs)
     if version is not None and not seen:
         raise ValueError(f"version {version} not in log (latest {last})")
     return snap
@@ -244,11 +310,7 @@ class BTable:
                 if _maybe_matches(a.get("stats", {}), where, sch,
                   a.get("nulls"), a.get("rows"), tz)
             }
-        paths = [os.path.join(self.path, rel) for rel in sorted(files)]
-        if not paths:
-            df = spark.createDataFrame([], _schema(snap))
-        else:
-            df = spark.read.schema(_schema(snap)).parquet(*paths)
+        df = self._read_live(spark, snap, sorted(files))
         return df.filter(where) if where is not None else df
 
     def snapshot(self, version: int | None = None) -> Snapshot:
@@ -275,7 +337,11 @@ class BTable:
         readable, and restore itself is just another atomic commit."""
         target = self.snapshot(version)
         cur = self.snapshot()
-        if target.files == cur.files and target.schema_json == cur.schema_json:
+        if (
+            target.files == cur.files
+            and target.schema_json == cur.schema_json
+            and target.dvs == cur.dvs
+        ):
             return cur.version
         gone = [
             rel
@@ -295,6 +361,11 @@ class BTable:
                 target.files[rel]
                 for rel in sorted(set(target.files) - set(cur.files))
             ],
+            # DV state is REPLACED with the target's (dv_reset), not
+            # unioned: restoring past a merge-on-read delete must
+            # resurrect its rows
+            "dv_reset": True,
+            "dv": target.dvs,
         }
         return self._commit(expected_version=cur.version, doc=doc)
 
@@ -306,6 +377,7 @@ class BTable:
                 "ts": c.get("ts"),
                 "added": len(c.get("add", [])),
                 "removed": len(c.get("remove", [])),
+                "dv_files": len(c.get("dv", {})),
             }
             for c in _read_log(self.path)
         ]
@@ -334,17 +406,55 @@ class BTable:
         last = commits[-1]["version"] if version_to is None else version_to
         snap = self.snapshot(last)  # validates the version + pins schema
         sch = _schema(snap)
-        by_version = {c["version"]: c for c in commits}
-        # removed files' add actions live in EARLIER commits: track paths
+        cols = [f.name for f in sch.fields]
+
+        # Per-version LIVE-ROW diff (generalizes the original add/remove
+        # scan to deletion vectors): a file's live rows at a version are
+        # [0, rows) minus its DV; the feed emits exactly
+        # live(v-1) - live(v) as deletes and live(v) - live(v-1) as
+        # inserts, so the multiset invariant holds across plain
+        # appends/rewrites, merge-on-read deletes (partial-file deletes),
+        # AND restores that resurrect DV'd rows (partial-file inserts).
+        # For DV-free tables every diff is the full [0, rows) range and
+        # the emission reduces to the original whole-file reads.
+        def live_map(s: Snapshot) -> dict[str, list]:
+            return {
+                rel: _rng_subtract(
+                    [[0, a.get("rows", 0)]], s.dvs.get(rel, [])
+                )
+                for rel, a in s.files.items()
+            }
+
         frames = []
+        prev_state = (
+            _replay(commits, version_from) if version_from >= 0 else None
+        )
+        prev_lm = live_map(prev_state) if prev_state is not None else {}
+        prev_files = prev_state.files if prev_state is not None else {}
         for v in range(version_from + 1, last + 1):
-            c = by_version.get(v)
-            if c is None:
-                continue
-            for kind, rels in (
-                ("insert", [a["path"] for a in c.get("add", [])]),
-                ("delete", c.get("remove", [])),
-            ):
+            curr_state = _replay(commits, v)
+            curr_lm = live_map(curr_state)
+            full_rels: dict[str, list] = {"insert": [], "delete": []}
+            part_rels: dict[str, dict[str, list]] = {"insert": {}, "delete": {}}
+            for rel in set(prev_lm) | set(curr_lm):
+                lp = prev_lm.get(rel, [])
+                lc = curr_lm.get(rel, [])
+                if lp == lc:
+                    continue
+                act = curr_state.files.get(rel) or prev_files.get(rel)
+                full = [[0, act.get("rows", 0)]] if act.get("rows") else []
+                for kind, rngs in (
+                    ("delete", _rng_subtract(lp, lc)),
+                    ("insert", _rng_subtract(lc, lp)),
+                ):
+                    if not rngs:
+                        continue
+                    if rngs == full:
+                        full_rels[kind].append(rel)
+                    else:
+                        part_rels[kind][rel] = rngs
+            for kind in ("insert", "delete"):
+                rels = sorted(full_rels[kind]) + sorted(part_rels[kind])
                 missing = [
                     rel
                     for rel in rels
@@ -355,13 +465,32 @@ class BTable:
                         f"changes({version_from}, {last}): {len(missing)} "
                         f"data files vacuumed (e.g. {missing[0]})"
                     )
-                if rels:
-                    frames.append(
-                        spark.read.schema(sch)
-                        .parquet(*[os.path.join(self.path, r) for r in rels])
-                        .withColumn("_change_type", F.lit(kind))
-                        .withColumn("_commit_version", F.lit(v).cast("long"))
+                out = None
+                if full_rels[kind]:
+                    out = spark.read.schema(sch).parquet(
+                        *[
+                            os.path.join(self.path, r)
+                            for r in sorted(full_rels[kind])
+                        ]
                     )
+                if part_rels[kind]:
+                    part = self._apply_ranges(
+                        spark,
+                        self._with_pos(
+                            spark, sch, sorted(part_rels[kind])
+                        ),
+                        part_rels[kind],
+                        "left_semi",
+                    ).select(*cols)
+                    out = part if out is None else out.unionByName(part)
+                if out is not None:
+                    frames.append(
+                        out.withColumn("_change_type", F.lit(kind))
+                        .withColumn(
+                            "_commit_version", F.lit(v).cast("long")
+                        )
+                    )
+            prev_lm, prev_files = curr_lm, curr_state.files
         if not frames:
             from pyspark.sql.types import LongType, StringType, StructField
 
@@ -470,9 +599,43 @@ class BTable:
         aligned = df.select(*cols)
         return aligned, (full.json() if new_fields else None)
 
-    def delete(self, spark: SparkSession, where: str, retries: int = 0) -> int:
-        """Copy-on-write delete: rewrite only the files whose stats range
-        intersects ``where`` AND that actually contain matching rows."""
+    def delete(
+        self,
+        spark: SparkSession,
+        where: str,
+        retries: int = 0,
+        mode: str = "copy_on_write",
+        max_dv_ranges_per_file: int = 10_000,
+    ) -> int:
+        """Delete rows matching ``where``.
+
+        ``mode='copy_on_write'`` (default): rewrite only the files whose
+        stats range intersects ``where`` AND that actually contain
+        matching rows — the original behavior.
+
+        ``mode='merge_on_read'``: deletion vectors — no data file is
+        touched; the commit records per-file row-position ranges and
+        every subsequent read filters them out.  At 100 TB this is the
+        difference between rewriting a 1 GB file to drop 10 rows and
+        appending a few bytes of metadata (Delta 3.x's DV feature; same
+        read semantics, inline-range encoding instead of bitmap
+        sidecars).  Position sets are compressed to coalesced runs
+        JVM-side before the driver sees them; a pathological delete that
+        fragments a file into more than ``max_dv_ranges_per_file`` runs
+        falls back to copy-on-write FOR THAT FILE in the same commit, so
+        commit-doc size stays metadata-bounded.  Stats/null-counts keep
+        describing the physical file (a superset of live rows), so file
+        pruning stays conservative-correct; OPTIMIZE materializes DVs
+        (rewrites drop them)."""
+        if mode == "merge_on_read":
+            return self._with_retry(
+                lambda: self._delete_dv_once(
+                    spark, where, max_dv_ranges_per_file
+                ),
+                retries,
+            )
+        if mode != "copy_on_write":
+            raise ValueError(f"delete mode={mode!r}")
 
         def attempt() -> int:
             snap = self.snapshot()
@@ -500,6 +663,69 @@ class BTable:
             )
 
         return self._with_retry(attempt, retries)
+
+    def _delete_dv_once(self, spark, where: str, max_ranges: int) -> int:
+        """One merge-on-read delete attempt: compute the NEWLY-deleted
+        live row positions (already-DV'd rows are excluded, so DV ranges
+        across commits never overlap and the change feed stays an exact
+        multiset), compress them to runs, and commit them as deletion
+        vectors — rewriting copy-on-write only the files whose runs
+        exceed ``max_ranges``."""
+        snap = self.snapshot()
+        sch = _schema(snap)
+        tz = _session_tz(spark)
+        candidates = [
+            rel
+            for rel, a in snap.files.items()
+            if _maybe_matches(a.get("stats", {}), where, sch,
+                              a.get("nulls"), a.get("rows"), tz)
+        ]
+        if not candidates:
+            return snap.version
+        live = self._apply_ranges(
+            spark,
+            self._with_pos(spark, sch, candidates),
+            {r: snap.dvs[r] for r in candidates if snap.dvs.get(r)},
+            "left_anti",
+        )
+        w = Window.partitionBy("_btable_rel").orderBy("_btable_ri")
+        runs = (
+            live.filter(where)
+            .select("_btable_rel", "_btable_ri")
+            .withColumn("_g", F.col("_btable_ri") - F.row_number().over(w))
+            .groupBy("_btable_rel", "_g")
+            .agg(
+                F.min("_btable_ri").alias("s"),
+                (F.max("_btable_ri") + 1).alias("e"),
+            )
+            .collect()  # O(#runs): metadata scale, never O(#deleted rows)
+        )
+        if not runs:
+            return snap.version
+        dv: dict[str, list] = {}
+        for r in runs:
+            dv.setdefault(r["_btable_rel"], []).append([r["s"], r["e"]])
+        rewrite = []
+        for rel in list(dv):
+            dv[rel] = _rng_coalesce(dv[rel])
+            if len(dv[rel]) > max_ranges:
+                rewrite.append(rel)
+                del dv[rel]
+        doc: dict[str, Any] = {"op": "delete", "mode": "merge_on_read"}
+        if dv:
+            doc["dv"] = dv
+        if rewrite:
+            survivors = self._read_live(spark, snap, rewrite).filter(
+                f"NOT ({where})"
+            )
+            doc["remove"] = rewrite
+            adds = (
+                []
+                if survivors.isEmpty()
+                else self._write_files(spark, survivors)
+            )
+            doc["add"] = adds
+        return self._commit(expected_version=snap.version, doc=doc)
 
     def merge(
         self,
@@ -582,9 +808,11 @@ class BTable:
         rewritten = None
         cand_df = None
         if candidates:
-            cand_df = spark.read.schema(_schema(snap)).parquet(
-                *[os.path.join(self.path, rel) for rel in candidates]
-            ).withColumn("_btable_file", F.input_file_name())
+            # DV-aware: already-deleted rows must neither count as merge
+            # hits nor survive a rewrite
+            cand_df = self._read_live(
+                spark, snap, candidates, file_col="_btable_file"
+            )
             hits = (
                 cand_df.join(F.broadcast(keys), on, "left_semi")
                 .select("_btable_file")
@@ -598,9 +826,7 @@ class BTable:
                 if any(h.endswith(rel) for h in hit_files)
             ]
         if touched:
-            old = spark.read.schema(_schema(snap)).parquet(
-                *[os.path.join(self.path, rel) for rel in touched]
-            )
+            old = self._read_live(spark, snap, touched)
             keep = old.join(F.broadcast(keys), on, "left_anti")
             if when_matched == "update":
                 updated = source.join(
@@ -656,15 +882,18 @@ class BTable:
             for rel, a in snap.files.items()
             if a.get("rows", 0) < small_file_rows
         ]
-        if len(small) < 2:
+        # files carrying deletion vectors are always rewrite targets:
+        # OPTIMIZE is where merge-on-read debt gets materialized (the
+        # rewrite drops the DV, restoring plain-scan reads + exact stats)
+        dvd = [rel for rel in snap.files if snap.dvs.get(rel)]
+        targets = sorted(set(small) | set(dvd))
+        if not dvd and len(small) < 2:
             return snap.version  # nothing worth packing
-        df = spark.read.schema(_schema(snap)).parquet(
-            *[os.path.join(self.path, rel) for rel in small]
-        ).coalesce(1)
-        adds = self._write_files(spark, df)
+        df = self._read_live(spark, snap, targets).coalesce(1)
+        adds = [] if df.isEmpty() else self._write_files(spark, df)
         return self._commit(
             expected_version=snap.version,
-            doc={"op": "optimize", "remove": small, "add": adds},
+            doc={"op": "optimize", "remove": targets, "add": adds},
         )
 
     def vacuum(
@@ -726,6 +955,106 @@ class BTable:
         )
 
     # ----------------------------------------------------------- helpers
+
+    def _with_pos(self, spark, sch: StructType, rels: list[str]) -> DataFrame:
+        """Read data files exposing each row's provenance: full source
+        path (``_btable_file``), parquet row index (``_btable_ri``), and
+        the btable-relative path (``_btable_rel`` = the trailing
+        data/<commit>/<name> segments, equi-joinable against commit-log
+        keys).  ``_metadata`` is populated per-file by the parquet reader,
+        so this works under an explicit read schema."""
+        df = spark.read.schema(sch).parquet(
+            *[os.path.join(self.path, rel) for rel in rels]
+        )
+        return (
+            df.select(
+                "*",
+                F.col("_metadata.file_path").alias("_btable_file"),
+                F.col("_metadata.row_index").alias("_btable_ri"),
+            )
+            .withColumn(
+                "_btable_rel",
+                F.concat_ws(
+                    "/", F.slice(F.split(F.col("_btable_file"), "/"), -3, 3)
+                ),
+            )
+        )
+
+    @staticmethod
+    def _apply_ranges(
+        spark, df: DataFrame, ranges_by_rel: dict[str, list], how: str
+    ) -> DataFrame:
+        """Keep (``left_semi``) or drop (``left_anti``) the rows of ``df``
+        (which carries ``_btable_rel``/``_btable_ri``) whose row index
+        falls inside a file's ranges.  The ranges frame is METADATA-sized
+        (coalesced runs, same scale as the commit log itself), so the
+        broadcast is bounded regardless of table size; the join keys on
+        the rel equi-component with the range bounds as residuals."""
+        rows = [
+            (rel, int(s), int(e))
+            for rel, rr in ranges_by_rel.items()
+            for s, e in rr
+        ]
+        if not rows:
+            return df if how == "left_anti" else df.limit(0)
+        rdf = spark.createDataFrame(
+            rows, "_r_rel string, _r_s bigint, _r_e bigint"
+        )
+        cond = (
+            (F.col("_btable_rel") == F.col("_r_rel"))
+            & (F.col("_btable_ri") >= F.col("_r_s"))
+            & (F.col("_btable_ri") < F.col("_r_e"))
+        )
+        return df.join(F.broadcast(rdf), cond, how)
+
+    def _read_live(
+        self,
+        spark,
+        snap: Snapshot,
+        rels: list[str],
+        file_col: str | None = None,
+    ) -> DataFrame:
+        """DV-aware read of the given live files: rows covered by a
+        file's deletion vector are filtered out.  Files WITHOUT a DV take
+        the plain scan path (identical plan to the pre-DV format — no
+        metadata columns, no join); only DV'd files pay the anti-join.
+        Returns exactly the table schema, plus the full source path as
+        ``file_col`` if requested."""
+        sch = _schema(snap)
+        cols = [f.name for f in sch.fields]
+        plain = [r for r in rels if not snap.dvs.get(r)]
+        dvd = [r for r in rels if snap.dvs.get(r)]
+        frames = []
+        if plain:
+            df = spark.read.schema(sch).parquet(
+                *[os.path.join(self.path, rel) for rel in plain]
+            )
+            if file_col:
+                df = df.withColumn(file_col, F.input_file_name())
+            frames.append(df)
+        if dvd:
+            df = self._apply_ranges(
+                spark,
+                self._with_pos(spark, sch, dvd),
+                {r: snap.dvs[r] for r in dvd},
+                "left_anti",
+            )
+            if file_col:
+                df = df.withColumnRenamed("_btable_file", file_col)
+            frames.append(df.select(*cols, *([file_col] if file_col else [])))
+        if not frames:
+            out_sch = StructType(list(sch.fields))
+            if file_col:
+                from pyspark.sql.types import StringType, StructField
+
+                out_sch = StructType(
+                    list(sch.fields) + [StructField(file_col, StringType())]
+                )
+            return spark.createDataFrame([], out_sch)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
 
     def _check_schema(self, spark, df: DataFrame, snap: Snapshot) -> None:
         expected = spark.createDataFrame([], _schema(snap)).schema
@@ -814,9 +1143,9 @@ class BTable:
         files as a DataFrame or None if all rows matched)."""
         if not candidates:
             return [], None
-        cand_df = spark.read.schema(_schema(snap)).parquet(
-            *[os.path.join(self.path, rel) for rel in candidates]
-        ).withColumn("_btable_file", F.input_file_name())
+        cand_df = self._read_live(
+            spark, snap, candidates, file_col="_btable_file"
+        )
         hit_files = {
             r[0]
             for r in cand_df.filter(where)
@@ -829,10 +1158,10 @@ class BTable:
         ]
         if not touched:
             return [], None
-        survivors = (
-            spark.read.schema(_schema(snap))
-            .parquet(*[os.path.join(self.path, rel) for rel in touched])
-            .filter(f"NOT ({where})")
+        # DV-aware: the rewrite must keep only LIVE survivors — reading
+        # the raw files here would resurrect DV-deleted rows
+        survivors = self._read_live(spark, snap, touched).filter(
+            f"NOT ({where})"
         )
         if survivors.isEmpty():
             return touched, None
@@ -873,6 +1202,7 @@ class BTable:
                 "version": version,
                 "schema": snap.schema_json,
                 "files": snap.files,
+                "dvs": snap.dvs,
             }
             cp = os.path.join(
                 self.path, _LOG_DIR, f"{version:08d}.checkpoint.json"

@@ -339,8 +339,14 @@ _COLLECT_ALLOWLIST = {
     # driver to be logged, same shape as Delta's per-file stats),
     # (2) merge's source key-range min/max (1 row),
     # (3) merge's hit-file list and (4) delete's hit-file list (one row
-    # per candidate data file, after stats-range pruning).
-    "tablefmt.py": 4,
+    # per candidate data file, after stats-range pruning),
+    # (5, round-14 deletion vectors) merge-on-read delete's coalesced
+    # run list: positions are compressed to [start,end) runs JVM-side
+    # BEFORE collect, so the driver sees O(#runs) — metadata scale,
+    # never O(#deleted rows) — and files fragmenting past
+    # max_dv_ranges_per_file fall back to copy-on-write in the same
+    # commit (SCALE.md "Round-14: deletion vectors").
+    "tablefmt.py": 5,
     # round-13 btable scored surfaces (SCALE.md "Round-13: tablefmt
     # hardening"): every site collects a BOUNDED AGGREGATE result
     # (<= ~60 rows — per-region / per-version / per-predicate counts) so

@@ -1278,3 +1278,214 @@ def test_engine_facade_surfaces_cdf_and_merge_schema(spark, sf_dir, tmp_path):
     )
     assert t.read(spark).filter("w IS NOT NULL").count() == 1
     assert t.changes(spark, 0).filter("_change_type = 'insert'").count() == 1
+
+
+# --------------------------------------------------------------- deletion
+# vectors (merge-on-read deletes)
+
+
+def test_rng_algebra_unit():
+    from biggie_spark.tablefmt import _rng_coalesce, _rng_subtract, _rng_union
+
+    assert _rng_coalesce([[5, 7], [1, 3], [3, 5]]) == [[1, 7]]
+    assert _rng_coalesce([[1, 1], [2, 3]]) == [[2, 3]]  # empty range dropped
+    assert _rng_union([[0, 2]], [[2, 4]]) == [[0, 4]]
+    assert _rng_subtract([[0, 10]], [[2, 4], [6, 8]]) == [
+        [0, 2], [4, 6], [8, 10],
+    ]
+    assert _rng_subtract([[0, 4]], [[0, 4]]) == []
+    assert _rng_subtract([[0, 4]], []) == [[0, 4]]
+    assert _rng_subtract([], [[0, 4]]) == []
+    # b range straddling two a ranges
+    assert _rng_subtract([[0, 3], [5, 8]], [[2, 6]]) == [[0, 2], [6, 8]]
+
+
+def test_dv_delete_is_metadata_only_and_time_travels(spark, tmp_path):
+    """merge_on_read delete: NO data file is added or removed — the
+    commit is pure metadata — yet reads, filtered reads and row counts
+    behave exactly as a rewrite would, and time travel resurrects."""
+    t = _mk(spark, tmp_path)  # 100 rows over 4 files
+    files_before = set(t.snapshot().files)
+    v = t.delete(spark, "grp == 'g3'", mode="merge_on_read")
+    assert v == 1
+    snap = t.snapshot()
+    assert set(snap.files) == files_before, "DV delete must not touch files"
+    h = t.history()[-1]
+    assert (h["added"], h["removed"]) == (0, 0) and h["dv_files"] >= 1
+    assert t.read(spark).count() == 80
+    assert t.read(spark).filter("grp = 'g3'").count() == 0
+    assert t.read(spark, where="grp == 'g3'").count() == 0
+    assert t.read(spark, version=0).count() == 100
+    # stats stay physical: file pruning is conservative, never wrong
+    assert t.scan_file_count() == len(files_before)
+
+
+def test_dv_second_delete_unions_disjointly(spark, tmp_path):
+    """A second DV delete records only NEWLY-deleted rows (computed on
+    the DV-applied read), so per-file ranges union without overlap and
+    total deleted row count is exact."""
+    from biggie_spark.tablefmt import _rng_count
+
+    t = _mk(spark, tmp_path)
+    t.delete(spark, "k % 10 == 3", mode="merge_on_read")
+    t.delete(spark, "k % 5 == 3", mode="merge_on_read")  # overlaps half
+    snap = t.snapshot()
+    assert sum(_rng_count(r) for r in snap.dvs.values()) == 20
+    assert t.read(spark).count() == 80
+    assert t.read(spark, where="k < 50").count() == 40
+    # deleting already-deleted rows is a version no-op
+    v = t.snapshot().version
+    assert t.delete(spark, "k % 10 == 3", mode="merge_on_read") == v
+
+
+def test_dv_cow_rewrite_never_resurrects(spark, tmp_path):
+    """A copy-on-write delete (or merge) that rewrites a DV'd file must
+    carry only LIVE survivors — reading raw files would resurrect the
+    DV-deleted rows — and the rewrite drops the file's DV."""
+    t = _mk(spark, tmp_path, parts=1)
+    t.delete(spark, "grp == 'g2'", mode="merge_on_read")
+    t.delete(spark, "k >= 90")  # cow rewrite of the single file
+    assert t.snapshot().dvs == {}
+    got = t.read(spark)
+    assert got.count() == 72  # 100 - 20 dv'd - 8 live in [90,100)
+    assert got.filter("grp = 'g2'").count() == 0
+
+
+def test_dv_merge_inserts_deleted_keys_updates_live(spark, tmp_path):
+    """MERGE on a DV'd table: a source key whose target row is
+    DV-deleted must INSERT (the row is logically gone), a live key must
+    update; the rewrite of truly-hit files drops their DVs."""
+    t = _mk(spark, tmp_path, parts=1)
+    t.delete(spark, "k < 10", mode="merge_on_read")
+    src = spark.createDataFrame(
+        [(i, -1, "m") for i in range(15)], "k bigint, v bigint, grp string"
+    )
+    t.merge(spark, src, on="k")
+    got = t.read(spark)
+    assert got.count() == 100  # 90 live + 10 reinserts, 5 in-place updates
+    assert got.filter("grp = 'm'").count() == 15
+    assert t.snapshot().dvs == {}  # the one hit file was rewritten
+
+
+def test_dv_optimize_materializes(spark, tmp_path):
+    """OPTIMIZE rewrites every DV'd file (even when nothing is 'small'),
+    clearing the merge-on-read debt."""
+    t = _mk(spark, tmp_path, parts=2)
+    t.delete(spark, "grp == 'g0'", mode="merge_on_read")
+    assert t.snapshot().dvs
+    t.optimize(spark, small_file_rows=1)  # no small files; dv'd still go
+    assert t.snapshot().dvs == {}
+    assert t.read(spark).count() == 80
+    assert t.read(spark).filter("grp = 'g0'").count() == 0
+
+
+def test_dv_restore_resurrects_rows(spark, tmp_path):
+    """RESTORE replaces DV state (dv_reset): rolling back past a DV
+    delete resurrects its rows; rolling forward-to-past-DV re-deletes."""
+    t = _mk(spark, tmp_path)                                   # v0
+    t.delete(spark, "grp == 'g4'", mode="merge_on_read")       # v1
+    t.optimize(spark, small_file_rows=1_000_000)               # v2
+    t.restore(1)                                               # v3: dv back
+    assert t.read(spark).count() == 80
+    assert t.snapshot().dvs, "restore must restore the DV state"
+    t.restore(0)                                               # v4
+    assert t.read(spark).count() == 100
+    assert t.snapshot().dvs == {}
+
+
+def test_dv_cdf_emits_partial_file_changes(spark, tmp_path):
+    """The change feed under DVs: a merge-on-read delete emits exactly
+    the newly-dead rows as deletes (partial-file granularity — sharper
+    than the COW whole-file emission); a later COW rewrite of a DV'd
+    file emits only its LIVE rows as deletes.  The multiset invariant
+    state(to) = state(from) - deletes + inserts holds throughout."""
+    t = _mk(spark, tmp_path, parts=2)                          # v0
+    t.delete(spark, "grp == 'g1'", mode="merge_on_read")       # v1
+    t.delete(spark, "k >= 80")                                 # v2: cow
+    cdf = t.changes(spark, 0)
+    v1 = cdf.filter("_commit_version = 1")
+    assert {r._change_type for r in v1.collect()} == {"delete"}
+    assert v1.count() == 20 and {r.grp for r in v1.collect()} == {"g1"}
+    # cow delete at v2: per-file deletes must EXCLUDE already-dv'd rows
+    v2_del = cdf.filter(
+        "_commit_version = 2 AND _change_type = 'delete'"
+    )
+    assert v2_del.filter("grp = 'g1'").count() == 0
+
+    def multiset(df):
+        return {
+            (r.k, r.v, r.grp): r["count"]
+            for r in df.groupBy("k", "v", "grp").count().collect()
+        }
+
+    replay = dict(multiset(t.read(spark, version=0)))
+    for r in cdf.collect():
+        key = (r.k, r.v, r.grp)
+        if r._change_type == "delete":
+            replay[key] = replay.get(key, 0) - 1
+            if replay[key] == 0:
+                del replay[key]
+        else:
+            replay[key] = replay.get(key, 0) + 1
+    assert replay == multiset(t.read(spark)), "DV CDF invariant broken"
+
+
+def test_dv_cdf_restore_resurrection_rows(spark, tmp_path):
+    """A restore that shrinks a file's DV emits the resurrected rows as
+    partial-file INSERTS in the feed."""
+    t = _mk(spark, tmp_path, parts=1)                          # v0
+    t.delete(spark, "grp == 'g2'", mode="merge_on_read")       # v1
+    t.restore(0)                                               # v2
+    v2 = t.changes(spark, 1, 2)
+    assert {r._change_type for r in v2.collect()} == {"insert"}
+    assert v2.count() == 20 and {r.grp for r in v2.collect()} == {"g2"}
+
+
+def test_dv_checkpoint_carries_dv_state(spark, tmp_path):
+    """Replay checkpoints snapshot the DV map too: a read that resolves
+    from a checkpoint written after a DV delete must still filter."""
+    t = _mk(spark, tmp_path, n=20, parts=1)                    # v0
+    for i in range(9):                                         # v1..v9
+        t.append(
+            spark,
+            spark.createDataFrame(
+                [(1000 + 20 * i + j, j, "gx") for j in range(20)],
+                "k bigint, v bigint, grp string",
+            ),
+        )
+    t.delete(spark, "grp == 'g0'", mode="merge_on_read")       # v10 -> ckpt
+    assert os.path.exists(
+        str(tmp_path / "t" / "_log" / "00000010.checkpoint.json")
+    )
+    t.append(
+        spark,
+        spark.createDataFrame([(9999, 1, "gz")], "k bigint, v bigint, grp string"),
+    )                                                          # v11
+    got = t.read(spark)  # resolves from the v10 checkpoint
+    assert got.count() == 20 + 180 + 1 - 4  # 4 g0 rows among the first 20
+    assert got.filter("grp = 'g0'").count() == 0
+
+
+def test_dv_fragmentation_falls_back_to_cow(spark, tmp_path):
+    """A delete that fragments a file into more runs than
+    max_dv_ranges_per_file rewrites THAT file copy-on-write in the same
+    commit, keeping commit-doc size metadata-bounded."""
+    t = _mk(spark, tmp_path, parts=1)
+    files_before = set(t.snapshot().files)
+    # k % 2 == 0 -> 50 single-row runs in one file
+    t.delete(
+        spark, "k % 2 == 0", mode="merge_on_read", max_dv_ranges_per_file=10
+    )
+    snap = t.snapshot()
+    assert snap.dvs == {}, "fragmented DV must have fallen back to COW"
+    assert set(snap.files) != files_before
+    assert t.read(spark).count() == 50
+    assert t.read(spark).filter("k % 2 == 0").count() == 0
+
+
+def test_dv_noop_and_bad_mode(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    v = t.snapshot().version
+    assert t.delete(spark, "k > 100000", mode="merge_on_read") == v
+    with pytest.raises(ValueError):
+        t.delete(spark, "k > 0", mode="bogus")

@@ -102,6 +102,50 @@ def main() -> None:
         # correctness spot: the negated rows landed
         neg = to.read(spark).filter("price_cents < 0").count()
         assert neg == rec["merge_keys"], (neg, rec["merge_keys"])
+
+        # --- 3. deletion vectors vs copy-on-write on a SCATTERED delete ---
+        # ~0.1% of rows, one key per thousand: under a key-clustered
+        # layout the matches land in EVERY file — copy-on-write's worst
+        # case (rewrites the whole table), deletion vectors' reason to
+        # exist (metadata-only commit).  Also measures the read-side
+        # anti-join overhead DVs introduce, which OPTIMIZE clears.
+        pred = "o_orderkey % 1000 == 7"
+        tc = BTable.create(
+            spark, f"{tmp}/cow", orders, cluster_by=["o_orderkey"],
+            cluster_file_rows=max(1000, n_ord // 20),
+        )
+        td = BTable.create(
+            spark, f"{tmp}/dv", orders, cluster_by=["o_orderkey"],
+            cluster_file_rows=max(1000, n_ord // 20),
+        )
+        rec["scatter_del_rows"] = tc.read(spark).filter(pred).count()
+        cow_before = set(tc.snapshot().files)
+        _, rec["t_scatter_cow_s"] = timed(lambda: tc.delete(spark, pred))
+        rec["scatter_cow_files_rewritten"] = len(
+            cow_before - set(tc.snapshot().files)
+        )
+        dv_before = set(td.snapshot().files)
+        _, rec["t_scatter_dv_s"] = timed(
+            lambda: td.delete(spark, pred, mode="merge_on_read")
+        )
+        rec["scatter_dv_files_rewritten"] = len(
+            dv_before - set(td.snapshot().files)
+        )
+        rec["scatter_dv_ranges"] = sum(
+            len(r) for r in td.snapshot().dvs.values()
+        )
+        n_cow = tc.read(spark).count()
+        n_dv = td.read(spark).count()
+        assert n_cow == n_dv == n_ord - rec["scatter_del_rows"]
+        _, rec["t_read_after_cow_s"] = timed(lambda: tc.read(spark).count())
+        _, rec["t_read_after_dv_s"] = timed(lambda: td.read(spark).count())
+        _, rec["t_dv_optimize_s"] = timed(
+            lambda: td.optimize(spark, small_file_rows=0)
+        )
+        assert td.snapshot().dvs == {}  # materialized
+        _, rec["t_read_after_optimize_s"] = timed(
+            lambda: td.read(spark).count()
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     print(json.dumps(rec))
