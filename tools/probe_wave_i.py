@@ -370,6 +370,155 @@ def bt_cluster_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# ---------------------------------------------------------------- wave J
+# candidates: the round-14 deletion-vector capability as scored surfaces
+# (tools/backlog_r16.md gains these; registration is a later wave's call)
+
+
+@probe(
+    "bt_dv_delete_state",
+    oracle="""
+    WITH base AS (
+      SELECT n_nationkey + 100 * r.i AS k,
+             n_regionkey, r.i AS day FROM nation, range(1, 5) r(i)
+    ),
+    live AS (SELECT * FROM base WHERE NOT (k % 5 = 2))
+    SELECT day, COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS sum_k,
+           4 AS files_total, 0 AS files_rewritten, 4 AS dv_files,
+           4 AS files_scanned_conservative
+    FROM live GROUP BY day ORDER BY day
+    """,
+)
+def bt_dv_delete_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read delete scored end to end: a scattered predicate
+    (k % 5 == 2) hits all four structural files, the DV commit must
+    rewrite ZERO of them (files_rewritten literal — a copy-on-write
+    fallback kicking in spuriously hashes red), record a DV on each
+    (dv_files from history), keep stats-based scanning conservative
+    (scan_file_count still 4 — DV'd rows don't shrink physical stats),
+    and read back exactly the live rows."""
+    tmp = _scratch()
+    try:
+        nat = _nation(spark, sf_dir)
+
+        def day_slice(i: int):
+            return nat.select(
+                (F.col("n_nationkey") + 100 * i).alias("k"),
+                "n_regionkey",
+                F.lit(i).cast("long").alias("day"),
+            )
+
+        t = BTable.create(spark, f"{tmp}/t", day_slice(1).coalesce(1))
+        for i in (2, 3, 4):
+            t.append(spark, day_slice(i).coalesce(1))
+        files_before = set(t.snapshot().files)
+        t.delete(spark, "k % 5 == 2", mode="merge_on_read")
+        snap = t.snapshot()
+        rewritten = len(files_before - set(snap.files))
+        dv_files = t.history()[-1]["dv_files"]
+        scanned = t.scan_file_count("k % 5 == 2")
+        return _materialize(
+            t.read(spark)
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("k").alias("sum_k"))
+            .withColumn("files_total", F.lit(len(snap.files)))
+            .withColumn("files_rewritten", F.lit(rewritten))
+            .withColumn("dv_files", F.lit(dv_files))
+            .withColumn("files_scanned_conservative", F.lit(scanned))
+            .orderBy("day")
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@probe(
+    "bt_dv_cdf_state",
+    oracle="""
+    WITH v1_dead AS (SELECT * FROM nation WHERE n_regionkey = 2),
+    v1_live AS (SELECT * FROM nation WHERE NOT (n_regionkey = 2)),
+    v2_live AS (SELECT * FROM v1_live WHERE NOT (n_nationkey >= 20))
+    SELECT 1 AS commit_version, 'delete' AS change_type,
+           COUNT(*) AS cnt, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+    FROM v1_dead
+    UNION ALL SELECT 2, 'delete', COUNT(*), CAST(SUM(n_nationkey) AS BIGINT)
+    FROM v1_live
+    UNION ALL SELECT 2, 'insert', COUNT(*), CAST(SUM(n_nationkey) AS BIGINT)
+    FROM v2_live
+    ORDER BY commit_version, change_type
+    """,
+)
+def bt_dv_cdf_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change feed under deletion vectors: the DV commit (v1) must
+    emit PARTIAL-file deletes — exactly the newly-dead rows, sharper
+    than copy-on-write's whole-file emission — and the later
+    copy-on-write rewrite (v2) must emit deletes for the file's LIVE
+    rows only (emitting the already-DV'd region-2 rows again would
+    double-count them and hash red).  Scores the live-row-diff feed
+    (tablefmt.py:changes, range algebra on [0,rows) minus DV) end to
+    end."""
+    tmp = _scratch()
+    try:
+        t = BTable.create(
+            spark, f"{tmp}/t",
+            _nation(spark, sf_dir).coalesce(1),
+        )
+        t.delete(spark, "n_regionkey == 2", mode="merge_on_read")  # v1
+        t.delete(spark, "n_nationkey >= 20")                       # v2: cow
+        return _materialize(
+            t.changes(spark, 0)
+            .groupBy(
+                F.col("_commit_version").cast("int").alias("commit_version"),
+                F.col("_change_type").alias("change_type"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("n_nationkey").alias("sum_key"),
+            )
+            .orderBy("commit_version", "change_type")
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@probe(
+    "bt_dv_restore_state",
+    oracle="""
+    SELECT 0 AS version, COUNT(*) AS cnt FROM nation
+    UNION ALL SELECT 1, COUNT(*) FROM nation WHERE NOT (n_regionkey = 2)
+    UNION ALL SELECT 2, COUNT(*) FROM nation
+    UNION ALL SELECT 102, COUNT(*) FROM nation WHERE n_regionkey = 2
+    ORDER BY version
+    """,
+)
+def bt_dv_restore_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE across a deletion vector: rolling back to v0 must
+    resurrect the DV-deleted rows via dv_reset (a restore that unioned
+    DV state instead of replacing it would keep them dead), every
+    version stays time-travel readable, and the restore commit's feed
+    window emits the resurrected rows as partial-file INSERTS (the
+    synthetic 102 row: their count via changes(1, 2))."""
+    tmp = _scratch()
+    try:
+        t = BTable.create(
+            spark, f"{tmp}/t",
+            _nation(spark, sf_dir).coalesce(1),
+        )
+        t.delete(spark, "n_regionkey == 2", mode="merge_on_read")  # v1
+        t.restore(0)                                               # v2
+        rows = [
+            (v, t.read(spark, version=v).count()) for v in (0, 1, 2)
+        ]
+        resurrected = (
+            t.changes(spark, 1, 2).filter("_change_type = 'insert'").count()
+        )
+        rows.append((102, resurrected))
+        return spark.createDataFrame(rows, "version int, cnt bigint").orderBy(
+            "version"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 from pyspark.sql import Window  # noqa: E402
 
 from biggie_spark.util import r4  # noqa: E402
