@@ -175,6 +175,45 @@ def _rng_count(ranges: list) -> int:
     return sum(e - s for s, e in ranges)
 
 
+def _live_diffs(commits: list, version_from: int, version_to: int):
+    """Per-version LIVE-ROW diffs over a commit log: yields
+    ``(version, kind, rel, ranges, is_full)`` for every file whose live
+    row set changed in commits ``(version_from, version_to]``, where a
+    file's live rows at a version are ``[0, rows)`` minus its deletion
+    vector.  ``kind`` is 'insert'/'delete', ``ranges`` the changed
+    row-index ranges, ``is_full`` True when they cover the whole physical
+    file (the plain add/remove case — callers can skip position
+    filtering).  Shared by ``BTable.changes`` and the streaming source
+    (biggie_spark/btable_stream.py); pure driver-side metadata work."""
+    prev_state = _replay(commits, version_from) if version_from >= 0 else None
+
+    def live_map(s):
+        return {
+            rel: _rng_subtract([[0, a.get("rows", 0)]], s.dvs.get(rel, []))
+            for rel, a in s.files.items()
+        }
+
+    prev_lm = live_map(prev_state) if prev_state is not None else {}
+    prev_files = prev_state.files if prev_state is not None else {}
+    for v in range(version_from + 1, version_to + 1):
+        curr_state = _replay(commits, v)
+        curr_lm = live_map(curr_state)
+        for rel in sorted(set(prev_lm) | set(curr_lm)):
+            lp = prev_lm.get(rel, [])
+            lc = curr_lm.get(rel, [])
+            if lp == lc:
+                continue
+            act = curr_state.files.get(rel) or prev_files.get(rel)
+            full = [[0, act.get("rows", 0)]] if act.get("rows") else []
+            for kind, rngs in (
+                ("delete", _rng_subtract(lp, lc)),
+                ("insert", _rng_subtract(lc, lp)),
+            ):
+                if rngs:
+                    yield v, kind, rel, rngs, rngs == full
+        prev_lm, prev_files = curr_lm, curr_state.files
+
+
 @dataclass
 class Snapshot:
     """Resolved table state at a version: live files + their stats, plus
@@ -408,51 +447,31 @@ class BTable:
         sch = _schema(snap)
         cols = [f.name for f in sch.fields]
 
-        # Per-version LIVE-ROW diff (generalizes the original add/remove
-        # scan to deletion vectors): a file's live rows at a version are
-        # [0, rows) minus its DV; the feed emits exactly
-        # live(v-1) - live(v) as deletes and live(v) - live(v-1) as
-        # inserts, so the multiset invariant holds across plain
-        # appends/rewrites, merge-on-read deletes (partial-file deletes),
-        # AND restores that resurrect DV'd rows (partial-file inserts).
-        # For DV-free tables every diff is the full [0, rows) range and
-        # the emission reduces to the original whole-file reads.
-        def live_map(s: Snapshot) -> dict[str, list]:
-            return {
-                rel: _rng_subtract(
-                    [[0, a.get("rows", 0)]], s.dvs.get(rel, [])
-                )
-                for rel, a in s.files.items()
-            }
-
+        # Per-version LIVE-ROW diffs (_live_diffs: generalizes the
+        # original add/remove scan to deletion vectors — partial-file
+        # deletes for DV commits, partial-file inserts for DV-shrinking
+        # restores, live-only deletes for rewrites of DV'd files; for
+        # DV-free tables every diff is the full [0, rows) range and the
+        # emission reduces to the original whole-file reads).
         frames = []
-        prev_state = (
-            _replay(commits, version_from) if version_from >= 0 else None
-        )
-        prev_lm = live_map(prev_state) if prev_state is not None else {}
-        prev_files = prev_state.files if prev_state is not None else {}
-        for v in range(version_from + 1, last + 1):
-            curr_state = _replay(commits, v)
-            curr_lm = live_map(curr_state)
-            full_rels: dict[str, list] = {"insert": [], "delete": []}
-            part_rels: dict[str, dict[str, list]] = {"insert": {}, "delete": {}}
-            for rel in set(prev_lm) | set(curr_lm):
-                lp = prev_lm.get(rel, [])
-                lc = curr_lm.get(rel, [])
-                if lp == lc:
-                    continue
-                act = curr_state.files.get(rel) or prev_files.get(rel)
-                full = [[0, act.get("rows", 0)]] if act.get("rows") else []
-                for kind, rngs in (
-                    ("delete", _rng_subtract(lp, lc)),
-                    ("insert", _rng_subtract(lc, lp)),
-                ):
-                    if not rngs:
-                        continue
-                    if rngs == full:
-                        full_rels[kind].append(rel)
-                    else:
-                        part_rels[kind][rel] = rngs
+        diffs_by_version: dict[int, dict] = {}
+        for v, kind, rel, rngs, is_full in _live_diffs(
+            commits, version_from, last
+        ):
+            slot = diffs_by_version.setdefault(
+                v,
+                {
+                    "full": {"insert": [], "delete": []},
+                    "part": {"insert": {}, "delete": {}},
+                },
+            )
+            if is_full:
+                slot["full"][kind].append(rel)
+            else:
+                slot["part"][kind][rel] = rngs
+        for v in sorted(diffs_by_version):
+            full_rels = diffs_by_version[v]["full"]
+            part_rels = diffs_by_version[v]["part"]
             for kind in ("insert", "delete"):
                 rels = sorted(full_rels[kind]) + sorted(part_rels[kind])
                 missing = [
@@ -490,7 +509,6 @@ class BTable:
                             "_commit_version", F.lit(v).cast("long")
                         )
                     )
-            prev_lm, prev_files = curr_lm, curr_state.files
         if not frames:
             from pyspark.sql.types import LongType, StringType, StructField
 

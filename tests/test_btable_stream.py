@@ -1,0 +1,137 @@
+"""btable_changes Python Data Source (biggie_spark/btable_stream.py):
+batch parity with BTable.changes, Structured Streaming with commit-version
+offsets, checkpoint resume, deletion-vector partial-file emission."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from biggie_spark.btable_stream import register_btable_source
+from biggie_spark.tablefmt import BTable
+
+
+@pytest.fixture()
+def src(spark):
+    register_btable_source(spark)
+    return spark
+
+
+def _mk(spark, tmp_path, name="t"):
+    df = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("g")
+    )
+    t = BTable.create(spark, str(tmp_path / name), df.coalesce(1))
+    t.append(
+        spark,
+        df.select((F.col("k") + 100).alias("k"), "g").coalesce(1),
+    )
+    return t
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_batch_read_parity_with_native_changes(src, tmp_path):
+    t = _mk(src, tmp_path)
+    t.delete(src, "g == 1", mode="merge_on_read")  # partial-file deletes
+    t.delete(src, "k >= 130")                      # cow rewrite
+    ds = (
+        src.read.format("btable_changes")
+        .option("startingVersion", 0)
+        .load(t.path)
+    )
+    assert _rows(ds) == _rows(t.changes(src, 0))
+    # full history includes the create commit (startingVersion default -1)
+    full = src.read.format("btable_changes").load(t.path)
+    assert full.filter("_commit_version = 0").count() == 40
+    # bounded window
+    win = (
+        src.read.format("btable_changes")
+        .option("startingVersion", 1)
+        .option("endingVersion", 2)
+        .load(t.path)
+    )
+    assert {r._commit_version for r in win.collect()} == {2}
+    assert _rows(win) == _rows(t.changes(src, 1, 2))
+
+
+def test_stream_available_now_drains_full_feed(src, tmp_path):
+    t = _mk(src, tmp_path)
+    t.delete(src, "g == 2", mode="merge_on_read")
+    q = (
+        src.readStream.format("btable_changes")
+        .load(t.path)
+        .writeStream.format("memory")
+        .queryName("bts_feed")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = _rows(src.sql("SELECT * FROM bts_feed"))
+    want = _rows(t.changes(src, -1))
+    assert got == want and len(got) == 80 + 20  # 2 full files + 20 dv dels
+
+
+def test_stream_checkpoint_resumes_at_committed_version(src, tmp_path):
+    """The exactly-once story: a restart with the same checkpoint sees
+    ONLY commits made after the last drained offset.  Uses a parquet
+    sink — the memory sink cannot recover from a checkpoint."""
+    t = _mk(src, tmp_path)                                  # v0, v1
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            src.readStream.format("btable_changes")
+            .load(t.path)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return src.read.parquet(out)
+
+    first = drain()
+    assert {r._commit_version for r in first.collect()} == {0, 1}
+    t.delete(src, "g == 3", mode="merge_on_read")           # v2
+    second = drain()  # appends only the NEW window to the sink
+    delta = second.filter("_commit_version >= 2")
+    assert second.count() == first.count() + 20, (
+        "resume must append exactly the new commits, no replays"
+    )
+    assert delta.count() == 20
+    assert {r._change_type for r in delta.collect()} == {"delete"}
+    # third drain with no new commits appends nothing
+    third = drain()
+    assert third.count() == second.count()
+
+
+def test_schema_evolution_nullfills_older_files(src, tmp_path):
+    t = _mk(src, tmp_path)
+    t.add_column(src, "w", "bigint")
+    t.append(
+        src,
+        src.createDataFrame([(999, 1, 7)], "k bigint, g bigint, w bigint"),
+    )
+    ds = src.read.format("btable_changes").load(t.path)
+    assert "w" in ds.columns
+    old = ds.filter("_commit_version <= 1")
+    assert old.count() == 80 and old.filter("w IS NULL").count() == 80
+    assert ds.filter("_commit_version = 3 AND w = 7").count() == 1
+
+
+def test_vacuumed_history_refuses_loudly(src, tmp_path):
+    t = _mk(src, tmp_path)
+    t.delete(src, "k < 20")  # rewrite file 1
+    t.vacuum(keep_versions=1, retention_seconds=0)
+    with pytest.raises(Exception, match="vacuumed"):
+        (
+            src.read.format("btable_changes")
+            .option("startingVersion", 0)
+            .load(t.path)
+            .count()
+        )
