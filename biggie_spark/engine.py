@@ -89,6 +89,21 @@ class Engine:
 
         return BTable.create(self.spark, path, df)
 
+    def btable_changes_stream(self, path: str, starting_version: int = -1):
+        """The btable change feed as a live Structured Streaming frame
+        (format('btable_changes'), biggie_spark/btable_stream.py):
+        commit-version offsets, checkpoint-exact resume.  Pair with
+        ``.writeStream`` + a checkpointLocation for an incremental
+        consumer; the batch equivalent is ``btable(path).changes(...)``."""
+        from biggie_spark.btable_stream import register_btable_source
+
+        register_btable_source(self.spark)
+        return (
+            self.spark.readStream.format("btable_changes")
+            .option("startingVersion", starting_version)
+            .load(path)
+        )
+
     def knn(self, probe_ids: list[int], k: int = 5) -> DataFrame:
         """Exact cosine top-k for the given probe vectors (shared kernel
         with the llm_knn_cosine operator)."""

@@ -135,3 +135,20 @@ def test_vacuumed_history_refuses_loudly(src, tmp_path):
             .load(t.path)
             .count()
         )
+
+
+def test_engine_facade_streams_changes(src, sf_dir, tmp_path):
+    from biggie_spark.engine import Engine
+
+    e = Engine.connect(sf_dir, src)
+    t = _mk(src, tmp_path)
+    sdf = e.btable_changes_stream(t.path)
+    assert sdf.isStreaming
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("bts_engine")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert src.sql("SELECT * FROM bts_engine").count() == 80
