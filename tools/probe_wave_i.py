@@ -519,6 +519,60 @@ def bt_dv_restore_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@probe(
+    "bt_feed_source_read",
+    oracle="""
+    WITH v1_dead AS (SELECT * FROM nation WHERE n_regionkey = 2),
+    v1_live AS (SELECT * FROM nation WHERE NOT (n_regionkey = 2))
+    SELECT 0 AS commit_version, 'insert' AS change_type,
+           COUNT(*) AS cnt, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+    FROM nation
+    UNION ALL SELECT 1, 'delete', COUNT(*), CAST(SUM(n_nationkey) AS BIGINT)
+    FROM v1_dead
+    UNION ALL SELECT 2, 'insert', COUNT(*), CAST(SUM(n_nationkey) AS BIGINT)
+    FROM v1_dead
+    ORDER BY commit_version, change_type
+    """,
+)
+def bt_feed_source_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The btable_changes DATA SOURCE (biggie_spark/btable_stream.py)
+    scored end to end through its batch reader: a Python Data Source
+    whose planning is the _live_diffs range algebra and whose executor
+    reads are pyarrow range slices — create (full-file insert), a
+    deletion-vector delete (partial-file delete emission), and a restore
+    (partial-file resurrect-insert via dv_reset), aggregated per
+    (commit_version, change_type).  startingVersion=-1 must include the
+    create commit; any drift between the source and the native
+    changes() feed (they share planning but not the read path — JVM
+    parquet scan vs pyarrow slices) hashes red."""
+    from biggie_spark.btable_stream import register_btable_source
+
+    register_btable_source(spark)
+    tmp = _scratch()
+    try:
+        t = BTable.create(
+            spark, f"{tmp}/t", _nation(spark, sf_dir).coalesce(1)
+        )
+        t.delete(spark, "n_regionkey == 2", mode="merge_on_read")  # v1
+        t.restore(0)                                               # v2
+        return _materialize(
+            spark.read.format("btable_changes")
+            .option("startingVersion", -1)
+            .load(t.path)
+            .groupBy(
+                F.col("_commit_version").cast("int").alias("commit_version"),
+                F.col("_change_type").alias("change_type"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("n_nationkey").alias("sum_key"),
+            )
+            .orderBy("commit_version", "change_type")
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 from pyspark.sql import Window  # noqa: E402
 
 from biggie_spark.util import r4  # noqa: E402
