@@ -60,7 +60,7 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-from biggie_spark.tablefmt import _live_diffs, _read_log, _replay
+from biggie_spark.tablefmt import _live_diffs, _read_log, _replay, _rng_subtract
 
 
 def _feed_schema(table_path: str) -> StructType:
@@ -239,6 +239,329 @@ class BTableChangesDataSource(DataSource):
         return _FeedStreamReader(schema, dict(self.options))
 
 
+# --------------------------------------------------------------------------
+# format("btable"): the table itself as a Spark data source — snapshot
+# READS (DV-aware pyarrow chunks, one task per live file) and WRITES:
+# df.write.format("btable").mode("append"/"overwrite").save(path) plus a
+# Structured Streaming SINK with Delta-style txn exactly-once
+# (option("txnAppId", ...): a retried micro-batch epoch is recognized in
+# the commit log and skipped, so sink output is exactly-once per epoch).
+# Snapshot reads through BTable.read (JVM parquet scan + stats pruning)
+# remain the fast path; this reader exists so format("btable") is
+# complete and for consumers that want the plain DataFrame API end to end.
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+class _SnapshotChunk(InputPartition):
+    def __init__(self, table_path: str, rel: str | None, live: list | None):
+        self.table_path = table_path
+        self.rel = rel
+        self.live = live  # None = whole file (no DV)
+
+
+class _SnapshotReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.table_path = options["path"]
+        self.version = options.get("version")
+        self.fields = [(f.name, _arrow_type(f.dataType)) for f in schema.fields]
+
+    def partitions(self):
+        commits = _read_log(self.table_path)
+        v = None if self.version is None else int(self.version)
+        snap = _replay(commits, v)
+        chunks = [
+            _SnapshotChunk(
+                self.table_path,
+                rel,
+                None
+                if not snap.dvs.get(rel)
+                else _rng_subtract(
+                    [[0, a.get("rows", 0)]], snap.dvs[rel]
+                ),
+            )
+            for rel, a in sorted(snap.files.items())
+        ]
+        return chunks or [_SnapshotChunk(self.table_path, None, None)]
+
+    def read(self, partition: _SnapshotChunk):
+        chunk = _ChangeChunk(
+            partition.table_path, partition.rel, partition.live, "", 0
+        )
+        fields = [f for f in self.fields]  # table cols only (no feed cols)
+        yield from _read_chunk(chunk, fields)
+
+
+_STATS_TYPES = {
+    "long", "integer", "short", "byte", "double", "float",
+    "string", "date", "timestamp", "decimal",
+}
+
+
+def _write_partition(
+    table_path: str, fields: list, rows_iter
+) -> dict | None:
+    """Executor-side: write one partition's rows as one parquet file under
+    data/, returning the add action (path + rows + min/max/null stats in
+    EXACTLY tablefmt's conventions — timestamps as epoch micros — so
+    stats pruning and MERGE key-range candidacy work on Python-written
+    files identically to JVM-written ones)."""
+    import datetime as _dt
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    names = [n for n, _ in fields]
+    cols: dict[str, list] = {n: [] for n in names}
+    n_rows = 0
+    for row in rows_iter:
+        n_rows += 1
+        for i, n in enumerate(names):
+            cols[n].append(row[i])
+    if n_rows == 0:
+        return None
+    arrays = []
+    for n, pa_type in fields:
+        vals = cols[n]
+        if pa.types.is_timestamp(pa_type):
+            # Spark hands the Python writer naive datetimes rendered in
+            # the PYTHON process tz (the same trap tablefmt's JVM stats
+            # fix documents): pin them to instants via the local tz
+            # before storing, and store tz-aware (isAdjustedToUTC) so
+            # readers in any session tz see the same instant.
+            vals = [
+                None
+                if v is None
+                else v.astimezone(_dt.timezone.utc)
+                for v in vals
+            ]
+            arrays.append(pa.array(vals, pa.timestamp("us", tz="UTC")))
+        else:
+            arrays.append(pa.array(vals, pa_type))
+    tbl = pa.table(dict(zip(names, arrays)))
+    rel_dir = os.path.join(_DATA_DIR_NAME, f"w{_uuid.uuid4().hex[:12]}")
+    os.makedirs(os.path.join(table_path, rel_dir), exist_ok=True)
+    rel = os.path.join(rel_dir, "part-0.parquet")
+    pq.write_table(tbl, os.path.join(table_path, rel))
+    stats, nulls = {}, {}
+    for n, pa_type in fields:
+        col = tbl.column(n)
+        type_name = "timestamp" if pa.types.is_timestamp(pa_type) else None
+        if n in _stats_cols(fields):
+            nulls[n] = int(col.null_count)
+            live = col.drop_null()
+            if len(live) == 0:
+                stats[n] = [None, None]
+                continue
+            mm = pc.min_max(live)
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+            if type_name == "timestamp":
+                # epoch micros ints, matching tablefmt's unix_micros stats
+                ep = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+                lo = int((lo - ep).total_seconds() * 1_000_000)
+                hi = int((hi - ep).total_seconds() * 1_000_000)
+            else:
+                from biggie_spark.tablefmt import _plain
+
+                lo, hi = _plain(lo), _plain(hi)
+            stats[n] = [lo, hi]
+    return {"path": rel, "rows": n_rows, "stats": stats, "nulls": nulls}
+
+
+_DATA_DIR_NAME = "data"
+
+
+def _stats_cols(fields: list) -> set:
+    # first 32 stats-eligible columns, mirroring tablefmt._STATS_COLS_MAX;
+    # eligibility is by arrow type (all _arrow_type outputs are eligible
+    # except binary/bool, mirroring the JVM list)
+    import pyarrow as pa
+
+    out = []
+    for n, pa_type in fields:
+        if pa.types.is_binary(pa_type) or pa.types.is_boolean(pa_type):
+            continue
+        out.append(n)
+        if len(out) >= 32:
+            break
+    return set(out)
+
+
+class _AddMsg(WriterCommitMessage):
+    def __init__(self, add: dict | None):
+        self.add = add
+
+
+def _check_write_schema(schema: StructType, table_path: str) -> None:
+    if not os.path.isdir(os.path.join(table_path, "_log")):
+        return  # new table: first commit pins the schema
+    commits = _read_log(table_path)
+    snap = _replay(commits, None)
+    import json as _json
+
+    table = StructType.fromJson(_json.loads(snap.schema_json))
+    got = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+    want = [(f.name, f.dataType.simpleString()) for f in table.fields]
+    if got != want:
+        raise ValueError(
+            f"btable write schema {got} != table schema {want}"
+        )
+
+
+def _commit_with_retry(table_path: str, build_doc, retries: int = 5) -> int:
+    """Driver-side: assemble and claim the next version, re-reading the
+    log on CommitConflict (the optimistic-concurrency loop DML uses)."""
+    from biggie_spark.tablefmt import BTable, CommitConflict
+
+    t = BTable(table_path)
+    for _ in range(retries + 1):
+        commits = (
+            _read_log(table_path)
+            if os.path.isdir(os.path.join(table_path, "_log"))
+            else []
+        )
+        expected = commits[-1]["version"] if commits else -1
+        doc = build_doc(commits, expected)
+        if doc is None:
+            return expected  # idempotent skip (txn already committed)
+        if expected == -1:
+            os.makedirs(os.path.join(table_path, "_log"), exist_ok=True)
+        try:
+            return t._commit(expected_version=expected, doc=doc)
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"btable write lost {retries + 1} commit races")
+
+
+class _BTableBatchWriter(DataSourceWriter):
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        self.table_path = options["path"]
+        self.overwrite = overwrite
+        self.schema_json = schema.json()
+        self.fields = [(f.name, _arrow_type(f.dataType)) for f in schema.fields]
+        _check_write_schema(schema, self.table_path)
+        os.makedirs(self.table_path, exist_ok=True)
+
+    def write(self, iterator) -> _AddMsg:
+        return _AddMsg(_write_partition(self.table_path, self.fields, iterator))
+
+    def commit(self, messages) -> None:
+        adds = [m.add for m in messages if m is not None and m.add]
+
+        def build(commits, expected):
+            if expected == -1:
+                return {
+                    "op": "create",
+                    "schema": self.schema_json,
+                    "add": adds,
+                }
+            if self.overwrite:
+                snap = _replay(commits, None)
+                return {
+                    "op": "overwrite",
+                    "remove": sorted(snap.files),
+                    "add": adds,
+                    "dv_reset": True,
+                }
+            return {"op": "append", "add": adds}
+
+        _commit_with_retry(self.table_path, build)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and m.add:
+                try:
+                    os.unlink(os.path.join(self.table_path, m.add["path"]))
+                except OSError:
+                    pass
+
+
+class _BTableStreamWriter(DataSourceStreamWriter):
+    """Streaming sink with Delta-style transactional idempotence: each
+    epoch's commit doc carries {"txn": {app, batch}}; a retried epoch
+    (same txnAppId + batchId already in the log) is skipped, so the sink
+    is exactly-once per epoch on top of at-least-once delivery."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.table_path = options["path"]
+        self.app = options.get("txnappid", "btable_stream")
+        self.schema_json = schema.json()
+        self.fields = [(f.name, _arrow_type(f.dataType)) for f in schema.fields]
+        _check_write_schema(schema, self.table_path)
+        os.makedirs(self.table_path, exist_ok=True)
+
+    def write(self, iterator) -> _AddMsg:
+        return _AddMsg(_write_partition(self.table_path, self.fields, iterator))
+
+    def commit(self, messages, batchId: int) -> None:
+        adds = [m.add for m in messages if m is not None and m.add]
+
+        def build(commits, expected):
+            last = max(
+                (
+                    c["txn"]["batch"]
+                    for c in commits
+                    if c.get("txn", {}).get("app") == self.app
+                ),
+                default=-1,
+            )
+            if batchId <= last:
+                return None  # epoch replay: already committed
+            doc: dict[str, Any] = {
+                "op": "append",
+                "add": adds,
+                "txn": {"app": self.app, "batch": batchId},
+            }
+            if expected == -1:
+                doc["op"] = "create"
+                doc["schema"] = self.schema_json
+            return doc
+
+        _commit_with_retry(self.table_path, build)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and m.add:
+                try:
+                    os.unlink(os.path.join(self.table_path, m.add["path"]))
+                except OSError:
+                    pass
+
+
+class BTableDataSource(DataSource):
+    """``format("btable")``: snapshot reads (``version`` option for time
+    travel) and transactional writes (append/overwrite; streaming sink
+    with ``txnAppId`` exactly-once epochs).  ``BTable.read`` remains the
+    performance path for batch reads (JVM scan + stats pruning)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "btable"
+
+    def schema(self) -> StructType:
+        commits = _read_log(self.options["path"])
+        snap = _replay(commits, None)
+        import json as _json
+
+        return StructType.fromJson(_json.loads(snap.schema_json))
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _SnapshotReader(schema, dict(self.options))
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return _BTableBatchWriter(schema, dict(self.options), overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return _BTableStreamWriter(schema, dict(self.options))
+
+
 def register_btable_source(spark: SparkSession) -> None:
-    """Idempotently register the btable_changes data source."""
+    """Idempotently register the btable data sources (feed + table)."""
     spark.dataSource.register(BTableChangesDataSource)
+    spark.dataSource.register(BTableDataSource)

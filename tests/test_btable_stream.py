@@ -152,3 +152,143 @@ def test_engine_facade_streams_changes(src, sf_dir, tmp_path):
     )
     q.awaitTermination(180)
     assert src.sql("SELECT * FROM bts_engine").count() == 80
+
+
+# ------------------------------------------------------------ format("btable")
+# writer + snapshot reader (BTableDataSource)
+
+
+def test_btable_format_write_append_overwrite(src, tmp_path):
+    """df.write.format('btable'): first append creates the table, later
+    appends commit atomically, overwrite replaces contents (and clears
+    DV state), and a schema mismatch raises at plan time."""
+    path = str(tmp_path / "t")
+    df = src.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("g")
+    )
+    df.repartition(3).write.format("btable").mode("append").save(path)
+    t = BTable(path)
+    assert t.read(src).count() == 100 and t.snapshot().version == 0
+    df.selectExpr("k + 1000 AS k", "g").write.format("btable").mode(
+        "append"
+    ).save(path)
+    assert t.read(src).count() == 200
+    # per-file stats from the Python writer feed the SAME pruning path
+    assert t.scan_file_count("k >= 1000") < t.scan_file_count()
+    # JVM MERGE works against Python-written files (stats candidacy)
+    t.merge(
+        src,
+        src.createDataFrame([(1, -1), (9999, -2)], "k bigint, g bigint"),
+        on="k",
+    )
+    assert t.read(src).filter("g < 0").count() == 2
+    df.limit(7).write.format("btable").mode("overwrite").save(path)
+    assert t.read(src).count() == 7
+    with pytest.raises(Exception, match="schema"):
+        src.range(3).selectExpr("id AS zzz").write.format("btable").mode(
+            "append"
+        ).save(path)
+
+
+def test_btable_format_snapshot_reader_dv_and_version(src, tmp_path):
+    """format('btable') reads: DV-aware live rows, version time travel."""
+    path = str(tmp_path / "t")
+    df = src.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("g")
+    )
+    df.write.format("btable").mode("append").save(path)
+    t = BTable(path)
+    t.delete(src, "g == 3", mode="merge_on_read")
+    got = src.read.format("btable").load(path)
+    assert got.count() == 90 and got.filter("g = 3").count() == 0
+    assert _rows(got) == _rows(t.read(src))
+    v0 = src.read.format("btable").option("version", 0).load(path)
+    assert v0.count() == 100
+
+
+def test_btable_format_timestamp_roundtrip_hostile_tz(src, tmp_path):
+    """Timestamps written through the Python writer are pinned to
+    instants (naive python datetimes are local-tz wall clocks — the same
+    trap the JVM stats fix documents) and their epoch-micros stats drive
+    pruning; exact under a python tz far from the session tz."""
+    import os as _os
+    import time as _time
+
+    old = _os.environ.get("TZ")
+    _os.environ["TZ"] = "Pacific/Kiritimati"  # UTC+14
+    _time.tzset()
+    try:
+        path = str(tmp_path / "t")
+        tsdf = src.sql(
+            "SELECT id AS k, timestamp'2024-03-01 12:00:00'"
+            " + make_interval(0,0,0,0,0,CAST(id AS INT),0) AS ts"
+            " FROM range(5)"
+        )
+        tsdf.coalesce(1).write.format("btable").mode("append").save(path)
+        t = BTable(path)
+        want = [r.ts for r in tsdf.orderBy("k").collect()]
+        assert [r.ts for r in t.read(src).orderBy("k").collect()] == want
+        assert [
+            r.ts
+            for r in src.read.format("btable").load(path).orderBy("k").collect()
+        ] == want
+        assert t.read(src, where="ts >= '2024-03-01 12:02:00'").count() == 3
+    finally:
+        if old is None:
+            _os.environ.pop("TZ", None)
+        else:
+            _os.environ["TZ"] = old
+        _time.tzset()
+
+
+def test_btable_stream_sink_exactly_once_epochs(src, tmp_path):
+    """writeStream.format('btable'): incremental drains append new data
+    only, and a REPLAYED epoch (same txnAppId + batchId) is recognized in
+    the commit log and skipped — the Delta txn idempotence contract."""
+    import os as _os
+
+    srcdir = tmp_path / "in"
+    _os.makedirs(srcdir)
+    path = str(tmp_path / "t")
+    df = src.range(50).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("g")
+    )
+    df.coalesce(1).write.parquet(str(srcdir / "b1"))
+
+    def drain():
+        q = (
+            src.readStream.schema("k bigint, g bigint")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(str(srcdir / "*"))
+            .writeStream.format("btable")
+            .option("path", path)
+            .option("txnAppId", "t_sink")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    t = BTable(path)
+    assert t.read(src).count() == 50
+    df.selectExpr("k + 100 AS k", "g").coalesce(1).write.parquet(
+        str(srcdir / "b2")
+    )
+    drain()
+    assert t.read(src).count() == 100
+
+    # epoch replay straight through the writer API: same batchId twice
+    from biggie_spark.btable_stream import _BTableStreamWriter
+
+    w = _BTableStreamWriter(
+        t.read(src).schema, {"path": path, "txnappid": "t_sink2"}
+    )
+    v_before = t.snapshot().version
+    w.commit([], batchId=7)
+    v_after_first = t.snapshot().version
+    assert v_after_first == v_before + 1
+    w.commit([], batchId=7)  # replay: must be a no-op
+    assert t.snapshot().version == v_after_first
+    w.commit([], batchId=8)  # next epoch commits again
+    assert t.snapshot().version == v_after_first + 1
