@@ -403,6 +403,15 @@ def _check_write_schema(schema: StructType, table_path: str) -> None:
         return  # new table: first commit pins the schema
     commits = _read_log(table_path)
     snap = _replay(commits, None)
+    if snap.constraints:
+        # the Python-source writer sees rows only executor-side and
+        # cannot run the CHECK validation pass — refusing is the safe
+        # default (use BTable.append, which enforces constraints)
+        raise ValueError(
+            "btable write: table has CHECK constraints "
+            f"({sorted(snap.constraints)}); write through BTable.append "
+            "so they are enforced"
+        )
     import json as _json
 
     table = StructType.fromJson(_json.loads(snap.schema_json))

@@ -224,6 +224,7 @@ class Snapshot:
     schema_json: str
     files: dict[str, dict[str, Any]] = field(default_factory=dict)
     dvs: dict[str, list] = field(default_factory=dict)
+    constraints: dict[str, str] = field(default_factory=dict)
 
     def paths(self, table: str) -> list[str]:
         return [os.path.join(table, rel) for rel in sorted(self.files)]
@@ -245,6 +246,7 @@ def _replay(
             schema_json=base["schema"],
             files=dict(base["files"]),
             dvs={rel: list(r) for rel, r in base.get("dvs", {}).items()},
+            constraints=dict(base.get("constraints", {})),
         )
         floor = base["version"]
         seen = base["version"] == last
@@ -269,6 +271,9 @@ def _replay(
             snap.files[add["path"]] = add
         for rel, rngs in c.get("dv", {}).items():
             snap.dvs[rel] = _rng_union(snap.dvs.get(rel, []), rngs)
+        snap.constraints.update(c.get("constraint_add", {}))
+        for name in c.get("constraint_drop", []):
+            snap.constraints.pop(name, None)
     if version is not None and not seen:
         raise ValueError(f"version {version} not in log (latest {last})")
     return snap
@@ -407,6 +412,62 @@ class BTable:
             "dv": target.dvs,
         }
         return self._commit(expected_version=cur.version, doc=doc)
+
+    def count_rows(self, version: int | None = None) -> int:
+        """Exact COUNT(*) answered from METADATA ONLY — per-file row
+        counts from the commit log minus deletion-vector coverage; zero
+        data files are opened.  At 100 TB this is the
+        metadata-only-query optimization (Delta answers plain counts
+        from the log the same way): O(files) driver work regardless of
+        table size.  Exactness holds by construction: every add action
+        carries the written row count, and DV ranges are disjoint
+        per-file row indices."""
+        snap = self.snapshot(version)
+        return sum(a.get("rows", 0) for a in snap.files.values()) - sum(
+            _rng_count(r) for r in snap.dvs.values()
+        )
+
+    def add_constraint(self, spark: SparkSession, name: str, expr: str) -> int:
+        """CHECK constraint (Delta's ALTER TABLE ADD CONSTRAINT): every
+        existing live row is validated now (one scan), and every future
+        append/merge validates its incoming rows before committing.
+        SQL CHECK semantics: a row violates only when the expression is
+        FALSE — NULL passes (filter NOT(expr) is null-safe that way)."""
+        snap = self.snapshot()
+        if name in snap.constraints:
+            raise ValueError(f"constraint {name!r} already exists")
+        bad = (
+            self._read_live(spark, snap, sorted(snap.files))
+            .filter(f"NOT ({expr})")
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                f"cannot add constraint {name!r}: {bad} existing rows "
+                f"violate ({expr})"
+            )
+        return self._commit(
+            expected_version=snap.version,
+            doc={"op": "alter", "constraint_add": {name: expr}},
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        snap = self.snapshot()
+        if name not in snap.constraints:
+            raise ValueError(f"no such constraint: {name!r}")
+        return self._commit(
+            expected_version=snap.version,
+            doc={"op": "alter", "constraint_drop": [name]},
+        )
+
+    def _check_constraints(self, df: DataFrame, snap: Snapshot, what: str):
+        for name, expr in snap.constraints.items():
+            bad = df.filter(f"NOT ({expr})").count()
+            if bad:
+                raise ValueError(
+                    f"{what} violates CHECK constraint {name!r} "
+                    f"({expr}): {bad} rows"
+                )
 
     def history(self) -> list[dict[str, Any]]:
         return [
@@ -576,6 +637,7 @@ class BTable:
                 out, schema_json = self._evolve(df, snap)
             else:
                 self._check_schema(spark, df, snap)
+            self._check_constraints(out, snap, "append")
             adds = self._write_files(spark, out)
             doc: dict[str, Any] = {"op": "append", "add": adds}
             if schema_json is not None:
@@ -810,6 +872,8 @@ class BTable:
     ) -> int:
         snap = self.snapshot()
         self._check_schema(spark, source, snap)
+        # merged row images (updates AND inserts) all come from source
+        self._check_constraints(source, snap, "merge source")
         # lo is None => every non-null source key is absent (all-null keys,
         # which never equi-match): no file can be hit, nothing to rewrite
         candidates = (
@@ -1221,6 +1285,7 @@ class BTable:
                 "schema": snap.schema_json,
                 "files": snap.files,
                 "dvs": snap.dvs,
+                "constraints": snap.constraints,
             }
             cp = os.path.join(
                 self.path, _LOG_DIR, f"{version:08d}.checkpoint.json"

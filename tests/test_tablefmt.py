@@ -1489,3 +1489,87 @@ def test_dv_noop_and_bad_mode(spark, tmp_path):
     assert t.delete(spark, "k > 100000", mode="merge_on_read") == v
     with pytest.raises(ValueError):
         t.delete(spark, "k > 0", mode="bogus")
+
+
+# ------------------------------------------------- metadata-only count +
+# CHECK constraints
+
+
+def test_count_rows_metadata_only(spark, tmp_path):
+    """count_rows answers COUNT(*) from the log (files' row counts minus
+    DV coverage) — exact across appends, DV deletes, COW rewrites, time
+    travel — without opening a data file."""
+    t = _mk(spark, tmp_path)
+    assert t.count_rows() == 100 == t.read(spark).count()
+    t.delete(spark, "grp == 'g1'", mode="merge_on_read")
+    assert t.count_rows() == 80 == t.read(spark).count()
+    t.delete(spark, "k >= 90")
+    assert t.count_rows() == t.read(spark).count()
+    assert t.count_rows(version=0) == 100
+    assert t.count_rows(version=1) == 80
+
+
+def test_check_constraints_enforced(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.add_constraint(spark, "k_nonneg", "k >= 0")
+    assert "k_nonneg" in t.snapshot().constraints
+    # violating append rejected BEFORE any commit
+    v = t.snapshot().version
+    with pytest.raises(ValueError, match="k_nonneg"):
+        t.append(
+            spark,
+            spark.createDataFrame(
+                [(-5, 0, "gx")], "k bigint, v bigint, grp string"
+            ),
+        )
+    assert t.snapshot().version == v and t.count_rows() == 100
+    # valid append passes
+    t.append(
+        spark,
+        spark.createDataFrame([(500, 0, "gx")], "k bigint, v bigint, grp string"),
+    )
+    assert t.count_rows() == 101
+    # violating MERGE source rejected (updates and inserts are source images)
+    with pytest.raises(ValueError, match="k_nonneg"):
+        t.merge(
+            spark,
+            spark.createDataFrame(
+                [(-1, 0, "gm")], "k bigint, v bigint, grp string"
+            ),
+            on="k",
+        )
+    # NULL passes (SQL CHECK semantics: only FALSE violates)
+    t.append(
+        spark,
+        spark.createDataFrame(
+            [(None, 0, "gn")], "k bigint, v bigint, grp string"
+        ),
+    )
+    # adding a constraint existing rows violate is rejected
+    with pytest.raises(ValueError, match="existing rows"):
+        t.add_constraint(spark, "v_small", "v < 5")
+    # drop ends enforcement
+    t.drop_constraint("k_nonneg")
+    t.append(
+        spark,
+        spark.createDataFrame([(-5, 0, "gx")], "k bigint, v bigint, grp string"),
+    )
+    assert t.read(spark).filter("k < 0").count() == 1
+    with pytest.raises(ValueError, match="no such constraint"):
+        t.drop_constraint("k_nonneg")
+
+
+def test_constraints_block_python_source_writer(spark, tmp_path):
+    from biggie_spark.btable_stream import register_btable_source
+
+    register_btable_source(spark)
+    t = _mk(spark, tmp_path)
+    t.add_constraint(spark, "k_nonneg", "k >= 0")
+    with pytest.raises(Exception, match="CHECK constraints"):
+        (
+            t.read(spark)
+            .limit(1)
+            .write.format("btable")
+            .mode("append")
+            .save(t.path)
+        )
