@@ -573,6 +573,166 @@ def bt_feed_source_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@probe(
+    "bt_meta_count_read",
+    oracle="""
+    SELECT 0 AS version, COUNT(*) AS cnt_meta, COUNT(*) AS cnt_scan,
+           1 AS agree FROM nation
+    UNION ALL
+    SELECT 1, COUNT(*), COUNT(*), 1 FROM nation WHERE NOT (n_regionkey = 2)
+    UNION ALL
+    SELECT 2, COUNT(*), COUNT(*), 1 FROM nation
+    WHERE NOT (n_regionkey = 2) AND NOT (n_nationkey >= 20)
+    ORDER BY version
+    """,
+)
+def bt_meta_count_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only COUNT(*) (tablefmt.py:count_rows — per-file row
+    counts minus DV coverage, zero data files opened) scored against the
+    scan count AND the relational oracle at every version of a
+    create -> DV delete -> COW delete history.  A count_rows that
+    ignored DVs, double-counted a rewrite, or drifted from the physical
+    scan hashes red."""
+    tmp = _scratch()
+    try:
+        t = BTable.create(
+            spark, f"{tmp}/t", _nation(spark, sf_dir).coalesce(1)
+        )
+        t.delete(spark, "n_regionkey == 2", mode="merge_on_read")  # v1
+        t.delete(spark, "n_nationkey >= 20")                       # v2
+        rows = []
+        for v in (0, 1, 2):
+            meta = t.count_rows(version=v)
+            scan = t.read(spark, version=v).count()
+            rows.append((v, meta, scan, int(meta == scan)))
+        return spark.createDataFrame(
+            rows, "version int, cnt_meta bigint, cnt_scan bigint, agree int"
+        ).orderBy("version")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@probe(
+    "bt_constraint_state",
+    oracle="""
+    WITH fin AS (
+      SELECT n_nationkey, n_regionkey FROM nation
+      UNION ALL
+      SELECT n_nationkey + 100, n_regionkey FROM nation
+      WHERE n_regionkey <> 2
+    )
+    SELECT n_regionkey, COUNT(*) AS cnt,
+           CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+           1 AS reject_held, 2 AS n_commits_after_reject
+    FROM fin GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def bt_constraint_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints end to end: add a constraint the table
+    satisfies, reject an append that violates it WITHOUT committing
+    (version literal pinned — a half-applied write or a phantom commit
+    hashes red), then accept a conforming append.  The final state is
+    the relational fold of only the accepted writes."""
+    tmp = _scratch()
+    try:
+        nat = _nation(spark, sf_dir).select("n_nationkey", "n_regionkey")
+        t = BTable.create(spark, f"{tmp}/t", nat.coalesce(1))       # v0
+        t.add_constraint(spark, "not_region_7", "n_regionkey != 7")  # v1
+        rejected = 0
+        try:
+            t.append(
+                spark,
+                nat.select(
+                    (F.col("n_nationkey") + 100).alias("n_nationkey"),
+                    F.lit(7).cast(
+                        nat.schema["n_regionkey"].dataType.simpleString()
+                    ).alias("n_regionkey"),
+                ).coalesce(1),
+            )
+        except ValueError:
+            rejected = 1
+        v_after_reject = t.snapshot().version  # must still be 1
+        t.append(
+            spark,
+            nat.filter("n_regionkey != 2")
+            .select(
+                (F.col("n_nationkey") + 100).alias("n_nationkey"),
+                "n_regionkey",
+            )
+            .coalesce(1),
+        )                                                           # v2
+        return _materialize(
+            t.read(spark)
+            .groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("n_nationkey").alias("sum_key"),
+            )
+            .withColumn("reject_held", F.lit(rejected * (v_after_reject == 1)))
+            .withColumn("n_commits_after_reject", F.lit(t.snapshot().version))
+            .orderBy("n_regionkey")
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@probe(
+    "bt_format_writer_state",
+    oracle="""
+    WITH fin AS (
+      SELECT n_nationkey, n_regionkey FROM nation
+      UNION ALL SELECT n_nationkey + 100, n_regionkey FROM nation
+    )
+    SELECT n_regionkey, COUNT(*) AS cnt,
+           CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+           3 AS n_versions, 1 AS replay_skipped
+    FROM fin GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def bt_format_writer_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The format('btable') WRITE path scored end to end: a write
+    creates the table (v0), a second appends (v1), and the streaming
+    sink's txn idempotence is scored directly — committing the same
+    (txnAppId, batchId) twice must produce exactly ONE version (v2) and
+    a replayed epoch is a version no-op.  Python-written files must
+    read back exactly (they carry tablefmt-convention stats)."""
+    from biggie_spark.btable_stream import (
+        _BTableStreamWriter,
+        register_btable_source,
+    )
+
+    register_btable_source(spark)
+    tmp = _scratch()
+    try:
+        path = f"{tmp}/t"
+        nat = _nation(spark, sf_dir).select("n_nationkey", "n_regionkey")
+        nat.coalesce(1).write.format("btable").mode("append").save(path)  # v0
+        nat.select(
+            (F.col("n_nationkey") + 100).alias("n_nationkey"), "n_regionkey"
+        ).coalesce(1).write.format("btable").mode("append").save(path)   # v1
+        t = BTable(path)
+        w = _BTableStreamWriter(
+            t.read(spark).schema, {"path": path, "txnappid": "probe"}
+        )
+        w.commit([], batchId=3)           # v2
+        v_first = t.snapshot().version
+        w.commit([], batchId=3)           # replay: must NOT commit
+        replay_skipped = int(t.snapshot().version == v_first)
+        return _materialize(
+            t.read(spark)
+            .groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("n_nationkey").alias("sum_key"),
+            )
+            .withColumn("n_versions", F.lit(t.snapshot().version + 1))
+            .withColumn("replay_skipped", F.lit(replay_skipped))
+            .orderBy("n_regionkey")
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 from pyspark.sql import Window  # noqa: E402
 
 from biggie_spark.util import r4  # noqa: E402
