@@ -175,6 +175,49 @@ def _rng_count(ranges: list) -> int:
     return sum(e - s for s, e in ranges)
 
 
+def _znum(v, type_name: str) -> float:
+    """A stat value as a number on the z-order bucket axis: numerics
+    as-is, timestamps are already epoch micros in the log, dates are
+    isoformat strings -> epoch days."""
+    if type_name == "date":
+        import datetime as _dt
+
+        return float(_dt.date.fromisoformat(v).toordinal() - 719163)
+    return float(v)
+
+
+def _zcol_numeric(c: str, type_name: str):
+    """Column expression projecting a z-order column onto its numeric
+    axis (must mirror _znum's mapping exactly)."""
+    if type_name == "timestamp":
+        return F.unix_micros(F.col(c)).cast("double")
+    if type_name == "date":
+        return F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
+    return F.col(c).cast("double")
+
+
+def _zvalue(df: DataFrame, cols: list[str], types: dict, bounds: dict):
+    """Morton (bit-interleaved) z-value over the columns' 16-bit
+    stats-scaled buckets — a single whole-stage-codegen expression, no
+    UDF, no extra scan.  NULLs bucket to 0 (cluster at the front)."""
+    k = len(cols)
+    buckets = []
+    for c in cols:
+        lo, hi = bounds[c]
+        span = (hi - lo) or 1.0
+        b = F.floor(
+            (_zcol_numeric(c, types[c]) - F.lit(lo)) / F.lit(span) * 65535
+        )
+        b = F.least(F.greatest(b, F.lit(0)), F.lit(65535))
+        buckets.append(F.coalesce(b, F.lit(0)).cast("long"))
+    z = F.lit(0).cast("long")
+    for i in range(16):
+        for j, b in enumerate(buckets):
+            bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * k + j))
+    return z
+
+
 def _live_diffs(commits: list, version_from: int, version_to: int):
     """Per-version LIVE-ROW diffs over a commit log: yields
     ``(version, kind, rel, ranges, is_full)`` for every file whose live
@@ -951,13 +994,33 @@ class BTable:
 
     # ------------------------------------------------------- maintenance
 
-    def optimize(self, spark: SparkSession, small_file_rows: int = 100_000) -> int:
+    def optimize(
+        self,
+        spark: SparkSession,
+        small_file_rows: int = 100_000,
+        zorder_by: list[str] | None = None,
+        zorder_file_rows: int = 1_000_000,
+    ) -> int:
         """Compaction (OPTIMIZE): bin-pack data files smaller than
         ``small_file_rows`` into one rewrite.  Pure layout change — the
         logical table is untouched and every old version stays readable
         (the small files are only logically removed).  At scale this is
         the small-file remedy for streaming/CDC ingest, run per partition
-        range; here the bin target is a single file per call."""
+        range; here the bin target is a single file per call.
+
+        ``zorder_by=[c1, c2, ...]``: OPTIMIZE ZORDER — rewrite ALL live
+        files ordered by the Morton interleave of the columns'
+        16-bit stats-scaled buckets, so every z-ordered column's
+        min/max file stats prune (multi-dimensional data skipping; a
+        linear sort only prunes its leading column).  Bucket bounds come
+        from the SNAPSHOT's logged stats (no extra scan, no global
+        sort — the rewrite is repartitionByRange on the z-value, the
+        same shuffle shape as a clustered write); numeric, timestamp
+        (epoch micros) and date columns supported.  One-shot layout op,
+        like Delta's: later writes follow the table's cluster_by (or
+        none) until the next ZORDER."""
+        if zorder_by:
+            return self._optimize_zorder(spark, zorder_by, zorder_file_rows)
         snap = self.snapshot()
         small = [
             rel
@@ -976,6 +1039,67 @@ class BTable:
         return self._commit(
             expected_version=snap.version,
             doc={"op": "optimize", "remove": targets, "add": adds},
+        )
+
+    def _optimize_zorder(
+        self, spark, cols: list[str], file_rows: int
+    ) -> int:
+        snap = self.snapshot()
+        sch = _schema(snap)
+        types = {f.name: f.dataType.typeName() for f in sch.fields}
+        missing = [c for c in cols if c not in types]
+        if missing:
+            raise ValueError(f"zorder_by columns not in schema: {missing}")
+        orderable = {
+            "long", "integer", "short", "byte", "double", "float",
+            "decimal", "timestamp", "date",
+        }
+        bad = [c for c in cols if types[c] not in orderable]
+        if bad:
+            raise ValueError(
+                f"zorder_by: no numeric axis for {bad} "
+                f"(types {[types[c] for c in bad]}; strings/binary are "
+                "unsupported)"
+            )
+        # numeric domain per column from the LOGGED stats (min of mins /
+        # max of maxes over live files) — metadata only, no scan
+        bounds: dict[str, tuple] = {}
+        for c in cols:
+            lo = hi = None
+            for a in snap.files.values():
+                rng = a.get("stats", {}).get(c)
+                if rng is None or rng[0] is None or rng[1] is None:
+                    continue
+                flo, fhi = _znum(rng[0], types[c]), _znum(rng[1], types[c])
+                lo = flo if lo is None else min(lo, flo)
+                hi = fhi if hi is None else max(hi, fhi)
+            if lo is None:
+                raise ValueError(
+                    f"zorder_by: no usable stats for column {c!r} "
+                    f"(type {types[c]}; strings/binary are unsupported)"
+                )
+            bounds[c] = (float(lo), float(hi))
+        targets = sorted(snap.files)
+        if not targets:
+            return snap.version
+        df = self._read_live(spark, snap, targets)
+        z = _zvalue(df, cols, types, bounds)
+        n = max(1, -(-self.count_rows() // file_rows))
+        out = (
+            df.withColumn("_btable_z", z)
+            .repartitionByRange(n, "_btable_z")
+            .sortWithinPartitions("_btable_z")
+            .drop("_btable_z")
+        )
+        adds = self._write_files(spark, out, cluster=False)
+        return self._commit(
+            expected_version=snap.version,
+            doc={
+                "op": "optimize",
+                "zorder_by": list(cols),
+                "remove": targets,
+                "add": adds,
+            },
         )
 
     def vacuum(
@@ -1146,7 +1270,9 @@ class BTable:
                 f"{expected.simpleString()}"
             )
 
-    def _write_files(self, spark, df: DataFrame) -> list[dict[str, Any]]:
+    def _write_files(
+        self, spark, df: DataFrame, cluster: bool = True
+    ) -> list[dict[str, Any]]:
         """Write df as a new immutable commit directory; return add actions
         with per-file row counts and min/max stats (one aggregate over the
         just-written files only).  Clustered tables range-repartition +
@@ -1155,7 +1281,7 @@ class BTable:
         commit_id = uuid.uuid4().hex[:12]
         rel_dir = os.path.join(_DATA_DIR, commit_id)
         out_dir = os.path.join(self.path, rel_dir)
-        cb = self.cluster_by
+        cb = self.cluster_by if cluster else []
         if cb:
             # explicit partition count sized by rows-per-file: AQE would
             # otherwise coalesce small writes into one file and erase the

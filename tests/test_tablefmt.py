@@ -1573,3 +1573,65 @@ def test_constraints_block_python_source_writer(spark, tmp_path):
             .mode("append")
             .save(t.path)
         )
+
+
+def test_optimize_zorder_prunes_both_dimensions(spark, tmp_path):
+    """OPTIMIZE ZORDER: after rewriting in Morton order, BOTH z-ordered
+    columns' range predicates prune files (a linear sort only prunes its
+    leading column) — the multi-dimensional data-skipping contract, at
+    the classic sqrt-law tradeoff."""
+    grid = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    t = BTable.create(
+        spark, str(tmp_path / "t"), grid, cluster_by=["x"],
+        cluster_file_rows=256,
+    )
+    files = t.scan_file_count()
+    x_pred, y_pred = "x >= 8 AND x < 16", "y >= 8 AND y < 16"
+    assert t.scan_file_count(x_pred) <= files // 4  # linear prunes x...
+    assert t.scan_file_count(y_pred) == files       # ...but never y
+    x_cnt = t.read(spark, where=x_pred).count()
+    y_cnt = t.read(spark, where=y_pred).count()
+    t.optimize(spark, zorder_by=["x", "y"], zorder_file_rows=256)
+    assert t.scan_file_count(x_pred) <= files // 2
+    assert t.scan_file_count(y_pred) <= files // 2, (
+        "z-order must make the non-leading dimension prunable"
+    )
+    # contents identical; history intact
+    assert t.read(spark, where=x_pred).count() == x_cnt
+    assert t.read(spark, where=y_pred).count() == y_cnt
+    assert t.count_rows() == 4096
+    assert t.read(spark, version=0).count() == 4096
+
+
+def test_optimize_zorder_materializes_dv_and_rejects_strings(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.delete(spark, "grp == 'g2'", mode="merge_on_read")
+    t.optimize(spark, zorder_by=["k", "v"])
+    assert t.snapshot().dvs == {}, "zorder rewrite must materialize DVs"
+    assert t.count_rows() == 80 == t.read(spark).count()
+    assert t.read(spark).filter("grp = 'g2'").count() == 0
+    with pytest.raises(ValueError, match="zorder_by"):
+        t.optimize(spark, zorder_by=["grp"])  # string: no usable axis
+    with pytest.raises(ValueError, match="not in schema"):
+        t.optimize(spark, zorder_by=["nope"])
+
+
+def test_optimize_zorder_timestamp_axis(spark, tmp_path):
+    """Timestamp z-order axis uses the epoch-micros stats (the log
+    stores them TZ-free) — pruning stays exact after the rewrite."""
+    rows = spark.range(512).select(
+        (F.col("id") % 8).alias("k"),
+        F.expr(
+            "timestamp'2024-03-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, cast(id / 8 as int), 0, 0)"
+        ).alias("ts"),
+    )
+    t = BTable.create(spark, str(tmp_path / "t"), rows.repartition(8))
+    t.optimize(spark, zorder_by=["k", "ts"], zorder_file_rows=64)
+    w = "ts >= '2024-03-01 10:00:00' AND ts < '2024-03-01 20:00:00'"
+    assert t.scan_file_count(w) < t.scan_file_count()
+    assert t.read(spark, where=w).count() == 80
