@@ -733,6 +733,66 @@ def bt_format_writer_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@probe(
+    "bt_zorder_pruned_read",
+    oracle="""
+    WITH g AS (SELECT (a.n_nationkey * 25 + b.n_nationkey) % 64 AS x,
+                      ((a.n_nationkey * 25 + b.n_nationkey) // 64) % 64 AS y,
+                      a.n_nationkey * 25 + b.n_nationkey AS payload
+               FROM nation a, nation b)
+    SELECT 'x_range' AS which,
+           COUNT(*) AS cnt, CAST(SUM(payload) AS BIGINT) AS sum_p,
+           1 AS pruned
+    FROM g WHERE x >= 8 AND x < 16
+    UNION ALL SELECT 'y_range', COUNT(*), CAST(SUM(payload) AS BIGINT), 1
+    FROM g WHERE y >= 8 AND y < 16
+    ORDER BY which
+    """,
+)
+def bt_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER scored: a 625-cell nation-cross grid (SF-invariant)
+    is created linearly clustered by x, then z-ordered on (x, y); BOTH
+    range predicates must then prune files (pruned = scan < total as a
+    boolean — the exact count is the range partitioner's business, the
+    PRUNABILITY of the second dimension is the contract) and contents
+    must fold relationally."""
+    tmp = _scratch()
+    try:
+        nat = _nation(spark, sf_dir).select("n_nationkey")
+        a = nat.select(F.col("n_nationkey").alias("ka"))
+        b = nat.select(F.col("n_nationkey").alias("kb"))
+        g = (
+            a.crossJoin(b)
+            .select((F.col("ka") * 25 + F.col("kb")).alias("payload"))
+            .select(
+                (F.col("payload") % 64).alias("x"),
+                ((F.col("payload") / 64).cast("long") % 64).alias("y"),
+                "payload",
+            )
+        )
+        t = BTable.create(
+            spark, f"{tmp}/t", g, cluster_by=["x"], cluster_file_rows=80
+        )
+        t.optimize(spark, zorder_by=["x", "y"], zorder_file_rows=80)
+        total = t.scan_file_count()
+        rows = []
+        for which, w in (
+            ("x_range", "x >= 8 AND x < 16"),
+            ("y_range", "y >= 8 AND y < 16"),
+        ):
+            r = t.read(spark, where=w).agg(
+                F.count(F.lit(1)), F.sum("payload")
+            ).collect()[0]
+            rows.append(
+                (which, r[0], r[1], int(t.scan_file_count(w) < total))
+            )
+        return spark.createDataFrame(
+            rows, "which string, cnt bigint, sum_p bigint, pruned int"
+        ).orderBy("which")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 from pyspark.sql import Window  # noqa: E402
 
 from biggie_spark.util import r4  # noqa: E402
