@@ -140,8 +140,10 @@ def _chunks_for(
 
 def _read_chunk(chunk: _ChangeChunk, fields: list) -> Iterator:
     """Executor-side: read ONE file's changed ranges as Arrow batches.
-    ``fields`` is [(name, typeName, precision, scale)] — plain data so the
-    pickled reader stays import-light on workers."""
+    ``fields`` is [(logical name, physical on-file name, arrow type)] —
+    plain data so the pickled reader stays import-light on workers; the
+    physical name resolves column mapping (renamed columns keep their
+    write-time names in data files)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -155,14 +157,14 @@ def _read_chunk(chunk: _ChangeChunk, fields: list) -> Iterator:
         )
     n = len(tbl)
     arrays, names = [], []
-    for name, pa_type in fields:
+    for name, phys, pa_type in fields:
         names.append(name)
         if name == "_change_type":
             arrays.append(pa.array([chunk.kind] * n, pa_type))
         elif name == "_commit_version":
             arrays.append(pa.array([chunk.version] * n, pa_type))
-        elif name in tbl.column_names:
-            arrays.append(tbl.column(name).cast(pa_type))
+        elif phys in tbl.column_names:
+            arrays.append(tbl.column(phys).cast(pa_type))
         else:  # schema evolution: older file lacks the column
             arrays.append(pa.nulls(n, pa_type))
     out = pa.table(dict(zip(names, arrays)))
@@ -175,7 +177,15 @@ class _FeedReaderMixin:
         self.table_path = options["path"]
         self.start_version = int(options.get("startingversion", -1))
         self.end_version = options.get("endingversion")
-        self.fields = [(f.name, _arrow_type(f.dataType)) for f in schema.fields]
+        # column mapping: resolve each logical field's physical (on-file)
+        # name once, driver-side, from the LATEST snapshot — the same
+        # snapshot _feed_schema derived the logical schema from, so the
+        # (name, physical) pairs always describe one consistent version
+        snap = _replay(_read_log(self.table_path), None)
+        self.fields = [
+            (f.name, snap.phys(f.name), _arrow_type(f.dataType))
+            for f in schema.fields
+        ]
 
     def read(self, partition: _ChangeChunk):
         yield from _read_chunk(partition, self.fields)
@@ -268,7 +278,16 @@ class _SnapshotReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self.table_path = options["path"]
         self.version = options.get("version")
-        self.fields = [(f.name, _arrow_type(f.dataType)) for f in schema.fields]
+        # physical names resolved at the READ version (column mapping:
+        # a time-travel read uses that version's own logical->physical map)
+        snap = _replay(
+            _read_log(self.table_path),
+            None if self.version is None else int(self.version),
+        )
+        self.fields = [
+            (f.name, snap.phys(f.name), _arrow_type(f.dataType))
+            for f in schema.fields
+        ]
 
     def partitions(self):
         commits = _read_log(self.table_path)
@@ -411,6 +430,21 @@ def _check_write_schema(schema: StructType, table_path: str) -> None:
             "btable write: table has CHECK constraints "
             f"({sorted(snap.constraints)}); write through BTable.append "
             "so they are enforced"
+        )
+    if snap.mapped:
+        # executor-side partition writers emit columns under the names
+        # they were handed (logical) — on a column-mapped table data
+        # files need PHYSICAL names; refuse rather than corrupt
+        raise ValueError(
+            "btable write: table uses column mapping (rename/drop "
+            "history); write through BTable.append"
+        )
+    if snap.row_tracking:
+        # the writer's commit path doesn't allocate row-id bases;
+        # refusing keeps every add action id-complete
+        raise ValueError(
+            "btable write: table has row tracking enabled; write "
+            "through BTable.append"
         )
     import json as _json
 

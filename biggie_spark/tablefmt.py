@@ -38,6 +38,21 @@ path + row count + per-column min/max stats) and ``remove`` entries
   logged min/max stats before Spark ever lists them — the same
   scan-avoidance a lakehouse reader gets from footer stats, but
   resolved driver-side from the log (no file I/O for pruned files).
+* **Column mapping**: ``rename_column``/``drop_column`` are metadata-
+  only (the Delta columnMapping idea): the log schema is LOGICAL,
+  data files keep their write-time PHYSICAL names, and each commit's
+  ``colmap`` records logical->physical.  No rewrite, every old
+  version stays readable under its own schema, stats pruning follows
+  the rename, and a dropped-then-readded column gets a fresh physical
+  name so dead data never resurrects.
+* **Row tracking**: stable row ids (the Delta rowTracking idea) —
+  an add action's ``base_row_id`` + parquet row index names a row for
+  life; copy-on-write rewrites CARRY ids via a materialized
+  ``_btable_row_id`` column (fresh rows resolve as base + index from
+  a new allocation), so MERGE updates keep the target row's id and
+  ``changes(with_row_ids=True)`` lets an incremental consumer tell an
+  update from a delete+insert.  Metadata-only to enable; id
+  resolution is one broadcast of per-file bases.
 
 Scale notes: the log is O(commits) JSON docs read driver-side (the same
 shape as Delta's _delta_log; checkpointing the replay is a natural
@@ -64,6 +79,9 @@ from pyspark.sql.types import StructType
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
 _STATS_COLS_MAX = 32  # cap stats collection for very wide tables
+# physical column a rewrite writes materialized row ids into (row
+# tracking); reserved alongside the _btable_* provenance names
+_ROW_ID_COL = "_btable_row_id"
 
 
 def _session_tz(spark: SparkSession | None) -> str | None:
@@ -268,9 +286,58 @@ class Snapshot:
     files: dict[str, dict[str, Any]] = field(default_factory=dict)
     dvs: dict[str, list] = field(default_factory=dict)
     constraints: dict[str, str] = field(default_factory=dict)
+    # Column mapping (Delta's columnMapping idea): the log schema is
+    # LOGICAL; data files keep their write-time PHYSICAL names.  colmap
+    # holds only the non-identity logical->physical entries; ``mapped``
+    # is sticky once any commit carries a colmap, because from then on
+    # new columns need fresh physical names (a dropped column's physical
+    # name must never be reused — old files still contain it).
+    colmap: dict[str, str] = field(default_factory=dict)
+    mapped: bool = False
+    # Row tracking (Delta's rowTracking idea): every add action gets a
+    # ``base_row_id``; a row's stable id is base + parquet row index,
+    # unless the file materializes ids in a physical _btable_row_id
+    # column (rewrites carry ids that way).  ``row_id_hwm`` is the
+    # allocation high-watermark (never decreases, even across RESTORE).
+    row_tracking: bool = False
+    row_id_hwm: int = 0
 
     def paths(self, table: str) -> list[str]:
         return [os.path.join(table, rel) for rel in sorted(self.files)]
+
+    def phys(self, logical: str) -> str:
+        """Physical (on-file) column name for a logical column."""
+        return self.colmap.get(logical, logical)
+
+    def logical_stats(self, add: dict[str, Any]):
+        """(stats, nulls) of an add action re-keyed by LOGICAL column
+        name, so the pruning stack keeps matching where-clause columns.
+        Physical columns with no live logical name (dropped columns) are
+        omitted; a logical column absent from a file's stats (added after
+        the file was written, or re-added under a fresh physical name)
+        simply has no entry -> conservative must-scan."""
+        if not self.mapped:
+            return add.get("stats", {}), add.get("nulls")
+        inv = {self.phys(k): k for k in self._logical_names()}
+        stats = {
+            inv[p]: v for p, v in add.get("stats", {}).items() if p in inv
+        }
+        nulls_raw = add.get("nulls")
+        nulls = (
+            None
+            if nulls_raw is None
+            else {inv[p]: v for p, v in nulls_raw.items() if p in inv}
+        )
+        return stats, nulls
+
+    def _logical_names(self) -> list[str]:
+        return [f["name"] for f in json.loads(self.schema_json)["fields"]]
+
+    def file_maybe_matches(self, add, where: str, schema, tz) -> bool:
+        """Conservative pruning test for one add action, column mapping
+        resolved (stats keys are physical; the where clause is logical)."""
+        stats, nulls = self.logical_stats(add)
+        return _maybe_matches(stats, where, schema, nulls, add.get("rows"), tz)
 
 
 def _replay(
@@ -290,6 +357,10 @@ def _replay(
             files=dict(base["files"]),
             dvs={rel: list(r) for rel, r in base.get("dvs", {}).items()},
             constraints=dict(base.get("constraints", {})),
+            colmap=dict(base.get("colmap", {})),
+            mapped=base.get("mapped", False),
+            row_tracking=base.get("row_tracking", False),
+            row_id_hwm=base.get("row_id_hwm", 0),
         )
         floor = base["version"]
         seen = base["version"] == last
@@ -305,6 +376,13 @@ def _replay(
         seen = seen or c["version"] == last
         if "schema" in c:
             snap.schema_json = c["schema"]
+        if "colmap" in c:  # full replacement, like schema
+            snap.colmap = dict(c["colmap"])
+            snap.mapped = True  # sticky: physical names stay reserved
+        if c.get("row_tracking"):
+            snap.row_tracking = True
+        if "row_id_hwm" in c:  # never decreases (RESTORE keeps old ids)
+            snap.row_id_hwm = max(snap.row_id_hwm, c["row_id_hwm"])
         if c.get("dv_reset"):  # RESTORE: DV state is replaced, not unioned
             snap.dvs = {}
         for rel in c.get("remove", []):
@@ -312,6 +390,12 @@ def _replay(
             snap.dvs.pop(rel, None)  # a rewritten file's DV dies with it
         for add in c.get("add", []):
             snap.files[add["path"]] = add
+        # row-tracking enablement assigns base ids to PRE-EXISTING files
+        # metadata-only (copy the entry: add actions in older commits are
+        # shared dicts and must stay immutable history)
+        for rel, b in c.get("row_id_assign", {}).items():
+            if rel in snap.files:
+                snap.files[rel] = {**snap.files[rel], "base_row_id": b}
         for rel, rngs in c.get("dv", {}).items():
             snap.dvs[rel] = _rng_union(snap.dvs.get(rel, []), rngs)
         snap.constraints.update(c.get("constraint_add", {}))
@@ -338,6 +422,7 @@ class BTable:
         df: DataFrame,
         cluster_by: list[str] | None = None,
         cluster_file_rows: int = 1_000_000,
+        row_tracking: bool = False,
     ) -> "BTable":
         """``cluster_by`` records clustering columns in the log: every
         write (create/append/optimize rewrites) hash-repartitions and
@@ -361,6 +446,13 @@ class BTable:
         if cluster_by:
             doc["cluster_by"] = list(cluster_by)
             doc["cluster_file_rows"] = cluster_file_rows
+        if row_tracking:
+            hwm = 0
+            for add in sorted(adds, key=lambda a: a["path"]):
+                add["base_row_id"] = hwm
+                hwm += add.get("rows", 0)
+            doc["row_tracking"] = True
+            doc["row_id_hwm"] = hwm
         t._commit(expected_version=-1, doc=doc)
         return t
 
@@ -383,9 +475,12 @@ class BTable:
         spark: SparkSession,
         version: int | None = None,
         where: str | None = None,
+        with_row_ids: bool = False,
     ) -> DataFrame:
         """Snapshot read.  ``where`` both prunes files on logged min/max
-        stats (data skipping) and is applied as a row filter."""
+        stats (data skipping) and is applied as a row filter.
+        ``with_row_ids=True`` appends each row's stable ``_row_id``
+        (requires row tracking)."""
         snap = self.snapshot(version)
         files = snap.files
         if where is not None:
@@ -394,10 +489,14 @@ class BTable:
             files = {
                 rel: a
                 for rel, a in files.items()
-                if _maybe_matches(a.get("stats", {}), where, sch,
-                  a.get("nulls"), a.get("rows"), tz)
+                if snap.file_maybe_matches(a, where, sch, tz)
             }
-        df = self._read_live(spark, snap, sorted(files))
+        df = self._read_live(
+            spark,
+            snap,
+            sorted(files),
+            row_id_col="_row_id" if with_row_ids else None,
+        )
         return df.filter(where) if where is not None else df
 
     def snapshot(self, version: int | None = None) -> Snapshot:
@@ -428,6 +527,7 @@ class BTable:
             target.files == cur.files
             and target.schema_json == cur.schema_json
             and target.dvs == cur.dvs
+            and target.colmap == cur.colmap
         ):
             return cur.version
         gone = [
@@ -454,6 +554,13 @@ class BTable:
             "dv_reset": True,
             "dv": target.dvs,
         }
+        if cur.mapped or target.mapped:
+            # column mapping rolls back with the schema (files re-added
+            # from the target carry their original physical names, so the
+            # target's colmap is exactly what reads them correctly);
+            # row-id bases ride along inside the re-added add actions and
+            # the high-watermark never decreases (replay takes the max)
+            doc["colmap"] = target.colmap
         return self._commit(expected_version=cur.version, doc=doc)
 
     def count_rows(self, version: int | None = None) -> int:
@@ -530,6 +637,7 @@ class BTable:
         spark: SparkSession,
         version_from: int,
         version_to: int | None = None,
+        with_row_ids: bool = False,
     ) -> DataFrame:
         """Change data feed: every row change in commits
         ``(version_from, version_to]`` — the incremental-pipeline hook
@@ -544,12 +652,24 @@ class BTable:
 
         All files are read under the version_to schema (missing columns
         null-filled), matching what read() would report.  Raises
-        FileNotFoundError if a needed file was vacuumed away."""
+        FileNotFoundError if a needed file was vacuumed away.
+
+        ``with_row_ids=True`` (requires row tracking) appends each
+        change row's stable ``_row_id`` — the hook that lets a consumer
+        tell an UPDATE (a delete and an insert sharing one ``_row_id``)
+        from a true delete+insert pair.  Rows from files removed before
+        tracking was enabled carry NULL ids."""
         commits = _read_log(self.path)
         last = commits[-1]["version"] if version_to is None else version_to
         snap = self.snapshot(last)  # validates the version + pins schema
         sch = _schema(snap)
         cols = [f.name for f in sch.fields]
+        if with_row_ids:
+            if not snap.row_tracking:
+                raise ValueError(
+                    "changes(with_row_ids=True) requires row tracking"
+                )
+            return self._changes_with_ids(spark, commits, version_from, last)
 
         # Per-version LIVE-ROW diffs (_live_diffs: generalizes the
         # original add/remove scan to deletion vectors — partial-file
@@ -590,17 +710,20 @@ class BTable:
                     )
                 out = None
                 if full_rels[kind]:
-                    out = spark.read.schema(sch).parquet(
-                        *[
-                            os.path.join(self.path, r)
-                            for r in sorted(full_rels[kind])
-                        ]
+                    out = _to_logical(
+                        spark.read.schema(_phys_schema(snap)).parquet(
+                            *[
+                                os.path.join(self.path, r)
+                                for r in sorted(full_rels[kind])
+                            ]
+                        ),
+                        snap,
                     )
                 if part_rels[kind]:
                     part = self._apply_ranges(
                         spark,
                         self._with_pos(
-                            spark, sch, sorted(part_rels[kind])
+                            spark, snap, sorted(part_rels[kind])
                         ),
                         part_rels[kind],
                         "left_semi",
@@ -629,6 +752,91 @@ class BTable:
             out = out.unionByName(f)
         return out
 
+    def _changes_with_ids(
+        self, spark, commits, version_from: int, last: int
+    ) -> DataFrame:
+        """Row-id flavored change feed: every diff goes through the
+        position-exposing scan (ids need row indexes anyway, so the
+        full/partial fast-path split buys nothing here), ranges select
+        the changed rows, and coalesce(materialized, base + index)
+        resolves each row's stable id exactly as the live read does."""
+        from pyspark.sql.types import LongType, StringType, StructField
+
+        snap = _replay(commits, last)
+        sch = _schema(snap)
+        cols = [f.name for f in sch.fields]
+        # rel -> base_row_id over the WHOLE log prefix: a delete-emitted
+        # file is absent from the final snapshot but its add action (or
+        # the enable commit's assignment) still pins its base
+        bases: dict[str, int | None] = {}
+        for c in commits:
+            if c["version"] > last:
+                break
+            for add in c.get("add", []):
+                bases[add["path"]] = add.get("base_row_id")
+            for rel, b in c.get("row_id_assign", {}).items():
+                bases[rel] = b
+        by_vk: dict[tuple, dict] = {}
+        for v, kind, rel, rngs, _ in _live_diffs(commits, version_from, last):
+            by_vk.setdefault((v, kind), {})[rel] = rngs
+        frames = []
+        for (v, kind), ranges in sorted(by_vk.items()):
+            rels = sorted(ranges)
+            missing = [
+                r for r in rels
+                if not os.path.exists(os.path.join(self.path, r))
+            ]
+            if missing:
+                raise FileNotFoundError(
+                    f"changes({version_from}, {last}): {len(missing)} data "
+                    f"files vacuumed (e.g. {missing[0]})"
+                )
+            df = self._apply_ranges(
+                spark,
+                self._with_pos(
+                    spark,
+                    snap,
+                    rels,
+                    extra_fields=[StructField(_ROW_ID_COL, LongType())],
+                ),
+                ranges,
+                "left_semi",
+            )
+            bdf = spark.createDataFrame(
+                [(r, bases.get(r)) for r in rels],
+                "_b_rel string, _b_base bigint",
+            )
+            df = df.join(
+                F.broadcast(bdf),
+                F.col("_btable_rel") == F.col("_b_rel"),
+                "left",
+            )
+            rid = F.coalesce(
+                F.col(_ROW_ID_COL), F.col("_b_base") + F.col("_btable_ri")
+            )
+            frames.append(
+                df.select(
+                    *cols,
+                    rid.alias("_row_id"),
+                    F.lit(kind).alias("_change_type"),
+                    F.lit(v).cast("long").alias("_commit_version"),
+                )
+            )
+        if not frames:
+            empty = StructType(
+                list(sch.fields)
+                + [
+                    StructField("_row_id", LongType()),
+                    StructField("_change_type", StringType()),
+                    StructField("_commit_version", LongType()),
+                ]
+            )
+            return spark.createDataFrame([], empty)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
     def scan_file_count(self, where: str | None = None) -> int:
         """How many data files a read(where=...) would scan — the data-
         skipping observability hook tests assert on."""
@@ -640,8 +848,7 @@ class BTable:
         return sum(
             1
             for a in snap.files.values()
-            if _maybe_matches(a.get("stats", {}), where, sch,
-                  a.get("nulls"), a.get("rows"), tz)
+            if snap.file_maybe_matches(a, where, sch, tz)
         )
 
     # --------------------------------------------------------------- dml
@@ -681,10 +888,24 @@ class BTable:
             else:
                 self._check_schema(spark, df, snap)
             self._check_constraints(out, snap, "append")
-            adds = self._write_files(spark, out)
+            colmap = dict(snap.colmap) if snap.mapped else None
+            if colmap is not None and schema_json is not None:
+                # evolution on a mapped table: new logical columns get
+                # FRESH physical names (a previously-dropped column's
+                # physical name must never be resurrected)
+                known = set(snap._logical_names())
+                for f in json.loads(schema_json)["fields"]:
+                    if f["name"] not in known:
+                        colmap[f["name"]] = _fresh_phys(f["name"])
+            adds = self._write_files(spark, out, colmap=colmap)
             doc: dict[str, Any] = {"op": "append", "add": adds}
             if schema_json is not None:
                 doc["schema"] = schema_json
+                if colmap is not None:
+                    doc["colmap"] = colmap
+            hwm = self._assign_row_ids(snap, adds)
+            if hwm is not None:
+                doc["row_id_hwm"] = hwm
             return self._commit(expected_version=snap.version, doc=doc)
 
         return self._with_retry(attempt, retries)
@@ -767,8 +988,7 @@ class BTable:
             candidates = [
                 rel
                 for rel, a in snap.files.items()
-                if _maybe_matches(a.get("stats", {}), where, sch,
-                  a.get("nulls"), a.get("rows"), tz)
+                if snap.file_maybe_matches(a, where, sch, tz)
             ]
             touched, kept_df = self._split_touched(
                 spark, snap, candidates, where
@@ -776,14 +996,19 @@ class BTable:
             if not touched:
                 return snap.version  # no-op: nothing matched
             adds = (
-                self._write_files(spark, kept_df)
+                self._write_files(
+                    spark,
+                    kept_df,
+                    colmap=snap.colmap if snap.mapped else None,
+                )
                 if kept_df is not None
                 else []
             )
-            return self._commit(
-                expected_version=snap.version,
-                doc={"op": "delete", "remove": touched, "add": adds},
-            )
+            doc = {"op": "delete", "remove": touched, "add": adds}
+            hwm = self._assign_row_ids(snap, adds)
+            if hwm is not None:
+                doc["row_id_hwm"] = hwm
+            return self._commit(expected_version=snap.version, doc=doc)
 
         return self._with_retry(attempt, retries)
 
@@ -800,14 +1025,13 @@ class BTable:
         candidates = [
             rel
             for rel, a in snap.files.items()
-            if _maybe_matches(a.get("stats", {}), where, sch,
-                              a.get("nulls"), a.get("rows"), tz)
+            if snap.file_maybe_matches(a, where, sch, tz)
         ]
         if not candidates:
             return snap.version
         live = self._apply_ranges(
             spark,
-            self._with_pos(spark, sch, candidates),
+            self._with_pos(spark, snap, candidates),
             {r: snap.dvs[r] for r in candidates if snap.dvs.get(r)},
             "left_anti",
         )
@@ -838,16 +1062,26 @@ class BTable:
         if dv:
             doc["dv"] = dv
         if rewrite:
-            survivors = self._read_live(spark, snap, rewrite).filter(
-                f"NOT ({where})"
-            )
+            survivors = self._read_live(
+                spark,
+                snap,
+                rewrite,
+                row_id_col=_ROW_ID_COL if snap.row_tracking else None,
+            ).filter(f"NOT ({where})")
             doc["remove"] = rewrite
             adds = (
                 []
                 if survivors.isEmpty()
-                else self._write_files(spark, survivors)
+                else self._write_files(
+                    spark,
+                    survivors,
+                    colmap=snap.colmap if snap.mapped else None,
+                )
             )
             doc["add"] = adds
+            hwm = self._assign_row_ids(snap, adds)
+            if hwm is not None:
+                doc["row_id_hwm"] = hwm
         return self._commit(expected_version=snap.version, doc=doc)
 
     def merge(
@@ -925,7 +1159,9 @@ class BTable:
             else [
                 rel
                 for rel, a in snap.files.items()
-                if _range_intersects(a.get("stats", {}).get(on), lo, hi)
+                if _range_intersects(
+                    a.get("stats", {}).get(snap.phys(on)), lo, hi
+                )
             ]
         )
         keys = source.select(on).distinct()
@@ -951,12 +1187,29 @@ class BTable:
                 if any(h.endswith(rel) for h in hit_files)
             ]
         if touched:
-            old = self._read_live(spark, snap, touched)
+            old = self._read_live(
+                spark,
+                snap,
+                touched,
+                row_id_col=_ROW_ID_COL if snap.row_tracking else None,
+            )
             keep = old.join(F.broadcast(keys), on, "left_anti")
             if when_matched == "update":
-                updated = source.join(
-                    F.broadcast(old.select(on).distinct()), on, "left_semi"
-                )
+                if snap.row_tracking:
+                    # an UPDATE keeps the target row's stable id: attach
+                    # it to the replacing source image (min over matched
+                    # targets — deterministic when target keys repeat,
+                    # matching the collapse-to-one-image semantics below)
+                    old_ids = old.groupBy(on).agg(
+                        F.min(_ROW_ID_COL).alias(_ROW_ID_COL)
+                    )
+                    updated = source.join(F.broadcast(old_ids), on, "inner")
+                else:
+                    updated = source.join(
+                        F.broadcast(old.select(on).distinct()),
+                        on,
+                        "left_semi",
+                    )
                 rewritten = keep.unionByName(updated)
             elif when_matched == "delete":
                 rewritten = keep
@@ -979,18 +1232,29 @@ class BTable:
 
         new_data = rewritten
         if inserts is not None:
+            if new_data is not None and snap.row_tracking:
+                # fresh rows get NULL materialized ids -> resolved as
+                # base_row_id + row index at read time (new allocation)
+                inserts = inserts.withColumn(
+                    _ROW_ID_COL, F.lit(None).cast("long")
+                )
             new_data = (
                 inserts if new_data is None else new_data.unionByName(inserts)
             )
         adds = (
-            self._write_files(spark, new_data) if new_data is not None else []
+            self._write_files(
+                spark, new_data, colmap=snap.colmap if snap.mapped else None
+            )
+            if new_data is not None
+            else []
         )
         if not adds and not touched:
             return snap.version
-        return self._commit(
-            expected_version=snap.version,
-            doc={"op": "merge", "remove": touched, "add": adds},
-        )
+        doc = {"op": "merge", "remove": touched, "add": adds}
+        hwm = self._assign_row_ids(snap, adds)
+        if hwm is not None:
+            doc["row_id_hwm"] = hwm
+        return self._commit(expected_version=snap.version, doc=doc)
 
     # ------------------------------------------------------- maintenance
 
@@ -1034,12 +1298,24 @@ class BTable:
         targets = sorted(set(small) | set(dvd))
         if not dvd and len(small) < 2:
             return snap.version  # nothing worth packing
-        df = self._read_live(spark, snap, targets).coalesce(1)
-        adds = [] if df.isEmpty() else self._write_files(spark, df)
-        return self._commit(
-            expected_version=snap.version,
-            doc={"op": "optimize", "remove": targets, "add": adds},
+        df = self._read_live(
+            spark,
+            snap,
+            targets,
+            row_id_col=_ROW_ID_COL if snap.row_tracking else None,
+        ).coalesce(1)
+        adds = (
+            []
+            if df.isEmpty()
+            else self._write_files(
+                spark, df, colmap=snap.colmap if snap.mapped else None
+            )
         )
+        doc = {"op": "optimize", "remove": targets, "add": adds}
+        hwm = self._assign_row_ids(snap, adds)
+        if hwm is not None:
+            doc["row_id_hwm"] = hwm
+        return self._commit(expected_version=snap.version, doc=doc)
 
     def _optimize_zorder(
         self, spark, cols: list[str], file_rows: int
@@ -1067,7 +1343,7 @@ class BTable:
         for c in cols:
             lo = hi = None
             for a in snap.files.values():
-                rng = a.get("stats", {}).get(c)
+                rng = a.get("stats", {}).get(snap.phys(c))
                 if rng is None or rng[0] is None or rng[1] is None:
                     continue
                 flo, fhi = _znum(rng[0], types[c]), _znum(rng[1], types[c])
@@ -1082,7 +1358,12 @@ class BTable:
         targets = sorted(snap.files)
         if not targets:
             return snap.version
-        df = self._read_live(spark, snap, targets)
+        df = self._read_live(
+            spark,
+            snap,
+            targets,
+            row_id_col=_ROW_ID_COL if snap.row_tracking else None,
+        )
         z = _zvalue(df, cols, types, bounds)
         n = max(1, -(-self.count_rows() // file_rows))
         out = (
@@ -1091,16 +1372,22 @@ class BTable:
             .sortWithinPartitions("_btable_z")
             .drop("_btable_z")
         )
-        adds = self._write_files(spark, out, cluster=False)
-        return self._commit(
-            expected_version=snap.version,
-            doc={
-                "op": "optimize",
-                "zorder_by": list(cols),
-                "remove": targets,
-                "add": adds,
-            },
+        adds = self._write_files(
+            spark,
+            out,
+            cluster=False,
+            colmap=snap.colmap if snap.mapped else None,
         )
+        doc = {
+            "op": "optimize",
+            "zorder_by": list(cols),
+            "remove": targets,
+            "add": adds,
+        }
+        hwm = self._assign_row_ids(snap, adds)
+        if hwm is not None:
+            doc["row_id_hwm"] = hwm
+        return self._commit(expected_version=snap.version, doc=doc)
 
     def vacuum(
         self,
@@ -1155,35 +1442,160 @@ class BTable:
             raise ValueError(f"column {name!r} already exists")
         new_field = spark.createDataFrame([], f"{name} {ddl_type}").schema[0]
         new = StructType(list(old.fields) + [new_field])
+        doc: dict[str, Any] = {"op": "alter", "schema": new.json()}
+        if snap.mapped:
+            # a mapped table may have DROPPED a column of this name
+            # before: old data files still store its physical column, so
+            # the reborn logical column needs a fresh physical name or
+            # the dead data would resurrect
+            doc["colmap"] = {**snap.colmap, name: _fresh_phys(name)}
+        return self._commit(expected_version=snap.version, doc=doc)
+
+    def rename_column(self, old_name: str, new_name: str) -> int:
+        """ALTER TABLE RENAME COLUMN — metadata-only (Delta's column
+        mapping): the LOG schema renames; data files keep their
+        write-time physical names and the commit's ``colmap`` records
+        logical->physical.  No data file is read or written; every old
+        version stays readable under ITS schema via time travel."""
+        snap = self.snapshot()
+        sch = StructType.fromJson(json.loads(snap.schema_json))
+        names = sch.fieldNames()
+        if old_name not in names:
+            raise ValueError(f"no such column: {old_name!r}")
+        if new_name in names:
+            raise ValueError(f"column {new_name!r} already exists")
+        if new_name.startswith("_btable") or new_name in ("_row_id",):
+            raise ValueError(f"reserved column name: {new_name!r}")
+        self._guard_referenced(snap, old_name, "rename")
+        from pyspark.sql.types import StructField
+
+        new = StructType(
+            [
+                StructField(new_name, f.dataType, f.nullable, f.metadata)
+                if f.name == old_name
+                else f
+                for f in sch.fields
+            ]
+        )
+        colmap = dict(snap.colmap)
+        phys = colmap.pop(old_name, old_name)
+        if phys != new_name:
+            colmap[new_name] = phys
+        doc: dict[str, Any] = {
+            "op": "alter",
+            "schema": new.json(),
+            "colmap": colmap,
+        }
+        if old_name in self.cluster_by:
+            doc["cluster_by"] = [
+                new_name if c == old_name else c for c in self.cluster_by
+            ]
+            doc["cluster_file_rows"] = getattr(
+                self, "_cluster_file_rows", 1_000_000
+            )
+            self._cluster_by = None  # invalidate cache
+        return self._commit(expected_version=snap.version, doc=doc)
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE DROP COLUMN — metadata-only: the column leaves the
+        logical schema and its colmap entry dies; the physical data stays
+        in old files (readable via time travel) but is never scanned by
+        current-version reads (explicit read schemas never ask for it).
+        A later add_column of the same name gets a FRESH physical name,
+        so dropped data cannot resurrect."""
+        snap = self.snapshot()
+        sch = StructType.fromJson(json.loads(snap.schema_json))
+        if name not in sch.fieldNames():
+            raise ValueError(f"no such column: {name!r}")
+        if len(sch.fields) == 1:
+            raise ValueError("cannot drop the only column")
+        if name in self.cluster_by:
+            raise ValueError(
+                f"column {name!r} is a clustering column; re-cluster first"
+            )
+        self._guard_referenced(snap, name, "drop")
+        new = StructType([f for f in sch.fields if f.name != name])
+        colmap = dict(snap.colmap)
+        colmap.pop(name, None)
         return self._commit(
             expected_version=snap.version,
-            doc={"op": "alter", "schema": new.json()},
+            doc={"op": "alter", "schema": new.json(), "colmap": colmap},
+        )
+
+    def _guard_referenced(self, snap: Snapshot, name: str, what: str):
+        """Reject rename/drop of a column a CHECK constraint references
+        (conservative word-token match — rewriting constraint SQL is out
+        of scope, same posture as Delta's error)."""
+        pat = re.compile(rf"\b{re.escape(name)}\b")
+        hits = [n for n, expr in snap.constraints.items() if pat.search(expr)]
+        if hits:
+            raise ValueError(
+                f"cannot {what} column {name!r}: referenced by CHECK "
+                f"constraint(s) {sorted(hits)}; drop them first"
+            )
+
+    def enable_row_tracking(self) -> int:
+        """Turn on stable row ids — metadata-only: every live file gets a
+        ``base_row_id`` allocation in this commit (id = base + parquet
+        row index; no data file is touched), and every future add action
+        allocates from the high-watermark.  Rewrites from then on CARRY
+        ids via a materialized ``_btable_row_id`` column, so a row keeps
+        its id across OPTIMIZE/MERGE/DELETE — the hook incremental
+        consumers need to tell an update from a delete+insert."""
+        snap = self.snapshot()
+        if snap.row_tracking:
+            return snap.version
+        hwm = snap.row_id_hwm
+        assign: dict[str, int] = {}
+        for rel in sorted(snap.files):
+            assign[rel] = hwm
+            hwm += snap.files[rel].get("rows", 0)
+        return self._commit(
+            expected_version=snap.version,
+            doc={
+                "op": "alter",
+                "row_tracking": True,
+                "row_id_assign": assign,
+                "row_id_hwm": hwm,
+            },
         )
 
     # ----------------------------------------------------------- helpers
 
-    def _with_pos(self, spark, sch: StructType, rels: list[str]) -> DataFrame:
+    def _with_pos(
+        self,
+        spark,
+        snap: Snapshot,
+        rels: list[str],
+        extra_fields: list | None = None,
+    ) -> DataFrame:
         """Read data files exposing each row's provenance: full source
         path (``_btable_file``), parquet row index (``_btable_ri``), and
         the btable-relative path (``_btable_rel`` = the trailing
         data/<commit>/<name> segments, equi-joinable against commit-log
         keys).  ``_metadata`` is populated per-file by the parquet reader,
-        so this works under an explicit read schema."""
+        so this works under an explicit read schema.  Columns come back
+        LOGICALLY named (column mapping resolved); ``extra_fields``
+        appends physical-only StructFields to the read schema (e.g. the
+        materialized row-id column — absent files null-fill)."""
+        sch = _phys_schema(snap)
+        if extra_fields:
+            sch = StructType(list(sch.fields) + list(extra_fields))
         df = spark.read.schema(sch).parquet(
             *[os.path.join(self.path, rel) for rel in rels]
         )
-        return (
+        return _to_logical(
             df.select(
                 "*",
                 F.col("_metadata.file_path").alias("_btable_file"),
                 F.col("_metadata.row_index").alias("_btable_ri"),
-            )
-            .withColumn(
+            ).withColumn(
                 "_btable_rel",
                 F.concat_ws(
                     "/", F.slice(F.split(F.col("_btable_file"), "/"), -3, 3)
                 ),
-            )
+            ),
+            snap,
         )
 
     @staticmethod
@@ -1219,21 +1631,32 @@ class BTable:
         snap: Snapshot,
         rels: list[str],
         file_col: str | None = None,
+        row_id_col: str | None = None,
     ) -> DataFrame:
         """DV-aware read of the given live files: rows covered by a
         file's deletion vector are filtered out.  Files WITHOUT a DV take
         the plain scan path (identical plan to the pre-DV format — no
         metadata columns, no join); only DV'd files pay the anti-join.
-        Returns exactly the table schema, plus the full source path as
-        ``file_col`` if requested."""
+        Returns exactly the (logical) table schema, plus the full source
+        path as ``file_col`` and/or the stable row id as ``row_id_col``
+        if requested (the latter requires row tracking: id =
+        materialized _btable_row_id if the file carries one, else the
+        add action's base_row_id + parquet row index)."""
         sch = _schema(snap)
         cols = [f.name for f in sch.fields]
+        if row_id_col:
+            return self._read_live_with_ids(
+                spark, snap, rels, file_col, row_id_col
+            )
         plain = [r for r in rels if not snap.dvs.get(r)]
         dvd = [r for r in rels if snap.dvs.get(r)]
         frames = []
         if plain:
-            df = spark.read.schema(sch).parquet(
-                *[os.path.join(self.path, rel) for rel in plain]
+            df = _to_logical(
+                spark.read.schema(_phys_schema(snap)).parquet(
+                    *[os.path.join(self.path, rel) for rel in plain]
+                ),
+                snap,
             )
             if file_col:
                 df = df.withColumn(file_col, F.input_file_name())
@@ -1241,7 +1664,7 @@ class BTable:
         if dvd:
             df = self._apply_ranges(
                 spark,
-                self._with_pos(spark, sch, dvd),
+                self._with_pos(spark, snap, dvd),
                 {r: snap.dvs[r] for r in dvd},
                 "left_anti",
             )
@@ -1262,6 +1685,72 @@ class BTable:
             out = out.unionByName(f)
         return out
 
+    def _read_live_with_ids(
+        self, spark, snap: Snapshot, rels, file_col, row_id_col
+    ) -> DataFrame:
+        """Row-id flavored live read: every file goes through the
+        position-exposing scan (ids need the parquet row index), the
+        per-file base comes in as a broadcast metadata join, and
+        ``coalesce(materialized, base + row_index)`` resolves each row's
+        stable id — fresh rows a rewrite inserted with a NULL
+        materialized id land in the file's newly-allocated base range."""
+        from pyspark.sql.types import LongType, StructField
+
+        if not snap.row_tracking:
+            raise ValueError(
+                "row ids requested but row tracking is not enabled "
+                "(BTable.enable_row_tracking / create(row_tracking=True))"
+            )
+        sch = _schema(snap)
+        cols = [f.name for f in sch.fields]
+        tail = [F.col("_btable_file").alias(file_col)] if file_col else []
+        if not rels:
+            out_sch = StructType(list(sch.fields))
+            if file_col:
+                from pyspark.sql.types import StringType
+
+                out_sch = StructType(
+                    list(out_sch.fields) + [StructField(file_col, StringType())]
+                )
+            out_sch = StructType(
+                list(out_sch.fields) + [StructField(row_id_col, LongType())]
+            )
+            return spark.createDataFrame([], out_sch)
+        no_ids = [
+            rel
+            for rel in rels
+            if snap.files[rel].get("base_row_id") is None
+        ]
+        if no_ids:
+            raise ValueError(
+                f"{len(no_ids)} data files have no row-id base (written "
+                f"or restored from before row tracking was enabled), "
+                f"e.g. {no_ids[0]}"
+            )
+        df = self._with_pos(
+            spark,
+            snap,
+            sorted(rels),
+            extra_fields=[StructField(_ROW_ID_COL, LongType())],
+        )
+        df = self._apply_ranges(
+            spark,
+            df,
+            {r: snap.dvs[r] for r in rels if snap.dvs.get(r)},
+            "left_anti",
+        )
+        bdf = spark.createDataFrame(
+            [(rel, snap.files[rel]["base_row_id"]) for rel in sorted(rels)],
+            "_b_rel string, _b_base bigint",
+        )
+        df = df.join(
+            F.broadcast(bdf), F.col("_btable_rel") == F.col("_b_rel"), "left"
+        )
+        rid = F.coalesce(
+            F.col(_ROW_ID_COL), F.col("_b_base") + F.col("_btable_ri")
+        )
+        return df.select(*cols, *tail, rid.alias(row_id_col))
+
     def _check_schema(self, spark, df: DataFrame, snap: Snapshot) -> None:
         expected = spark.createDataFrame([], _schema(snap)).schema
         if df.schema.simpleString() != expected.simpleString():
@@ -1271,13 +1760,21 @@ class BTable:
             )
 
     def _write_files(
-        self, spark, df: DataFrame, cluster: bool = True
+        self,
+        spark,
+        df: DataFrame,
+        cluster: bool = True,
+        colmap: dict[str, str] | None = None,
     ) -> list[dict[str, Any]]:
         """Write df as a new immutable commit directory; return add actions
         with per-file row counts and min/max stats (one aggregate over the
         just-written files only).  Clustered tables range-repartition +
         sort on the clustering columns first, so each file covers a narrow
-        value range and stats pruning stays sharp."""
+        value range and stats pruning stays sharp.  ``colmap`` (column
+        mapping): rename logical->physical just before the write, so new
+        files share physical names with old ones and stats keys stay
+        physical; a materialized ``_btable_row_id`` column passes through
+        and flags the add actions."""
         commit_id = uuid.uuid4().hex[:12]
         rel_dir = os.path.join(_DATA_DIR, commit_id)
         out_dir = os.path.join(self.path, rel_dir)
@@ -1291,13 +1788,19 @@ class BTable:
                 -(-df.count() // getattr(self, "_cluster_file_rows", 1_000_000)),
             )
             df = df.repartitionByRange(n, *cb).sortWithinPartitions(*cb)
+        has_row_ids = _ROW_ID_COL in df.columns
+        if colmap:
+            df = df.select(
+                *[F.col(c).alias(colmap.get(c, c)) for c in df.columns]
+            )
         df.write.parquet(out_dir)
         written = spark.read.schema(df.schema).parquet(out_dir)
         types = {f.name: f.dataType.typeName() for f in written.schema.fields}
         cols = [
             f.name
             for f in written.schema.fields
-            if f.dataType.typeName()
+            if not f.name.startswith("_btable")
+            and f.dataType.typeName()
             in ("integer", "long", "short", "byte", "double", "float",
                 "string", "date", "timestamp", "decimal")
         ][:_STATS_COLS_MAX]
@@ -1336,15 +1839,31 @@ class BTable:
                 c: [_plain(r[f"_min_{c}"]), _plain(r[f"_max_{c}"])]
                 for c in cols
             }
-            adds.append(
-                {
-                    "path": os.path.join(rel_dir, fname),
-                    "rows": r["_n"],
-                    "stats": stats,
-                    "nulls": {c: r[f"_null_{c}"] for c in cols},
-                }
-            )
+            add = {
+                "path": os.path.join(rel_dir, fname),
+                "rows": r["_n"],
+                "stats": stats,
+                "nulls": {c: r[f"_null_{c}"] for c in cols},
+            }
+            if has_row_ids:
+                add["row_ids_materialized"] = True
+            adds.append(add)
         return adds
+
+    def _assign_row_ids(
+        self, snap: Snapshot, adds: list[dict[str, Any]]
+    ) -> int | None:
+        """Allocate contiguous base-row-id ranges to new add actions from
+        the snapshot's high-watermark; returns the new watermark for the
+        commit doc (None when row tracking is off — docs stay
+        byte-identical to the pre-tracking format)."""
+        if not snap.row_tracking:
+            return None
+        hwm = snap.row_id_hwm
+        for add in sorted(adds, key=lambda a: a["path"]):
+            add["base_row_id"] = hwm
+            hwm += add.get("rows", 0)
+        return hwm
 
     def _split_touched(self, spark, snap, candidates, where):
         """(files that contain where-matching rows, surviving rows of those
@@ -1367,10 +1886,14 @@ class BTable:
         if not touched:
             return [], None
         # DV-aware: the rewrite must keep only LIVE survivors — reading
-        # the raw files here would resurrect DV-deleted rows
-        survivors = self._read_live(spark, snap, touched).filter(
-            f"NOT ({where})"
-        )
+        # the raw files here would resurrect DV-deleted rows.  Row
+        # tracking: survivors CARRY their ids into the rewrite.
+        survivors = self._read_live(
+            spark,
+            snap,
+            touched,
+            row_id_col=_ROW_ID_COL if snap.row_tracking else None,
+        ).filter(f"NOT ({where})")
         if survivors.isEmpty():
             return touched, None
         return touched, survivors
@@ -1412,6 +1935,10 @@ class BTable:
                 "files": snap.files,
                 "dvs": snap.dvs,
                 "constraints": snap.constraints,
+                "colmap": snap.colmap,
+                "mapped": snap.mapped,
+                "row_tracking": snap.row_tracking,
+                "row_id_hwm": snap.row_id_hwm,
             }
             cp = os.path.join(
                 self.path, _LOG_DIR, f"{version:08d}.checkpoint.json"
@@ -1452,6 +1979,44 @@ def _schema(snap: Snapshot) -> StructType:
     schema via ``spark.read.schema`` would be a lie Spark never validates,
     and the optimizer may miscompile IS NULL over it (ADVICE r12)."""
     return _nullable(StructType.fromJson(json.loads(snap.schema_json)))
+
+
+def _phys_schema(snap: Snapshot) -> StructType:
+    """Physical READ schema: the logical schema with fields renamed to
+    their on-file (physical) names.  Identity for unmapped tables."""
+    from pyspark.sql.types import StructField
+
+    sch = _schema(snap)
+    if not snap.mapped:
+        return sch
+    return StructType(
+        [
+            StructField(snap.phys(f.name), f.dataType, True, f.metadata)
+            for f in sch.fields
+        ]
+    )
+
+
+def _to_logical(df: DataFrame, snap: Snapshot) -> DataFrame:
+    """Rename a physically-named frame back to logical names.  No-op
+    projection skipped entirely for unmapped tables so their plans stay
+    byte-identical to the pre-column-mapping format."""
+    if not snap.mapped:
+        return df
+    inv = {snap.phys(l): l for l in snap._logical_names()}
+    return df.select(
+        *[
+            F.col(c).alias(inv[c]) if c in inv and inv[c] != c else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
+def _fresh_phys(logical: str) -> str:
+    """Fresh physical column name for a logical column born on a MAPPED
+    table: uniqueness (uuid suffix) guarantees a dropped column's
+    physical name — still present in old data files — is never reused."""
+    return f"{logical}-{uuid.uuid4().hex[:8]}"
 
 
 def _plain(v):
