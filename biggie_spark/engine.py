@@ -84,10 +84,14 @@ class Engine:
 
         return BTable(path)
 
-    def btable_create(self, path: str, df: DataFrame):
+    def btable_create(self, path: str, df: DataFrame, **kw):
+        """``**kw`` passes through create options: cluster_by /
+        cluster_file_rows (liquid clustering), row_tracking (stable row
+        ids), bloom_cols / bloom_bits / bloom_k (point-lookup file
+        skipping)."""
         from biggie_spark.tablefmt import BTable
 
-        return BTable.create(self.spark, path, df)
+        return BTable.create(self.spark, path, df, **kw)
 
     def btable_changes_stream(self, path: str, starting_version: int = -1):
         """The btable change feed as a live Structured Streaming frame

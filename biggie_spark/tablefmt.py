@@ -45,6 +45,19 @@ path + row count + per-column min/max stats) and ``remove`` entries
   version stays readable under its own schema, stats pruning follows
   the rename, and a dropped-then-readded column gets a fresh physical
   name so dead data never resurrects.
+* **Bloom-filter file skipping**: per-file bloom sidecars on declared
+  string/integral columns (the Delta bloom-filter-index idea) prune
+  equality/IN point lookups that min/max stats can't — the
+  high-cardinality-id case.  Build and probe hash the SAME canonical
+  bytes (JVM md5 expressions / hashlib md5), so there is no
+  cross-engine hash-parity risk; any literal/type doubt must-scans.
+* **Protocol table features** (the Delta table-features idea): the
+  first commit to exercise column mapping / deletion vectors / row
+  tracking stamps a monotone ``protocol`` union into the log;
+  snapshots FAIL CLOSED on unknown reader features and the commit
+  choke point refuses to write under any unknown feature — a future
+  log can never be silently misread, while time travel before the
+  feature-introducing commit stays readable.
 * **Row tracking**: stable row ids (the Delta rowTracking idea) —
   an add action's ``base_row_id`` + parquet row index names a row for
   life; copy-on-write rewrites CARRY ids via a materialized
@@ -63,9 +76,12 @@ aggregate over the just-written files only.
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import json
 import os
 import re
+import struct
 import time
 import uuid
 from fractions import Fraction
@@ -102,6 +118,47 @@ class CommitConflict(RuntimeError):
 
 class SchemaMismatch(ValueError):
     """Write schema does not match the table schema."""
+
+
+class UnsupportedTableFeature(RuntimeError):
+    """The commit log requires a table feature this implementation does
+    not know.  Raised instead of returning silently-wrong data: a reader
+    that ignored an unknown ``reader`` feature (say, a future encoding)
+    could resurrect deleted rows or misname columns, and a writer that
+    ignored an unknown ``writer`` feature could corrupt invariants the
+    feature maintains (the Delta Lake protocol's table-features idea)."""
+
+
+# Features whose semantics a reader MUST implement to produce correct
+# rows (ignoring column mapping misnames columns; ignoring deletion
+# vectors resurrects deleted rows).  Row tracking is writer-only, like
+# Delta's rowTracking: plain reads of a tracked table are unaffected,
+# but a writer that doesn't maintain id assignment would break stable
+# ids for every downstream CDC consumer.
+SUPPORTED_READER_FEATURES = frozenset({"column-mapping", "deletion-vectors"})
+SUPPORTED_WRITER_FEATURES = SUPPORTED_READER_FEATURES | frozenset(
+    {"row-tracking"}
+)
+
+
+def _features_of_doc(doc: dict[str, Any]) -> tuple[set[str], set[str]]:
+    """(reader, writer) features this commit doc exercises.  Computed
+    from the doc's own keys so every DML path is covered at the single
+    ``_commit`` choke point — no per-call-site bookkeeping to forget."""
+    reader: set[str] = set()
+    writer: set[str] = set()
+    if "colmap" in doc:
+        reader.add("column-mapping")
+    if doc.get("dv"):  # dv_reset with an empty map needs nothing: a
+        # reader ignoring it on a DV-free table still reads correctly
+        reader.add("deletion-vectors")
+    if (
+        doc.get("row_tracking")
+        or "row_id_assign" in doc
+        or "row_id_hwm" in doc
+    ):
+        writer.add("row-tracking")
+    return reader, writer
 
 
 def _log_path(table: str, version: int) -> str:
@@ -301,6 +358,12 @@ class Snapshot:
     # allocation high-watermark (never decreases, even across RESTORE).
     row_tracking: bool = False
     row_id_hwm: int = 0
+    # Protocol table features (Delta's reader/writer features idea):
+    # monotone unions over the log prefix this snapshot replays, so
+    # time travel BEFORE a feature-introducing commit stays readable
+    # even when the feature itself is unknown to this implementation.
+    reader_features: set[str] = field(default_factory=set)
+    writer_features: set[str] = field(default_factory=set)
 
     def paths(self, table: str) -> list[str]:
         return [os.path.join(table, rel) for rel in sorted(self.files)]
@@ -361,6 +424,12 @@ def _replay(
             mapped=base.get("mapped", False),
             row_tracking=base.get("row_tracking", False),
             row_id_hwm=base.get("row_id_hwm", 0),
+            reader_features=set(
+                base.get("protocol", {}).get("reader", [])
+            ),
+            writer_features=set(
+                base.get("protocol", {}).get("writer", [])
+            ),
         )
         floor = base["version"]
         seen = base["version"] == last
@@ -379,6 +448,9 @@ def _replay(
         if "colmap" in c:  # full replacement, like schema
             snap.colmap = dict(c["colmap"])
             snap.mapped = True  # sticky: physical names stay reserved
+        if "protocol" in c:  # features only grow (no drop-feature)
+            snap.reader_features |= set(c["protocol"].get("reader", []))
+            snap.writer_features |= set(c["protocol"].get("writer", []))
         if c.get("row_tracking"):
             snap.row_tracking = True
         if "row_id_hwm" in c:  # never decreases (RESTORE keeps old ids)
@@ -423,6 +495,9 @@ class BTable:
         cluster_by: list[str] | None = None,
         cluster_file_rows: int = 1_000_000,
         row_tracking: bool = False,
+        bloom_cols: list[str] | None = None,
+        bloom_bits: int = 32768,
+        bloom_k: int = 7,
     ) -> "BTable":
         """``cluster_by`` records clustering columns in the log: every
         write (create/append/optimize rewrites) hash-repartitions and
@@ -437,15 +512,22 @@ class BTable:
             missing = [c for c in cluster_by if c not in df.columns]
             if missing:
                 raise ValueError(f"cluster_by columns not in schema: {missing}")
+        bconf: dict[str, Any] = {}
+        if bloom_cols:
+            types = {f.name: f.dataType.typeName() for f in df.schema.fields}
+            bconf = _validate_bloom_conf(types, bloom_cols, bloom_bits, bloom_k)
         os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
         t = BTable(path)
         t._cluster_by = list(cluster_by or [])
         t._cluster_file_rows = cluster_file_rows
+        t._bloom_conf = bconf
         adds = t._write_files(spark, df)
         doc = {"op": "create", "schema": df.schema.json(), "add": adds}
         if cluster_by:
             doc["cluster_by"] = list(cluster_by)
             doc["cluster_file_rows"] = cluster_file_rows
+        if bconf:
+            doc["bloom_conf"] = bconf
         if row_tracking:
             hwm = 0
             for add in sorted(adds, key=lambda a: a["path"]):
@@ -470,6 +552,41 @@ class BTable:
             self._cluster_file_rows = rows
         return self._cluster_by
 
+    @property
+    def bloom_conf(self) -> dict[str, Any]:
+        """Active bloom-index config ({} when none): cols / bits / k.
+        Like ``cluster_by``, a writer config replayed from the raw log
+        (latest setting wins), not snapshot state."""
+        if getattr(self, "_bloom_conf", None) is None:
+            conf: dict[str, Any] = {}
+            for c in _read_log(self.path):
+                if "bloom_conf" in c:
+                    conf = c["bloom_conf"]
+            self._bloom_conf = conf
+        return self._bloom_conf
+
+    def set_bloom_index(
+        self, cols: list[str], bits: int = 32768, k: int = 7
+    ) -> int:
+        """Configure per-file bloom filters on ``cols`` (string/integral
+        LOGICAL column names) for equality/IN file skipping.  Metadata-only
+        commit; applies to files written AFTERWARDS — files predating the
+        config simply have no sidecar and must-scan (conservative), and
+        ``optimize()`` rewrites backfill them.  Size ``bits`` to the
+        rows-per-file target: ~10 bits per distinct value with k=7 gives
+        ~1% false positives (the standard bloom sizing)."""
+        snap = self.snapshot()
+        types = {
+            f.name: f.dataType.typeName() for f in _schema(snap).fields
+        }
+        conf = _validate_bloom_conf(types, cols, bits, k)
+        v = self._commit(
+            expected_version=snap.version,
+            doc={"op": "alter", "bloom_conf": conf},
+        )
+        self._bloom_conf = conf
+        return v
+
     def read(
         self,
         spark: SparkSession,
@@ -489,7 +606,7 @@ class BTable:
             files = {
                 rel: a
                 for rel, a in files.items()
-                if snap.file_maybe_matches(a, where, sch, tz)
+                if self._file_may_match(snap, a, where, sch, tz)
             }
         df = self._read_live(
             spark,
@@ -503,7 +620,29 @@ class BTable:
         commits = _read_log(self.path)
         last = commits[-1]["version"] if commits else 0
         target = last if version is None else version
-        return _replay(commits, version, _latest_checkpoint(self.path, target))
+        snap = _replay(
+            commits, version, _latest_checkpoint(self.path, target)
+        )
+        unknown = snap.reader_features - SUPPORTED_READER_FEATURES
+        if unknown:
+            # fail CLOSED: an unknown reader feature means this snapshot's
+            # files/metadata may not mean what this code thinks they mean
+            raise UnsupportedTableFeature(
+                f"table requires reader features {sorted(unknown)} "
+                f"(supported: {sorted(SUPPORTED_READER_FEATURES)}); "
+                "versions before the feature was introduced stay "
+                "readable via read(version=...)"
+            )
+        if version is None:
+            # feature state as of the snapshot every DML attempt() takes
+            # right before _commit — lets the commit choke point gate
+            # writer features without a second log read
+            self._feat_cache = (
+                snap.version,
+                frozenset(snap.reader_features),
+                frozenset(snap.writer_features),
+            )
+        return snap
 
     def version_as_of(self, ts: float) -> int:
         """Newest version whose commit time is <= ``ts`` (unix seconds) —
@@ -848,8 +987,88 @@ class BTable:
         return sum(
             1
             for a in snap.files.values()
-            if snap.file_maybe_matches(a, where, sch, tz)
+            if self._file_may_match(snap, a, where, sch, tz)
         )
+
+    # ------------------------------------------------------ bloom prune
+
+    def _bloom_sidecar(self, rel: str) -> dict[str, Any] | None:
+        """Load + decode one bloom sidecar, cached per handle (bounded by
+        live-file count x filter size).  Any read/decode failure — e.g. a
+        sidecar vacuumed from under a restored file — means must-scan."""
+        cache = getattr(self, "_bloom_cache", None)
+        if cache is None:
+            cache = self._bloom_cache = {}
+        if rel not in cache:
+            try:
+                with open(os.path.join(self.path, rel)) as f:
+                    raw = json.load(f)
+                raw["cols"] = {
+                    c: base64.b64decode(v) for c, v in raw["cols"].items()
+                }
+                cache[rel] = raw
+            except (OSError, ValueError, KeyError, TypeError):
+                cache[rel] = None
+        return cache[rel]
+
+    def _bloom_excludes(self, snap, add, where: str, sch) -> bool:
+        """True iff some fully-parsed equality/IN conjunct PROVES via the
+        file's bloom sidecar that no row can match.  Mirrors the
+        _maybe_matches contract: any parse, type, or sidecar doubt keeps
+        the file (pruning is never a filter)."""
+        rel = add.get("bloom")
+        if not rel or "\\" in where:
+            return False
+        sc: dict[str, Any] | None = None
+        for clause in _split_top_and(where):
+            clause = _strip_parens(clause)
+            im = _IN_RE.match(clause)
+            m = None if im else _CLAUSE_RE.match(clause)
+            col, lits = None, None
+            if im is not None:
+                items = _split_top_commas(im.group(2))
+                if items:
+                    col = im.group(1)
+                    lits = [
+                        lm.groups() if (lm := _LIT_RE.match(i)) else None
+                        for i in items
+                    ]
+            elif m is not None and m.group(2) in ("==", "="):
+                col = m.group(1)
+                lits = [(m.group(3), m.group(4), m.group(5))]
+            if col is None or not lits or any(g is None for g in lits):
+                continue
+            try:
+                ftype = sch[col].dataType.typeName()
+            except KeyError:
+                continue
+            if ftype not in _BLOOM_ELIGIBLE:
+                continue
+            canon = [_bloom_canon(*g, ftype) for g in lits]
+            if any(c is None for c in canon):
+                continue
+            if sc is None:
+                sc = self._bloom_sidecar(rel)
+                if sc is None:
+                    return False
+            words = sc["cols"].get(snap.phys(col))
+            if words is None or len(words) * 64 < sc["bits"]:
+                continue
+            # `col == lit` / `col IN (...)` never matches a NULL, so a
+            # filter built from non-null values only is exactly right
+            if all(
+                not _bloom_contains(words, sc["bits"], sc["k"], c)
+                for c in canon
+            ):
+                return True
+        return False
+
+    def _file_may_match(self, snap, add, where: str, sch, tz) -> bool:
+        """Combined data-skipping test: min/max + null-count stats, then
+        the bloom sidecar for point predicates the stats can't decide."""
+        return snap.file_maybe_matches(
+            add, where, sch, tz
+        ) and not self._bloom_excludes(snap, add, where, sch)
 
     # --------------------------------------------------------------- dml
 
@@ -988,7 +1207,7 @@ class BTable:
             candidates = [
                 rel
                 for rel, a in snap.files.items()
-                if snap.file_maybe_matches(a, where, sch, tz)
+                if self._file_may_match(snap, a, where, sch, tz)
             ]
             touched, kept_df = self._split_touched(
                 spark, snap, candidates, where
@@ -1025,7 +1244,7 @@ class BTable:
         candidates = [
             rel
             for rel, a in snap.files.items()
-            if snap.file_maybe_matches(a, where, sch, tz)
+            if self._file_may_match(snap, a, where, sch, tz)
         ]
         if not candidates:
             return snap.version
@@ -1420,7 +1639,11 @@ class BTable:
             for name in names:
                 full = os.path.join(dirpath, name)
                 rel = os.path.relpath(full, self.path)
-                if rel in keep or not name.endswith(".parquet"):
+                if name.endswith(".bloom.json"):
+                    # a bloom sidecar lives and dies with its data file
+                    if rel[: -len(".bloom.json")] in keep:
+                        continue
+                elif rel in keep or not name.endswith(".parquet"):
                     continue
                 try:
                     if now - os.path.getmtime(full) < retention_seconds:
@@ -1848,7 +2071,80 @@ class BTable:
             if has_row_ids:
                 add["row_ids_materialized"] = True
             adds.append(add)
+        self._write_blooms(written, adds, rel_dir, out_dir, types, colmap)
         return adds
+
+    def _write_blooms(
+        self, written, adds, rel_dir, out_dir, types, colmap
+    ) -> None:
+        """Stage one ``<file>.bloom.json`` sidecar per just-written file
+        when a bloom index is configured: per-column bit positions are
+        computed JVM-side with the cross-engine md5 idiom
+        (``_bloom_pos_expr``) and OR-folded into 64-bit words with one
+        ``bit_or`` aggregate per column — the driver collects at most
+        files x ceil(bits/64) word rows (the filters' own size; at
+        production scale the natural extension writes sidecars from
+        executors, the same way Delta stages its bloom index files).
+        Sidecars are immutable alongside their data file: copy-on-write
+        means file contents never change, and DV deletes only ever make
+        the filter a stale SUPERSET — still conservative-correct."""
+        bconf = self.bloom_conf
+        if not bconf or not adds:
+            return
+        bits, k = bconf["bits"], bconf["k"]
+        nwords = (bits + 63) // 64
+        phys_cols = [
+            (colmap or {}).get(c, c)
+            for c in bconf["cols"]
+            if types.get((colmap or {}).get(c, c)) in _BLOOM_ELIGIBLE
+        ]
+        if not phys_cols:
+            return
+        src = written.withColumn("_f", F.input_file_name())
+        per_col: dict[str, dict[str, list[int]]] = {}
+        for phys in phys_cols:
+            word_rows = (
+                src.where(F.col(phys).isNotNull())
+                .select(
+                    "_f",
+                    F.explode(
+                        F.array(
+                            *[_bloom_pos_expr(phys, s, bits) for s in range(k)]
+                        )
+                    ).alias("p"),
+                )
+                .groupBy(F.col("_f"), (F.col("p") / 64).cast("int").alias("w"))
+                .agg(
+                    F.expr(
+                        "bit_or(shiftleft(1L, cast(pmod(p, 64) AS int))) AS m"
+                    )
+                )
+                .collect()
+            )
+            by_file: dict[str, list[int]] = {}
+            for r in word_rows:
+                fname = r["_f"].rsplit("/", 1)[-1]
+                by_file.setdefault(fname, [0] * nwords)[r["w"]] |= (
+                    r["m"] & _MASK64
+                )
+            per_col[phys] = by_file
+        for add in adds:
+            fname = add["path"].rsplit("/", 1)[-1]
+            cols_map = {
+                # all-zero words for a file whose column is entirely null:
+                # no non-null value exists, so every equality probe prunes
+                phys: base64.b64encode(
+                    struct.pack(
+                        f"<{nwords}Q",
+                        *per_col[phys].get(fname, [0] * nwords),
+                    )
+                ).decode()
+                for phys in phys_cols
+            }
+            sc_name = fname + ".bloom.json"
+            with open(os.path.join(out_dir, sc_name), "w") as f:
+                json.dump({"bits": bits, "k": k, "cols": cols_map}, f)
+            add["bloom"] = os.path.join(rel_dir, sc_name)
 
     def _assign_row_ids(
         self, snap: Snapshot, adds: list[dict[str, Any]]
@@ -1899,6 +2195,44 @@ class BTable:
         return touched, survivors
 
     def _commit(self, expected_version: int, doc: dict[str, Any]) -> int:
+        # Protocol gate + stamp at the single write choke point: refuse
+        # to write a table whose log requires features this code doesn't
+        # implement, and record (monotone-union) the features this very
+        # commit first exercises.  Tables that use no feature carry no
+        # protocol key — docs stay byte-identical to the plain format.
+        need_r, need_w = _features_of_doc(doc)
+        if expected_version < 0:
+            have_r: frozenset[str] = frozenset()
+            have_w: frozenset[str] = frozenset()
+        else:
+            cache = getattr(self, "_feat_cache", None)
+            if cache is not None and cache[0] == expected_version:
+                _, have_r, have_w = cache
+            else:  # cold handle / mid-race: one extra metadata read
+                prior = _replay(
+                    _read_log(self.path),
+                    expected_version,
+                    _latest_checkpoint(self.path, expected_version),
+                )
+                have_r = frozenset(prior.reader_features)
+                have_w = frozenset(prior.writer_features)
+        unknown = (have_r - SUPPORTED_READER_FEATURES) | (
+            have_w - SUPPORTED_WRITER_FEATURES
+        )
+        if unknown:
+            raise UnsupportedTableFeature(
+                f"table requires features {sorted(unknown)} this writer "
+                "does not implement; writing could corrupt the invariants "
+                "those features maintain"
+            )
+        if (need_r - have_r) or (need_w - have_w):
+            doc = {
+                **doc,
+                "protocol": {
+                    "reader": sorted(have_r | need_r),
+                    "writer": sorted(have_w | need_w),
+                },
+            }
         version = expected_version + 1
         doc = {"version": version, "ts": time.time(), **doc}
         tmp = os.path.join(
@@ -1939,6 +2273,10 @@ class BTable:
                 "mapped": snap.mapped,
                 "row_tracking": snap.row_tracking,
                 "row_id_hwm": snap.row_id_hwm,
+                "protocol": {
+                    "reader": sorted(snap.reader_features),
+                    "writer": sorted(snap.writer_features),
+                },
             }
             cp = os.path.join(
                 self.path, _LOG_DIR, f"{version:08d}.checkpoint.json"
@@ -2355,3 +2693,98 @@ def _maybe_matches(
         _clause_excludes(stats, clause, schema, nulls, rows, tz)
         for clause in _split_top_and(where)
     )
+
+
+# ------------------------------------------------------- bloom indexes
+#
+# Per-file bloom filters (the Delta Lake bloom-filter-index idea) for
+# POINT lookups that min/max stats cannot prune: a high-cardinality id
+# scattered across every file (because the table clusters on something
+# else) overlaps every [min,max] range, but each file's bloom answers
+# "this exact value is definitely absent" — at 100 TB that turns an
+# `id == '...'` lookup from a full scan into opening O(k·fpp·files)
+# false-positive files plus the one true hit.
+#
+# Hashing is the repo's proven cross-engine idiom (the llm_minhash md5
+# trick): position = md5(canonical_string || "|" || seed) taken as the
+# first 15 hex digits mod bits.  The SAME bytes hash on both sides —
+# JVM expressions at build time, hashlib at prune time — so there is no
+# float or xxhash-internal-layout parity risk.  Membership is restricted
+# to string and integral columns with literal-parseable predicates;
+# everything else must-scans (pruning is an optimization, never a
+# filter).
+
+_BLOOM_ELIGIBLE = ("string", "integer", "long", "short", "byte")
+_MASK64 = (1 << 64) - 1
+
+
+def _bloom_pos_expr(colname: str, seed: int, bits: int):
+    """JVM-side bloom bit position of a column value (build path)."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.col(colname).cast("string"), F.lit(f"|{seed}"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(bits))
+
+
+def _bloom_pos_py(s: str, seed: int, bits: int) -> int:
+    """Driver-side twin of ``_bloom_pos_expr`` (probe path)."""
+    return int(hashlib.md5(f"{s}|{seed}".encode()).hexdigest()[:15], 16) % bits
+
+
+def _bloom_contains(words: bytes, bits: int, k: int, s: str) -> bool:
+    """Membership test against little-endian-packed filter words."""
+    for seed in range(k):
+        p = _bloom_pos_py(s, seed, bits)
+        w, b = divmod(p, 64)
+        word = int.from_bytes(words[w * 8 : (w + 1) * 8], "little")
+        if not (word >> b) & 1:
+            return False
+    return True
+
+
+def _bloom_canon(sq, dq, num, ftype) -> str | None:
+    """Canonical string the bloom hashed for one parsed literal under
+    Spark's equality semantics for column type ``ftype``; None = this
+    clause cannot use the bloom (must-scan).  Integral columns accept
+    integer-valued literals only ('7' and 7 both canonicalize to "7",
+    "07" to "7"); `k == 7.0` matches k=7 in Spark but hashes differently,
+    so any non-pure-integer literal falls back to a scan.  String columns
+    accept quoted literals only (`s == 7` casts the COLUMN in Spark)."""
+    if ftype == "string":
+        if num is not None:
+            return None
+        return sq if sq is not None else dq
+    raw = sq if sq is not None else dq if dq is not None else num
+    if raw is None or not re.fullmatch(r"\s*-?\d+\s*", raw):
+        return None
+    return str(int(raw))
+
+
+def _validate_bloom_conf(
+    types: dict[str, str], cols: list[str], bits: int, k: int
+) -> dict[str, Any]:
+    if not cols:
+        raise ValueError("bloom_cols must name at least one column")
+    for c in cols:
+        if c not in types:
+            raise ValueError(f"bloom column {c!r} not in schema")
+        if types[c] not in _BLOOM_ELIGIBLE:
+            raise ValueError(
+                f"bloom column {c!r} has type {types[c]!r}; supported: "
+                f"{list(_BLOOM_ELIGIBLE)} (float/temporal literals have "
+                "engine-specific string forms — equality pruning on them "
+                "would risk false prunes)"
+            )
+    if bits < 64:
+        raise ValueError("bloom_bits must be >= 64")
+    if not 1 <= k <= 32:
+        raise ValueError("bloom_k must be in [1, 32]")
+    return {"cols": list(cols), "bits": int(bits), "k": int(k)}
