@@ -350,12 +350,17 @@ def bt_protocol_gate_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = (
+    builder = (
         SparkSession.builder.master("local[8]")
         .appName("probe-wave-l")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # same hostile-config hook as tools/driver_sim.py
+    for kv in filter(None, os.environ.get("DRIVER_SIM_CONF", "").split(",")):
+        k, _, v = kv.partition("=")
+        print(f"hostile conf: {k}={v}")
+        builder = builder.config(k.strip(), v.strip())
+    spark = builder.getOrCreate()
     con = duckdb.connect()
     for tb in (
         "region nation customer supplier part orders lineitem "
