@@ -165,6 +165,17 @@ def _log_path(table: str, version: int) -> str:
     return os.path.join(table, _LOG_DIR, f"{version:08d}.json")
 
 
+def _rel_tail(path: str) -> str:
+    """Trailing ``data/<commit>/<name>`` segments of an add-action path —
+    the normalized equi-join key between commit-log entries and the
+    ``_btable_rel`` column ``_with_pos`` reconstructs from
+    ``_metadata.file_path``.  Table-relative paths pass through
+    unchanged; absolute paths (shallow-clone add actions) reduce to the
+    same shape.  uuid commit dirs make cross-table collisions a
+    non-issue."""
+    return "/".join(path.split("/")[-3:])
+
+
 _COMMIT_RE = re.compile(r"^\d{8}\.json$")
 _CHECKPOINT_RE = re.compile(r"^(\d{8})\.checkpoint\.json$")
 _CHECKPOINT_EVERY = 10  # snapshot the replay every N commits
@@ -702,6 +713,63 @@ class BTable:
             doc["colmap"] = target.colmap
         return self._commit(expected_version=cur.version, doc=doc)
 
+    def clone(self, dest: str, version: int | None = None) -> "BTable":
+        """Shallow clone (Delta's SHALLOW CLONE): a NEW table at ``dest``
+        whose create commit references the source snapshot's data files
+        (and bloom sidecars) by ABSOLUTE path — zero data bytes copied,
+        O(files) driver metadata work.  At 100 TB this is how a dev/test
+        snapshot or a what-if maintenance run starts in seconds instead
+        of after a 100 TB copy.
+
+        The clone is fully independent going forward: copy-on-write
+        means its DML rewrites land in its OWN data dir and the source
+        is never touched; deletion vectors, column mapping, row ids,
+        constraints, clustering and bloom config all carry over
+        (absolute-path adds equi-join the position machinery through the
+        ``_rel_tail`` normalization).  ``version`` clones an old
+        snapshot ("clone as of").  Same caveat as Delta: VACUUM on the
+        SOURCE can remove files the clone still references — retention
+        windows are the operator's contract across clones."""
+        snap = self.snapshot(version)
+        if os.path.exists(os.path.join(dest, _LOG_DIR)):
+            raise FileExistsError(f"btable already exists: {dest}")
+        src_abs = os.path.abspath(self.path)
+        adds, dvs = [], {}
+        for rel in sorted(snap.files):
+            a = dict(snap.files[rel])  # history dicts stay immutable
+            ap = rel if os.path.isabs(rel) else os.path.join(src_abs, rel)
+            a["path"] = ap
+            if "bloom" in a and not os.path.isabs(a["bloom"]):
+                a["bloom"] = os.path.join(src_abs, a["bloom"])
+            adds.append(a)
+            if snap.dvs.get(rel):
+                dvs[ap] = [list(r) for r in snap.dvs[rel]]
+        os.makedirs(os.path.join(dest, _LOG_DIR))
+        t = BTable(dest)
+        doc: dict[str, Any] = {
+            "op": "clone",
+            "schema": snap.schema_json,
+            "add": adds,
+            "clone_source": src_abs,
+            "clone_source_version": snap.version,
+        }
+        if dvs:
+            doc["dv"] = dvs
+        if snap.mapped:
+            doc["colmap"] = dict(snap.colmap)
+        if snap.constraints:
+            doc["constraint_add"] = dict(snap.constraints)
+        if snap.row_tracking:
+            doc["row_tracking"] = True
+            doc["row_id_hwm"] = snap.row_id_hwm
+        if self.cluster_by:
+            doc["cluster_by"] = list(self.cluster_by)
+            doc["cluster_file_rows"] = self._cluster_file_rows
+        if self.bloom_conf:
+            doc["bloom_conf"] = dict(self.bloom_conf)
+        t._commit(expected_version=-1, doc=doc)
+        return t
+
     def count_rows(self, version: int | None = None) -> int:
         """Exact COUNT(*) answered from METADATA ONLY — per-file row
         counts from the commit log minus deletion-vector coverage; zero
@@ -942,7 +1010,7 @@ class BTable:
                 "left_semi",
             )
             bdf = spark.createDataFrame(
-                [(r, bases.get(r)) for r in rels],
+                [(_rel_tail(r), bases.get(r)) for r in rels],
                 "_b_rel string, _b_base bigint",
             )
             df = df.join(
@@ -1268,9 +1336,15 @@ class BTable:
         )
         if not runs:
             return snap.version
+        # map the reconstructed trailing-segment keys back to the
+        # snapshot's add-action keys (identity for table-relative paths;
+        # required for a shallow clone's absolute-path adds)
+        by_tail = {_rel_tail(rel): rel for rel in candidates}
         dv: dict[str, list] = {}
         for r in runs:
-            dv.setdefault(r["_btable_rel"], []).append([r["s"], r["e"]])
+            dv.setdefault(by_tail[r["_btable_rel"]], []).append(
+                [r["s"], r["e"]]
+            )
         rewrite = []
         for rel in list(dv):
             dv[rel] = _rng_coalesce(dv[rel])
@@ -1483,6 +1557,7 @@ class BTable:
         small_file_rows: int = 100_000,
         zorder_by: list[str] | None = None,
         zorder_file_rows: int = 1_000_000,
+        where: str | None = None,
     ) -> int:
         """Compaction (OPTIMIZE): bin-pack data files smaller than
         ``small_file_rows`` into one rewrite.  Pure layout change — the
@@ -1501,19 +1576,40 @@ class BTable:
         same shuffle shape as a clustered write); numeric, timestamp
         (epoch micros) and date columns supported.  One-shot layout op,
         like Delta's: later writes follow the table's cluster_by (or
-        none) until the next ZORDER."""
+        none) until the next ZORDER.
+
+        ``where``: predicate-SCOPED compaction (Delta's OPTIMIZE WHERE)
+        — only files that MAY contain matching rows (the same stats +
+        bloom test reads prune with) are compaction candidates.  File
+        granularity, rows are never filtered: at 100 TB this is how a
+        maintenance job compacts one day's streaming ingest without
+        touching the other 10 years of files."""
         if zorder_by:
+            if where is not None:
+                raise ValueError(
+                    "optimize(where=...) scopes compaction only; ZORDER "
+                    "is a whole-table layout op"
+                )
             return self._optimize_zorder(spark, zorder_by, zorder_file_rows)
         snap = self.snapshot()
+        in_scope = snap.files
+        if where is not None:
+            sch = _schema(snap)
+            tz = _session_tz(spark)
+            in_scope = {
+                rel: a
+                for rel, a in snap.files.items()
+                if self._file_may_match(snap, a, where, sch, tz)
+            }
         small = [
             rel
-            for rel, a in snap.files.items()
+            for rel, a in in_scope.items()
             if a.get("rows", 0) < small_file_rows
         ]
         # files carrying deletion vectors are always rewrite targets:
         # OPTIMIZE is where merge-on-read debt gets materialized (the
         # rewrite drops the DV, restoring plain-scan reads + exact stats)
-        dvd = [rel for rel in snap.files if snap.dvs.get(rel)]
+        dvd = [rel for rel in in_scope if snap.dvs.get(rel)]
         targets = sorted(set(small) | set(dvd))
         if not dvd and len(small) < 2:
             return snap.version  # nothing worth packing
@@ -1832,7 +1928,7 @@ class BTable:
         broadcast is bounded regardless of table size; the join keys on
         the rel equi-component with the range bounds as residuals."""
         rows = [
-            (rel, int(s), int(e))
+            (_rel_tail(rel), int(s), int(e))
             for rel, rr in ranges_by_rel.items()
             for s, e in rr
         ]
@@ -1966,7 +2062,10 @@ class BTable:
             "left_anti",
         )
         bdf = spark.createDataFrame(
-            [(rel, snap.files[rel]["base_row_id"]) for rel in sorted(rels)],
+            [
+                (_rel_tail(rel), snap.files[rel]["base_row_id"])
+                for rel in sorted(rels)
+            ],
             "_b_rel string, _b_base bigint",
         )
         df = df.join(

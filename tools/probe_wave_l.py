@@ -347,6 +347,119 @@ def bt_protocol_gate_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@probe(
+    "bt_clone_divergence_state",
+    oracle="""
+    WITH nk AS (SELECT n_nationkey AS k FROM nation)
+    SELECT 0 AS clone_parquet_files,
+           (SELECT CAST(SUM(k) AS BIGINT) FROM nk) AS clone_sum_at_birth,
+           (SELECT CAST(SUM(k) AS BIGINT) FROM nk WHERE k < 20)
+               AS clone_sum_after_dml,
+           (SELECT CAST(SUM(k) AS BIGINT) FROM nk WHERE k <> 3)
+               AS src_sum_after_dml,
+           (SELECT COUNT(*) FROM nk WHERE k >= 20) AS n_clone_deleted
+    """,
+)
+def bt_clone_divergence_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow clone: zero data files copied (literal), reads equal at
+    birth, then the two tables DIVERGE independently — a COW delete on
+    the clone never touches the source, a DV delete on the source never
+    reaches the clone.  Exercises absolute-path adds through the
+    position machinery (_rel_tail).  Cites the public Delta SHALLOW
+    CLONE idea; tablefmt.BTable.clone."""
+    import glob as _glob
+
+    tmp = _scratch()
+    try:
+        nat = _nation(spark, sf_dir).select(
+            F.col("n_nationkey").cast("long").alias("k"), "n_name"
+        )
+        src = BTable.create(
+            spark, os.path.join(tmp, "src"), nat.coalesce(1)
+        )
+        clone = src.clone(os.path.join(tmp, "dev"))
+        n_parquet = len(
+            _glob.glob(
+                os.path.join(clone.path, "**", "*.parquet"), recursive=True
+            )
+        )
+        sum_birth = (
+            clone.read(spark).agg(F.sum("k").cast("long")).collect()[0][0]
+        )
+        clone.delete(spark, "k >= 20")
+        n_clone_deleted = 25 - clone.read(spark).count()
+        src.delete(spark, "k == 3", mode="merge_on_read")
+        clone_sum = (
+            clone.read(spark).agg(F.sum("k").cast("long")).collect()[0][0]
+        )
+        src_sum = (
+            src.read(spark).agg(F.sum("k").cast("long")).collect()[0][0]
+        )
+        return spark.createDataFrame(
+            [(n_parquet, sum_birth, clone_sum, src_sum, n_clone_deleted)],
+            "clone_parquet_files int, clone_sum_at_birth bigint,"
+            " clone_sum_after_dml bigint, src_sum_after_dml bigint,"
+            " n_clone_deleted bigint",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@probe(
+    "bt_optimize_where_state",
+    oracle=f"""
+    WITH g AS ({_ORC_GRID})
+    SELECT 3 AS files_after, 2 AS untouched_files,
+           CAST((SELECT SUM(k) FROM g) AS BIGINT) AS sum_all,
+           CAST((SELECT SUM(k) FROM g WHERE k >= 200) AS BIGINT)
+               AS sum_compacted
+    """,
+)
+def bt_optimize_where_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE WHERE: predicate-scoped compaction — only the files
+    whose stats MAY match the predicate are bin-packed (4 -> 3 files:
+    the two k>=200 files compact into one, the two below survive
+    byte-identical), contents fold relationally.  The 100 TB shape:
+    compact one day's streaming ingest without touching the other ten
+    years.  tablefmt.BTable.optimize(where=...)."""
+    tmp = _scratch()
+    try:
+        t = None
+        for df in _grid_frames(spark, sf_dir):
+            if t is None:
+                t = BTable.create(spark, os.path.join(tmp, "t"), df)
+            else:
+                t.append(spark, df)
+        before = dict(t.snapshot().files)
+        t.optimize(spark, where="k >= 200")
+        after = t.snapshot().files
+        untouched = sum(1 for rel in after if rel in before)
+        agg = (
+            t.read(spark)
+            .agg(
+                F.sum("k").cast("long").alias("sum_all"),
+                F.sum(F.when(F.col("k") >= 200, F.col("k")))
+                .cast("long")
+                .alias("sum_compacted"),
+            )
+            .collect()[0]
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    len(after),
+                    untouched,
+                    agg["sum_all"],
+                    agg["sum_compacted"],
+                )
+            ],
+            "files_after int, untouched_files int, sum_all bigint,"
+            " sum_compacted bigint",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
