@@ -1704,6 +1704,39 @@ class BTable:
             doc["row_id_hwm"] = hwm
         return self._commit(expected_version=snap.version, doc=doc)
 
+    def reorg(self, spark: SparkSession) -> int:
+        """REORG PURGE (Delta's ``REORG TABLE ... APPLY (PURGE)``):
+        rewrite every live file through the LOGICAL schema, physically
+        purging what metadata-only operations left behind — dead
+        physical columns from drop_column/rename cycles (their bytes
+        remain in old files until a rewrite) and all deletion-vector
+        debt.  Keeps drop/rename O(1) at DDL time while giving an
+        explicit pass for the GDPR-style "the bytes must actually be
+        gone" requirement; pair with vacuum() to reap the old files.
+        Row ids are carried like every other rewrite."""
+        snap = self.snapshot()
+        targets = sorted(snap.files)
+        if not targets:
+            return snap.version
+        df = self._read_live(
+            spark,
+            snap,
+            targets,
+            row_id_col=_ROW_ID_COL if snap.row_tracking else None,
+        )
+        adds = (
+            []
+            if df.isEmpty()
+            else self._write_files(
+                spark, df, colmap=snap.colmap if snap.mapped else None
+            )
+        )
+        doc: dict[str, Any] = {"op": "reorg", "remove": targets, "add": adds}
+        hwm = self._assign_row_ids(snap, adds)
+        if hwm is not None:
+            doc["row_id_hwm"] = hwm
+        return self._commit(expected_version=snap.version, doc=doc)
+
     def vacuum(
         self,
         keep_versions: int = 2,

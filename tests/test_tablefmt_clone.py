@@ -191,3 +191,62 @@ def test_optimize_where_rejects_zorder(spark, tmp_path):
     t = _grid(spark, tmp_path)
     with pytest.raises(ValueError, match="whole-table"):
         t.optimize(spark, zorder_by=["k"], where="k >= 50")
+
+
+# ----------------------------------------------------------- reorg purge
+
+
+def test_reorg_physically_purges_dropped_columns(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    t = BTable.create(spark, str(tmp_path / "t"), _mk(spark, 0, 30))
+    t.rename_column("doc", "fp")
+    t.drop_column("fp")
+    # metadata-only: the old physical bytes are still in the files
+    phys = {
+        name
+        for rel in t.snapshot().files
+        for name in pq.read_schema(os.path.join(t.path, rel)).names
+    }
+    assert "doc" in phys
+    t.reorg(spark)
+    phys = {
+        name
+        for rel in t.snapshot().files
+        for name in pq.read_schema(os.path.join(t.path, rel)).names
+    }
+    assert phys == {"k"}, "dropped column bytes must be gone"
+    assert t.read(spark).count() == 30
+
+
+def test_reorg_materializes_dv_debt_and_carries_ids(spark, tmp_path):
+    t = BTable.create(
+        spark, str(tmp_path / "t"), _mk(spark, 0, 30), row_tracking=True
+    )
+    t.delete(spark, "k IN (3, 7)", mode="merge_on_read")
+    assert t.snapshot().dvs
+    before = {
+        r["k"]: r["_row_id"]
+        for r in t.read(spark, with_row_ids=True).collect()
+    }
+    t.reorg(spark)
+    snap = t.snapshot()
+    assert not snap.dvs, "reorg materializes every deletion vector"
+    after = {
+        r["k"]: r["_row_id"]
+        for r in t.read(spark, with_row_ids=True).collect()
+    }
+    assert after == before
+    assert t.count_rows() == 28
+
+
+def test_reorg_on_clone_localizes_data(spark, tmp_path, src):
+    """reorg + vacuum turns a shallow clone into a full (deep) copy:
+    after the rewrite no file reference leaves the clone's directory."""
+    c = src.clone(str(tmp_path / "dev"))
+    c.reorg(spark)
+    for rel in c.snapshot().files:
+        assert not os.path.isabs(rel), rel
+    assert c.read(spark).count() == 49
+    assert c.vacuum(keep_versions=1, retention_seconds=0) == []
+    assert src.read(spark).count() == 49
