@@ -1198,29 +1198,50 @@ class BTable:
         return self._with_retry(attempt, retries)
 
     def _evolve(self, df: DataFrame, snap: Snapshot):
-        """(frame aligned to the widened schema, widened schema json or
-        None if the table schema is unchanged)."""
+        """(frame aligned to the evolved schema, evolved schema json or
+        None if the table schema is unchanged).
+
+        Covers Delta's mergeSchema AND its typeWidening idea: a write
+        whose column type is NARROWER than the table's upcasts into the
+        table type; a write whose type is WIDER along a lossless chain
+        (tinyint < smallint < int < bigint, float < double) widens the
+        TABLE type metadata-only — old files stay untouched and read
+        back upcast (Spark's parquet reader performs the int32->int64 /
+        float->double promotion under the explicit read schema; verified
+        for every chain step).  Anything else still raises — widening
+        is lossless by construction, never a rewrite or a truncation."""
         from pyspark.sql.types import StructField
 
         table = _schema(snap)
         by_name = {f.name: f for f in table.fields}
+        widened = False
         for f in df.schema.fields:
             have = by_name.get(f.name)
-            if have is not None and (
-                have.dataType.simpleString() != f.dataType.simpleString()
-            ):
-                raise SchemaMismatch(
-                    f"column {f.name!r}: table type "
-                    f"{have.dataType.simpleString()} != write type "
-                    f"{f.dataType.simpleString()} (mergeSchema widens, "
-                    "never rewrites types)"
+            if have is None:
+                continue
+            ws = f.dataType.simpleString()
+            ts = have.dataType.simpleString()
+            if ws == ts or (ws, ts) in _WIDENS:
+                continue  # exact or narrower write: upcast at align below
+            if (ts, ws) in _WIDENS:  # wider write: widen the table type
+                by_name[f.name] = StructField(
+                    f.name, _nullable(f.dataType), True, have.metadata
                 )
+                widened = True
+                continue
+            raise SchemaMismatch(
+                f"column {f.name!r}: table type {ts} != write type {ws} "
+                "(mergeSchema widens losslessly, never rewrites or "
+                "truncates types)"
+            )
         new_fields = [
             StructField(f.name, _nullable(f.dataType), True, f.metadata)
             for f in df.schema.fields
             if f.name not in by_name
         ]
-        full = StructType(list(table.fields) + new_fields)
+        full = StructType(
+            [by_name[f.name] for f in table.fields] + new_fields
+        )
         cols = [
             F.col(f.name).cast(f.dataType)
             if f.name in df.columns
@@ -1228,7 +1249,7 @@ class BTable:
             for f in full.fields
         ]
         aligned = df.select(*cols)
-        return aligned, (full.json() if new_fields else None)
+        return aligned, (full.json() if (new_fields or widened) else None)
 
     def delete(
         self,
@@ -2851,6 +2872,22 @@ def _maybe_matches(
 
 _BLOOM_ELIGIBLE = ("string", "integer", "long", "short", "byte")
 _MASK64 = (1 << 64) - 1
+
+# Lossless type-widening chains (Delta's typeWidening): (narrow, wide)
+# pairs by simpleString.  Spark's parquet reader promotes the physical
+# narrow encoding under the wide read schema, so widening the TABLE
+# type is metadata-only.
+_WIDENS = frozenset(
+    {
+        ("tinyint", "smallint"),
+        ("tinyint", "int"),
+        ("tinyint", "bigint"),
+        ("smallint", "int"),
+        ("smallint", "bigint"),
+        ("int", "bigint"),
+        ("float", "double"),
+    }
+)
 
 
 def _bloom_pos_expr(colname: str, seed: int, bits: int):
