@@ -460,6 +460,76 @@ def bt_optimize_where_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@probe(
+    "bt_type_widen_read",
+    oracle="""
+    WITH g AS (
+        SELECT n_nationkey AS k FROM nation
+        UNION ALL SELECT n_nationkey + 100 FROM nation
+    )
+    SELECT 'bigint' AS k_type, 'double' AS x_type,
+           1 AS files_untouched,
+           COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(SUM(k) AS BIGINT) AS sum_x2
+    FROM g
+    """,
+)
+def bt_type_widen_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless type widening via mergeSchema: an int/float table takes
+    a bigint/double append by widening the TABLE type metadata-only —
+    the create-commit file is carried untouched (literal) and its
+    int32/float physical encodings read back promoted, folding
+    relationally with the wide rows.  x = k * 0.5 keeps the float chain
+    exact (halves are representable at every width); the oracle checks
+    sum(2x) == sum(k) as BIGINT.  Cites the public Delta typeWidening
+    idea; tablefmt._evolve/_WIDENS."""
+    tmp = _scratch()
+    try:
+        nat = _nation(spark, sf_dir).select(
+            F.col("n_nationkey").cast("long").alias("nk")
+        )
+
+        def frame(off, ktype, xtype):
+            return (
+                nat.select((F.col("nk") + off).alias("kk"))
+                .coalesce(1)
+                .select(
+                    F.col("kk").cast(ktype).alias("k"),
+                    (F.col("kk") * 0.5).cast(xtype).alias("x"),
+                )
+            )
+
+        t = BTable.create(
+            spark, os.path.join(tmp, "t"), frame(0, "int", "float")
+        )
+        before = set(t.snapshot().files)
+        t.append(spark, frame(100, "bigint", "double"), merge_schema=True)
+        untouched = sum(1 for rel in t.snapshot().files if rel in before)
+        df = t.read(spark)
+        types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        agg = df.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.sum(F.col("x") * 2).cast("long").alias("sum_x2"),
+        ).collect()[0]
+        return spark.createDataFrame(
+            [
+                (
+                    types["k"],
+                    types["x"],
+                    untouched,
+                    agg["cnt"],
+                    agg["sum_k"],
+                    agg["sum_x2"],
+                )
+            ],
+            "k_type string, x_type string, files_untouched int,"
+            " cnt bigint, sum_k bigint, sum_x2 bigint",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
