@@ -345,8 +345,14 @@ _COLLECT_ALLOWLIST = {
     # BEFORE collect, so the driver sees O(#runs) — metadata scale,
     # never O(#deleted rows) — and files fragmenting past
     # max_dv_ranges_per_file fall back to copy-on-write in the same
-    # commit (SCALE.md "Round-14: deletion vectors").
-    "tablefmt.py": 5,
+    # commit (SCALE.md "Round-14: deletion vectors"),
+    # (6, round-14 bloom indexes) _write_blooms' per-file word
+    # aggregation: bit positions are OR-folded into 64-bit words
+    # JVM-side, so the driver sees at most files x ceil(bits/64) rows —
+    # the bloom filters' own metadata size, written straight into the
+    # commit-dir sidecars (SCALE.md "Round-14: bloom-filter file
+    # skipping").
+    "tablefmt.py": 6,
     # round-13 btable scored surfaces (SCALE.md "Round-13: tablefmt
     # hardening"): every site collects a BOUNDED AGGREGATE result
     # (<= ~60 rows — per-region / per-version / per-predicate counts) so
