@@ -60,12 +60,18 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-from biggie_spark.tablefmt import _live_diffs, _read_log, _replay, _rng_subtract
+from biggie_spark.tablefmt import (
+    _live_diffs,
+    _read_log,
+    _replay,
+    _require_readable,
+    _rng_subtract,
+)
 
 
 def _feed_schema(table_path: str) -> StructType:
     commits = _read_log(table_path)
-    snap = _replay(commits, None)
+    snap = _require_readable(_replay(commits, None))
     base = StructType.fromJson(__import__("json").loads(snap.schema_json))
     return StructType(
         list(base.fields)
@@ -123,6 +129,9 @@ def _chunks_for(
     table_path: str, version_from: int, version_to: int
 ) -> list[_ChangeChunk]:
     commits = _read_log(table_path)
+    # reader-feature gate at the requested window's END version: a
+    # future-feature log must not be silently diffed
+    _require_readable(_replay(commits, version_to))
     chunks = []
     for v, kind, rel, rngs, is_full in _live_diffs(
         commits, version_from, version_to
@@ -181,7 +190,7 @@ class _FeedReaderMixin:
         # name once, driver-side, from the LATEST snapshot — the same
         # snapshot _feed_schema derived the logical schema from, so the
         # (name, physical) pairs always describe one consistent version
-        snap = _replay(_read_log(self.table_path), None)
+        snap = _require_readable(_replay(_read_log(self.table_path), None))
         self.fields = [
             (f.name, snap.phys(f.name), _arrow_type(f.dataType))
             for f in schema.fields
@@ -280,9 +289,11 @@ class _SnapshotReader(DataSourceReader):
         self.version = options.get("version")
         # physical names resolved at the READ version (column mapping:
         # a time-travel read uses that version's own logical->physical map)
-        snap = _replay(
-            _read_log(self.table_path),
-            None if self.version is None else int(self.version),
+        snap = _require_readable(
+            _replay(
+                _read_log(self.table_path),
+                None if self.version is None else int(self.version),
+            )
         )
         self.fields = [
             (f.name, snap.phys(f.name), _arrow_type(f.dataType))
@@ -292,7 +303,7 @@ class _SnapshotReader(DataSourceReader):
     def partitions(self):
         commits = _read_log(self.table_path)
         v = None if self.version is None else int(self.version)
-        snap = _replay(commits, v)
+        snap = _require_readable(_replay(commits, v))
         chunks = [
             _SnapshotChunk(
                 self.table_path,
@@ -421,7 +432,7 @@ def _check_write_schema(schema: StructType, table_path: str) -> None:
     if not os.path.isdir(os.path.join(table_path, "_log")):
         return  # new table: first commit pins the schema
     commits = _read_log(table_path)
-    snap = _replay(commits, None)
+    snap = _require_readable(_replay(commits, None))
     if snap.constraints:
         # the Python-source writer sees rows only executor-side and
         # cannot run the CHECK validation pass — refusing is the safe
@@ -505,7 +516,7 @@ class _BTableBatchWriter(DataSourceWriter):
                     "add": adds,
                 }
             if self.overwrite:
-                snap = _replay(commits, None)
+                snap = _require_readable(_replay(commits, None))
                 return {
                     "op": "overwrite",
                     "remove": sorted(snap.files),
@@ -589,7 +600,7 @@ class BTableDataSource(DataSource):
 
     def schema(self) -> StructType:
         commits = _read_log(self.options["path"])
-        snap = _replay(commits, None)
+        snap = _require_readable(_replay(commits, None))
         import json as _json
 
         return StructType.fromJson(_json.loads(snap.schema_json))

@@ -141,6 +141,22 @@ SUPPORTED_WRITER_FEATURES = SUPPORTED_READER_FEATURES | frozenset(
 )
 
 
+def _require_readable(snap: "Snapshot") -> "Snapshot":
+    """Reader-feature gate: raise instead of misreading a snapshot whose
+    log requires features this implementation doesn't know.  Called by
+    every snapshot-resolving read surface (BTable.snapshot and the
+    btable_stream data sources, which replay the log directly)."""
+    unknown = snap.reader_features - SUPPORTED_READER_FEATURES
+    if unknown:
+        raise UnsupportedTableFeature(
+            f"table requires reader features {sorted(unknown)} "
+            f"(supported: {sorted(SUPPORTED_READER_FEATURES)}); "
+            "versions before the feature was introduced stay readable "
+            "via read(version=...)"
+        )
+    return snap
+
+
 def _features_of_doc(doc: dict[str, Any]) -> tuple[set[str], set[str]]:
     """(reader, writer) features this commit doc exercises.  Computed
     from the doc's own keys so every DML path is covered at the single
@@ -631,19 +647,9 @@ class BTable:
         commits = _read_log(self.path)
         last = commits[-1]["version"] if commits else 0
         target = last if version is None else version
-        snap = _replay(
-            commits, version, _latest_checkpoint(self.path, target)
+        snap = _require_readable(
+            _replay(commits, version, _latest_checkpoint(self.path, target))
         )
-        unknown = snap.reader_features - SUPPORTED_READER_FEATURES
-        if unknown:
-            # fail CLOSED: an unknown reader feature means this snapshot's
-            # files/metadata may not mean what this code thinks they mean
-            raise UnsupportedTableFeature(
-                f"table requires reader features {sorted(unknown)} "
-                f"(supported: {sorted(SUPPORTED_READER_FEATURES)}); "
-                "versions before the feature was introduced stay "
-                "readable via read(version=...)"
-            )
         if version is None:
             # feature state as of the snapshot every DML attempt() takes
             # right before _commit — lets the commit choke point gate

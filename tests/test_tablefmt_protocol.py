@@ -178,3 +178,25 @@ def test_restore_keeps_features(spark, tmp_path):
     # refuse the log, whose history contains DV commits)
     assert t.snapshot().reader_features == {"deletion-vectors"}
     assert t.read(spark).count() == 30
+
+
+def test_unknown_reader_feature_blocks_data_sources(spark, tmp_path):
+    """The format('btable') / format('btable_changes') sources replay
+    the log directly — they must hit the same reader-feature gate as
+    BTable.snapshot (a future log silently misread through a DataSource
+    would be the worst failure mode: no error, wrong rows)."""
+    from py4j.protocol import Py4JJavaError
+
+    from biggie_spark.btable_stream import register_btable_source
+
+    register_btable_source(spark)
+    t = _mk(spark, tmp_path)
+    _forge(t, {"protocol": {"reader": ["v9-encryption"], "writer": []}})
+    # schema resolution happens driver-side in the Python source: the
+    # UnsupportedTableFeature surfaces directly or wrapped by py4j
+    for fmt in ("btable", "btable_changes"):
+        with pytest.raises(
+            (UnsupportedTableFeature, Py4JJavaError, Exception),
+            match="v9-encryption",
+        ):
+            spark.read.format(fmt).load(t.path).collect()
