@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from biggie_spark.io import load_table
 from biggie_spark.registry import register
-from biggie_spark.util import lineage_cap, r4
+from biggie_spark.util import fan_out, lineage_cap, r4
 
 # Interval grid: cell width must be >= the max interval length so every
 # interval touches at most 2 cells (bounded explode factor).
@@ -1923,7 +1923,8 @@ def llm_dedup_incremental(spark, sf_dir):
         "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("dg")
     )
     is_batch = F.col("doc_id") >= 400
-    sig = docs.select("doc_id", _minhash_sig("text").alias("sg"))
+    # fan_out: MinHash is per-row CPU over a single-split scan (guide §2.5).
+    sig = fan_out(docs).select("doc_id", _minhash_sig("text").alias("sg"))
     bands = sig.select(
         "doc_id",
         F.explode(

@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 
 from biggie_spark.io import load_table
 from biggie_spark.registry import register
-from biggie_spark.util import topk_by_cosine
+from biggie_spark.util import fan_out, topk_by_cosine
 
 N_TABLES = 4
 N_BITS = 8
@@ -134,7 +134,11 @@ def ann_simhash_codes(spark, sf_dir) -> DataFrame:
     higher-order functions, no shuffle at all — at 100 TB this is the
     embarrassingly parallel indexing pass that feeds the (table, code)
     bucket layout."""
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # fan_out (optimization r14, guide §2.5): 32 interpreted double-folds
+    # per row over a single-split scan.
+    e = fan_out(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     return e.select(
         "vec_id",
         *[
@@ -157,7 +161,9 @@ def llm_knn_ann(spark, sf_dir, k: int = 5, n_probes: int = 10) -> DataFrame:
 
 @register("llm_knn_lsh")  # approximate -> rows-only check; recall gated in CI
 def llm_knn_lsh(spark, sf_dir, k: int = 5, n_probes: int = 10) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    # fan_out (optimization r14, guide §2.5): the per-row code kernel
+    # otherwise runs inside the single-split scan task.
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
     coded = e.select(
         "vec_id",
         "embedding",

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from biggie_spark.io import load_table
 from biggie_spark.registry import register
-from biggie_spark.util import lineage_cap, r4, tokens
+from biggie_spark.util import fan_out, lineage_cap, r4, tokens
 
 SEG_LEN = 3  # tokens per segment — short enough that the synthetic corpus
 # actually contains cross-document duplicate segments (~19% at sf0.001)
@@ -250,7 +250,9 @@ def llm_minhash_calibration(spark, sf_dir):
     from biggie_spark.ops.llm import _minhash_sig
 
     d = (
-        load_table(spark, sf_dir, "documents")
+        # fan_out: MinHash is per-row CPU over a single-split scan
+        # (guide §2.5; optimization r14).
+        fan_out(load_table(spark, sf_dir, "documents"))
         .select(
             "doc_id",
             _minhash_sig("text").alias("sig"),

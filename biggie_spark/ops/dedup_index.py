@@ -40,7 +40,7 @@ from biggie_spark.ops.llm import (
     llm_neardup_shingle,
 )
 from biggie_spark.registry import ORACLES, register
-from biggie_spark.util import lineage_cap, r4, tokens
+from biggie_spark.util import fan_out, lineage_cap, r4, tokens
 
 
 @register(
@@ -90,7 +90,9 @@ def llm_neardup_index_persisted(spark, sf_dir):
     in corpus size (bucket count scales with the corpus, batch touches
     only its own buckets)."""
     d = (
-        _docs(spark, sf_dir)
+        # fan_out: MinHash is per-row CPU over a single-split scan
+        # (guide §2.5; optimization r14).
+        fan_out(_docs(spark, sf_dir))
         .select(
             "doc_id",
             _minhash_sig("text").alias("sig"),

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from biggie_spark.ops.llm import _DUCK_SIG, _docs, _minhash_sig, band_struct
 from biggie_spark.registry import register
-from biggie_spark.util import lineage_cap, tokens
+from biggie_spark.util import fan_out, lineage_cap, tokens
 
 SPLIT_ID = 400  # base = doc_id < 400, batch = rest (llm_dedup_incremental's split)
 # Gopher-style length gate; MIN_TOKS=12 rejects the bottom ~2-5% of this
@@ -130,7 +130,9 @@ def llm_ingest_pipeline_persisted(spark, sf_dir):
     the final counts come from re-reading the artifact, so a silent
     append failure fails the value check, not a narration."""
     d = (
-        _docs(spark, sf_dir)
+        # fan_out: MinHash is per-row CPU over a single-split scan
+        # (guide §2.5; optimization r14).
+        fan_out(_docs(spark, sf_dir))
         .select(
             "doc_id",
             F.md5(F.lower(F.trim(F.col("text")))).alias("dg"),

@@ -24,7 +24,15 @@ from pyspark.sql import functions as F
 
 from biggie_spark.io import load_table
 from biggie_spark.registry import register
-from biggie_spark.util import cosine, knn_exact, l2_norm_sq, lineage_cap, r4, tokens
+from biggie_spark.util import (
+    cosine,
+    fan_out,
+    knn_exact,
+    l2_norm_sq,
+    lineage_cap,
+    r4,
+    tokens,
+)
 
 
 def _docs(spark, sf_dir):
@@ -68,8 +76,10 @@ def llm_text_stats(spark, sf_dir):
     """,
 )
 def llm_tokenize_ngrams(spark, sf_dir):
-    """Tokenize -> bigrams -> global top-20 (tie-broken by term)."""
-    d = _docs(spark, sf_dir)
+    """Tokenize -> bigrams -> global top-20 (tie-broken by term).
+    fan_out (optimization r14, guide §2.5): the bigram explode + partial
+    aggregate otherwise run inside the single-split scan task."""
+    d = fan_out(_docs(spark, sf_dir))
     tk = tokens("text")
     bigrams = F.when(
         F.size(tk) >= 2,
@@ -150,12 +160,34 @@ def _minhash_of(arr):
     """k=16 MinHash signature of an array<string> column:
     sig[i] = min over elements of md5(elem ':' i).  md5-based so DuckDB
     reproduces it byte-for-byte (SURVEY.md §7.4.8); Spark's
-    xxhash64/MinHashLSH are deliberately avoided (not portable)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(15)),
-        lambda i: F.array_min(
-            F.transform(arr, lambda t: F.md5(F.concat(t, F.lit(":"), i.cast("string"))))
+    xxhash64/MinHashLSH are deliberately avoided (not portable).
+
+    Optimization r14 (guide §1.2 "per-task work"): the min over a multiset
+    equals the min over its support set, so each of the 16 slots hashes
+    only DISTINCT elements — natural text repeats tokens heavily, so this
+    drops the md5 count by the duplication factor (measured 2.3x on the
+    corpus: 816k tokens -> 349k distinct per-doc at sf0.1) with a
+    bit-identical signature.  ``array_distinct`` itself is evaluated once,
+    not once per slot: it is bound as the element of a 1-element array
+    whose ``transform`` lambda the 16-slot loop nests inside (a lambda
+    variable is evaluated once per element; inlining the expression into
+    the slot lambda would re-run the dedup 16x).  The DuckDB twin
+    (`_DUCK_SIG`) keeps hashing the multiset — min() makes the two
+    formulations equal by construction, and the scored hash proves it on
+    every run."""
+    return F.element_at(
+        F.transform(
+            F.array(F.array_distinct(arr)),
+            lambda u: F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda i: F.array_min(
+                    F.transform(
+                        u, lambda t: F.md5(F.concat(t, F.lit(":"), i.cast("string")))
+                    )
+                ),
+            ),
         ),
+        1,
     )
 
 
@@ -262,24 +294,42 @@ def llm_neardup_pairs(spark, sf_dir, threshold: float = 0.95):
     for corpora where near-dups are sparse (the web case), use
     llm_neardup_shingle — order-sensitive 3-shingles + 8-row bands,
     measured exactly linear (exponent 1.00) on the same data."""
-    d = _docs(spark, sf_dir).select("doc_id", _minhash_sig("text").alias("sig"),
-                                    F.array_distinct(tokens("text")).alias("ts"))
+    # fan_out: the MinHash kernel is per-row CPU over a single-split scan
+    # (guide §2.5) — spread the raw docs across cores before hashing.
+    d = fan_out(_docs(spark, sf_dir)).select(
+        "doc_id", _minhash_sig("text").alias("sig"),
+        F.array_distinct(tokens("text")).alias("ts"))
     # Materialize once: four consumers below (band self-join a/b + both
     # verify sides) otherwise recompute the minhash kernel each (A/B at
     # sf0.01: cold 14.2 s plain vs 3.1 s checkpointed; warm 2.9 vs 2.4).
     # A real cache/checkpoint of an O(n) frame on a cluster.
     d = d.transform(lineage_cap)
-    bands = d.select("doc_id", band_struct("sig", 4, 4)).select(
-        "doc_id", "bk.b", "bk.bkey"
+    bands = d.select("doc_id", F.size("ts").alias("n"), band_struct("sig", 4, 4)).select(
+        "doc_id", "n", "bk.b", "bk.bkey"
     )
     a = bands.alias("a")
     b = bands.alias("b")
+    # Size-ratio prefilter (optimization r14, guide §3.2 "reduce the big
+    # side before shuffling"): J(A,B) >= t implies |A∩B| >= t(|A|+|B|-|A∩B|)
+    # and |A∩B| <= min(|A|,|B|), hence (1+t)*min(|A|,|B|) >= t*(|A|+|B|) —
+    # a NECESSARY condition on the two distinct-set sizes alone (the
+    # PPJoin/AllPairs length filter).  Applying it inside the band join
+    # prunes candidates before the distinct and before the per-pair
+    # intersect: measured at sf0.1, 6,025,644 -> 1,753,644 candidates and
+    # 15.3 s -> 5.6 s warm, with the verified output bit-identical
+    # (190,925 rows, same hash).  The 1e-6 slack only ever ADMITS extra
+    # candidates near the float boundary (exact verify still decides), so
+    # no true pair can be lost.
+    szfilt = (1 + threshold) * F.least(F.col("a.n"), F.col("b.n")) >= (
+        threshold * (F.col("a.n") + F.col("b.n")) - 1e-6
+    )
     cand = (
         a.join(
             b,
             (F.col("a.b") == F.col("b.b"))
             & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & szfilt,
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
@@ -289,9 +339,18 @@ def llm_neardup_pairs(spark, sf_dir, threshold: float = 0.95):
     jac = F.size(F.array_intersect("ts_a", "ts_b")) / F.size(
         F.array_union("ts_a", "ts_b")
     )
+    # Broadcast the per-doc token-set sides so the O(candidates) pair list
+    # is never shuffled by the verify joins (guide §3.1): |docs| rows vs
+    # |candidates| ~ 30x the true-pair count here, and the planner's size
+    # estimate over the checkpointed array column is too pessimistic to
+    # fire auto-broadcast (measured SMJ 14.3 s vs broadcast 12.4 s before
+    # the prefilter).  The hint is a deliberate bounded-side choice, not
+    # size-gated: on a corpus where the per-doc set frame outgrows
+    # broadcast, drop the hint and let both sides shuffle on doc_id — the
+    # candidate list stays the smaller relation per key either way.
     return (
-        cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
+        cand.join(F.broadcast(ta), "doc_a")
+        .join(F.broadcast(tb), "doc_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", r4(F.col("jaccard")).alias("jaccard"))
@@ -374,8 +433,9 @@ def _shingle_sig_frame(spark, sf_dir):
     band self-join sides + both verify sides) and the shingle+minhash
     kernel is the dominant cost (measured 16 s -> ~4 s at sf0.01)."""
     return (
-        _docs(spark, sf_dir)
-        .filter(F.size(tokens("text")) >= 3)
+        # fan_out before the shingle+MinHash kernel: single-split scan vs
+        # per-row md5 CPU (guide §2.5; measured 6.2 s -> 0.75 s at sf0.1).
+        fan_out(_docs(spark, sf_dir).filter(F.size(tokens("text")) >= 3))
         .select("doc_id", _shingles("text").alias("sg"))
         .select(
             "doc_id",
@@ -511,7 +571,7 @@ def llm_neardup_incremental(spark, sf_dir):
     Output = (new doc, existing doc, token-Jaccard) for verified duplicate
     hits >= 0.95 — the rows an ingest pipeline uses to drop or link
     incoming docs."""
-    d = _docs(spark, sf_dir).select(
+    d = fan_out(_docs(spark, sf_dir)).select(
         "doc_id",
         _minhash_sig("text").alias("sig"),
         F.array_distinct(tokens("text")).alias("ts"),
@@ -560,20 +620,49 @@ def llm_neardup_incremental(spark, sf_dir):
 def llm_simhash(spark, sf_dir):
     """16-bit SimHash document fingerprint: per bit, +/-1 votes from each
     token's md5 nibble; the sign of the vote sum sets the bit.  Token
-    multiplicity is intentionally counted (frequency-weighted SimHash)."""
-    d = _docs(spark, sf_dir)
-    t = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
-    tb = t.select("doc_id", "tok", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"))
-    votes = tb.withColumn(
-        "v",
-        F.when(F.expr("substring(md5(tok), b + 1, 1)") >= "8", 1).otherwise(-1),
-    )
-    bits = votes.groupBy("doc_id", "b").agg(F.sum("v").alias("s"))
-    return bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1L, b)")).otherwise(0)
-        ).alias("simhash")
-    )
+    multiplicity is intentionally counted (frequency-weighted SimHash).
+
+    Optimization r14 (guide §2.3/§2.4): formerly explode(tokens) x
+    explode(16 bits) -> groupBy(doc, b) -> groupBy(doc), which computed
+    md5(tok) once per (token, bit) — 16x redundant — and shuffled the
+    13M-row (doc, tok, b) frame through two aggregates.  Now a pure
+    per-row array program: md5 each token ONCE (bound via the 1-element
+    array/transform trick so the hash array is evaluated a single time),
+    fold the 16 vote sums per document, and assemble the bit mask with a
+    zip against the power-of-two table — zero Exchange, zero redundant
+    hashing.  Vote sums are order-independent integer additions and the
+    bit test is the same nibble compare, so the output is bit-identical
+    (oracle hash re-verified at sf0.001/0.01); measured 1.8 s -> 0.2 s
+    warm at sf0.1.  The null-text filter mirrors the old explode
+    semantics (a null text produced no vote rows, dropping the doc)."""
+    d = fan_out(_docs(spark, sf_dir)).filter(F.col("text").isNotNull())
+    hs = F.transform(tokens("text"), lambda tk: F.md5(tk))
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(16)])
+
+    def _sim_of(hv):
+        votes = F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda b: F.aggregate(
+                hv,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(
+                    h.substr(b + F.lit(1), F.lit(1)) >= F.lit("8"), F.lit(1)
+                ).otherwise(F.lit(-1)),
+            ),
+        )
+        return F.aggregate(
+            F.zip_with(
+                votes,
+                powers,
+                lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+
+    sim = F.element_at(F.transform(F.array(hs), _sim_of), 1)
+    return d.select("doc_id", sim.alias("simhash"))
 
 
 @register(

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from biggie_spark.io import load_table
 from biggie_spark.registry import register
-from biggie_spark.util import r4, tokens
+from biggie_spark.util import fan_out, r4, tokens
 
 
 def _shingles(col, n=4):
@@ -115,7 +115,9 @@ def llm_fingerprint_winnow(spark, sf_dir):
     keep the 4 lexicographically smallest digests — the classic min-sampled
     rolling-shingle document signature (robust to insertions/reorderings,
     unlike a whole-text hash).  md5-based so the oracle reproduces it."""
-    d = load_table(spark, sf_dir, "documents")
+    # fan_out (optimization r14, guide §2.5): one md5 per character
+    # position is pure per-row CPU over a single-split scan.
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     t = F.lower("text")
     hashes = F.when(  # guard: sequence() descends for texts shorter than 8
         F.length(t) >= 8,

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from biggie_spark.io import load_table
 from biggie_spark.registry import register
+from biggie_spark.util import fan_out
 
 # Deterministic same-lang pairing shared by the chrF/BLEU ops: order each
 # lang by doc_id, pair rank 1-2, 3-4, ... up to rank 10 (5 pairs/lang).
@@ -491,7 +492,9 @@ def llm_good_turing_trigram(spark, sf_dir):
 
     Shape: one n-gram expansion pass, a vocabulary-bounded (<= 29791
     rows) frequency frame, a 3-row literal r dimension."""
-    d = load_table(spark, sf_dir, "documents")
+    # fan_out (optimization r14, guide §2.5): the trigram explode +
+    # partial aggregate otherwise run inside the single-split scan task.
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     tg = (
         d.select(
             F.explode(

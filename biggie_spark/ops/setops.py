@@ -263,9 +263,13 @@ def dedup_sorted_neighborhood(spark, sf_dir):
     # consecutive-rank neighbor join: equi-join on the neighbor OFFSET
     # (explode a.ra -> ra+1..ra+3) keeps it hash-joinable, not a range join
     ax = a.withColumn("rb", F.explode(F.expr("sequence(ra + 1, ra + 3)")))
+    # Cap = 4 = the emit threshold (optimization r14): rejected pairs
+    # return -1, the keep-set is identical, and the single-reference
+    # `dist >= 0` filter avoids the double kernel evaluation the old
+    # two-conjunct filter paid after alias substitution.
     pairs = ax.join(b, "rb").withColumn(
-        "dist", F.expr("levenshtein(ta, tb, 5)").cast("long")
+        "dist", F.expr("levenshtein(ta, tb, 4)").cast("long")
     )
-    return pairs.filter((F.col("dist") >= 0) & (F.col("dist") <= 4)).select(
+    return pairs.filter(F.col("dist") >= 0).select(
         "id_a", "id_b", "dist"
     )

@@ -262,11 +262,18 @@ def llm_dedup_editdist(spark, sf_dir):
     pairs = blk_a.join(blk_b, "pfx").filter(
         F.abs(F.col("band_a") - F.col("band_b")) <= 1
     )
-    # threshold-capped kernel: returns -1 past the cap, exact value inside
-    dist = F.expr("levenshtein(text_a, text_b, 5)")
+    # threshold-capped kernel: returns -1 past the cap, exact value inside.
+    # Cap = 4 (the emit threshold itself, optimization r14): the op keeps
+    # dist <= 4 only, so capping at 4 returns -1 for every rejected pair
+    # (identical keep-set, one fewer edit-row per kernel) and the filter
+    # becomes the single-reference `dist >= 0` — the old `>= 0 AND <= 4`
+    # double-referenced the alias, evaluating the kernel twice per pair
+    # after predicate-pushdown alias substitution (guide §4.4's
+    # duplicated-expression trap, JVM edition).
+    dist = F.expr("levenshtein(text_a, text_b, 4)")
     return (
         pairs.withColumn("dist", dist.cast("long"))
-        .filter((F.col("dist") >= 0) & (F.col("dist") <= 4))
+        .filter(F.col("dist") >= 0)
         .select("id_a", "id_b", "dist")
     )
 

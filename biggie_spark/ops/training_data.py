@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from biggie_spark.io import load_table
 from biggie_spark.ops.llm import _shingle_candidates
 from biggie_spark.registry import register
-from biggie_spark.util import r4, tokens
+from biggie_spark.util import fan_out, lineage_cap, r4, tokens
 
 # The BPE-ish pre-tokenizer regex: letter/digit runs CAPPED at 4 chars
 # (greedy left-to-right in both Java regex and RE2, so a 10-char word
@@ -271,9 +271,12 @@ def llm_rouge_ngram(spark, sf_dir):
     cand, _ = _shingle_candidates(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents")
     tk = tokens("text")
+    # fan_out + lineage_cap (optimization r14): the bigram kernel is
+    # per-row CPU over a single-split scan (guide §2.5), and the frame
+    # feeds BOTH verify sides below — materialize it once instead of
+    # running the kernel per side.
     bg = (
-        d.select("doc_id", tk.alias("tk"))
-        .filter(F.size("tk") >= 3)
+        fan_out(d.select("doc_id", tk.alias("tk")).filter(F.size("tk") >= 3))
         .select(
             "doc_id",
             F.array_distinct(
@@ -283,6 +286,7 @@ def llm_rouge_ngram(spark, sf_dir):
                 )
             ).alias("bs"),
         )
+        .transform(lineage_cap)
     )
     a = bg.select(F.col("doc_id").alias("doc_a"), F.col("bs").alias("bs_a"))
     b = bg.select(F.col("doc_id").alias("doc_b"), F.col("bs").alias("bs_b"))

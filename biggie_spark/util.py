@@ -224,10 +224,26 @@ def topk_by_cosine(pairs, k: int):
     IVF, the Engine façade): score candidate pairs with the double-fold
     cosine and keep top-k per probe under the deterministic tie-break
     (sim desc, neighbor_id asc).  `pairs` needs columns
-    (probe_id, pa, neighbor_id, na)."""
+    (probe_id, pa, neighbor_id, na).
+
+    Norm hoisting (optimization r14, guide §1.2 "per-task work"): if the
+    caller attached precomputed squared-norm columns ``pn``/``nn`` (one
+    :func:`l2_norm_sq` per ROW, before the candidate join fans rows out
+    into PAIRS), the kernel scores with dot/(sqrt(pn)*sqrt(nn)) instead of
+    re-folding both norms per pair.  The arithmetic is the identical
+    double expression evaluated earlier in the plan, so scores are
+    bit-identical to :func:`cosine` — only the per-pair interpreted-fold
+    count drops from 3 to 1 (higher-order array folds are CodegenFallback,
+    the dominant per-pair cost; measured 0.53 s -> 0.33 s on q_knn_self)."""
     from pyspark.sql import Window
 
-    scored = pairs.withColumn("_s", cosine(F.col("pa"), F.col("na")))
+    if {"pn", "nn"}.issubset(set(pairs.columns)):
+        score = dot(F.col("pa"), F.col("na")) / (
+            F.sqrt(F.col("pn")) * F.sqrt(F.col("nn"))
+        )
+    else:
+        score = cosine(F.col("pa"), F.col("na"))
+    scored = pairs.withColumn("_s", score)
     w = Window.partitionBy("probe_id").orderBy(F.col("_s").desc(), "neighbor_id")
     return (
         scored.withColumn("_rn", F.row_number().over(w))
@@ -238,17 +254,63 @@ def topk_by_cosine(pairs, k: int):
 
 def knn_exact(embeddings, probe_ids, k: int):
     """Brute-force cosine top-k: broadcast the probe set, one pass over the
-    corpus (no shuffle of the big side), shared rerank kernel."""
+    corpus (no shuffle of the big side), shared rerank kernel.  Squared
+    norms are computed once per row on each join input (|probes| + |corpus|
+    folds) rather than once per pair inside the kernel (see
+    :func:`topk_by_cosine` norm hoisting)."""
     probes = embeddings.filter(F.col("vec_id").isin(list(probe_ids))).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pa")
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pa"),
+        l2_norm_sq(F.col("embedding")).alias("pn"),
     )
     cands = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("na")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("na"),
+        l2_norm_sq(F.col("embedding")).alias("nn"),
     )
     pairs = cands.crossJoin(F.broadcast(probes)).filter(
         F.col("neighbor_id") != F.col("probe_id")
     )
     return topk_by_cosine(pairs, k)
+
+
+# Advisory split size for fan_out's "already parallel enough" gate — the
+# guide §6 recommended scan-split ballpark (maxPartitionBytes default 128m;
+# 64m here keeps the gate conservative: prefer skipping the repartition).
+_FAN_OUT_SPLIT_BYTES = 64 << 20
+
+
+def fan_out(df):
+    """Spread a SMALL, few-split input across the session's cores before a
+    compute-heavy per-row kernel (md5 MinHash, shingling, n-gram walks).
+
+    Why (optimization r14, guide §2.5 input-skew remedy): the corpus
+    tables are single-row-group parquet files, so every scan is ONE task
+    regardless of core count — a per-row kernel over ``documents`` ran on
+    1 of 32 local cores (measured: the 3-shingle MinHash frame at sf0.1
+    fell 6.2 s -> 0.75 s from this one repartition).  The shuffle moved is
+    the small input itself (~0.6 MB of text here), paid once before the
+    expensive map.
+
+    Scale-adaptive gate (NOT a local-only constant): the repartition is
+    applied only when the optimizer's size estimate says the input could
+    not fill the session's cores with ordinary 64 MB scan splits.  At
+    production scale a 100 TB table estimates far above
+    ``cores * 64 MB`` and this is the identity — no shuffle is ever added
+    to a big input.  Round-robin repartition is deterministic
+    (sortBeforeRepartition, SPARK-23207) and every consumer is an
+    order-insensitive aggregate/join, so results are unchanged."""
+    spark = df.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+        )
+    except Exception:
+        est = None
+    if est is not None and est > p * _FAN_OUT_SPLIT_BYTES:
+        return df
+    return df.repartition(p)
 
 
 def epoch_us(col: Column | str) -> Column:
