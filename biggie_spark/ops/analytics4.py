@@ -1469,7 +1469,14 @@ def llm_embedding_pipeline(spark, sf_dir):
     exploded frame, exactly how a production embedding-prep job should
     run at 100 TB (the only shuffles are the 64-row dim stats and the
     per-label rollup)."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    # fan_out (guide §2.5) + norm hoist (optimization r14): `nr` is a full
+    # 64-element fold + sqrt; referenced inline inside the normalize
+    # lambda it was re-evaluated once per ELEMENT (65 folds per row).
+    # Projected to a column first, the lambda reads an attribute instead —
+    # one fold per row, bit-identical values (same expression, evaluated
+    # earlier).  The two-project split survives CollapseProject because
+    # `nr` is non-cheap and referenced twice.
+    e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("a")
     )
     nr = F.sqrt(
@@ -1479,11 +1486,11 @@ def llm_embedding_pipeline(spark, sf_dir):
             lambda acc, v: acc + v,
         )
     )
-    nrm = e.select(
+    nrm = e.select("vec_id", "label", "a", nr.alias("nr")).select(
         "vec_id",
         "label",
-        F.round(nr * 1000000, 0).cast("long").alias("nr_e6"),
-        F.transform(F.col("a"), lambda v: v / nr).alias("nx"),
+        F.round(F.col("nr") * 1000000, 0).cast("long").alias("nr_e6"),
+        F.transform(F.col("a"), lambda v: v / F.col("nr")).alias("nx"),
     )
     dims = nrm.select(
         "vec_id", "label", "nr_e6", F.posexplode("nx").alias("d", "nx")

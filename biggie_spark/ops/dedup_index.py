@@ -109,7 +109,12 @@ def llm_neardup_index_persisted(spark, sf_dir):
         wr = bands.filter(F.col("doc_id") % 25 != 0).withColumn(
             "bp", F.substring("bkey", 1, 2)
         )
-        wr.write.mode("overwrite").partitionBy("bp").parquet(base)
+        # repartition("bp") before the partitioned write (guide §6,
+        # optimization r14): with the fan_out'd 32-partition input every
+        # task would otherwise write a file into every bp directory
+        # (32 x 256 tiny files); hashing by the partition column restores
+        # one file per directory while keeping the kernel parallel.
+        wr.repartition("bp").write.mode("overwrite").partitionBy("bp").parquet(base)
         # ---- probe: batch prefixes -> partition-pruned index read
         new_b = bands.filter(F.col("doc_id") % 25 == 0).select(
             F.col("doc_id").alias("doc_new"), "b", "bkey"
@@ -300,7 +305,11 @@ def ivf_index_persisted(spark, sf_dir):
     NPROBE = 6
     from biggie_spark.util import topk_by_cosine
 
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # fan_out (optimization r14, guide §2.5): distance/code folds are
+    # per-row CPU over a single-split scan.
+    e = fan_out(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     idx = e.filter(F.col("vec_id") % 10 != 0)
     cent = idx.filter(F.col("vec_id") < 18).select(
         F.col("vec_id").cast("int").alias("cid"), F.col("embedding").alias("cvec")
@@ -492,7 +501,11 @@ def llm_knn_quantized_rerank(spark, sf_dir):
     directory layout (`ivf_index_persisted`) for sub-linear reads."""
     from biggie_spark.util import l2_norm_sq
 
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # fan_out (optimization r14, guide §2.5): distance/code folds are
+    # per-row CPU over a single-split scan.
+    e = fan_out(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     n = e.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("a"),
@@ -647,7 +660,11 @@ def llm_retrieval_eval(spark, sf_dir):
         .select("probe_id", "neighbor_id")
         .transform(lineage_cap)  # feeds the rel join AND the probes frame
     )
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # fan_out (optimization r14, guide §2.5): distance/code folds are
+    # per-row CPU over a single-split scan.
+    e = fan_out(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     codes = e.select(
         "vec_id", "embedding", _ndc_code(F.col("embedding"), 0).alias("code")
     )

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from biggie_spark.ops.llm import _DUCK_SIG, _docs, _minhash_sig, band_struct
 from biggie_spark.registry import register
-from biggie_spark.util import fan_out, lineage_cap, tokens
+from biggie_spark.util import fan_in, fan_out, lineage_cap, tokens
 
 SPLIT_ID = 400  # base = doc_id < 400, batch = rest (llm_dedup_incremental's split)
 # Gopher-style length gate; MIN_TOKS=12 rejects the bottom ~2-5% of this
@@ -150,15 +150,24 @@ def llm_ingest_pipeline_persisted(spark, sf_dir):
     root = tempfile.mkdtemp(prefix="biggie_ingest_")
     try:
         # ---- build: the three artifact components from the base
-        d.filter(is_base).select("doc_id", "dg").write.mode("overwrite").parquet(
-            f"{root}/digests"
-        )
+        # fan_in (guide §6): the base digests/payload are sub-split-size
+        # artifacts — one file each, not one tiny file per fan_out task.
+        fan_in(d.filter(is_base).select("doc_id", "dg")).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/digests")
         post = bands.join(
             d.filter(is_base).select("doc_id"), "doc_id", "left_semi"
         )
-        post.write.mode("overwrite").partitionBy("bp").parquet(f"{root}/postings")
-        d.filter(is_base).select(
-            "doc_id", "sg", "ts", F.size("ts").alias("n")
+        # repartition("bp") before the partitioned write (guide §6):
+        # keeps one file per bp directory under the fan_out'd input
+        # instead of files-per-task x directories.
+        post.repartition("bp").write.mode("overwrite").partitionBy("bp").parquet(
+            f"{root}/postings"
+        )
+        fan_in(
+            d.filter(is_base).select(
+                "doc_id", "sg", "ts", F.size("ts").alias("n")
+            )
         ).write.mode("overwrite").parquet(f"{root}/payload")
 
         # ---- ingest: quality gate on the batch
@@ -263,9 +272,9 @@ def llm_ingest_pipeline_persisted(spark, sf_dir):
         d.join(acc, "doc_id", "left_semi").select("doc_id", "dg").write.mode(
             "append"
         ).parquet(f"{root}/digests")
-        bands.join(acc, "doc_id", "left_semi").write.mode("append").partitionBy(
-            "bp"
-        ).parquet(f"{root}/postings")
+        bands.join(acc, "doc_id", "left_semi").repartition("bp").write.mode(
+            "append"
+        ).partitionBy("bp").parquet(f"{root}/postings")
         d.join(acc, "doc_id", "left_semi").select(
             "doc_id", "sg", "ts", F.size("ts").alias("n")
         ).write.mode("append").parquet(f"{root}/payload")

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from biggie_spark.io import load_table
 from biggie_spark.registry import register
-from biggie_spark.util import lineage_cap, topk_by_cosine
+from biggie_spark.util import fan_out, lineage_cap, topk_by_cosine
 
 K = 16
 ITERS = 3
@@ -62,7 +62,11 @@ def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
 def train_ivf(spark, sf_dir) -> tuple[DataFrame, DataFrame]:
     """Lloyd k-means over the embeddings table; returns (assignments,
     centroids)."""
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # fan_out (optimization r14, guide §2.5): distance/code folds are
+    # per-row CPU over a single-split scan.
+    e = fan_out(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     centroids = (
         e.filter(F.col("vec_id") < K)
         .select(F.col("vec_id").cast("int").alias("cid"),
@@ -118,7 +122,11 @@ def ivf_assign(spark, sf_dir) -> DataFrame:
     Plan shape is the one that scales: K=16 centroids broadcast to every
     executor, one corpus pass, argmin per vector via a vec_id-partitioned
     rank — no corpus shuffle beyond the window's hash partition."""
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # fan_out (optimization r14, guide §2.5): distance/code folds are
+    # per-row CPU over a single-split scan.
+    e = fan_out(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     centroids = e.filter(F.col("vec_id") < K).select(
         F.col("vec_id").cast("int").alias("cid"), F.col("embedding").alias("cvec")
     )
@@ -188,7 +196,11 @@ def ivf_search_incremental(spark, sf_dir) -> DataFrame:
     on the inverted-list id with the probe side broadcast — the index is
     scanned once and never shuffled; probe cost is O(batch x corpus/K x
     NPROBE)."""
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # fan_out (optimization r14, guide §2.5): distance/code folds are
+    # per-row CPU over a single-split scan.
+    e = fan_out(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     idx = e.filter(F.col("vec_id") % 10 != 0)
     bat = e.filter(F.col("vec_id") % 10 == 0)
     cent = idx.filter(F.col("vec_id") < 18).select(
@@ -337,7 +349,11 @@ def ivf_train_lloyd(spark, sf_dir) -> DataFrame:
     one bounded shuffle of K*64 rows; centroid frames are lineage-capped
     so the 3-round loop keeps O(1) plan depth (same discipline as
     graph_pagerank / the BPE merge loop)."""
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # fan_out (optimization r14, guide §2.5): distance/code folds are
+    # per-row CPU over a single-split scan.
+    e = fan_out(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     cent = e.filter(F.col("vec_id") < K).select(
         F.col("vec_id").cast("int").alias("cid"), F.col("embedding").alias("cvec")
     )

@@ -1682,9 +1682,15 @@ def llm_matryoshka_truncate(spark, sf_dir):
     decimals BEFORE ranking."""
     from biggie_spark.util import cosine, r4
 
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("a"),
+    from biggie_spark.util import fan_out
+
+    # fan_out (optimization r14, guide §2.5): 12 cosine folds per pair
+    # over a single-split scan.
+    e = fan_out(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("a"),
+        )
     )
     pr = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("probe_id"), F.col("a").alias("pa")

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from biggie_spark.io import load_table
 from biggie_spark.registry import register
-from biggie_spark.util import lineage_cap, r4, tokens
+from biggie_spark.util import fan_out, lineage_cap, r4, tokens
 
 _CMS_D = 4  # hash rows
 _CMS_W = 512  # buckets per row
@@ -79,7 +79,9 @@ def agg_cms_topk(spark, sf_dir):
     rows).  The md5 hash family is the portable idiom, so the oracle
     builds the byte-identical sketch and every counter collision
     reproduces exactly."""
-    tk = load_table(spark, sf_dir, "documents").select(
+    # fan_out (optimization r14, guide §2.5): the explode + 4-row md5
+    # counter kernel otherwise runs inside the single-split scan task.
+    tk = fan_out(load_table(spark, sf_dir, "documents")).select(
         F.explode(tokens("text")).alias("tok")
     )
     tk = tk.transform(lineage_cap)  # feeds truth + counters

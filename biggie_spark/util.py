@@ -313,6 +313,25 @@ def fan_out(df):
     return df.repartition(p)
 
 
+def fan_in(df):
+    """Inverse of :func:`fan_out` for WRITES: coalesce a small frame to one
+    output file (guide §6 "aim for output files in the 128 MB - 1 GB
+    range" — for a sub-split-size artifact that is ONE file, not one tiny
+    file per upstream task).  Same size-estimate gate as fan_out, so a
+    frame that genuinely fills multiple splits keeps its parallelism; the
+    coalesce adds no shuffle."""
+    spark = df.sparkSession
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+        )
+    except Exception:
+        est = None
+    if est is not None and est > _FAN_OUT_SPLIT_BYTES:
+        return df
+    return df.coalesce(1)
+
+
 def epoch_us(col: Column | str) -> Column:
     """Timestamp -> exact epoch microseconds (bigint).  Casts through
     TIMESTAMP first because Spark 4.1 rejects TIMESTAMP_NTZ input to
