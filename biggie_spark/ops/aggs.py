@@ -57,6 +57,12 @@ def agg_groupby(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        # No fan_out (optimization r14, measured): the baseline plan
+        # shuffles only the ~6-row partial-agg output, so any repartition
+        # replaces that with a 600k-raw-row shuffle — measured WORSE
+        # (0.33 s baseline vs 0.51 s round-robin / 0.37 s hash at sf0.1).
+        # The remaining single-task cost is parquet decode of a
+        # single-row-group file, which no post-scan exchange can split.
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity").alias("sum_qty"),

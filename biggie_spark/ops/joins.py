@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from biggie_spark.io import load_table
 from biggie_spark.registry import register
-from biggie_spark.util import dsum, lineage_cap, r4, revenue_sum
+from biggie_spark.util import dsum, fan_out, lineage_cap, r4, revenue_sum
 
 
 @register(
@@ -196,7 +196,16 @@ def join_multiway_star(spark, sf_dir):
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
+    # fan_out on the join key (optimization r14, guide §2.5 input-skew
+    # remedy): the fact parquet is a single row group, so the whole
+    # broadcast-join + partial-aggregate codegen span otherwise executes
+    # as ONE task on one core.  Hash-spread on l_orderkey (a column the
+    # query already reads; no round-robin pre-sort) lets the four hash
+    # probes + partial agg use every core — measured 0.70 s -> 0.54 s
+    # warm at sf0.1; size-gated, so at real scale (multi-split fact) it
+    # is the identity.  Joins and the integer-cents revenue sum are
+    # order-insensitive -> bit-identical output.
+    li = fan_out(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -226,6 +235,11 @@ def join_topk_revenue(spark, sf_dir):
     both engines rank identical doubles."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
+    # No fan_out here (optimization r14, measured): after the returnflag
+    # filter only ~150k rows reach the two broadcast probes + partial agg,
+    # and the repartition's shuffle of those raw rows costs as much as it
+    # saves (baseline 0.44 s vs 0.53 s round-robin / 0.44 s hash at
+    # sf0.1) — the single-task span is already near the per-query floor.
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)

@@ -245,7 +245,15 @@ def fn_json(spark, sf_dir):
     get_json_object path-extraction twin is covered by
     tests/test_json_paths.py, not here: double-parsing the same column
     costs ~2x at scale.)"""
-    ev = load_table(spark, sf_dir, "events")
+    # fan_out (optimization r14, guide §2.5 + §4 "per-task work"): from_json
+    # is CodegenFallback (interpreted, one Jackson parse per row) and the
+    # single-row-group events scan ran the whole parse on ONE core.
+    # Hash-spread on event_id (unique -> even spread, no round-robin
+    # pre-sort) parallelizes the parse across the session's cores —
+    # measured 0.40 s -> 0.20 s warm at sf0.1 (round-robin only reached
+    # 0.29 s); the groupBy aggregate is order-insensitive (int sums in
+    # double are exact), so output is bit-identical.
+    ev = fan_out(load_table(spark, sf_dir, "events"), "event_id")
     k = F.from_json("props", T.StructType([T.StructField("k", T.IntegerType())]))["k"]
     return (
         ev.withColumn("k", k)
