@@ -549,7 +549,14 @@ def llm_spec_decode_accept(spark, sf_dir):
     beyond the K-row TakeOrdered.  Integer throughout; ties at
     vocabulary rank K break on (count desc, token asc) identically on
     both engines."""
-    docs = load_table(spark, sf_dir, "documents")
+    from biggie_spark.util import fan_out
+
+    # fan_out (optimization r14, guide §2.5): both the vocabulary count
+    # and the acceptance plan explode ~816k tokens (sf0.1) off a
+    # single-row-group scan — one task otherwise.  Batch-only: the
+    # streaming twin calls _spec_accept_plan with a readStream frame and
+    # is untouched.
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     a = _spec_accept_plan(docs, _spec_top_vocab(docs))
     return a.groupBy("doc_id").agg(
         F.count("*").alias("n_blocks"),

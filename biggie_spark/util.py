@@ -324,7 +324,7 @@ def fan_out(df, *keys: str):
     p = spark.sparkContext.defaultParallelism
     try:
         est = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         )
     except Exception:
         est = None
@@ -345,7 +345,7 @@ def fan_in(df):
     spark = df.sparkSession
     try:
         est = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         )
     except Exception:
         est = None
