@@ -133,7 +133,15 @@ def agg_approx_distinct(spark, sf_dir):
     sketch asserting the estimate landed within 10% of exact (HLL++ at the
     default rsd=0.05 is comfortably inside that).  The sketch still runs;
     the oracle pins TRUE."""
-    li = load_table(spark, sf_dir, "lineitem")
+    from biggie_spark.util import fan_out
+
+    # fan_out (optimization r14, guide §2.5): the multi-distinct plan is
+    # Expand x3 over the scan followed by a 104-field HLL partial
+    # aggregate — all inside the single-row-group scan task otherwise.
+    # Keyed on l_partkey (a column the query already reads) so the spread
+    # exchange is content-deterministic with no round-robin presort.
+    # Measured warm at sf0.1: 1.63 s -> 0.91 s (round-robin only 1.37 s).
+    li = fan_out(load_table(spark, sf_dir, "lineitem"), "l_partkey")
     agg = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
         F.countDistinct("l_orderkey").alias("exact_orders"),

@@ -332,6 +332,20 @@ def llm_neardup_pairs(spark, sf_dir, threshold: float = 0.95):
             & szfilt,
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        # Widen the candidate dedup + verify span to session parallelism
+        # (optimization r14): the session's shuffle.partitions=8 is sized
+        # for the registry's typical tiny aggregate shuffles, but here the
+        # post-exchange work is ~1.75M candidate pairs each paying an
+        # array-intersect — 8 tasks left 3/4 of the cores idle.  The
+        # repartition hash-partitions on the distinct's own grouping keys,
+        # so the aggregate reuses this exchange (guide §2.4 — exchange
+        # count unchanged, measured 5 before and after) and the whole
+        # dedup+verify span runs at defaultParallelism.  Measured warm at
+        # sf0.1: 3.27 s -> 1.78 s, output hash identical.  (A union-free
+        # jaccard via |A|+|B|-i was also A/B'd: wash, rejected.)
+        .repartition(
+            spark.sparkContext.defaultParallelism, "doc_a", "doc_b"
+        )
         .distinct()
     )
     ta = d.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))

@@ -781,9 +781,21 @@ def graph_supplier_copart(spark, sf_dir):
     grouped aggregates — the projection never materializes a
     supplier x supplier cross product."""
     li = load_table(spark, sf_dir, "lineitem")
-    ps = li.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
+    # Widen the distinct + projection join to session parallelism
+    # (optimization r14, same move as llm_neardup_pairs' verify): the
+    # per-part pair generation emits millions of intermediate pairs and
+    # ran on the session's 8 shuffle partitions; both repartitions land on
+    # the exchanges the plan needs anyway (the distinct's (p,s) clustering
+    # and the join's p clustering), so the exchange count is unchanged —
+    # they just run wide.  Measured warm at sf0.1: 1.73 s -> 1.45 s,
+    # output identical.
+    p_n = spark.sparkContext.defaultParallelism
+    ps = (
+        li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .repartition(p_n, "p", "s")
+        .distinct()
+        .repartition(p_n, "p")
+    )
     pb = ps.select(F.col("p").alias("p2"), F.col("s").alias("s2"))
     pair = (
         ps.join(pb, (F.col("p") == F.col("p2")) & (F.col("s") < F.col("s2")))

@@ -309,9 +309,22 @@ def udf_cogroup_pandas(spark, sf_dir):
             ]
         )
 
+    # Widen the cogroup shuffle to session parallelism (optimization r14,
+    # guide §4.1: the per-key Python call is the unit of work here — one
+    # Arrow round-trip per custkey, ~15k keys at sf0.1).  Under a vanilla
+    # session AQE coalesced the tiny exchanges to TWO partitions, so 15k
+    # Python calls ran nearly serially: measured 15.3 s -> 2.6 s warm from
+    # this one change (AQE-off/8-partition posture: 4.2 -> 1.5 s).  An
+    # explicit keyed repartition is exempt from AQE coalescing and
+    # satisfies the cogroup's required clustering, so the exchange count
+    # is unchanged (2, one per side) — it just runs wide.  Scale-safe: the
+    # partition count tracks the session's cores, and a production corpus
+    # fills them regardless.
+    p = spark.sparkContext.defaultParallelism
     return (
-        o.groupBy("k")
-        .cogroup(c.groupBy("k"))
+        o.repartition(p, "k")
+        .groupBy("k")
+        .cogroup(c.repartition(p, "k").groupBy("k"))
         .applyInPandas(
             recon,
             "custkey bigint, n_orders bigint, spend_cents bigint, "
