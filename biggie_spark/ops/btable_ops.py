@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from biggie_spark.io import load_table
 from biggie_spark.registry import register
 from biggie_spark.tablefmt import BTable
+from biggie_spark.util import lineage_cap
 
 
 def _scratch() -> str:
@@ -132,20 +133,24 @@ def bt_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.append(spark, _nation_shifted(spark, sf_dir).coalesce(1))
         ts_mid = time.time()
         t.delete(spark, "n_regionkey == 2")
-        rows = []
-        for v in (0, 1, 2):
-            r = t.read(spark, version=v).agg(
-                F.count(F.lit(1)), F.sum("n_nationkey")
-            ).collect()[0]
-            rows.append((v, r[0], r[1]))
+        # version_as_of is a driver-side log read, so every versioned
+        # aggregate is known up front — ONE unioned action instead of four
+        # sequential collects (optimization r14, guide §2.6 overlap: the
+        # union's four scan subtrees schedule inside one job, collapsing
+        # 4 per-action floors into 1).  Rows/types identical.
         v_ts = t.version_as_of(ts_mid)
-        r = t.read(spark, version=v_ts).agg(
-            F.count(F.lit(1)), F.sum("n_nationkey")
-        ).collect()[0]
-        rows.append((100 + v_ts, r[0], r[1]))
-        return spark.createDataFrame(
-            rows, "version bigint, cnt bigint, sum_key bigint"
-        )
+        frames = [
+            t.read(spark, version=v).agg(
+                F.lit(label).cast("long").alias("version"),
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("n_nationkey").cast("long").alias("sum_key"),
+            )
+            for label, v in ((0, 0), (1, 1), (2, 2), (100 + v_ts, v_ts))
+        ]
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return _materialize(out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -179,15 +184,22 @@ def bt_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.append(spark, _nation_shifted(spark, sf_dir).coalesce(1))
         v_final = t.restore(0)
         hist = {c["version"]: c["op"] for c in t.history()}
-        rows = []
-        for v in range(v_final + 1):
-            r = t.read(spark, version=v).agg(
-                F.count(F.lit(1)), F.sum("n_nationkey")
-            ).collect()[0]
-            rows.append((v, hist[v], r[0], r[1]))
-        return spark.createDataFrame(
-            rows, "version bigint, op string, cnt bigint, sum_key bigint"
-        )
+        # history() is driver-side, so all four versioned aggregates union
+        # into ONE action (optimization r14, guide §2.6 — see
+        # bt_time_travel_read).  Rows/types identical.
+        frames = [
+            t.read(spark, version=v).agg(
+                F.lit(v).cast("long").alias("version"),
+                F.lit(hist[v]).alias("op"),
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("n_nationkey").cast("long").alias("sum_key"),
+            )
+            for v in range(v_final + 1)
+        ]
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return _materialize(out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -232,12 +244,18 @@ def _events_btable(spark: SparkSession, sf_dir: str, tmp: str) -> BTable:
     per-file ts stats are near-disjoint, so a same-day predicate CAN prune
     — which is exactly what makes the ADVICE-r12 timestamp bug scoreable
     (a false prune drops a whole week of rows from the result)."""
-    ev = load_table(spark, sf_dir, "events").filter("user_id < 40").select(
-        "event_id",
-        "ts",
-        "user_id",
-        "event_type",
-        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    # lineage_cap (optimization r14, guide §5 caching note): the four
+    # weekly commits below each action this same filtered frame — pin it
+    # once so appends 2-4 read cached blocks instead of re-scanning and
+    # re-filtering the events parquet per commit.
+    ev = lineage_cap(
+        load_table(spark, sf_dir, "events").filter("user_id < 40").select(
+            "event_id",
+            "ts",
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
     )
     weeks = [
         ev.filter("ts < '2024-01-08'"),
@@ -405,18 +423,23 @@ def bt_stats_skipped_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = _scratch()
     try:
         t = _four_day_table(spark, sf_dir, tmp)
-        rows = []
-        for label, sw, _, _ in _SKIP_PREDS:
-            scanned = t.scan_file_count(sw)
-            r = t.read(spark, where=sw).agg(
-                F.count(F.lit(1)), F.coalesce(F.sum("k"), F.lit(0))
-            ).collect()[0]
-            rows.append((label, 4, scanned, r[0], r[1]))
-        return spark.createDataFrame(
-            rows,
-            "which string, files_total int, files_scanned int, "
-            "cnt bigint, sum_k bigint",
-        ).orderBy("which")
+        # scan_file_count is driver-side log math, so the five predicate
+        # aggregates union into ONE action (optimization r14, guide §2.6 —
+        # see bt_time_travel_read).  Rows/types identical.
+        frames = [
+            t.read(spark, where=sw).agg(
+                F.lit(label).alias("which"),
+                F.lit(4).alias("files_total"),
+                F.lit(t.scan_file_count(sw)).alias("files_scanned"),
+                F.count(F.lit(1)).alias("cnt"),
+                F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("sum_k"),
+            )
+            for label, sw, _, _ in _SKIP_PREDS
+        ]
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return _materialize(out.orderBy("which"))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
