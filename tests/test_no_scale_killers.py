@@ -358,8 +358,11 @@ _COLLECT_ALLOWLIST = {
     # (<= ~60 rows — per-region / per-version / per-predicate counts) so
     # the scratch btable directory can be deleted before the driver
     # collects the returned frame; _materialize is the shared audited
-    # helper, the other five are per-version/per-predicate 1-row aggs.
-    "ops/btable_ops.py": 6,
+    # helper.  Optimization r14 (guide §2.6 action fusion) removed four
+    # of the six sites: the per-version/per-predicate collect loops in
+    # bt_time_travel_read / bt_restore_roundtrip / bt_stats_skipped_read
+    # now union their bounded aggregates into ONE _materialize action.
+    "ops/btable_ops.py": 2,
     # round-14 wave H (SCALE.md "Round-14: wave-H btable surfaces"): same
     # audited shape as btable_ops — (1)/(2) the per-predicate loops in
     # bt_in_pruned_read / bt_null_stats_skipped_read collect a 1-row
