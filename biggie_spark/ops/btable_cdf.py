@@ -253,18 +253,24 @@ def bt_in_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = _scratch()
     try:
         t = _four_day_table(spark, sf_dir, tmp)
-        rows = []
-        for label, sw, _, _ in _IN_PREDS:
-            scanned = t.scan_file_count(sw)
-            r = t.read(spark, where=sw).agg(
-                F.count(F.lit(1)), F.coalesce(F.sum("k"), F.lit(0))
-            ).collect()[0]
-            rows.append((label, 4, scanned, r[0], r[1]))
-        return spark.createDataFrame(
-            rows,
-            "which string, files_total int, files_scanned int, "
-            "cnt bigint, sum_k bigint",
-        ).orderBy("which")
+        # scan_file_count is driver-side log math, so the five predicate
+        # aggregates union into ONE action (optimization r14, guide §2.6
+        # — same fusion as bt_stats_skipped_read; 11 -> 7 Spark jobs
+        # measured via tools/op_job_count.py).  Rows/types identical.
+        frames = [
+            t.read(spark, where=sw).agg(
+                F.lit(label).alias("which"),
+                F.lit(4).alias("files_total"),
+                F.lit(t.scan_file_count(sw)).alias("files_scanned"),
+                F.count(F.lit(1)).alias("cnt"),
+                F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("sum_k"),
+            )
+            for label, sw, _, _ in _IN_PREDS
+        ]
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return _materialize(out.orderBy("which"))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -329,18 +335,23 @@ def bt_null_stats_skipped_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = BTable.create(spark, f"{tmp}/t", slices[0].coalesce(1))
         for s in slices[1:]:
             t.append(spark, s.coalesce(1))
-        rows = []
-        for label, w, _ in _NULL_PREDS:
-            scanned = t.scan_file_count(w)
-            r = t.read(spark, where=w).agg(
-                F.count(F.lit(1)), F.coalesce(F.sum("v"), F.lit(0))
-            ).collect()[0]
-            rows.append((label, 3, scanned, r[0], r[1]))
-        return spark.createDataFrame(
-            rows,
-            "which string, files_total int, files_scanned int, "
-            "cnt bigint, sum_v bigint",
-        ).orderBy("which")
+        # Four per-predicate collects fused into ONE unioned action
+        # (optimization r14, guide §2.6 — see bt_in_pruned_read; 9 -> 6
+        # Spark jobs).  Rows/types identical.
+        frames = [
+            t.read(spark, where=w).agg(
+                F.lit(label).alias("which"),
+                F.lit(3).alias("files_total"),
+                F.lit(t.scan_file_count(w)).alias("files_scanned"),
+                F.count(F.lit(1)).alias("cnt"),
+                F.coalesce(F.sum("v"), F.lit(0)).cast("long").alias("sum_v"),
+            )
+            for label, w, _ in _NULL_PREDS
+        ]
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return _materialize(out.orderBy("which"))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

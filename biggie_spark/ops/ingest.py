@@ -188,14 +188,28 @@ def llm_ingest_pipeline_persisted(spark, sf_dir):
         )
         # fan_in (guide §6): the base digests/payload are sub-split-size
         # artifacts — one file each, not one tiny file per fan_out task.
-        fan_in(d.filter(is_base).select("doc_id", "dg")).write.mode(
-            "overwrite"
-        ).parquet(f"{root}/digests")
-        fan_in(
-            d.filter(is_base).select(
-                "doc_id", "sg", "ts", F.size("ts").alias("n")
-            )
-        ).write.mode("overwrite").parquet(f"{root}/payload")
+        # The two writes are independent actions over the SAME cached `d`
+        # blocks (the postings write above already materialized the
+        # checkpoint), so they overlap in a small thread pool
+        # (guide §2.6: actions are only sequential because driver code
+        # calls them sequentially).
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write_digests():
+            fan_in(d.filter(is_base).select("doc_id", "dg")).write.mode(
+                "overwrite"
+            ).parquet(f"{root}/digests")
+
+        def _write_payload():
+            fan_in(
+                d.filter(is_base).select(
+                    "doc_id", "sg", "ts", F.size("ts").alias("n")
+                )
+            ).write.mode("overwrite").parquet(f"{root}/payload")
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for f in [pool.submit(_write_digests), pool.submit(_write_payload)]:
+                f.result()
 
         # ---- ingest: quality gate on the batch
         q = d.filter(~is_base).select(
@@ -232,6 +246,17 @@ def llm_ingest_pipeline_persisted(spark, sf_dir):
         cand0 = pruned.select(
             "new_id", F.col("doc_id").alias("old_id")
         ).distinct()
+        # Widen the verify span (optimization r14, batch-5 pattern): the
+        # minhash-agreement scoring joins and the VERIFY_BUDGET window
+        # otherwise run on the session's 8 post-shuffle partitions; an
+        # explicit keyed repartition AFTER the distinct (so the distinct
+        # keeps its map-side partial) spreads them across the session's
+        # cores, and the window reuses the exchange (new_id IS its
+        # partition key — no extra exchange downstream).  Measured:
+        # classify span 2.2-2.5 s -> 1.9 s warm at sf0.1.
+        cand0 = cand0.repartition(
+            spark.sparkContext.defaultParallelism, "new_id"
+        )
         payload = spark.read.parquet(f"{root}/payload")
         magree = F.size(
             F.filter(F.zip_with("sga", "sgb", lambda x, y: x == y), lambda v: v)
@@ -296,15 +321,31 @@ def llm_ingest_pipeline_persisted(spark, sf_dir):
             .transform(lineage_cap)  # classification + the three appends
         )
         acc = kinds.filter(F.col("stage") == "accepted").select("doc_id")
+        # digests append FIRST and alone: it is the action that
+        # materializes the lazy `kinds` checkpoint (the whole classify
+        # pipeline), so running it sequentially keeps that one-time cost
+        # out of the pool; the remaining two appends then only re-join
+        # cached blocks and overlap as independent jobs (guide §2.6).
         d.join(acc, "doc_id", "left_semi").select("doc_id", "dg").write.mode(
             "append"
         ).parquet(f"{root}/digests")
-        bands.join(acc, "doc_id", "left_semi").repartition("bp").write.mode(
-            "append"
-        ).partitionBy("bp").parquet(f"{root}/postings")
-        d.join(acc, "doc_id", "left_semi").select(
-            "doc_id", "sg", "ts", F.size("ts").alias("n")
-        ).write.mode("append").parquet(f"{root}/payload")
+
+        def _append_postings():
+            bands.join(acc, "doc_id", "left_semi").repartition("bp").write.mode(
+                "append"
+            ).partitionBy("bp").parquet(f"{root}/postings")
+
+        def _append_payload():
+            d.join(acc, "doc_id", "left_semi").select(
+                "doc_id", "sg", "ts", F.size("ts").alias("n")
+            ).write.mode("append").parquet(f"{root}/payload")
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for f in [
+                pool.submit(_append_postings),
+                pool.submit(_append_payload),
+            ]:
+                f.result()
 
         # ---- the artifact's OWN word on its new size (re-read, not math)
         cls = kinds.groupBy("stage").agg(

@@ -364,12 +364,13 @@ _COLLECT_ALLOWLIST = {
     # now union their bounded aggregates into ONE _materialize action.
     "ops/btable_ops.py": 2,
     # round-14 wave H (SCALE.md "Round-14: wave-H btable surfaces"): same
-    # audited shape as btable_ops — (1)/(2) the per-predicate loops in
-    # bt_in_pruned_read / bt_null_stats_skipped_read collect a 1-row
-    # aggregate per predicate (5 and 4 predicates, fixed lists), (3)
-    # bt_vacuum_observability's single 1-row final aggregate.  The
-    # scratch-table results must be pinned driver-side before cleanup.
-    "ops/btable_cdf.py": 3,
+    # audited shape as btable_ops.  Optimization r14 (guide §2.6 action
+    # fusion) removed the per-predicate collect loops in bt_in_pruned_read
+    # / bt_null_stats_skipped_read (their 5+4 bounded aggregates now union
+    # into one _materialize action each); the remaining site is
+    # bt_vacuum_observability's single 1-row final aggregate, which must
+    # be pinned driver-side before the scratch table is deleted.
+    "ops/btable_cdf.py": 1,
 }
 
 
