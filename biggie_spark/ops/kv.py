@@ -161,12 +161,8 @@ def kv_put_bucketed(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     base = tempfile.mkdtemp(prefix="biggie_kvb_")
     try:
-        (
-            docs.withColumn("kbucket", F.col("doc_id") % N)
-            .write.mode("overwrite")
-            .partitionBy("kbucket")
-            .parquet(base)
-        )
+        wdf = docs.withColumn("kbucket", F.col("doc_id") % N)
+        wdf.write.mode("overwrite").partitionBy("kbucket").parquet(base)
 
         put_rows = [Row(doc_id=1, text="__UPDATED__"), Row(doc_id=100000, text="__NEW__")]
         touched = sorted({r.doc_id % N for r in put_rows})
@@ -174,7 +170,12 @@ def kv_put_bucketed(spark, sf_dir):
             "kbucket", F.col("doc_id") % N
         )
 
-        stash = spark.read.parquet(base)
+        # Explicit schema on both stash read-backs (optimization r14): the
+        # writer's schema is in scope, so the driver-side footer/partition
+        # schema inference (~0.1 s per read) buys nothing; it also keeps
+        # kbucket at the writer's LONG type instead of the directory
+        # inference's int.
+        stash = spark.read.schema(wdf.schema).parquet(base)
         untouched_files = {
             (p, os.path.getsize(p))
             for p in _bucket_files(base)
@@ -202,7 +203,7 @@ def kv_put_bucketed(spark, sf_dir):
         }
         assert after == untouched_files, "untouched buckets were rewritten"
 
-        final = spark.read.parquet(base)
+        final = spark.read.schema(wdf.schema).parquet(base)
         return final.agg(
             F.count("*").alias("n"),
             F.sum("doc_id").alias("sum_key"),
