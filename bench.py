@@ -79,15 +79,16 @@ def _median(warms: list[float]) -> float:
     return round(statistics.median(warms), 3)
 
 
-# Quiet-box protocol (VERDICT r11 "What's wrong" #1: BENCH_r11.json was
-# recorded at loadavg 2.92, violating the >2.0 re-run rule the tool itself
-# printed).  The JSON line is the adjudication artifact, so emitting it
-# from a loaded box is exactly what the rule exists to prevent — the tool
-# now REFUSES instead of warning.  Escapes, in order: (1) a bounded
-# pre-flight wait for the box to quiet down, (2) up to two warm
-# re-measurements (queries are already warm, so a re-measure is cheap),
-# (3) SPARK_GRAFT_FORCE_BENCH=1 emits anyway for non-artifact exploratory
-# runs (the env var is greppable in the artifact via "forced": true).
+# Quiet-box protocol (VERDICT r11 #1, amended by VERDICT r14 #1): the
+# JSON line is the adjudication artifact, and emitting it silently from a
+# loaded box is what the rule exists to prevent.  Mitigations, in order:
+# (1) a bounded pre-flight wait for the box to quiet down, (2) up to two
+# warm re-measurements (queries are already warm, so a re-measure is
+# cheap), (3) if the box NEVER quiets down, emit anyway with
+# "noisy": true + the observed loadavg — r14 showed that refusing (rc=3,
+# no JSON) leaves the driver with no 32-core artifact at all, which is
+# strictly worse than a flagged one.  SPARK_GRAFT_FORCE_BENCH=1 skips the
+# waits entirely for exploratory runs ("forced": true in the artifact).
 LOADAVG_MAX = 2.0
 
 
@@ -105,6 +106,34 @@ def _wait_for_quiet(max_wait_sec: float) -> float:
         time.sleep(15)
         load = os.getloadavg()[0]
     return load
+
+
+def _build_record(
+    timings: dict[str, float],
+    spread: dict[str, list[float]],
+    repeat: int,
+    sf: float | None,
+    loadavg: float,
+    forced: bool,
+) -> dict:
+    """Assemble the one-line JSON artifact.  Always emits (VERDICT r14 #1);
+    a run whose box never quieted down is flagged "noisy": true rather
+    than suppressed, so the driver always gets a per-query table."""
+    record = {
+        "metric": "headline_9q_total_warm",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,  # per-query MEDIAN of `repeat` warm runs
+        "repeat": repeat,
+        "spread": spread,  # per-query [min, max] across the warm runs
+        "sf": sf,
+        "loadavg": loadavg,
+    }
+    if forced:
+        record["forced"] = True
+    if loadavg > LOADAVG_MAX and not forced:
+        record["noisy"] = True
+    return record
 
 
 def main() -> None:
@@ -174,29 +203,21 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = None
-    if loadavg > LOADAVG_MAX and not forced:
-        # REFUSE (VERDICT r11 #1): no JSON on stdout means no artifact —
-        # strictly better than an artifact the rule says to distrust.
+    record = _build_record(timings, spread, repeat, sf, loadavg, forced)
+    if record.get("noisy"):
+        # VERDICT r14 #1: refusing forever (old rc=3, no JSON) left the
+        # driver with NO 32-core artifact at all — strictly worse than a
+        # flagged one.  After the pre-flight wait and 2 re-measure
+        # attempts, emit the one-line JSON anyway with "noisy": true and
+        # the observed loadavg so the consumer can discount it; the
+        # per-query minimum of the `repeat` warm runs is still available
+        # in `spread[q][0]` as the least load-inflated number.
         print(
-            f"bench: REFUSING to emit — loadavg {loadavg} > {LOADAVG_MAX} "
-            "after pre-flight wait and 2 re-measure attempts. Re-run on a "
-            "quiet box, or set SPARK_GRAFT_FORCE_BENCH=1 for a non-artifact "
-            "exploratory number.",
+            f"bench: box still loaded (loadavg {loadavg} > {LOADAVG_MAX}) "
+            "after pre-flight wait and 2 re-measure attempts — emitting "
+            'the artifact flagged "noisy": true (VERDICT r14 #1).',
             file=sys.stderr,
         )
-        sys.exit(3)
-    record = {
-        "metric": "headline_9q_total_warm",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,  # per-query MEDIAN of `repeat` warm runs
-        "repeat": repeat,
-        "spread": spread,  # per-query [min, max] across the warm runs
-        "sf": sf,
-        "loadavg": loadavg,
-    }
-    if forced:
-        record["forced"] = True
     print(json.dumps(record))
 
     if "--assert-budget" in sys.argv:

@@ -327,8 +327,14 @@ def fan_out(df, *keys: str):
             str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         )
     except Exception:
-        est = None
-    if est is not None and est > p * _FAN_OUT_SPLIT_BYTES:
+        # Fail CLOSED (VERDICT r14 #5): the size probe uses an internal
+        # API (`_jdf ... sizeInBytes`); if it breaks on some build, the
+        # safe default is the identity — repartitioning an input of
+        # UNKNOWN size could shuffle a full 100 TB table.  The un-spread
+        # kernel is merely slower at demo scale; the blind shuffle is
+        # catastrophic at production scale.
+        return df
+    if est > p * _FAN_OUT_SPLIT_BYTES:
         return df
     if keys:
         return df.repartition(p, *keys)
@@ -342,14 +348,16 @@ def fan_in(df):
     file per upstream task).  Same size-estimate gate as fan_out, so a
     frame that genuinely fills multiple splits keeps its parallelism; the
     coalesce adds no shuffle."""
-    spark = df.sparkSession
     try:
         est = int(
             str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         )
     except Exception:
-        est = None
-    if est is not None and est > _FAN_OUT_SPLIT_BYTES:
+        # Fail CLOSED (VERDICT r14 #5), same reasoning as fan_out: a
+        # broken size probe must not coalesce(1) a frame of unknown size
+        # — that would serialize a potentially huge write into one task.
+        return df
+    if est > _FAN_OUT_SPLIT_BYTES:
         return df
     return df.coalesce(1)
 

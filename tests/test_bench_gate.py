@@ -62,3 +62,23 @@ def test_median_is_true_median_for_even_repeat_counts():
     assert bench._median([1.0, 2.0, 10.0]) == 2.0
     # rounding matches the artifact's 3-decimal convention
     assert bench._median([0.1232, 0.1236]) == 0.123
+
+
+def test_record_always_emits_and_flags_noisy_box():
+    # VERDICT r14 #1: a box that never quiets down must still produce the
+    # one-line JSON artifact, flagged "noisy": true — rc=3 with no JSON
+    # left the driver blind at 32 cores in round 14.
+    bench = _bench()
+    timings = {"q_topk": 0.5}
+    spread = {"q_topk": [0.4, 0.6]}
+    rec = bench._build_record(timings, spread, 3, 0.1, loadavg=3.2, forced=False)
+    assert rec["noisy"] is True
+    assert rec["loadavg"] == 3.2
+    assert rec["queries"] == timings
+    assert rec["value"] == 0.5
+    # quiet box: no flag at all (field absent, not false)
+    rec_q = bench._build_record(timings, spread, 3, 0.1, loadavg=0.9, forced=False)
+    assert "noisy" not in rec_q
+    # forced runs are marked forced, never noisy (they skip the protocol)
+    rec_f = bench._build_record(timings, spread, 3, 0.1, loadavg=3.2, forced=True)
+    assert rec_f["forced"] is True and "noisy" not in rec_f
